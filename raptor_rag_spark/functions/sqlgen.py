@@ -1,0 +1,276 @@
+"""Twin-expression generators: one semantic, two engines, identical bits.
+
+Every operator that needs a DuckDB correctness oracle is defined here ONCE as
+a pair of generators — a PySpark ``Column`` builder and a DuckDB SQL string
+builder — emitting the *same arithmetic in the same evaluation order* from the
+same literals:
+
+- floating point: only +, *, /, abs, floor and left-associative sums (SQL
+  ``a + b + c`` parses left-assoc; we build the Spark Column the same way), so
+  IEEE-754 doubles come out bit-identical in both engines;
+- hashing: ``portable_hash63`` = first 15 hex chars of md5 as a 60-bit int
+  (Spark ``conv(substr(md5(x),1,15),16,10)``, DuckDB ``('0x'||...)::BIGINT``);
+- cell ids: pure 64-bit bit arithmetic (grid layout in kernels/grid.py).
+
+This is what makes "100% match on join rows + tile assignments" checkable: the
+oracle recomputes the full pipeline arithmetic, not an approximation of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernels.grid import COORD_BITS, RES_SHIFT
+from ..kernels.reduce import projection_weights
+from ..kernels.textstats import LANG_PROFILES, SHINGLE_N
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"  # kernels/tokenizer.py regex
+WORD_PATTERN = r"[a-z0-9]+"  # kernels/textstats.py WORD_RE
+
+
+# ---------------------------------------------------------------- hashing
+
+def hash63_col(col: Column) -> Column:
+    """portable_hash63 as a Spark Column (60-bit int from md5 prefix)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hash63_sql(expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------- tokens
+
+def token_count_col(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_PATTERN}'))"
+
+
+def words_col(col: Column) -> Column:
+    """Lowercased word tokens (ARRAY<STRING>), = kernels.textstats.norm_tokens."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_PATTERN), 0)
+
+
+def words_sql(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{WORD_PATTERN}')"
+
+
+# ---------------------------------------------------------------- xy projection
+
+def _weights(dim: int) -> tuple[list[float], list[float]]:
+    w = projection_weights(dim, 2)
+    return w[0].tolist(), w[1].tolist()
+
+
+def xy_cols(embedding: Column, dim: int) -> tuple[Column, Column]:
+    """(x, y) Columns from an ARRAY<FLOAT> embedding — strict left-assoc fold,
+    algebraic sigmoid 0.5 + z / (2 * (1 + |z|)). Matches kernels.reduce.project_xy."""
+    wx, wy = _weights(dim)
+    out = []
+    for w in (wx, wy):
+        z = F.lit(0.0)
+        for i in range(dim):
+            z = z + F.element_at(embedding, i + 1).cast("double") * F.lit(w[i])
+        out.append(F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))))
+    return out[0], out[1]
+
+
+def xy_sql(embedding_expr: str, dim: int) -> tuple[str, str]:
+    wx, wy = _weights(dim)
+    out = []
+    for w in (wx, wy):
+        terms = " + ".join(
+            f"CAST({embedding_expr}[{i + 1}] AS DOUBLE) * {w[i]!r}" for i in range(dim)
+        )
+        z = f"(0.0 + {terms})"
+        out.append(f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))")
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------- cells
+
+def cell_col(x: Column, y: Column, res: int) -> Column:
+    """Quadkey cell id from coordinates — same bit layout as kernels.grid."""
+    n = 1 << res
+    ix = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    iy = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    return (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(ix, COORD_BITS))
+        .bitwiseOR(iy)
+    )
+
+
+def cell_sql(x_expr: str, y_expr: str, res: int) -> str:
+    n = 1 << res
+    ix = f"greatest(least(floor(({x_expr}) * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iy = f"greatest(least(floor(({y_expr}) * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    return f"(({res}::BIGINT << {RES_SHIFT}) | ({ix} << {COORD_BITS}) | {iy})"
+
+
+COORD_MASK_LIT = (1 << COORD_BITS) - 1
+
+
+def cell_parent_col(cell: Column, steps: int = 1) -> Column:
+    res = F.shiftrightunsigned(cell, RES_SHIFT)
+    ix = F.shiftrightunsigned(cell, COORD_BITS).bitwiseAND(F.lit(COORD_MASK_LIT))
+    iy = cell.bitwiseAND(F.lit(COORD_MASK_LIT))
+    return (
+        F.shiftleft(res - F.lit(steps), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.shiftrightunsigned(ix, steps), COORD_BITS))
+        .bitwiseOR(F.shiftrightunsigned(iy, steps))
+    )
+
+
+def cell_parent_sql(cell_expr: str, steps: int = 1) -> str:
+    res = f"(({cell_expr}) >> {RES_SHIFT})"
+    ix = f"((({cell_expr}) >> {COORD_BITS}) & {COORD_MASK_LIT})"
+    iy = f"(({cell_expr}) & {COORD_MASK_LIT})"
+    return f"((({res} - {steps}) << {RES_SHIFT}) | (({ix} >> {steps}) << {COORD_BITS}) | ({iy} >> {steps}))"
+
+
+# ---------------------------------------------------------------- cosine (pairwise, exact-order)
+
+def dot_cols(a: Column, b: Column, dim: int) -> Column:
+    """Left-assoc dot product of two ARRAY<FLOAT> columns."""
+    z = F.lit(0.0)
+    for i in range(dim):
+        z = z + F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+    return z
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)" for i in range(dim)
+    )
+    return f"(0.0 + {terms})"
+
+
+def norm_cols(a: Column, dim: int) -> Column:
+    z = F.lit(0.0)
+    for i in range(dim):
+        e = F.element_at(a, i + 1).cast("double")
+        z = z + e * e
+    return F.sqrt(z)
+
+
+def norm_sql(a: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({a}[{i + 1}] AS DOUBLE)" for i in range(dim)
+    )
+    return f"sqrt(0.0 + {terms})"
+
+
+def cosine_sim_cols(a: Column, b: Column, dim: int) -> Column:
+    return dot_cols(a, b, dim) / (norm_cols(a, dim) * norm_cols(b, dim))
+
+
+def cosine_sim_sql(a: str, b: str, dim: int) -> str:
+    return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"
+
+
+# ---------------------------------------------------------------- shingles / minhash / simhash
+
+def shingles_col(col: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as ARRAY<STRING> (= kernels.textstats.shingles)."""
+    toks = words_col(col)
+    full = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    short = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return F.when(F.size(toks) >= n, full).otherwise(short)
+
+
+def shingles_sql(expr: str, n: int = SHINGLE_N) -> str:
+    toks = words_sql(expr)
+    full = (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+    short = f"CASE WHEN len({toks}) = 0 THEN [] ELSE [array_to_string({toks}, ' ')] END"
+    return f"CASE WHEN len({toks}) >= {n} THEN {full} ELSE {short} END"
+
+
+def normalize_answer_col(col: Column) -> Column:
+    """SQuAD normalization (kernels.metrics.normalize_answer) as expressions."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, r"\b(a|an|the)\b", " ")
+    s = F.regexp_replace(s, r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]", "")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return s
+
+
+def normalize_answer_sql(expr: str) -> str:
+    s = f"lower({expr})"
+    s = f"regexp_replace({s}, '\\b(a|an|the)\\b', ' ', 'g')"
+    s = "regexp_replace({}, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{{|}}~]', '', 'g')".format(s)
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------- lang id / quality
+
+def lang_id_cols(col: Column) -> Column:
+    """argmax stopword-hit language with fixed profile-order tie-break."""
+    toks = words_col(col)
+    scores = {}
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+    best_lang = F.lit("und")
+    best = F.lit(0)
+    for lang in LANG_PROFILES:
+        is_better = scores[lang] > best
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return best_lang
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = words_sql(expr)
+    score = {
+        lang: f"len(list_filter({toks}, t -> list_contains({list(words)!r}, t)))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best_lang, best = "'und'", "0"
+    for lang in LANG_PROFILES:
+        best_lang = f"CASE WHEN {score[lang]} > {best} THEN '{lang}' ELSE {best_lang} END"
+        best = f"CASE WHEN {score[lang]} > {best} THEN {score[lang]} ELSE {best} END"
+    return best_lang
+
+
+def quality_score_cols(col: Column) -> Column:
+    """kernels.textstats.quality_score as expressions (same arithmetic order)."""
+    toks = words_col(col)
+    n = F.size(toks)
+    length_score = F.least(n, F.lit(200)).cast("double") / F.lit(200.0)
+    alnum = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
+    alpha = alnum.cast("double") / F.length(col).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    score = F.lit(0.4) * length_score + F.lit(0.3) * alpha + F.lit(0.3) * distinct_ratio
+    return F.when((n == 0) | (F.length(col) == 0), F.lit(0.0)).otherwise(score)
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = words_sql(expr)
+    n = f"len({toks})"
+    length_score = f"(least({n}, 200)::DOUBLE / 200.0)"
+    alpha = f"(length(regexp_replace({expr}, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length({expr})::DOUBLE)"
+    distinct_ratio = f"(len(list_distinct({toks}))::DOUBLE / {n}::DOUBLE)"
+    score = f"(0.4 * {length_score} + 0.3 * {alpha} + 0.3 * {distinct_ratio})"
+    return f"CASE WHEN {n} = 0 OR length({expr}) = 0 THEN 0.0 ELSE {score} END"
+
+
+def fingerprint_col(col: Column) -> Column:
+    """Exact-dedup fingerprint: md5 of lowercased, ws-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')))"

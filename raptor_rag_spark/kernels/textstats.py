@@ -134,6 +134,7 @@ def quality_score(text: str) -> float:
     if n == 0 or len(text) == 0:
         return 0.0
     length_score = min(n, 200) / 200.0
-    alpha = sum(ch.isalnum() for ch in text) / len(text)
+    # ASCII-alnum count (not str.isalnum) so the SQL twins match exactly
+    alpha = len(re.sub(r"[^A-Za-z0-9]", "", text)) / len(text)
     distinct_ratio = len(set(toks)) / n
     return 0.4 * length_score + 0.3 * alpha + 0.3 * distinct_ratio
