@@ -1,0 +1,153 @@
+"""Exact point-in-polygon spatial join (New-J in SURVEY.md §2.3).
+
+Replaces the reference's GMM soft membership (raptor/cluster_utils.py:46-52)
+with geometry: points are pruned to candidate polygons by an equi-join on the
+polygon's home-cell neighborhood (the broadcast spatial index), then verified
+with the exact ray-cast PIP kernel in a vectorized Arrow batch.
+
+Two paths:
+- ``soft_assignments``: the engine's hot path — cell polygons are axis-aligned
+  squares, so the buffered PIP test lowers to pure range expressions
+  (JVM-side, no UDF). Used by the tree build.
+- ``pip_join``: the general operator for arbitrary polygon rings
+  (ARRAY<ARRAY<DOUBLE>>), mapInPandas over the pruned pairs with the numpy
+  ray-cast kernel. Used when polygons are not grid cells.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from ..kernels.grid import COORD_BITS, COORD_MASK, RES_SHIFT, point_in_polygon
+
+
+def cell_polygons(nodes: DataFrame, buffer: float = 0.0) -> DataFrame:
+    """(cell_id, ring) boundary polygons for every distinct cell — generated
+    by expressions from the cell id bit layout."""
+    res = F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT)
+    ix = F.shiftrightunsigned(F.col("cell_id"), COORD_BITS).bitwiseAND(F.lit(COORD_MASK))
+    iy = F.col("cell_id").bitwiseAND(F.lit(COORD_MASK))
+    size = F.lit(1.0) / F.pow(F.lit(2.0), res.cast("double"))
+    x0 = ix.cast("double") * size - F.lit(buffer)
+    y0 = iy.cast("double") * size - F.lit(buffer)
+    x1 = (ix.cast("double") + 1) * size + F.lit(buffer)
+    y1 = (iy.cast("double") + 1) * size + F.lit(buffer)
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1), F.array(x0, y1)
+    )
+    return nodes.select("cell_id").distinct().select("cell_id", ring.alias("ring"))
+
+
+def soft_assignments(nodes: DataFrame, res: int, buffer_frac: float = 0.1) -> DataFrame:
+    """Soft multi-cell assignment (node_id, cell_id, is_home): home cell plus
+    any neighbor whose square, buffered by ``buffer_frac``·cell_size, contains
+    the point. Axis-aligned ⇒ the PIP lowers to range checks; the neighbor
+    candidates are generated inline with bit arithmetic (no join needed)."""
+    size = 1.0 / (1 << res)
+    buf = buffer_frac * size
+    n = 1 << res
+
+    home = G.cell_col(F.col("x"), F.col("y"), res)
+    df = nodes.withColumn("home_cell", home)
+    ix = F.shiftrightunsigned(F.col("home_cell"), COORD_BITS).bitwiseAND(F.lit(COORD_MASK))
+    iy = F.col("home_cell").bitwiseAND(F.lit(COORD_MASK))
+
+    neighbor_structs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            jx = ix + F.lit(dx)
+            jy = iy + F.lit(dy)
+            cell = (
+                F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+                .bitwiseOR(F.shiftleft(jx, COORD_BITS))
+                .bitwiseOR(jy)
+            )
+            in_grid = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+            # buffered square of neighbor cell (dx,dy): range-check PIP
+            cx0 = jx.cast("double") * size - buf
+            cy0 = jy.cast("double") * size - buf
+            cx1 = (jx.cast("double") + 1) * size + buf
+            cy1 = (jy.cast("double") + 1) * size + buf
+            contains = (
+                (F.col("x") > cx0) & (F.col("x") < cx1) & (F.col("y") > cy0) & (F.col("y") < cy1)
+            )
+            keep = in_grid & (contains | ((F.lit(dx) == 0) & (F.lit(dy) == 0)))
+            neighbor_structs.append(
+                F.when(keep, F.struct(cell.alias("cell_id"), F.lit(dx == 0 and dy == 0).alias("is_home")))
+            )
+    cells = F.filter(F.array(*neighbor_structs), lambda s: s.isNotNull())
+    return (
+        df.select("node_id", F.explode(cells).alias("m"))
+        .select("node_id", F.col("m.cell_id").alias("cell_id"), F.col("m.is_home").alias("is_home"))
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    prune_res: int = 4,
+    id_col: str = "node_id",
+    poly_id_col: str = "cell_id",
+) -> DataFrame:
+    """General exact PIP join: points(id, x, y) ⋈ polygons(poly_id, ring).
+
+    Prune: both sides are bucketed to cells at ``prune_res`` (polygons via
+    their bbox cells, driver-free expressions on the ring array); equi-join on
+    the bucket; exact ray-cast verify in an Arrow-batched kernel."""
+    xs = F.transform(F.col("ring"), lambda p: F.element_at(p, 1))
+    ys = F.transform(F.col("ring"), lambda p: F.element_at(p, 2))
+    polys = polygons.select(
+        poly_id_col,
+        "ring",
+        F.array_min(xs).alias("px0"),
+        F.array_max(xs).alias("px1"),
+        F.array_min(ys).alias("py0"),
+        F.array_max(ys).alias("py1"),
+    )
+    n = 1 << prune_res
+    bx0 = F.greatest(F.least(F.floor(F.col("px0") * n).cast("long"), F.lit(n - 1)), F.lit(0))
+    bx1 = F.greatest(F.least(F.floor(F.col("px1") * n).cast("long"), F.lit(n - 1)), F.lit(0))
+    by0 = F.greatest(F.least(F.floor(F.col("py0") * n).cast("long"), F.lit(n - 1)), F.lit(0))
+    by1 = F.greatest(F.least(F.floor(F.col("py1") * n).cast("long"), F.lit(n - 1)), F.lit(0))
+    buckets = F.flatten(
+        F.transform(
+            F.sequence(bx0, bx1),
+            lambda i: F.transform(F.sequence(by0, by1), lambda j: i * F.lit(n) + j),
+        )
+    )
+    polys_b = polys.withColumn("bucket", F.explode(buckets))
+
+    pts_b = points.select(
+        id_col,
+        "x",
+        "y",
+        (
+            F.greatest(F.least(F.floor(F.col("x") * n).cast("long"), F.lit(n - 1)), F.lit(0)) * n
+            + F.greatest(F.least(F.floor(F.col("y") * n).cast("long"), F.lit(n - 1)), F.lit(0))
+        ).alias("bucket"),
+    )
+
+    pairs = pts_b.join(F.broadcast(polys_b), "bucket").select(id_col, "x", "y", poly_id_col, "ring")
+
+    out_schema = f"{id_col} LONG, {poly_id_col} LONG"
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            xs_ = pdf["x"].to_numpy()
+            ys_ = pdf["y"].to_numpy()
+            # group rows by polygon to vectorize over points per polygon
+            for _, idx in pdf.groupby(poly_id_col).indices.items():
+                ring = np.array([list(p) for p in pdf["ring"].iloc[idx[0]]])
+                keep[idx] = point_in_polygon(xs_[idx], ys_[idx], ring)
+            yield pdf.loc[keep, [id_col, poly_id_col]]
+
+    return pairs.mapInPandas(verify, out_schema).dropDuplicates([id_col, poly_id_col])

@@ -1,0 +1,155 @@
+"""Per-cell rollups: parent-node construction and raster-band tile stats.
+
+``build_parent_nodes`` is the engine's A1 (group-by-cluster summarize,
+reference: raptor/cluster_tree_builder.py:62-79): level-k nodes grouped by the
+parent cell one resolution coarser; each group becomes one parent node whose
+text is a deterministic extractive summary, embedding is the summary's
+embedding, children = sorted member ids. Hot cells (token sum >
+max_length_in_cluster, reference's recluster gate at
+raptor/cluster_utils.py:116-122) are *salted* into deterministic sub-buckets —
+the explicit skew handling the north rule demands: the salt map is tiny
+(only hot cells) and broadcast, the expensive grouped-map then runs on
+(cell, salt) keys with bounded group size.
+
+``tile_stats`` is A5 (per-level tile rollup → raster bands): pure JVM
+aggregations, no UDF.
+
+Determinism: each applyInPandas group sorts members by node_id before any
+float reduction, so results are independent of partitioning/parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from ..kernels.embedder import DEFAULT_DIM, embed_texts
+from ..kernels.summarize import extractive_summary, get_text
+from ..kernels.textstats import portable_hash63
+from ..kernels.tokenizer import RegexTokenizer
+
+NODES_SCHEMA = (
+    "node_id LONG, level INT, cell_id LONG, url STRING, chunk_idx INT, text STRING, "
+    "embedding ARRAY<FLOAT>, x DOUBLE, y DOUBLE, children ARRAY<LONG>, "
+    "token_count INT, n_leaves LONG"
+)
+
+
+def _salt_map(nodes: DataFrame, parent_cell: F.Column, max_length_in_cluster: int) -> DataFrame:
+    """(parent_cell, n_buckets) for hot cells only — broadcastable."""
+    return (
+        nodes.groupBy(parent_cell.alias("parent_cell"))
+        .agg(F.sum("token_count").alias("tok_sum"), F.count("*").alias("n_members"))
+        .filter(F.col("tok_sum") > max_length_in_cluster)
+        .select(
+            "parent_cell",
+            F.least(
+                F.ceil(F.col("tok_sum") / F.lit(max_length_in_cluster)), F.col("n_members")
+            ).cast("int").alias("n_buckets"),
+        )
+    )
+
+
+def build_parent_nodes(
+    nodes: DataFrame,
+    next_level: int,
+    summarization_length: int = 100,
+    max_length_in_cluster: int = 3500,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """One parent node per (parent cell, salt bucket) of the given nodes."""
+    parent_cell = G.cell_parent_col(F.col("cell_id"), 1)
+    salt_df = F.broadcast(_salt_map(nodes, parent_cell, max_length_in_cluster))
+
+    staged = (
+        nodes.withColumn("parent_cell", parent_cell)
+        .join(salt_df, "parent_cell", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_buckets").isNotNull(),
+                F.pmod(F.col("node_id"), F.col("n_buckets").cast("long")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+
+    tokenizer = RegexTokenizer()
+
+    def summarize_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell, salt = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("node_id")  # partition-order independence
+        context = get_text(pdf["text"].tolist())
+        summary = extractive_summary(context, summarization_length, tokenizer)
+        emb = embed_texts([summary], dim)[0]
+        return pd.DataFrame(
+            [
+                {
+                    "node_id": portable_hash63(f"L{next_level}|{cell}|{salt}"),
+                    "level": next_level,
+                    "cell_id": cell,
+                    "url": None,
+                    "chunk_idx": None,
+                    "text": summary,
+                    "embedding": emb,
+                    "x": float(np.mean(pdf["x"].to_numpy())),
+                    "y": float(np.mean(pdf["y"].to_numpy())),
+                    "children": sorted(int(v) for v in pdf["node_id"]),
+                    "token_count": tokenizer.count(summary),
+                    "n_leaves": int(pdf["n_leaves"].sum()),
+                }
+            ]
+        )
+
+    return staged.groupBy("parent_cell", "salt").applyInPandas(summarize_group, NODES_SCHEMA)
+
+
+def tile_stats(nodes: DataFrame, round_to: int = 6) -> DataFrame:
+    """Raster bands per (level, cell): counts, token stats, centroid.
+    Pure JVM aggregation (A5 — reference: benchmarks/run_compression.py:30-57)."""
+    return (
+        nodes.groupBy("level", "cell_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("token_count").alias("token_sum"),
+            F.round(F.avg("token_count"), round_to).alias("token_avg"),
+            F.min("token_count").alias("token_min"),
+            F.max("token_count").alias("token_max"),
+            F.round(F.avg("x"), round_to).alias("centroid_x"),
+            F.round(F.avg("y"), round_to).alias("centroid_y"),
+            F.sum("n_leaves").alias("leaf_sum"),
+        )
+    )
+
+
+def level_stats(nodes: DataFrame) -> DataFrame:
+    """Per-layer tree stats incl. compression ratio vs leaf tokens
+    (reference: benchmarks/run_compression.py:30-57)."""
+    per_level = nodes.groupBy("level").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("token_count").alias("token_sum"),
+        F.round(F.avg("token_count"), 6).alias("token_avg"),
+        F.min("token_count").alias("token_min"),
+        F.max("token_count").alias("token_max"),
+    )
+    leaf = per_level.filter(F.col("level") == 0).select(
+        F.col("token_sum").alias("leaf_token_sum")
+    )
+    return per_level.crossJoin(F.broadcast(leaf)).select(
+        "level",
+        "n_nodes",
+        "token_sum",
+        "token_avg",
+        "token_min",
+        "token_max",
+        F.round(F.col("token_sum") / F.col("leaf_token_sum"), 6).alias("compression_ratio"),
+    )
+
+
+def salt_bucket_count(tok_sum: int, n_members: int, max_length_in_cluster: int) -> int:
+    """Python twin of the salt sizing (for tests)."""
+    return min(math.ceil(tok_sum / max_length_in_cluster), n_members)

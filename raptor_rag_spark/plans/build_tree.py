@@ -1,0 +1,99 @@
+"""The tile-tree build plan — RAPTOR's level loop as per-resolution rollups.
+
+Mirrors ClusterTreeBuilder.construct_tree (reference:
+raptor/cluster_tree_builder.py:50-131) with the geospatial recast:
+
+- level 0 = chunk → embed → project → cell at ``max_resolution``;
+- each iteration groups level-k nodes by the parent cell one resolution
+  coarser and emits one summary parent per (cell, salt bucket) — the
+  cluster→summary→parent step (reference :62-79, :84-129);
+- stop when a level has ≤ reduction_dimension + 1 nodes (reference :91-94)
+  or resolution 0 is reached, or num_layers levels were built;
+- every level is an atomic checkpoint commit with lineage metrics; a killed
+  build resumes from max committed level (north-rule checkpoint/resume).
+
+The loop itself is driver-side (inherently iterative, like Spark's own
+iterative algorithms); per-level ``count()`` is the only driver action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import ClusterTreeConfig
+from ..operators.core import leaf_nodes
+from ..operators.rollup import build_parent_nodes
+from ..sources.checkpoint import TreeCheckpoint
+
+
+class TileTreeBuilder:
+    def __init__(self, config: ClusterTreeConfig | None = None):
+        self.config = config if config is not None else ClusterTreeConfig()
+
+    def build(
+        self,
+        docs: DataFrame,
+        checkpoint_dir: str | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        resume: bool = True,
+    ) -> DataFrame:
+        """Build all levels; returns the unioned nodes DataFrame."""
+        cfg = self.config
+        spark = docs.sparkSession
+        ckpt = TreeCheckpoint(checkpoint_dir) if checkpoint_dir else None
+
+        start_level = ckpt.resume_level() if (ckpt and resume) else 0
+
+        if start_level == 0:
+            current = leaf_nodes(docs, id_col, text_col, cfg.max_tokens, cfg.max_resolution)
+            if ckpt:
+                ckpt.write_level(current, 0, extra={"stage": "leaves", "res": cfg.max_resolution})
+                current = ckpt.read_level(spark, 0)
+            else:
+                current = current.cache()  # truncate lineage across the level loop
+            levels = [current]
+            start_level = 1
+        else:
+            levels = [ckpt.read_level(spark, lv) for lv in range(start_level)]
+            current = levels[-1]
+
+        for level in range(start_level, cfg.num_layers + 1):
+            n_current = current.count()
+            if n_current <= cfg.reduction_dimension + 1:
+                break  # reference stop rule (cluster_tree_builder.py:91-94)
+            res = cfg.max_resolution - (level - 1)
+            if res - 1 < 0:
+                break
+            parents = build_parent_nodes(
+                current,
+                next_level=level,
+                summarization_length=cfg.summarization_length,
+                max_length_in_cluster=cfg.max_length_in_cluster,
+            )
+            if ckpt:
+                ckpt.write_level(parents, level, extra={"res": res - 1})
+                parents = ckpt.read_level(spark, level)
+            else:
+                parents = parents.cache()
+            levels.append(parents)
+            current = parents
+
+        out = levels[0]
+        for df in levels[1:]:
+            out = out.unionByName(df)
+        return out
+
+
+def build_tree(
+    docs: DataFrame,
+    config: ClusterTreeConfig | None = None,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    return TileTreeBuilder(config).build(docs, checkpoint_dir, id_col, text_col)
+
+
+def load_tree(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    return TreeCheckpoint(checkpoint_dir).read_all(spark)

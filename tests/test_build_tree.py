@@ -1,0 +1,136 @@
+"""Tree-build plan tests: level semantics, checkpoint/resume, salting.
+
+Mirrors the reference's cluster_tree_builder contracts (stop rule, children
+coverage, per-level layering) plus the north rule's resume requirement.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.config import ClusterTreeConfig
+from raptor_rag_spark.operators.rollup import build_parent_nodes, level_stats, salt_bucket_count, tile_stats
+from raptor_rag_spark.plans.build_tree import build_tree, load_tree
+from raptor_rag_spark.sources.checkpoint import TreeCheckpoint
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+CFG = dict(max_tokens=64, num_layers=4, max_resolution=5)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 80").cache()
+
+
+@pytest.fixture(scope="module")
+def tree(spark, docs):
+    return build_tree(docs, ClusterTreeConfig(**CFG)).cache()
+
+
+def test_levels_shrink(tree):
+    counts = {r["level"]: r["count"] for r in tree.groupBy("level").count().collect()}
+    assert counts[0] > counts[1]
+    for lv in range(1, max(counts)):
+        assert counts[lv] >= counts[lv + 1]
+
+
+def test_children_cover_previous_level(tree):
+    max_level = tree.agg(F.max("level")).first()[0]
+    for lv in range(1, max_level + 1):
+        children = {
+            c
+            for r in tree.filter(F.col("level") == lv).select("children").collect()
+            for c in r["children"]
+        }
+        prev = {r["node_id"] for r in tree.filter(F.col("level") == lv - 1).select("node_id").collect()}
+        assert children == prev, f"level {lv} children must partition level {lv - 1}"
+
+
+def test_children_sorted_unique(tree):
+    rows = tree.filter("level > 0").select("children").collect()
+    for r in rows:
+        ch = list(r["children"])
+        assert ch == sorted(set(ch))
+
+
+def test_parent_cell_is_bit_parent(tree, spark):
+    from raptor_rag_spark.functions.sqlgen import cell_parent_col
+
+    pairs = (
+        tree.filter("level = 1")
+        .select(F.explode("children").alias("node_id"), F.col("cell_id").alias("parent_cell"))
+        .join(tree.filter("level = 0").select("node_id", "cell_id"), "node_id")
+        .withColumn("expect", cell_parent_col(F.col("cell_id"), 1))
+    )
+    assert pairs.filter(F.col("parent_cell") != F.col("expect")).count() == 0
+
+
+def test_n_leaves_conserved(tree):
+    leaf_count = tree.filter("level = 0").count()
+    max_level = tree.agg(F.max("level")).first()[0]
+    for lv in range(max_level + 1):
+        total = tree.filter(F.col("level") == lv).agg(F.sum("n_leaves")).first()[0]
+        assert total == leaf_count, f"level {lv} must conserve leaf count"
+
+
+def test_checkpoint_resume_identical(spark, docs, tmp_path_factory):
+    d1 = str(tmp_path_factory.mktemp("tree_full"))
+    cfg = ClusterTreeConfig(**CFG)
+    full = build_tree(docs, cfg, checkpoint_dir=d1)
+    full_pdf = (
+        full.select("node_id", "level", "cell_id", "token_count")
+        .toPandas().sort_values("node_id").reset_index(drop=True)
+    )
+    full_count = len(full_pdf)
+
+    # simulate a kill after level 1: drop manifests and data of levels > 1
+    ckpt = TreeCheckpoint(d1)
+    committed = ckpt.committed_levels()
+    assert committed[0] == 0 and len(committed) >= 3
+    for lv in committed:
+        if lv > 1:
+            shutil.rmtree(ckpt.level_dir(lv))
+            import os
+
+            os.remove(ckpt._manifest_path(lv))
+    assert ckpt.resume_level() == 2
+
+    resumed = build_tree(docs, cfg, checkpoint_dir=d1)
+    resumed_pdf = (
+        resumed.select("node_id", "level", "cell_id", "token_count")
+        .toPandas().sort_values("node_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(full_pdf, resumed_pdf)
+    # manifests carry lineage
+    m = ckpt.manifest(0)
+    assert m["rows"] > 0 and m["partitions"] and m["committed"]
+    assert load_tree(spark, d1).count() == full_count
+
+
+def test_hot_cell_salting(spark, docs):
+    # force salting: tiny max_length_in_cluster makes every cell hot
+    from raptor_rag_spark.operators.core import leaf_nodes
+
+    leaves = leaf_nodes(docs, max_tokens=64, res=3)
+    parents_salted = build_parent_nodes(leaves, 1, max_length_in_cluster=100)
+    parents_plain = build_parent_nodes(leaves, 1, max_length_in_cluster=10**9)
+    n_salted, n_plain = parents_salted.count(), parents_plain.count()
+    assert n_salted > n_plain  # hot cells split into multiple parents
+    # salted parents still conserve leaves
+    assert parents_salted.agg(F.sum("n_leaves")).first()[0] == leaves.count()
+    assert salt_bucket_count(1000, 7, 100) == 7
+    assert salt_bucket_count(1000, 50, 100) == 10
+
+
+def test_tile_and_level_stats(tree):
+    tiles = tile_stats(tree)
+    assert tiles.filter("n <= 0").count() == 0
+    stats = level_stats(tree).orderBy("level").collect()
+    assert stats[0]["compression_ratio"] == pytest.approx(1.0)
+    # summaries compress: upper levels hold fewer tokens than the leaves
+    assert stats[-1]["token_sum"] < stats[0]["token_sum"]

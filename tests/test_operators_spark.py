@@ -1,0 +1,185 @@
+"""Spark-layer operator tests: kernel parity, determinism, invariants.
+
+Marked ``spark`` (session fixture, local[4]). Data: small slices of the
+driver testdata at sf0.001 — never synthesized ad hoc, per TESTDATA.md.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.functions import sqlgen as G
+from raptor_rag_spark.kernels import textstats as T
+from raptor_rag_spark.kernels.distances import distance_matrix
+from raptor_rag_spark.kernels.embedder import embed_texts
+from raptor_rag_spark.kernels.grid import point_in_polygon, soft_cell_assign
+from raptor_rag_spark.kernels.reduce import project_xy
+from raptor_rag_spark.operators.core import leaf_nodes, with_embedding
+from raptor_rag_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from raptor_rag_spark.operators.knn import collapsed_knn
+from raptor_rag_spark.operators.pipjoin import pip_join, soft_assignments
+from raptor_rag_spark.operators.textops import language_id, quality_scores, token_counts
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 60").cache()
+
+
+@pytest.fixture(scope="module")
+def leaves(spark, docs):
+    return leaf_nodes(docs, max_tokens=64, res=6).cache()
+
+
+def test_leaf_schema_and_counts(leaves, docs):
+    assert set(leaves.columns) == {
+        "node_id", "level", "cell_id", "url", "chunk_idx", "text",
+        "embedding", "x", "y", "children", "token_count", "n_leaves",
+    }
+    assert leaves.count() >= docs.count()  # every doc yields ≥1 chunk
+    assert leaves.filter("level != 0").count() == 0
+    assert leaves.select("node_id").distinct().count() == leaves.count()
+
+
+def test_leaf_partition_invariance(docs):
+    a = leaf_nodes(docs, max_tokens=64, res=6)
+    b = leaf_nodes(docs.repartition(16), max_tokens=64, res=6)
+    pa = a.select("node_id", "cell_id", "token_count").toPandas().sort_values("node_id").reset_index(drop=True)
+    pb = b.select("node_id", "cell_id", "token_count").toPandas().sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_leaf_embeddings_match_kernel(leaves):
+    rows = leaves.select("text", "embedding", "x", "y").limit(20).collect()
+    texts = [r["text"] for r in rows]
+    kern = embed_texts(texts)
+    for r, k in zip(rows, kern):
+        assert np.allclose(np.array(r["embedding"], dtype=np.float32), k, atol=0)
+    xy = project_xy(kern)
+    got = np.array([[r["x"], r["y"]] for r in rows])
+    assert np.array_equal(xy, got)
+
+
+def test_collapsed_knn_matches_kernel(spark, leaves):
+    qtexts = ["spark join merge sort", "customer order data"]
+    queries = with_embedding(
+        spark.createDataFrame([(i, t) for i, t in enumerate(qtexts)], "query_id long, qtext string"),
+        "qtext",
+    ).select("query_id", F.col("embedding").alias("q_embedding"))
+    got = collapsed_knn(leaves, queries, top_k=5, max_tokens=None).toPandas()
+
+    node_rows = leaves.select("node_id", "embedding", "token_count").collect()
+    node_rows.sort(key=lambda r: r["node_id"])
+    mat = np.array([r["embedding"] for r in node_rows], dtype=np.float64)
+    for qid, qtext in enumerate(qtexts):
+        q = embed_texts([qtext])[0].astype(np.float64)
+        dists = distance_matrix(q, mat, "cosine")
+        order = np.lexsort(([r["node_id"] for r in node_rows], dists))[:5]
+        expect = [node_rows[i]["node_id"] for i in order]
+        mine = got[got.query_id == qid].sort_values("rank")["node_id"].tolist()
+        assert mine == expect
+
+
+def test_knn_token_budget(spark, leaves):
+    queries = with_embedding(
+        spark.createDataFrame([(0, "spark")], "query_id long, qtext string"), "qtext"
+    ).select("query_id", F.col("embedding").alias("q_embedding"))
+    res = collapsed_knn(leaves, queries, top_k=10, max_tokens=150).toPandas()
+    assert res["token_count"].sum() <= 150
+    full = collapsed_knn(leaves, queries, top_k=10, max_tokens=None).toPandas()
+    assert len(full) == 10 >= len(res)
+
+
+def test_soft_assignments_match_kernel(leaves):
+    rows = leaves.select("node_id", "x", "y").limit(50).collect()
+    df = leaves.limit(50)
+    got = soft_assignments(df, res=4, buffer_frac=0.1).toPandas()
+    xs = np.array([r["x"] for r in rows])
+    ys = np.array([r["y"] for r in rows])
+    buf = 0.1 / (1 << 4)
+    expect = soft_cell_assign(xs, ys, 4, buf)
+    for r, cells in zip(rows, expect):
+        mine = sorted(got[got.node_id == r["node_id"]]["cell_id"].tolist())
+        assert mine == sorted(cells.tolist()), f"node {r['node_id']}"
+
+
+def test_soft_assignment_has_multi_membership(leaves):
+    got = soft_assignments(leaves, res=4, buffer_frac=0.25).groupBy("node_id").count().toPandas()
+    assert (got["count"] > 1).any()
+    homes = soft_assignments(leaves, res=4, buffer_frac=0.25).filter("is_home").count()
+    assert homes == leaves.count()  # exactly one home cell per node
+
+
+def test_pip_join_matches_kernel(spark, leaves):
+    polys = [
+        (1, [[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]]),
+        (2, [[0.0, 0.0], [0.5, 0.0], [0.5, 0.5], [0.0, 0.5]]),
+        (3, [[0.4, 0.4], [0.8, 0.3], [0.9, 0.8], [0.5, 0.7], [0.45, 0.6]]),
+    ]
+    pdf = spark.createDataFrame(polys, "cell_id long, ring array<array<double>>")
+    pts = leaves.select("node_id", "x", "y")
+    got = pip_join(pts, pdf).toPandas()
+    rows = pts.collect()
+    for pid, ring in polys:
+        expect = {
+            r["node_id"]
+            for r in rows
+            if point_in_polygon(np.array([r["x"]]), np.array([r["y"]]), np.array(ring))[0]
+        }
+        mine = set(got[got.cell_id == pid]["node_id"].tolist())
+        assert mine == expect, f"poly {pid}"
+
+
+def test_exact_dedup(spark):
+    data = [(1, "Hello   World"), (2, "hello world"), (3, "unique text here")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = exact_dedup(df).toPandas().sort_values("canonical_doc_id").reset_index(drop=True)
+    dup = out[out.n_dups > 1]
+    assert len(dup) == 1 and dup.iloc[0]["canonical_doc_id"] == 1 and dup.iloc[0]["n_dups"] == 2
+
+
+def test_minhash_matches_kernel(docs):
+    got = minhash_signatures(docs.filter("doc_id < 10")).toPandas().sort_values("doc_id")
+    texts = {r["doc_id"]: r["text"] for r in docs.filter("doc_id < 10").collect()}
+    for _, row in got.iterrows():
+        expect = T.minhash_signature(texts[row["doc_id"]])
+        assert [row[f"h{i}"] for i in range(16)] == expect
+
+
+def test_simhash_matches_kernel(docs):
+    got = simhash_fingerprints(docs.filter("doc_id < 10")).toPandas()
+    texts = {r["doc_id"]: r["text"] for r in docs.filter("doc_id < 10").collect()}
+    for _, row in got.iterrows():
+        assert int(row["simhash"]) == T.simhash(texts[row["doc_id"]])
+
+
+def test_textops_match_kernels(docs):
+    sample = docs.filter("doc_id < 10")
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    tc = token_counts(sample).toPandas()
+    li = language_id(sample).toPandas()
+    qs = quality_scores(sample).toPandas()
+    from raptor_rag_spark.kernels.tokenizer import token_count
+
+    for _, row in tc.iterrows():
+        assert row["n_tokens"] == token_count(texts[row["doc_id"]])
+    for _, row in li.iterrows():
+        assert row["lang_guess"] == T.lang_id(texts[row["doc_id"]])
+    for _, row in qs.iterrows():
+        assert row["quality"] == pytest.approx(T.quality_score(texts[row["doc_id"]]), abs=1e-6)
+
+
+def test_hash63_matches_kernel(spark):
+    df = spark.createDataFrame([("abc",), ("xyz",), ("",)], "s string")
+    got = df.select("s", G.hash63_col(F.col("s")).alias("h")).collect()
+    for r in got:
+        assert r["h"] == T.portable_hash63(r["s"])
