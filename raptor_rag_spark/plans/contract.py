@@ -1,0 +1,816 @@
+"""Driver-contract queries: every operator exposed as (PySpark, DuckDB-SQL) twins.
+
+This module backs ``/root/repo/__spark_entry__.py``. Each entry in QUERIES is a
+callable ``(spark, sf_dir) -> DataFrame``; ORACLES holds the matching ANSI SQL
+that DuckDB runs over the same parquet tables (views: region nation customer
+supplier part orders lineitem events documents embeddings). The driver compares
+row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- cross-row float aggregation goes through exact DECIMAL sums (cast back to
+  DOUBLE at the end), because double addition is not associative and Spark /
+  DuckDB would otherwise disagree in the last bits;
+- per-row float arithmetic uses the twin generators in functions/sqlgen.py
+  (same IEEE-754 ops in the same order → bit-identical doubles);
+- window cumulative sums use DECIMAL for the same reason;
+- timestamps are formatted to strings to dodge timezone-typing differences.
+
+Tree-build / retrieval / multimodal queries whose inputs pass through Python
+kernels (hash-ngram embedder, chunker) cannot be re-expressed in SQL; they are
+listed in QUERIES without an oracle → the driver records a rows-only check
+(SURVEY.md §5.2). Reference parity notes cite /root/reference file:line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from ..kernels.textstats import MINHASH_PERMS
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import textops as T
+from ..operators.core import with_embedding
+from ..operators.knn import cell_pruned_knn, collapsed_knn, retrieval_context
+from ..operators.pipjoin import pip_join, soft_assignments
+from ..operators.rollup import level_stats, tile_stats
+from ..operators.traverse import traversal_retrieve
+
+DIM = 64  # driver testdata embeddings dim (embeddings.parquet)
+DEC = "decimal(28,6)"
+
+
+def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# generic relational operators (P/J/A/W/O/U families of SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Filter + hash agg with exact decimal sums (A1/A5 shape, P-family filter)."""
+    li = ld(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders_per_cust(spark, sf_dir):
+    """Per-group top-k via window (W2 per-layer top-k shape)."""
+    o = ld(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_cust_orders_join(spark, sf_dir):
+    """Broadcast FK join + agg (J5 question→tree routing shape)."""
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_CUST_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_orders_without_lineitem(spark, sf_dir):
+    """Anti join — the resume shape (S5, reference benchmarks/_progress.py:24-48)."""
+    o = ld(spark, sf_dir, "orders")
+    li = ld(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+SQL_ANTI = """
+SELECT o_orderkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def q_custs_with_orders(spark, sf_dir):
+    """Semi join (J4 cluster-member semi-join shape)."""
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_cumulative_budget(spark, sf_dir):
+    """Rank + running-total cutoff — W1/A10 (reference tree_retriever.py:137-146):
+    take lineitems per order in price order while cumulative quantity ≤ 100."""
+    li = ld(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    cum = F.sum(F.col("l_quantity").cast(DEC)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum_qty", cum.cast("double"))
+        .filter(F.col("cum_qty") <= 100.0)
+        .select("l_orderkey", "l_linenumber", "rnk", "cum_qty")
+    )
+
+
+SQL_CUMBUDGET = """
+SELECT l_orderkey, l_linenumber, rnk, cum_qty FROM (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER w AS rnk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber)
+) WHERE cum_qty <= 100.0
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window agg — the batch twin of the streaming per-cell counts
+    (SURVEY.md §2.9; events carry event-time like pages carry warc_ts)."""
+    e = ld(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+       count(*) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: lag + cumulative indicator (stateful-streaming
+    twin, expressed as deterministic windows)."""
+    e = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # session tz is UTC
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, event_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+"""
+
+
+def q_letter_parse(spark, sf_dir):
+    """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
+    d = ld(spark, sf_dir, "documents")
+    ext = F.regexp_extract(F.upper(F.col("text")), "[ABCD]", 0)
+    return d.select(
+        "doc_id", F.when(ext == "", F.lit("A")).otherwise(ext).alias("letter")
+    )
+
+
+SQL_LETTER = """
+SELECT doc_id,
+       coalesce(nullif(regexp_extract(upper(text), '[ABCD]'), ''), 'A') AS letter
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# text-analysis operators over documents (training-data pipeline)
+# --------------------------------------------------------------------------
+
+
+def q_doc_tokens(spark, sf_dir):
+    return T.token_counts(ld(spark, sf_dir, "documents"))
+
+
+SQL_DOC_TOKENS = f"""
+SELECT doc_id,
+       {G.token_count_sql("text")} AS n_tokens,
+       len({G.words_sql("text")}) AS n_words,
+       length(text) AS n_chars_text
+FROM documents
+"""
+
+
+def q_doc_lang(spark, sf_dir):
+    return T.language_id(ld(spark, sf_dir, "documents"))
+
+
+SQL_DOC_LANG = f"SELECT doc_id, lang, {G.lang_id_sql('text')} AS lang_guess FROM documents"
+
+
+def q_doc_quality(spark, sf_dir):
+    return T.quality_scores(ld(spark, sf_dir, "documents"))
+
+
+SQL_DOC_QUALITY = f"SELECT doc_id, round({G.quality_score_sql('text')}, 6) AS quality FROM documents"
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return T.fingerprints(ld(spark, sf_dir, "documents"))
+
+
+_ROLL_SH = G.shingles_sql("text", 8)
+SQL_DOC_FP = f"""
+SELECT doc_id,
+       {G.fingerprint_sql("text")} AS fingerprint,
+       CASE WHEN len({_ROLL_SH}) = 0 THEN 0
+            ELSE list_min(list_transform({_ROLL_SH}, s -> {G.hash63_sql("s")})) END AS rolling_fp
+FROM documents
+"""
+
+
+def q_doc_normalize(spark, sf_dir):
+    return T.normalize_texts(ld(spark, sf_dir, "documents"))
+
+
+SQL_DOC_NORM = (
+    f"SELECT doc_id, {G.normalize_answer_sql('substr(text, 1, 80)')} AS normalized FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# deduplication family
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(ld(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT {G.fingerprint_sql("text")} AS fingerprint,
+       min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_sigs(spark, sf_dir):
+    return D.minhash_signatures(ld(spark, sf_dir, "documents"))
+
+
+def _sql_minhash_sigs() -> str:
+    sh = G.shingles_sql("text")
+    parts = []
+    for i in range(MINHASH_PERMS):
+        salted = G.hash63_sql(f"concat_ws('|', '{i}', shingle)")
+        parts.append(f"coalesce(min({salted}), 0) AS h{i}")
+    mins = ",\n       ".join(parts)
+    return f"""
+SELECT doc_id, {mins}
+FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len({sh}) = 0 THEN [NULL] ELSE {sh} END) AS shingle
+  FROM documents
+) GROUP BY doc_id
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return D.minhash_band_pairs(ld(spark, sf_dir, "documents"))
+
+
+def _sql_minhash_pairs() -> str:
+    rows = MINHASH_PERMS // D.BANDS
+    bands = " OR ".join(
+        "(" + " AND ".join(f"a.h{b * rows + r} = b.h{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(D.BANDS)
+    )
+    return f"""
+WITH sigs AS ({_sql_minhash_sigs()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {bands}
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash_fingerprints(ld(spark, sf_dir, "documents"))
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    words = G.words_sql("text")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN tok IS NULL THEN 0 ELSE ((h >> {i}) & 1) * 2 - 1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sim = "0::BIGINT"
+    for i in range(bits):
+        sim = f"({sim} | (CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END))"
+    return f"""
+SELECT doc_id, {sim} AS simhash FROM (
+  SELECT doc_id, {bit_sums} FROM (
+    SELECT doc_id, tok, {G.hash63_sql("tok")} AS h FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len({words}) = 0 THEN [NULL]
+                         ELSE list_distinct({words}) END) AS tok
+      FROM documents
+    )
+  ) GROUP BY doc_id
+)
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _sql_ngram_jaccard(threshold: float = 0.2) -> str:
+    sh = G.shingles_sql("text")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
+def q_emb_neardup(spark, sf_dir):
+    return D.embedding_neardup_pairs(
+        ld(spark, sf_dir, "embeddings"), threshold=0.2, dim=DIM, id_col="vec_id"
+    )
+
+
+def _sql_emb_neardup(threshold: float = 0.2) -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    cell = G.cell_sql(x, y, 4)
+    sim = G.cosine_sim_sql("a.embedding", "b.embedding", DIM)
+    return f"""
+WITH bucketed AS (SELECT vec_id, embedding, {cell} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({sim}, 6) AS cos_sim
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({sim}, 6) >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# spatial / similarity over the embeddings table
+# --------------------------------------------------------------------------
+
+
+def q_emb_cells(spark, sf_dir):
+    """xy projection + cell encode + parent — the H3-style index pipeline
+    (sqlgen twins; the engine's F-New cell functions)."""
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    out = e.select("vec_id", x.alias("x"), y.alias("y"))
+    cell = G.cell_col(F.col("x"), F.col("y"), 8)
+    return out.select(
+        "vec_id", "x", "y", cell.alias("cell_id"), G.cell_parent_col(cell, 1).alias("parent_id")
+    )
+
+
+def _sql_emb_cells() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    cell = G.cell_sql("x", "y", 8)
+    return f"""
+SELECT vec_id, x, y, {cell} AS cell_id, {G.cell_parent_sql(cell, 1)} AS parent_id
+FROM (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings)
+"""
+
+
+def q_emb_tile_rollup(spark, sf_dir):
+    """Per-cell raster-band rollup (A5 shape) with exact decimal centroids."""
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select("vec_id", x.alias("x"), y.alias("y"))
+    dec15 = "decimal(28,15)"
+    return (
+        pts.groupBy(G.cell_col(F.col("x"), F.col("y"), 5).alias("cell_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("x").cast(dec15)).cast("double") / F.count("*"), 6
+            ).alias("centroid_x"),
+            F.round(
+                F.sum(F.col("y").cast(dec15)).cast("double") / F.count("*"), 6
+            ).alias("centroid_y"),
+        )
+    )
+
+
+def _sql_emb_tile_rollup() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    cell = G.cell_sql("x", "y", 5)
+    return f"""
+SELECT {cell} AS cell_id, count(*) AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_x,
+       round(CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_y
+FROM (SELECT {x} AS x, {y} AS y FROM embeddings)
+GROUP BY 1
+"""
+
+
+def _queries_from_embeddings(spark, sf_dir, n: int = 5):
+    return (
+        ld(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+    )
+
+
+def q_emb_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (similarity-search baseline, J1/J8 shape)."""
+    return S.brute_force_topk(
+        ld(spark, sf_dir, "embeddings"), _queries_from_embeddings(spark, sf_dir), k=5, dim=DIM
+    )
+
+
+def _sql_emb_topk(k: int = 5, n_q: int = 5) -> str:
+    sim = G.cosine_sim_sql("q.embedding", "v.embedding", DIM)
+    return f"""
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round({sim}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY round({sim}, 6) DESC, v.vec_id) AS rank
+  FROM embeddings v, (SELECT * FROM embeddings WHERE vec_id < {n_q}) q
+) WHERE rank <= {k}
+"""
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse-tile probes (home + 8 neighbors) then exact cosine."""
+    return S.ivf_topk(
+        ld(spark, sf_dir, "embeddings"), _queries_from_embeddings(spark, sf_dir), k=5, res=3, dim=DIM
+    )
+
+
+def _sql_emb_ivf_topk(k: int = 5, n_q: int = 5, res: int = 3) -> str:
+    n = 1 << res
+    vx, vy = G.xy_sql("embedding", DIM)
+    ix = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iy = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    sim = G.cosine_sim_sql("q.embedding", "v.embedding", DIM)
+    return f"""
+WITH pts AS (
+  SELECT vec_id, embedding, {ix} AS ix, {iy} AS iy
+  FROM (SELECT vec_id, embedding, {vx} AS x, {vy} AS y FROM embeddings)
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round({sim}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY round({sim}, 6) DESC, v.vec_id) AS rank
+  FROM pts v JOIN (SELECT * FROM pts WHERE vec_id < {n_q}) q
+    ON abs(v.ix - q.ix) <= 1 AND abs(v.iy - q.iy) <= 1
+) WHERE rank <= {k}
+"""
+
+
+def q_soft_assign(spark, sf_dir):
+    """Soft multi-cell assignment — the GMM prob>threshold recast
+    (reference raptor/cluster_utils.py:46-52 → buffered neighbor-cell ranges)."""
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("node_id"), x.alias("x"), y.alias("y"))
+    return soft_assignments(pts, res=6, buffer_frac=0.1)
+
+
+def _sql_soft_assign(res: int = 6, buffer_frac: float = 0.1) -> str:
+    size = 1.0 / (1 << res)
+    buf = buffer_frac * size
+    n = 1 << res
+    x, y = G.xy_sql("embedding", DIM)
+    ix = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iy = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    from ..kernels.grid import COORD_BITS, RES_SHIFT
+
+    return f"""
+WITH pts AS (
+  SELECT vec_id AS node_id, x, y, {ix} AS ix, {iy} AS iy
+  FROM (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings)
+), d(v) AS (VALUES (-1::BIGINT), (0::BIGINT), (1::BIGINT))
+SELECT node_id,
+       (({res}::BIGINT << {RES_SHIFT}) | ((ix + dx.v) << {COORD_BITS}) | (iy + dy.v)) AS cell_id,
+       (dx.v = 0 AND dy.v = 0) AS is_home
+FROM pts, d dx, d dy
+WHERE ix + dx.v >= 0 AND ix + dx.v < {n} AND iy + dy.v >= 0 AND iy + dy.v < {n}
+  AND ( (x > CAST(ix + dx.v AS DOUBLE) * {size!r} - {buf!r}
+     AND x < (CAST(ix + dx.v AS DOUBLE) + 1) * {size!r} + {buf!r}
+     AND y > CAST(iy + dy.v AS DOUBLE) * {size!r} - {buf!r}
+     AND y < (CAST(iy + dy.v AS DOUBLE) + 1) * {size!r} + {buf!r})
+     OR (dx.v = 0 AND dy.v = 0) )
+"""
+
+
+PIP_POLYS: list[tuple[int, list[list[float]]]] = [
+    (1, [[0.12, 0.11], [0.88, 0.15], [0.91, 0.87], [0.09, 0.83]]),
+    (2, [[0.02, 0.03], [0.51, 0.07], [0.48, 0.52], [0.04, 0.49]]),
+    (3, [[0.41, 0.42], [0.79, 0.33], [0.92, 0.81], [0.52, 0.71], [0.44, 0.63]]),
+]
+
+
+def q_pip_join(spark, sf_dir):
+    """Exact ray-cast PIP join of projected points vs polygon rings (New-J)."""
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("node_id"), x.alias("x"), y.alias("y"))
+    polys = spark.createDataFrame(PIP_POLYS, "cell_id long, ring array<array<double>>")
+    return pip_join(pts, polys)
+
+
+def _pip_parity_sql(ring: list[list[float]]) -> str:
+    """Unrolled even-odd crossing test, same float ops as kernels.grid
+    point_in_polygon: ((xj-xi)*(y-yi))/(yj-yi)+xi, crossings XOR-folded."""
+    terms = []
+    m = len(ring)
+    j = m - 1
+    for i in range(m):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        crosses = f"(({yi!r} > y) <> ({yj!r} > y))"
+        x_at_y = f"(({xj!r} - {xi!r}) * (y - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r})"
+        terms.append(f"CASE WHEN {crosses} THEN (x < {x_at_y}) ELSE FALSE END")
+        j = i
+    # SQL comparisons don't chain; fold the XOR with explicit parens
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} <> {t})"
+    return out
+
+
+def _sql_pip_join() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT node_id, {pid} AS cell_id FROM pts WHERE {_pip_parity_sql(ring)}"
+        for pid, ring in PIP_POLYS
+    )
+    return f"""
+WITH pts AS (SELECT vec_id AS node_id, {x} AS x, {y} AS y FROM embeddings)
+{branches}
+"""
+
+
+def q_binary_features(spark, sf_dir):
+    """Multimodal plumbing with an exact oracle: opaque binary column + typed
+    metadata (byte length, digest) — the Spark-side schema/UDF shape for
+    image/audio payloads (decode itself is stubbed in operators/multimodal)."""
+    d = ld(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"),
+        F.substring("text", 1, 4).alias("magic"),
+    )
+
+
+SQL_BINARY = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+       substr(text, 1, 4) AS magic
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# tree build + retrieval (Python-kernel embeddings → rows-only checks)
+# --------------------------------------------------------------------------
+
+_TREE_CACHE: dict[tuple[int, str], DataFrame] = {}
+QUERY_TEXTS = ["spark join merge sort", "customer order data", "window agg filter"]
+
+
+def _tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _TREE_CACHE:
+        from ..config import ClusterTreeConfig
+        from .build_tree import build_tree
+
+        docs = ld(spark, sf_dir, "documents")
+        cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=8)
+        _TREE_CACHE[key] = build_tree(docs, cfg).cache()
+    return _TREE_CACHE[key]
+
+
+def _tree_queries(spark: SparkSession) -> DataFrame:
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(QUERY_TEXTS)], "query_id long, qtext string"
+    )
+    return with_embedding(qdf, "qtext").select(
+        "query_id", F.col("embedding").alias("q_embedding")
+    )
+
+
+def q_tree_level_stats(spark, sf_dir):
+    """Per-level rollup of the built tile tree (A5; rows-only check)."""
+    return level_stats(_tree(spark, sf_dir))
+
+
+def q_tree_tile_stats(spark, sf_dir):
+    """Per-(level, cell) raster bands of the built tree (rows-only check)."""
+    return tile_stats(_tree(spark, sf_dir))
+
+
+def q_tree_collapsed_knn(spark, sf_dir):
+    """Collapsed-tree retrieval (J1+W1, reference tree_retriever.py:127-151)."""
+    return collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark), top_k=10, max_tokens=3500)
+
+
+def q_tree_cell_knn(spark, sf_dir):
+    """Cell-pruned kNN — broadcast spatial index over the tree levels."""
+    nodes = _tree(spark, sf_dir)
+    import pyspark.sql.functions as f
+
+    levels = [r["level"] for r in nodes.select("level").distinct().collect()]
+    cfg_max_res = 8
+    levels_res = {lv: max(cfg_max_res - lv, 0) for lv in levels}
+    del f
+    return cell_pruned_knn(nodes, _tree_queries(spark), levels_res, top_k=10, max_tokens=3500)
+
+
+def q_tree_traversal(spark, sf_dir):
+    """Top-down traversal retrieval (J2+W2, reference tree_retriever.py:153-182)."""
+    nodes = _tree(spark, sf_dir)
+    top = nodes.agg(F.max("level")).collect()[0][0]
+    return traversal_retrieve(
+        nodes, _tree_queries(spark), start_layer=top, num_layers=top + 1, top_k=3
+    )
+
+
+def q_tree_context(spark, sf_dir):
+    """Per-query context strings, byte-exact get_text semantics (P6/F11)."""
+    res = collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark), top_k=5, max_tokens=3500)
+    return retrieval_context(res).select("query_id", "context")
+
+
+def q_pages_extract(spark, sf_dir):
+    """Synthetic Common-Crawl pages: html→text extraction invariant surface
+    (byte-identical text per url; rows-only check, invariant asserted in tests)."""
+    from ..sources.pages import generate_pages
+
+    pages = generate_pages(spark, 200, partitions=8)
+    return pages.select(
+        "url",
+        F.md5("text").alias("text_md5"),
+        F.octet_length("html").alias("html_bytes"),
+        "lang",
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Opaque-binary feature extraction over synthetic pages (decode stubbed;
+    Spark plumbing real — mapInPandas over binary + typed metadata)."""
+    from ..operators.multimodal import binary_features
+    from ..sources.pages import generate_pages
+
+    return binary_features(generate_pages(spark, 200, partitions=8), payload_col="html")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # generic relational
+    "pricing_summary": q_pricing_summary,
+    "topk_orders_per_cust": q_topk_orders_per_cust,
+    "cust_orders_join": q_cust_orders_join,
+    "orders_without_lineitem": q_orders_without_lineitem,
+    "custs_with_orders": q_custs_with_orders,
+    "cumulative_budget": q_cumulative_budget,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "letter_parse": q_letter_parse,
+    # text analysis
+    "doc_tokens": q_doc_tokens,
+    "doc_lang": q_doc_lang,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprints": q_doc_fingerprints,
+    "doc_normalize": q_doc_normalize,
+    # dedup
+    "exact_dedup": q_exact_dedup,
+    "minhash_sigs": q_minhash_sigs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "emb_neardup": q_emb_neardup,
+    # spatial / similarity
+    "emb_cells": q_emb_cells,
+    "emb_tile_rollup": q_emb_tile_rollup,
+    "emb_topk": q_emb_topk,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "soft_assign": q_soft_assign,
+    "pip_join": q_pip_join,
+    "binary_features": q_binary_features,
+    # tree build + retrieval (rows-only)
+    "tree_level_stats": q_tree_level_stats,
+    "tree_tile_stats": q_tree_tile_stats,
+    "tree_collapsed_knn": q_tree_collapsed_knn,
+    "tree_cell_knn": q_tree_cell_knn,
+    "tree_traversal": q_tree_traversal,
+    "tree_context": q_tree_context,
+    "pages_extract": q_pages_extract,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "topk_orders_per_cust": SQL_TOPK_ORDERS,
+    "cust_orders_join": SQL_CUST_ORDERS,
+    "orders_without_lineitem": SQL_ANTI,
+    "custs_with_orders": SQL_SEMI,
+    "cumulative_budget": SQL_CUMBUDGET,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_SESSIONIZE,
+    "letter_parse": SQL_LETTER,
+    "doc_tokens": SQL_DOC_TOKENS,
+    "doc_lang": SQL_DOC_LANG,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_fingerprints": SQL_DOC_FP,
+    "doc_normalize": SQL_DOC_NORM,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_sigs": _sql_minhash_sigs(),
+    "minhash_pairs": _sql_minhash_pairs(),
+    "simhash": _sql_simhash(),
+    "ngram_jaccard": _sql_ngram_jaccard(),
+    "emb_neardup": _sql_emb_neardup(),
+    "emb_cells": _sql_emb_cells(),
+    "emb_tile_rollup": _sql_emb_tile_rollup(),
+    "emb_topk": _sql_emb_topk(),
+    "emb_ivf_topk": _sql_emb_ivf_topk(),
+    "soft_assign": _sql_soft_assign(),
+    "pip_join": _sql_pip_join(),
+    "binary_features": SQL_BINARY,
+}
