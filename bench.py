@@ -1,0 +1,135 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "pages_per_sec": ...}
+
+The headline is the north-rule pipeline: documents → chunk → embed (Arrow UDF)
+→ xy-project → cell encode → soft assignment (PIP) → per-level tile rollup
+(tree build), plus the retrieval joins and the dedup/similarity/text operator
+families. Scaling study (N vs 4N cores on identical input + exact-match
+outputs) lives in scripts/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from raptor_rag_spark.config import ClusterTreeConfig  # noqa: E402
+from raptor_rag_spark.operators import dedup as D  # noqa: E402
+from raptor_rag_spark.operators import similarity as S  # noqa: E402
+from raptor_rag_spark.operators import textops as T  # noqa: E402
+from raptor_rag_spark.operators.core import with_embedding  # noqa: E402
+from raptor_rag_spark.operators.knn import cell_pruned_knn, collapsed_knn  # noqa: E402
+from raptor_rag_spark.operators.pipjoin import pip_join, soft_assignments  # noqa: E402
+from raptor_rag_spark.operators.rollup import tile_stats  # noqa: E402
+from raptor_rag_spark.plans.build_tree import build_tree  # noqa: E402
+from raptor_rag_spark.plans.contract import DIM, PIP_POLYS, QUERY_TEXTS  # noqa: E402
+from raptor_rag_spark.functions import sqlgen as G  # noqa: E402
+from raptor_rag_spark.session import get_spark  # noqa: E402
+
+MAX_RES = 8
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    embs.count()
+
+    timings: dict[str, float] = {}
+    state: dict[str, object] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. headline: full tile-tree build (chunk→embed→cell→per-level rollup)
+    def _build():
+        cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=MAX_RES)
+        tree = build_tree(docs, cfg).cache()
+        state["tree"] = tree
+        state["n_nodes"] = tree.count()
+
+    timed("tree_build", _build)
+    tree = state["tree"]
+
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(QUERY_TEXTS * 4)], "query_id long, qtext string"
+    ).withColumn("query_id", F.monotonically_increasing_id())
+    queries = with_embedding(qdf, "qtext").select(
+        "query_id", F.col("embedding").alias("q_embedding")
+    ).cache()
+    queries.count()
+
+    # 2. retrieval joins over the built tree
+    timed("collapsed_knn", lambda: collapsed_knn(tree, queries, top_k=10).count())
+    levels = [r["level"] for r in tree.select("level").distinct().collect()]
+    levels_res = {lv: max(MAX_RES - lv, 0) for lv in levels}
+    timed("cell_knn", lambda: cell_pruned_knn(tree, queries, levels_res, top_k=10).count())
+
+    # 3. spatial joins + rollups over the embeddings table
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = embs.select(F.col("vec_id").alias("node_id"), x.alias("x"), y.alias("y")).cache()
+    pts.count()
+    polys = spark.createDataFrame(PIP_POLYS, "cell_id long, ring array<array<double>>")
+    timed("pip_join", lambda: pip_join(pts, polys).count())
+    timed("soft_assign", lambda: soft_assignments(pts, res=6, buffer_frac=0.1).count())
+    timed("tile_rollup", lambda: tile_stats(tree).count())
+
+    # 4. dedup family
+    timed("exact_dedup", lambda: D.exact_dedup(docs).count())
+    timed("minhash_pairs", lambda: D.minhash_band_pairs(docs).count())
+    timed("simhash", lambda: D.simhash_fingerprints(docs).count())
+
+    # 5. similarity search
+    eq = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    timed("emb_topk", lambda: S.brute_force_topk(embs, eq, k=10, dim=DIM).count())
+    timed("emb_ivf_topk", lambda: S.ivf_topk(embs, eq, k=10, res=3, dim=DIM).count())
+
+    # 6. text analysis sweep
+    def _text():
+        T.token_counts(docs).agg(F.sum("n_tokens")).collect()
+        T.language_id(docs).groupBy("lang_guess").count().collect()
+        T.quality_scores(docs).agg(F.avg("quality")).collect()
+
+    timed("text_analysis", _text)
+
+    total = round(sum(timings.values()), 3)
+    build_s = timings["tree_build"]
+    print(
+        json.dumps(
+            {
+                "metric": "tile-engine headline suite (build+retrieval+spatial+dedup+similarity+text)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "n_tree_nodes": state["n_nodes"],
+                "pages_per_sec": round(n_docs / build_s, 2) if build_s else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

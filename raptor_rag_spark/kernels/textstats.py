@@ -55,11 +55,24 @@ def shingles(text: str, n: int = SHINGLE_N) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+# Affine-permutation MinHash (one md5 per shingle, then cheap modular
+# arithmetic per permutation — the standard a·h+b mod p scheme). Constants are
+# fixed literals so Spark / DuckDB / numpy all evaluate the same integers;
+# p = 2^31 − 1 keeps a·h < 2^62 (no 64-bit overflow in any engine).
+MINHASH_P = 2147483647
+MINHASH_A = tuple((2654435761 * (i + 1) + 40503) % MINHASH_P or 1 for i in range(MINHASH_PERMS))
+MINHASH_B = tuple((40503 * (i + 1) + 2654435761) % MINHASH_P for i in range(MINHASH_PERMS))
+
+
 def minhash_signature(text: str, perms: int = MINHASH_PERMS, n: int = SHINGLE_N) -> list[int]:
     sh = set(shingles(text, n))
     if not sh:
         return [0] * perms
-    return [min(portable_hash63(f"{i}|{s}") for s in sh) for i in range(perms)]
+    bases = [portable_hash63(s) % MINHASH_P for s in sh]
+    return [
+        min((MINHASH_A[i] * b + MINHASH_B[i]) % MINHASH_P for b in bases)
+        for i in range(perms)
+    ]
 
 
 def simhash(text: str, bits: int = SIMHASH_BITS) -> int:

@@ -41,12 +41,18 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """(doc_id, h0..h{perms-1}) — min over shingles of salted portable hashes.
-    Empty-shingle docs get 0 (kernel parity)."""
-    sh = docs.select("doc_id", F.explode_outer(G.shingles_col(F.col("text"))).alias("shingle"))
+    """(doc_id, h0..h{perms-1}) — affine-permutation MinHash: ONE md5 per
+    shingle, then per-perm (a·h+b) mod p mins (kernels.textstats parity).
+    Empty-shingle docs get 0."""
+    from ..kernels.textstats import MINHASH_A, MINHASH_B, MINHASH_P
+
+    sh = docs.select(
+        "doc_id", F.explode_outer(G.shingles_col(F.col("text"))).alias("shingle")
+    ).withColumn("base", G.hash63_col(F.col("shingle")) % F.lit(MINHASH_P))
     aggs = [
         F.coalesce(
-            F.min(G.hash63_col(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))), F.lit(0)
+            F.min((F.lit(MINHASH_A[i]) * F.col("base") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)),
+            F.lit(0),
         ).alias(f"h{i}")
         for i in range(perms)
     ]

@@ -323,18 +323,23 @@ def q_minhash_sigs(spark, sf_dir):
 
 
 def _sql_minhash_sigs() -> str:
+    from ..kernels.textstats import MINHASH_A, MINHASH_B, MINHASH_P
+
     sh = G.shingles_sql("text")
     parts = []
     for i in range(MINHASH_PERMS):
-        salted = G.hash63_sql(f"concat_ws('|', '{i}', shingle)")
-        parts.append(f"coalesce(min({salted}), 0) AS h{i}")
+        parts.append(
+            f"coalesce(min(({MINHASH_A[i]} * base + {MINHASH_B[i]}) % {MINHASH_P}), 0) AS h{i}"
+        )
     mins = ",\n       ".join(parts)
     return f"""
 SELECT doc_id, {mins}
 FROM (
-  SELECT doc_id,
-         unnest(CASE WHEN len({sh}) = 0 THEN [NULL] ELSE {sh} END) AS shingle
-  FROM documents
+  SELECT doc_id, {G.hash63_sql("shingle")} % {MINHASH_P} AS base FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len({sh}) = 0 THEN [NULL] ELSE {sh} END) AS shingle
+    FROM documents
+  )
 ) GROUP BY doc_id
 """
 
