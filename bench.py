@@ -33,7 +33,7 @@ from raptor_rag_spark.operators.rollup import tile_stats  # noqa: E402
 from raptor_rag_spark.plans.build_tree import build_tree  # noqa: E402
 from raptor_rag_spark.plans.contract import DIM, PIP_POLYS, QUERY_TEXTS  # noqa: E402
 from raptor_rag_spark.functions import sqlgen as G  # noqa: E402
-from raptor_rag_spark.session import get_spark  # noqa: E402
+from raptor_rag_spark.session import get_spark, warm_python_workers  # noqa: E402
 
 MAX_RES = 8
 
@@ -45,6 +45,7 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     n_docs = docs.count()

@@ -32,8 +32,19 @@ WORD_PATTERN = r"[a-z0-9]+"  # kernels/textstats.py WORD_RE
 # ---------------------------------------------------------------- hashing
 
 def hash63_col(col: Column) -> Column:
-    """portable_hash63 as a Spark Column (60-bit int from md5 prefix)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    """portable_hash63 as a Spark Column (60-bit int from md5 prefix).
+
+    The hex→long parse is an unrolled ascii-arithmetic chain instead of
+    ``conv(..., 16, 10)``: Spark's Conv expression serializes on shared
+    state and measured 10x slower at 32 concurrent tasks (45s vs 4.8s per
+    20M rows); the arithmetic chain is pure codegen and scales flat."""
+    s = F.md5(col.cast("string"))
+    acc = F.lit(0).cast("long")
+    for i in range(1, 16):
+        c = F.ascii(F.substring(s, i, 1))
+        d = F.when(c >= 97, c - 87).otherwise(c - 48).cast("long")
+        acc = acc * F.lit(16).cast("long") + d
+    return acc
 
 
 def hash63_sql(expr: str) -> str:

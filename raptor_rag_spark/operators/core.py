@@ -14,12 +14,17 @@ Spark-first shapes (SURVEY.md §3.1 Spark lifecycle):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import sqlgen as G
 from ..functions.udfs import make_chunk_udf, make_embed_udf
-from ..kernels.embedder import DEFAULT_DIM
+from ..kernels.chunker import split_text
+from ..kernels.embedder import DEFAULT_DIM, embed_texts
+from ..kernels.tokenizer import RegexTokenizer
 
 
 def chunk_documents(
@@ -47,6 +52,43 @@ def with_cell(df: DataFrame, res: int, x_col: str = "x", y_col: str = "y") -> Da
     return df.withColumn("cell_id", G.cell_col(F.col(x_col), F.col(y_col), res))
 
 
+def chunk_embed_fused(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 100,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Chunk + embed in ONE Python round trip (mapInPandas).
+
+    The split chunk-UDF → posexplode → embed-UDF pipeline pays two JVM↔Python
+    Arrow pipes over the full text volume; fusing them halves the IPC, which
+    measurably dominates at high parallelism (syscall-heavy virtualized
+    hosts). Kernels are identical (split_text + embed_texts), so output is
+    bit-identical to the composed path."""
+    base = docs.select(F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = RegexTokenizer()
+        for pdf in batches:
+            ids: list[str] = []
+            idxs: list[int] = []
+            texts: list[str] = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                chunks = split_text(t or "", tok, max_tokens)
+                ids.extend([did] * len(chunks))
+                idxs.extend(range(len(chunks)))
+                texts.extend(chunks)
+            emb = embed_texts(texts, dim)
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_idx": idxs, "text": texts, "embedding": list(emb)}
+            )
+
+    return base.mapInPandas(
+        gen, "doc_id STRING, chunk_idx INT, text STRING, embedding ARRAY<FLOAT>"
+    )
+
+
 def leaf_nodes(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -55,15 +97,18 @@ def leaf_nodes(
     res: int = 12,
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
-    """Full leaf pipeline → level-0 nodes DataFrame (SURVEY.md §1.2 schema)."""
-    chunks = chunk_documents(docs, id_col, text_col, max_tokens)
-    nodes = with_embedding(chunks, "text", dim)
+    """Full leaf pipeline → level-0 nodes DataFrame (SURVEY.md §1.2 schema).
+
+    One fused Python pass (chunk+embed), then everything else — xy
+    projection, cell encode, node ids, token counts — is JVM column
+    expressions inside whole-stage codegen."""
+    nodes = chunk_embed_fused(docs, id_col, text_col, max_tokens, dim)
     nodes = with_cell(with_xy(nodes, dim), res)
     return nodes.select(
-        G.hash63_col(F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_idx"))).alias("node_id"),
+        G.hash63_col(F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"))).alias("node_id"),
         F.lit(0).alias("level"),
         F.col("cell_id"),
-        F.col(id_col).cast("string").alias("url"),
+        F.col("doc_id").alias("url"),
         F.col("chunk_idx"),
         F.col("text"),
         F.col("embedding"),

@@ -75,22 +75,20 @@ def flat_knn(
 def query_cells(queries: DataFrame, levels_res: dict[int, int], dim: int = DEFAULT_DIM) -> DataFrame:
     """(query_id, cell_id) candidate pairs: home + 8 neighbors per level.
 
-    Built from expressions + a driver-side neighbor expansion of the (tiny)
-    query set — the broadcast spatial index."""
+    ONE driver round trip for all levels (the query side is small by
+    contract); the result is the tiny broadcast spatial index."""
     x, y = G.xy_cols(F.col("q_embedding"), dim)
-    out = None
-    for level, res in levels_res.items():
-        part = queries.select("query_id", G.cell_col(x, y, res).alias("home"))
-        rows = part.collect()  # query side is small by contract
-        spark = queries.sparkSession
-        pairs = [
-            (r["query_id"], int(c))
-            for r in rows
-            for c in [int(r["home"]), *cell_neighbors(int(r["home"]))]
-        ]
-        df = spark.createDataFrame(pairs, "query_id long, cell_id long")
-        out = df if out is None else out.unionByName(df)
-    return out.dropDuplicates(["query_id", "cell_id"])
+    homes = [G.cell_col(x, y, res).alias(f"home_{res}") for res in sorted(set(levels_res.values()))]
+    rows = queries.select("query_id", *homes).collect()
+    pairs = {
+        (r["query_id"], c)
+        for r in rows
+        for res in set(levels_res.values())
+        for c in [int(r[f"home_{res}"]), *cell_neighbors(int(r[f"home_{res}"]))]
+    }
+    return queries.sparkSession.createDataFrame(
+        sorted(pairs), "query_id long, cell_id long"
+    )
 
 
 def cell_pruned_knn(

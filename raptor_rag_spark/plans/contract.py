@@ -650,6 +650,68 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# rerank / eval metrics / streaming twins
+# --------------------------------------------------------------------------
+
+RERANK_QUERY = "spark window data filter part"
+
+
+def q_rerank_docs(spark, sf_dir):
+    """W3 rerank: deterministic lexical score + window reorder over documents
+    (reference raptor/reranker.py:31-46, reorder-only application)."""
+    from ..operators.rerank import rerank
+
+    d = ld(spark, sf_dir, "documents").withColumn("query_id", F.lit(0))
+    out = rerank(d, RERANK_QUERY, top_k=20, text_col="text", tiebreak_col="doc_id")
+    return out.select("doc_id", "score", "rank")
+
+
+def _sql_rerank(k: int = 20) -> str:
+    from ..operators.rerank import overlap_score_sql
+
+    score = overlap_score_sql("text", RERANK_QUERY)
+    return f"""
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, round({score}, 6) AS score,
+         row_number() OVER (ORDER BY round({score}, 6) DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= {k}
+"""
+
+
+_PAIRS_SQL = (
+    "SELECT doc_id AS pair_id, substr(text, 1, 120) AS prediction, "
+    "substr(text, 41, 120) AS gold FROM documents"
+)
+
+
+def q_token_f1(spark, sf_dir):
+    """A8/A9/U4: distributed token-multiset F1 (reference _metrics.py:36-51)."""
+    from ..operators.evalmetrics import token_f1_pairs
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.substring("text", 1, 120).alias("prediction"),
+        F.substring("text", 41, 120).alias("gold"),
+    )
+    return token_f1_pairs(d)
+
+
+def _sql_token_f1() -> str:
+    from ..operators.evalmetrics import token_f1_sql
+
+    return token_f1_sql(_PAIRS_SQL)
+
+
+def q_stream_events_hourly(spark, sf_dir):
+    """Structured Streaming twin of events_hourly: watermark + tumbling window
+    drained via availableNow — must equal the batch oracle exactly."""
+    from ..streaming.events_stream import stream_events_hourly
+
+    return stream_events_hourly(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # tree build + retrieval (Python-kernel embeddings → rows-only checks)
 # --------------------------------------------------------------------------
 
@@ -779,6 +841,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft_assign": q_soft_assign,
     "pip_join": q_pip_join,
     "binary_features": q_binary_features,
+    # rerank / metrics / streaming
+    "rerank_docs": q_rerank_docs,
+    "token_f1": q_token_f1,
+    "stream_events_hourly": q_stream_events_hourly,
     # tree build + retrieval (rows-only)
     "tree_level_stats": q_tree_level_stats,
     "tree_tile_stats": q_tree_tile_stats,
@@ -818,4 +884,7 @@ ORACLES: dict[str, str] = {
     "soft_assign": _sql_soft_assign(),
     "pip_join": _sql_pip_join(),
     "binary_features": SQL_BINARY,
+    "rerank_docs": _sql_rerank(),
+    "token_f1": _sql_token_f1(),
+    "stream_events_hourly": SQL_EVENTS_HOURLY,
 }

