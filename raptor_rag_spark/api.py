@@ -1,0 +1,162 @@
+"""RetrievalAugmentation facade — the reference's top-level API, Spark-backed.
+
+Mirrors raptor/retrieval_augmentation.py (reference :18-239): the same
+add_documents / retrieve / answer_question / save lifecycle and the same
+guard behaviors (overwrite warning on re-add :171-173, ValueError when
+retrieving with no tree :187-189, type check on load :148-151), but the tree
+is a level-partitioned DataFrame built by the distributed plan, retrieval is
+a batch broadcast kNN join, and persistence is the manifest checkpoint (an
+atomic, resumable commit per level) instead of a pickle blob (:234-239).
+
+``answer_question`` composes retrieve with a pluggable QA callable; the
+default is deterministic-extractive (LLM QA stays outside the engine core,
+SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ClusterTreeConfig, TreeRetrieverConfig
+from .operators.core import with_embedding
+from .operators.knn import collapsed_knn, retrieval_context
+from .operators.traverse import traversal_retrieve
+from .plans.build_tree import build_tree, load_tree
+from .sources.checkpoint import TreeCheckpoint
+
+logger = logging.getLogger(__name__)
+
+
+class RetrievalAugmentation:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: ClusterTreeConfig | None = None,
+        retriever_config: TreeRetrieverConfig | None = None,
+        tree: DataFrame | str | None = None,
+    ):
+        self.spark = spark
+        self.config = config if config is not None else ClusterTreeConfig()
+        self.retriever_config = (
+            retriever_config if retriever_config is not None else TreeRetrieverConfig()
+        )
+        if tree is None:
+            self.tree: DataFrame | None = None
+        elif isinstance(tree, str):
+            self.tree = load_tree(spark, tree)
+        elif isinstance(tree, DataFrame):
+            self.tree = tree
+        else:
+            # reference raises on wrong pickle content (:148-151)
+            raise ValueError("tree must be a DataFrame, a checkpoint path, or None")
+
+    # ------------------------------------------------------------------ build
+    def add_documents(
+        self,
+        docs: DataFrame | str,
+        checkpoint_dir: str | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Build (or overwrite) the tree from a documents DataFrame, or — for
+        reference-API parity — a single text string."""
+        if self.tree is not None:
+            logger.warning(
+                "Overwriting existing tree."  # reference warning (:171-173)
+            )
+        if isinstance(docs, str):
+            docs = self.spark.createDataFrame([(0, docs)], f"{id_col} long, {text_col} string")
+        self.tree = build_tree(
+            docs, self.config, checkpoint_dir, id_col=id_col, text_col=text_col
+        ).cache()
+
+    # --------------------------------------------------------------- retrieve
+    def _query_df(self, question: str | list[str]) -> DataFrame:
+        questions = [question] if isinstance(question, str) else list(question)
+        qdf = self.spark.createDataFrame(
+            [(i, q) for i, q in enumerate(questions)], "query_id long, qtext string"
+        )
+        return with_embedding(qdf, "qtext").select(
+            "query_id", F.col("embedding").alias("q_embedding")
+        )
+
+    def retrieve(
+        self,
+        question: str | list[str],
+        start_layer: int | None = None,
+        num_layers: int | None = None,
+        top_k: int = 10,
+        max_tokens: int = 3500,
+        collapse_tree: bool = True,
+        return_layer_information: bool = True,
+    ):
+        """Returns (context, layer_information) for one question, or the
+        per-query result DataFrame for a batch (the engine's native shape)."""
+        if self.tree is None:
+            raise ValueError(
+                "There are no trees to retrieve, please add documents first."
+            )  # reference message shape (:187-189)
+        queries = self._query_df(question)
+        if collapse_tree:
+            results = collapsed_knn(self.tree, queries, top_k=top_k, max_tokens=max_tokens)
+        else:
+            top = self.tree.agg(F.max("level")).collect()[0][0]
+            sl = top if start_layer is None else start_layer
+            nl = sl + 1 if num_layers is None else num_layers
+            results = traversal_retrieve(
+                self.tree,
+                queries,
+                start_layer=sl,
+                num_layers=nl,
+                top_k=self.retriever_config.top_k,
+                selection_mode=self.retriever_config.selection_mode,
+                threshold=self.retriever_config.threshold,
+            )
+        ctx = retrieval_context(results)
+        if isinstance(question, list):
+            return ctx
+        row = ctx.collect()[0]
+        if return_layer_information:
+            layer_info = [
+                {"node_index": r["node_id"], "layer_number": r["level"]}
+                for r in row["layer_information"]
+            ]
+            return row["context"], layer_info
+        return row["context"]
+
+    # --------------------------------------------------------------------- qa
+    def answer_question(
+        self,
+        question: str,
+        qa_fn=None,
+        top_k: int = 10,
+        max_tokens: int = 3500,
+        return_layer_information: bool = False,
+    ):
+        """retrieve → QA. ``qa_fn(context, question) -> str`` is pluggable
+        (reference BaseQAModel, qa_models.py:7-10); default is extractive."""
+        context, layer_info = self.retrieve(
+            question, top_k=top_k, max_tokens=max_tokens, return_layer_information=True
+        )
+        if qa_fn is None:
+            from .kernels.summarize import extractive_summary
+            from .kernels.tokenizer import RegexTokenizer
+
+            answer = extractive_summary(context, 100, RegexTokenizer())
+        else:
+            answer = qa_fn(context, question)
+        if return_layer_information:
+            return answer, layer_info
+        return answer
+
+    # ------------------------------------------------------------------- save
+    def save(self, path: str) -> None:
+        if self.tree is None:
+            raise ValueError("There is no tree to save.")  # reference :235-236
+        ckpt = TreeCheckpoint(path)
+        for r in self.tree.select("level").distinct().collect():
+            lv = r["level"]
+            ckpt.write_level(self.tree.filter(F.col("level") == lv), lv)

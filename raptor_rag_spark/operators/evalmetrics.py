@@ -98,6 +98,23 @@ FROM sizes s LEFT JOIN overlap o ON s.{id_col} = o.{id_col}
 """
 
 
+def rouge_l_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
+    """(id, rouge_l): LCS ROUGE-L F1 per pair — a DP kernel, so a scalar
+    pandas_udf (F8; reference benchmarks/_metrics.py:71-97). Not
+    SQL-expressible → rows-only oracle check."""
+    import pandas as pd
+
+    from ..kernels.metrics import rouge_l
+
+    @F.pandas_udf("double")
+    def _rouge(pred, gold):
+        return pd.Series(
+            [round(rouge_l(p or "", g or ""), 6) for p, g in zip(pred, gold)]
+        )
+
+    return pairs.select(id_col, _rouge(F.col("prediction"), F.col("gold")).alias("rouge_l"))
+
+
 def accuracy_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
     """Normalized exact-match accuracy per pair (F9)."""
     return pairs.select(

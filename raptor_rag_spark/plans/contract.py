@@ -703,6 +703,60 @@ def _sql_token_f1() -> str:
     return token_f1_sql(_PAIRS_SQL)
 
 
+def q_rouge_l(spark, sf_dir):
+    """F8 ROUGE-L (LCS DP) as a scalar pandas_udf — rows-only check."""
+    from ..operators.evalmetrics import rouge_l_pairs
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.substring("text", 1, 120).alias("prediction"),
+        F.substring("text", 41, 120).alias("gold"),
+    )
+    return rouge_l_pairs(d)
+
+
+def q_accuracy(spark, sf_dir):
+    """F9 normalized exact-match accuracy (reference _metrics.py:100-122)."""
+    from ..operators.evalmetrics import accuracy_pairs
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.substring("text", 1, 60).alias("prediction"),
+        F.substring("text", 1, 60).alias("gold"),
+    )
+    return accuracy_pairs(d)
+
+
+SQL_ACCURACY = f"""
+SELECT doc_id AS pair_id,
+       CASE WHEN {G.normalize_answer_sql("substr(text, 1, 60)")} = {G.normalize_answer_sql("substr(text, 1, 60)")}
+            THEN 1.0 ELSE 0.0 END AS acc
+FROM documents
+"""
+
+
+def q_gmm_cluster(spark, sf_dir):
+    """Reference RaptorClustering contract (cluster_utils.py:90-126) as a
+    grouped distributed kernel over coarse cells — rows-only check."""
+    from ..operators.cluster import gmm_soft_cluster
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(
+        F.col("vec_id").alias("node_id"),
+        "embedding",
+        G.cell_col(x, y, 2).alias("cell_id"),
+    )
+    return gmm_soft_cluster(pts, reduction_dimension=4)
+
+
+def q_tree_flat_knn(spark, sf_dir):
+    """FAISS-flat equivalent (J8): leaf-only kNN (faiss_retriever.py:140-145)."""
+    from ..operators.knn import flat_knn
+
+    return flat_knn(_tree(spark, sf_dir), _tree_queries(spark), top_k=5, max_tokens=3500)
+
+
 def q_stream_events_hourly(spark, sf_dir):
     """Structured Streaming twin of events_hourly: watermark + tumbling window
     drained via availableNow — must equal the batch oracle exactly."""
@@ -841,9 +895,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft_assign": q_soft_assign,
     "pip_join": q_pip_join,
     "binary_features": q_binary_features,
-    # rerank / metrics / streaming
+    # rerank / metrics / streaming / clustering
     "rerank_docs": q_rerank_docs,
     "token_f1": q_token_f1,
+    "rouge_l": q_rouge_l,
+    "accuracy": q_accuracy,
+    "gmm_cluster": q_gmm_cluster,
+    "tree_flat_knn": q_tree_flat_knn,
     "stream_events_hourly": q_stream_events_hourly,
     # tree build + retrieval (rows-only)
     "tree_level_stats": q_tree_level_stats,
@@ -886,5 +944,6 @@ ORACLES: dict[str, str] = {
     "binary_features": SQL_BINARY,
     "rerank_docs": _sql_rerank(),
     "token_f1": _sql_token_f1(),
+    "accuracy": SQL_ACCURACY,
     "stream_events_hourly": SQL_EVENTS_HOURLY,
 }

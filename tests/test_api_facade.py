@@ -1,0 +1,105 @@
+"""RetrievalAugmentation facade tests — mirror the reference lifecycle
+behaviors (raptor/retrieval_augmentation.py guards + retrieve shapes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.api import RetrievalAugmentation
+from raptor_rag_spark.config import ClusterTreeConfig
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ra(spark):
+    r = RetrievalAugmentation(
+        spark, config=ClusterTreeConfig(max_tokens=64, num_layers=2, max_resolution=6)
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 40")
+    r.add_documents(docs)
+    return r
+
+
+def test_retrieve_without_tree_raises(spark):
+    r = RetrievalAugmentation(spark)
+    with pytest.raises(ValueError, match="no trees to retrieve"):
+        r.retrieve("question")
+
+
+def test_bad_tree_arg_raises(spark):
+    with pytest.raises(ValueError, match="tree must be"):
+        RetrievalAugmentation(spark, tree=42)
+
+
+def test_retrieve_returns_context_and_layers(ra):
+    context, layers = ra.retrieve("spark join data", top_k=5)
+    assert isinstance(context, str) and context.endswith("\n\n")
+    assert 1 <= len(layers) <= 5
+    assert {"node_index", "layer_number"} == set(layers[0])
+
+
+def test_retrieve_batch_returns_dataframe(ra):
+    out = ra.retrieve(["spark join", "customer data"], top_k=3)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+
+
+def test_traversal_mode(ra):
+    context = ra.retrieve("spark join data", collapse_tree=False, return_layer_information=False)
+    assert isinstance(context, str) and len(context) > 0
+
+
+def test_answer_question_default_and_custom(ra):
+    ans = ra.answer_question("spark join data")
+    assert isinstance(ans, str) and len(ans) > 0
+    ans2, layers = ra.answer_question(
+        "spark join data", qa_fn=lambda c, q: f"Q={q}", return_layer_information=True
+    )
+    assert ans2 == "Q=spark join data"
+    assert layers
+
+
+def test_add_documents_string_and_overwrite_warn(spark, caplog):
+    r = RetrievalAugmentation(
+        spark, config=ClusterTreeConfig(max_tokens=32, num_layers=1, max_resolution=4)
+    )
+    r.add_documents("one two three. four five six. seven eight nine.")
+    assert r.tree is not None and r.tree.count() >= 1
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        r.add_documents("other text entirely. more text here.")
+    assert any("Overwriting" in m for m in caplog.messages)
+
+
+def test_save_and_reload(ra, tmp_path_factory, spark):
+    path = str(tmp_path_factory.mktemp("ra_save"))
+    ra.save(path)
+    r2 = RetrievalAugmentation(spark, tree=path)
+    a = ra.tree.select("node_id").toPandas().sort_values("node_id").reset_index(drop=True)
+    b = r2.tree.select("node_id").toPandas().sort_values("node_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_gmm_cluster_operator(spark):
+    from raptor_rag_spark.operators.cluster import gmm_soft_cluster
+    from raptor_rag_spark.functions import sqlgen as G
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    x, y = G.xy_cols(F.col("embedding"), 64)
+    pts = e.select(
+        F.col("vec_id").alias("node_id"), "embedding", G.cell_col(x, y, 1).alias("cell_id")
+    )
+    out = gmm_soft_cluster(pts, reduction_dimension=4).toPandas()
+    # every node is assigned at least one cluster within its group
+    n_nodes = pts.count()
+    assert out[["group_key", "node_id"]].drop_duplicates().shape[0] == n_nodes
+    assert (out["cluster_id"] >= 0).all()
+    # determinism under repartition
+    out2 = gmm_soft_cluster(pts.repartition(7), reduction_dimension=4).toPandas()
+    key = ["group_key", "node_id", "cluster_id"]
+    assert out.sort_values(key).reset_index(drop=True)[key].equals(
+        out2.sort_values(key).reset_index(drop=True)[key]
+    )
