@@ -45,29 +45,51 @@ def _features(text: str) -> list[str]:
     return feats
 
 
+# word -> dense bucket-delta vector, persistent per worker process. Bounded
+# clear at 1M entries (vocab of real corpora is Zipfian; the cap only guards
+# adversarial inputs). Keyed by (dim, word).
+_WORD_VECS: dict[tuple[int, str], np.ndarray] = {}
+_WORD_VECS_MAX = 1_000_000
+
+
+def _word_vec(w: str, dim: int) -> np.ndarray:
+    key = (dim, w)
+    vec = _WORD_VECS.get(key)
+    if vec is None:
+        if len(_WORD_VECS) >= _WORD_VECS_MAX:
+            _WORD_VECS.clear()
+        vec = np.zeros(dim, dtype=np.float64)
+        padded = f"^{w}$"
+        for f in ["w:" + w] + ["g:" + padded[i : i + 3] for i in range(len(padded) - 2)]:
+            h = _feature_hash(f)
+            vec[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
+        _WORD_VECS[key] = vec
+    return vec
+
+
 def embed_texts(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
     """Embed an iterable of strings -> (n, dim) float32, rows L2-normalized.
 
     Empty/feature-less texts embed to the zero vector.
+
+    Per-word dense deltas are cached across batches (worker-lifetime), so the
+    hot path allocates almost nothing — this kernel is memory-allocation
+    bound otherwise, which caps scaling on virtualized hosts. Bit-exact with
+    the per-feature formulation: bucket values are sums of ±1 (exact
+    integers in float64), so accumulation order cannot change the result.
     """
     texts = list(texts)
     n = len(texts)
     out = np.zeros((n, dim), dtype=np.float64)
-    cache: dict[str, tuple[int, float]] = {}
     for row, text in enumerate(texts):
-        feats = _features(text if isinstance(text, str) else "")
-        if not feats:
+        if not isinstance(text, str) or not text:
             continue
-        idxs = np.empty(len(feats), dtype=np.int64)
-        signs = np.empty(len(feats), dtype=np.float64)
-        for k, f in enumerate(feats):
-            hit = cache.get(f)
-            if hit is None:
-                h = _feature_hash(f)
-                hit = (h % dim, 1.0 if (h >> 62) & 1 else -1.0)
-                cache[f] = hit
-            idxs[k], signs[k] = hit
-        np.add.at(out[row], idxs, signs)
+        words = _WORD_RE.findall(text.lower().replace("\n", " "))
+        if not words:
+            continue
+        acc = out[row]
+        for w in words:
+            acc += _word_vec(w, dim)
     return l2_normalize(out).astype(np.float32)
 
 

@@ -185,9 +185,14 @@ the same job runs at `local[{N_SMALL}]` (N) and `local[{N_BIG}]` (4N) — fresh 
 run, nothing else on the box — against the **same materialized input**: a
 parquet table of deterministic synthetic Common-Crawl pages
 (`raptor_rag_spark/sources/pages.py`; every row a pure function of its id),
-standing in for the Iceberg input table. 4N = {N_BIG} is chosen to leave half
-the 32-vCPU box for the Python UDF workers (see the saturated-host note in
-`raptor_rag_spark/session.py`).
+standing in for the Iceberg input table. 4N = {N_BIG} is chosen so that JVM
+task threads + Python UDF workers + GC stay well inside the host's measured
+effective capacity (a shared virtualized box; a pure-CPU probe shows
+per-worker efficiency collapsing beyond ~8-16 concurrent workers — see the
+saturated-host note in `raptor_rag_spark/session.py`). Shuffle/spill dirs
+point at tmpfs, standing in for executor-local NVMe: with /tmp's single
+virtio disk, the marginal rate was disk-bound and identical at 2 and 8
+cores.
 
 Timed job: read pages → chunk+embed (one fused Arrow mapInPandas) → xy
 project → quadkey cell encode → 3-level salted tile rollup — the headline
