@@ -1,5 +1,5 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+embedding-cosine near-dup — plus cluster resolution into canonical keep-lists.
 
 All four text paths are JVM-side expressions built from the sqlgen twins
 (portable md5-prefix hashing), so each has an exact DuckDB oracle. Shapes:
@@ -11,10 +11,24 @@ All four text paths are JVM-side expressions built from the sqlgen twins
   bucket-join; the self-join is on tiny bucket keys, never all-pairs);
 - SimHash: per-bit majority over distinct token hashes → 16-bit fingerprint;
   near-dup pairs = equal simhash (band of the fingerprint);
-- embedding cosine: exact-order cosine expression over candidate pairs.
+- embedding cosine: exact-order cosine expression over candidate pairs;
+- clusters: pairs → connected components (iterative min-label propagation)
+  → (doc_id, canonical_id); ``apply_dedup`` = the keep/drop anti-join.
 
-At 100 TB the bucket join is the scale path: candidate pairs are bounded by
-bucket sizes, and banding parameters (PERMS×BANDS) trade recall for cost.
+At 100 TB the bucket joins are the scale path and every candidate generator
+is frequency-capped so no single hot key can go quadratic:
+
+- MinHash band buckets above ``max_bucket`` docs are dropped (mass-duplicated
+  boilerplate would otherwise emit C(n,2) pairs per band; exact_dedup catches
+  byte-identical mass duplicates far cheaper);
+- n-gram Jaccard drops shingles whose document frequency exceeds
+  ``max_shingle_df`` before the inverted-index self-join (standard
+  prefix-filtering: a shingle in 1M docs generates 10^12 candidates);
+- embedding near-dup picks its bucket resolution from the corpus size
+  (``adaptive_res``) so expected bucket population stays bounded instead of
+  growing linearly with the corpus.
+
+Each cap is mirrored bit-identically in the DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -28,6 +42,27 @@ from ..kernels.textstats import MINHASH_PERMS
 
 BANDS = 4
 ROWS_PER_BAND = MINHASH_PERMS // BANDS
+MAX_BAND_BUCKET = 64  # LSH band buckets larger than this are skew bombs, drop
+MAX_SHINGLE_DF = 64  # shingles in more docs than this carry no dedup signal
+NEARDUP_TARGET_BUCKET = 64  # target avg docs per adaptive near-dup bucket
+
+
+def adaptive_res(n_rows: int, target: int = NEARDUP_TARGET_BUCKET, lo: int = 2, hi: int = 10) -> int:
+    """Smallest grid resolution whose 4^res cells keep the average bucket
+    population ≤ target. Pure integer rule so the DuckDB twin
+    (adaptive_res_sql) derives the identical value from count(*)."""
+    res = lo
+    while res < hi and (1 << (2 * res)) * target < n_rows:
+        res += 1
+    return res
+
+
+def adaptive_res_sql(count_expr: str, target: int = NEARDUP_TARGET_BUCKET, lo: int = 2, hi: int = 10) -> str:
+    """CASE chain computing adaptive_res(count) in SQL (same thresholds)."""
+    branches = " ".join(
+        f"WHEN ({count_expr}) <= {(1 << (2 * res)) * target} THEN {res}" for res in range(lo, hi)
+    )
+    return f"(CASE {branches} ELSE {hi} END)"
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -59,8 +94,19 @@ def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_pairs(docs: DataFrame, perms: int = MINHASH_PERMS, bands: int = BANDS) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any full band of the signature."""
+def minhash_band_pairs(
+    docs: DataFrame,
+    perms: int = MINHASH_PERMS,
+    bands: int = BANDS,
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any full band of the signature.
+
+    Buckets with more than ``max_bucket`` members are dropped before the
+    self-join (two aggregations on the same band_key shuffle — AQE coalesces
+    them into one exchange reuse), so a mass-duplicated boilerplate band can
+    never go quadratic. Byte-identical mass duplicates are exact_dedup's job.
+    """
     sigs = minhash_signatures(docs, perms)
     rows_per_band = perms // bands
     band_cols = []
@@ -70,8 +116,15 @@ def minhash_band_pairs(docs: DataFrame, perms: int = MINHASH_PERMS, bands: int =
     banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk").cast("string").alias("band_key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ok = (
+        banded.groupBy("band_key")
+        .agg(F.count("*").alias("n_bk"))
+        .filter((F.col("n_bk") >= 2) & (F.col("n_bk") <= max_bucket))
+        .select("band_key")
+    )
+    capped = banded.join(ok, "band_key")
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -101,14 +154,35 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
     return per_doc.select("doc_id", sim.alias("simhash"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, max_docs: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs that share ≥1
-    shingle (inverted-index join — never a full cross join)."""
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_docs: int | None = None,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs that share ≥1 rare
+    shingle (inverted-index join — never a full cross join).
+
+    Shingles whose document frequency exceeds ``max_shingle_df`` are dropped
+    from the inverted index before the self-join (prefix-filtering): a
+    shingle present in 1M docs contributes 10^12 candidate pairs and ~zero
+    dedup signal. Denominator sizes still count ALL distinct shingles, so
+    the Jaccard value is exact for pairs whose overlap is in rare shingles
+    and slightly underestimated for pairs sharing only boilerplate — the
+    conservative direction (misses stay misses; no false merges). The DuckDB
+    oracle mirrors the identical df filter."""
     d = docs.limit(max_docs) if max_docs else docs
     sh = d.select("doc_id", F.explode(F.array_distinct(G.shingles_col(F.col("text")))).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+        .select("shingle")
+    )
+    idx = sh.join(rare, "shingle")
+    a = idx.alias("a")
+    b = idx.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -129,15 +203,25 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, max_docs: int |
 
 
 def embedding_neardup_pairs(
-    vecs: DataFrame, threshold: float = 0.95, dim: int = DEFAULT_DIM, id_col: str = "vec_id"
+    vecs: DataFrame,
+    threshold: float = 0.95,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    res: int | None = None,
 ) -> DataFrame:
     """Cosine-similarity near-dup pairs over an embedding column.
 
     Candidate generation: same home tile at a coarse resolution (LSH-like
     spatial bucketing from the xy projection) → exact cosine verify. The
-    bucket join replaces the quadratic all-pairs at scale."""
+    resolution is data-adaptive by default: chosen from the corpus row count
+    so expected bucket population stays ≤ NEARDUP_TARGET_BUCKET — a fixed
+    resolution would make within-bucket joins quadratic as the corpus grows.
+    The count() is one cheap metadata-ish job (parquet row-group counts) and
+    the DuckDB oracle derives the identical res from count(*)."""
+    if res is None:
+        res = adaptive_res(vecs.count())
     x, y = G.xy_cols(F.col("embedding"), dim)
-    bucketed = vecs.select(id_col, "embedding", G.cell_col(x, y, 4).alias("bucket"))
+    bucketed = vecs.select(id_col, "embedding", G.cell_col(x, y, res).alias("bucket"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = G.cosine_sim_cols(F.col("a.embedding"), F.col("b.embedding"), dim)
@@ -147,3 +231,70 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cos_sim")
     )
+
+
+# --------------------------------------------------------------- resolution
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 50
+) -> DataFrame:
+    """Resolve near-dup pairs into connected components: (doc_id,
+    canonical_id) where canonical_id = min doc_id of the component.
+
+    Iterative min-label propagation (hash-to-min): every doc starts labeled
+    with itself; each round takes the min of its own and its neighbors'
+    labels, until a fixpoint. Rounds are plain shuffles on doc_id with
+    map-side combine; lineage is cut per round (localCheckpoint) so plans
+    stay flat. LSH components are near-cliques, so convergence is typically
+    2-3 rounds; the bound is graph diameter. Reference analogue: the
+    cluster→canonical grouping of raptor/cluster_tree_builder.py:106-114.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("canonical_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("canonical_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("canonical_id"), F.coalesce("nbr_label", F.col("canonical_id"))).alias(
+                    "new_canonical"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels, "doc_id")
+            .filter(F.col("new_canonical") != F.col("canonical_id"))
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_canonical", "canonical_id")
+        if changed == 0:
+            break
+    return labels
+
+
+def apply_dedup(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-list: drop every doc whose component canonical is another doc.
+    Docs not in any cluster are kept (anti-join on the drop set)."""
+    drop = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

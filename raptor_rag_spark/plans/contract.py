@@ -348,18 +348,39 @@ def q_minhash_pairs(spark, sf_dir):
     return D.minhash_band_pairs(ld(spark, sf_dir, "documents"))
 
 
-def _sql_minhash_pairs() -> str:
+def _sql_minhash_banded() -> str:
+    """band_key rows (doc_id, band_key) mirroring minhash_band_pairs' explode."""
     rows = MINHASH_PERMS // D.BANDS
-    bands = " OR ".join(
-        "(" + " AND ".join(f"a.h{b * rows + r} = b.h{b * rows + r}" for r in range(rows)) + ")"
+    branches = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, '{b}:' || {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || ',' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
         for b in range(D.BANDS)
     )
-    return f"""
-WITH sigs AS ({_sql_minhash_sigs()})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE {bands}
-"""
+    return branches
+
+
+def _sql_minhash_pair_ctes() -> str:
+    """CTE list (no WITH keyword) ending in a ``pairs`` CTE — shared by the
+    pairs oracle and the cluster-resolution oracles."""
+    return f"""sigs AS ({_sql_minhash_sigs()}),
+banded AS (
+{_sql_minhash_banded()}
+),
+ok AS (
+  SELECT band_key FROM banded GROUP BY band_key
+  HAVING count(*) >= 2 AND count(*) <= {D.MAX_BAND_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN ok USING (band_key) JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def _sql_minhash_pairs() -> str:
+    return f"WITH {_sql_minhash_pair_ctes()}\nSELECT doc_a, doc_b FROM pairs"
 
 
 def q_simhash(spark, sf_dir):
@@ -400,9 +421,14 @@ WITH sh AS (
   SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {D.MAX_SHINGLE_DF}
+), idx AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -421,14 +447,68 @@ def q_emb_neardup(spark, sf_dir):
 
 
 def _sql_emb_neardup(threshold: float = 0.2) -> str:
+    from ..kernels.grid import COORD_BITS, RES_SHIFT
+
     x, y = G.xy_sql("embedding", DIM)
-    cell = G.cell_sql(x, y, 4)
     sim = G.cosine_sim_sql("a.embedding", "b.embedding", DIM)
+    # data-adaptive resolution: identical integer rule as dedup.adaptive_res
+    res = D.adaptive_res_sql("SELECT count(*) FROM embeddings")
+    n = "(1::BIGINT << res)"
+    ix = f"greatest(least(floor(x * {n}::DOUBLE)::BIGINT, {n} - 1), 0)"
+    iy = f"greatest(least(floor(y * {n}::DOUBLE)::BIGINT, {n} - 1), 0)"
     return f"""
-WITH bucketed AS (SELECT vec_id, embedding, {cell} AS bucket FROM embeddings)
+WITH p AS (SELECT {res} AS res),
+pts AS (SELECT vec_id, embedding, {x} AS x, {y} AS y FROM embeddings),
+bucketed AS (
+  SELECT vec_id, embedding,
+         ((res::BIGINT << {RES_SHIFT}) | ({ix} << {COORD_BITS}) | {iy}) AS bucket
+  FROM pts, p
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({sim}, 6) AS cos_sim
 FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({sim}, 6) >= {threshold}
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-components resolution of MinHash LSH pairs → (doc_id,
+    canonical_id). Iterative min-label propagation on Spark; recursive-CTE
+    reachability closure in the DuckDB oracle."""
+    docs = ld(spark, sf_dir, "documents")
+    return D.dedup_clusters(D.minhash_band_pairs(docs))
+
+
+def _sql_dedup_components() -> str:
+    """Recursive closure over symmetric minhash edges: min reachable id."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_pair_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+"""
+
+
+def q_dedup_keep(spark, sf_dir):
+    """Keep-list after cluster resolution: every doc except non-canonical
+    members of a near-dup component (the actual keep/drop decision a 100-TB
+    pipeline acts on)."""
+    docs = ld(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(D.minhash_band_pairs(docs))
+    return D.apply_dedup(docs, clusters).select("doc_id")
+
+
+def _sql_dedup_keep() -> str:
+    return f"""
+WITH comp AS ({_sql_dedup_components()})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
 """
 
 
@@ -887,6 +967,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "emb_neardup": q_emb_neardup,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_keep": q_dedup_keep,
     # spatial / similarity
     "emb_cells": q_emb_cells,
     "emb_tile_rollup": q_emb_tile_rollup,
@@ -935,6 +1017,8 @@ ORACLES: dict[str, str] = {
     "simhash": _sql_simhash(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "emb_neardup": _sql_emb_neardup(),
+    "dedup_clusters": _sql_dedup_components(),
+    "dedup_keep": _sql_dedup_keep(),
     "emb_cells": _sql_emb_cells(),
     "emb_tile_rollup": _sql_emb_tile_rollup(),
     "emb_topk": _sql_emb_topk(),

@@ -183,3 +183,49 @@ def test_hash63_matches_kernel(spark):
     got = df.select("s", G.hash63_col(F.col("s")).alias("h")).collect()
     for r in got:
         assert r["h"] == T.portable_hash63(r["s"])
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation resolves chains and isolates correctly."""
+    from raptor_rag_spark.operators.dedup import apply_dedup, dedup_clusters
+
+    # components: {1,2,3,4} (a chain), {10,11}, and 20-20 untouched docs
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long")
+    kept = sorted(r["doc_id"] for r in apply_dedup(docs, dedup_clusters(pairs)).collect())
+    assert kept == [1, 10, 20]
+
+
+def test_dedup_adaptive_res_rule():
+    from raptor_rag_spark.operators.dedup import adaptive_res
+
+    # 4^res * 64 >= n, clamped to [2, 10]
+    assert adaptive_res(10) == 2
+    assert adaptive_res(64 * 16) == 2
+    assert adaptive_res(64 * 16 + 1) == 3
+    assert adaptive_res(64 * 4**5) == 5
+    assert adaptive_res(10**12) == 10
+
+
+def test_minhash_band_bucket_cap(spark, docs):
+    """A mass-duplicated doc set must not explode candidate pairs: with the
+    bucket cap at its default, a 100x-duplicated text contributes no pairs
+    (exact_dedup's job), while genuine small clusters still pair up."""
+    from raptor_rag_spark.operators.dedup import minhash_band_pairs
+
+    boiler = spark.range(200).select(
+        (F.col("id") + 10_000).alias("doc_id"), F.lit("same boiler plate text here").alias("text")
+    )
+    mixed = docs.select("doc_id", "text").unionByName(boiler)
+    pairs = minhash_band_pairs(mixed).collect()
+    ids = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert not any(i >= 10_000 for i in ids), "capped bucket leaked quadratic pairs"
+    # cap high enough that organic near-dups at this scale are unaffected
+    base = minhash_band_pairs(docs).count()
+    organic = [p for p in pairs if p["doc_a"] < 10_000 and p["doc_b"] < 10_000]
+    assert len(organic) == base
