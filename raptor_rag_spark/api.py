@@ -74,12 +74,29 @@ class RetrievalAugmentation:
         ).cache()
 
     # --------------------------------------------------------------- retrieve
-    def _query_df(self, question: str | list[str]) -> DataFrame:
+    def _context_model(self) -> tuple[str | None, object]:
+        """(node-side map key or None, query-side embedding model).
+
+        Reference routing (retrieval_augmentation.py:56-64): the retriever's
+        ``context_embedding_model`` names which per-node vector to rank by;
+        the query is embedded with the matching builder model."""
+        name = self.retriever_config.context_embedding_model
+        multi = self.tree is not None and "embeddings" in self.tree.columns
+        q_model = self.config.embedding_models.get(name)
+        if multi:
+            if name not in self.config.embedding_models:
+                raise ValueError(
+                    "context_embedding_model must be a key in the embedding_models dictionary"
+                )
+            return name, q_model
+        return None, q_model
+
+    def _query_df(self, question: str | list[str], q_model=None) -> DataFrame:
         questions = [question] if isinstance(question, str) else list(question)
         qdf = self.spark.createDataFrame(
             [(i, q) for i, q in enumerate(questions)], "query_id long, qtext string"
         )
-        return with_embedding(qdf, "qtext").select(
+        return with_embedding(qdf, "qtext", model=q_model).select(
             "query_id", F.col("embedding").alias("q_embedding")
         )
 
@@ -99,9 +116,12 @@ class RetrievalAugmentation:
             raise ValueError(
                 "There are no trees to retrieve, please add documents first."
             )  # reference message shape (:187-189)
-        queries = self._query_df(question)
+        model, q_model = self._context_model()
+        queries = self._query_df(question, q_model)
         if collapse_tree:
-            results = collapsed_knn(self.tree, queries, top_k=top_k, max_tokens=max_tokens)
+            results = collapsed_knn(
+                self.tree, queries, top_k=top_k, max_tokens=max_tokens, model=model
+            )
         else:
             top = self.tree.agg(F.max("level")).collect()[0][0]
             sl = top if start_layer is None else start_layer
@@ -114,6 +134,7 @@ class RetrievalAugmentation:
                 top_k=self.retriever_config.top_k,
                 selection_mode=self.retriever_config.selection_mode,
                 threshold=self.retriever_config.threshold,
+                model=model,
             )
         ctx = retrieval_context(results)
         if isinstance(question, list):

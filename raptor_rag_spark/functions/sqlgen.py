@@ -184,6 +184,67 @@ def cosine_sim_sql(a: str, b: str, dim: int) -> str:
     return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"
 
 
+# ---------------------------------------------------------------- distances
+# Twin dispatch of the reference's metric table (raptor/utils.py:84-102):
+# cosine / L1 (cityblock) / L2 (euclidean) / Linf (chebyshev), as exact-order
+# expressions so distributed retrieval can rank by any metric with a DuckDB
+# oracle. greatest() is a selection (no rounding), so n-ary is safe.
+
+DIST_METRICS = ("cosine", "L1", "L2", "Linf")
+
+
+def _unsupported(metric: str) -> ValueError:
+    return ValueError(
+        f"Unsupported distance metric '{metric}'. Supported metrics are: {list(DIST_METRICS)}"
+    )
+
+
+def dist_cols(a: Column, b: Column, dim: int, metric: str = "cosine") -> Column:
+    if metric == "cosine":
+        return F.lit(1.0) - cosine_sim_cols(a, b, dim)
+    if metric == "L1":
+        z = F.lit(0.0)
+        for i in range(dim):
+            z = z + F.abs(
+                F.element_at(a, i + 1).cast("double") - F.element_at(b, i + 1).cast("double")
+            )
+        return z
+    if metric == "L2":
+        z = F.lit(0.0)
+        for i in range(dim):
+            d = F.element_at(a, i + 1).cast("double") - F.element_at(b, i + 1).cast("double")
+            z = z + d * d
+        return F.sqrt(z)
+    if metric == "Linf":
+        return F.greatest(
+            *[
+                F.abs(
+                    F.element_at(a, i + 1).cast("double") - F.element_at(b, i + 1).cast("double")
+                )
+                for i in range(dim)
+            ]
+        )
+    raise _unsupported(metric)
+
+
+def dist_sql(a: str, b: str, dim: int, metric: str = "cosine") -> str:
+    el = lambda v, i: f"CAST({v}[{i + 1}] AS DOUBLE)"  # noqa: E731
+    if metric == "cosine":
+        return f"(1.0 - {cosine_sim_sql(a, b, dim)})"
+    if metric == "L1":
+        terms = " + ".join(f"abs({el(a, i)} - {el(b, i)})" for i in range(dim))
+        return f"(0.0 + {terms})"
+    if metric == "L2":
+        terms = " + ".join(
+            f"({el(a, i)} - {el(b, i)}) * ({el(a, i)} - {el(b, i)})" for i in range(dim)
+        )
+        return f"sqrt(0.0 + {terms})"
+    if metric == "Linf":
+        terms = ", ".join(f"abs({el(a, i)} - {el(b, i)})" for i in range(dim))
+        return f"greatest({terms})"
+    raise _unsupported(metric)
+
+
 # ---------------------------------------------------------------- shingles / minhash / simhash
 
 def shingles_col(col: Column, n: int = SHINGLE_N) -> Column:

@@ -32,17 +32,20 @@ def make_chunk_udf(max_tokens: int = 100, overlap: int = 0):
     return chunk_udf
 
 
-def make_embed_udf(dim: int = DEFAULT_DIM):
+def make_embed_udf(dim: int = DEFAULT_DIM, model=None):
     """text -> ARRAY<FLOAT> embedding UDF (Arrow-batched, batch-level token
     cache inside embed_texts).
 
     Reference role: BaseEmbeddingModel.create_embedding
-    (raptor/embedding_models.py:7-10), L2-normalized (:48).
+    (raptor/embedding_models.py:7-10), L2-normalized (:48). Passing a
+    ``model`` (BaseEmbeddingModel) routes through its ``embed_batch`` —
+    the pluggable-model path; None is the stock hash-ngram kernel.
     """
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed_udf(texts: pd.Series) -> pd.Series:
-        mat = embed_texts(texts.fillna("").tolist(), dim)
+        batch = texts.fillna("").tolist()
+        mat = embed_texts(batch, dim) if model is None else model.embed_batch(batch)
         return pd.Series(list(mat))
 
     return embed_udf

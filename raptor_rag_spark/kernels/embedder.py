@@ -45,32 +45,44 @@ def _features(text: str) -> list[str]:
     return feats
 
 
-# word -> dense bucket-delta vector, persistent per worker process. Bounded
-# clear at 1M entries (vocab of real corpora is Zipfian; the cap only guards
-# adversarial inputs). Keyed by (dim, word).
-_WORD_VECS: dict[tuple[int, str], np.ndarray] = {}
-_WORD_VECS_MAX = 1_000_000
+# word -> dense bucket-delta vector, persistent per worker process. Evicted
+# by byte budget, oldest-half first (vocab of real corpora is Zipfian; the
+# budget guards adversarial inputs without 1GB/worker blowups or full-cache
+# thrash). Keyed by (dim, seed, word).
+_WORD_VECS: dict[tuple[int, str, str], np.ndarray] = {}
+_WORD_VECS_MAX_BYTES = 128 * 1024 * 1024  # ≈256k entries at dim=64
+_WORD_VECS_BYTES = 0
 
 
-def _word_vec(w: str, dim: int) -> np.ndarray:
-    key = (dim, w)
+def _word_vec(w: str, dim: int, seed: str = "") -> np.ndarray:
+    global _WORD_VECS_BYTES
+    key = (dim, seed, w)
     vec = _WORD_VECS.get(key)
     if vec is None:
-        if len(_WORD_VECS) >= _WORD_VECS_MAX:
-            _WORD_VECS.clear()
+        if _WORD_VECS_BYTES >= _WORD_VECS_MAX_BYTES:
+            # drop the older half (dict preserves insertion order) instead of
+            # clear(): sustained churn keeps the hot recent vocabulary warm
+            for k in list(_WORD_VECS)[: len(_WORD_VECS) // 2 or 1]:
+                _WORD_VECS_BYTES -= _WORD_VECS[k].nbytes
+                del _WORD_VECS[k]
         vec = np.zeros(dim, dtype=np.float64)
         padded = f"^{w}$"
-        for f in ["w:" + w] + ["g:" + padded[i : i + 3] for i in range(len(padded) - 2)]:
-            h = _feature_hash(f)
+        feats = ["w:" + w] + ["g:" + padded[i : i + 3] for i in range(len(padded) - 2)]
+        for f in feats:
+            h = _feature_hash(seed + "|" + f if seed else f)
             vec[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
         _WORD_VECS[key] = vec
+        _WORD_VECS_BYTES += vec.nbytes
     return vec
 
 
-def embed_texts(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
+def embed_texts(texts, dim: int = DEFAULT_DIM, seed: str = "") -> np.ndarray:
     """Embed an iterable of strings -> (n, dim) float32, rows L2-normalized.
 
-    Empty/feature-less texts embed to the zero vector.
+    Empty/feature-less texts embed to the zero vector. ``seed`` names a
+    distinct hash family — two seeds give two deterministic, unrelated
+    embedding models (the multi-model surface of reference
+    raptor/tree_structures.py:9); seed "" is bit-identical to round-1 output.
 
     Per-word dense deltas are cached across batches (worker-lifetime), so the
     hot path allocates almost nothing — this kernel is memory-allocation
@@ -89,12 +101,12 @@ def embed_texts(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
             continue
         acc = out[row]
         for w in words:
-            acc += _word_vec(w, dim)
+            acc += _word_vec(w, dim, seed)
     return l2_normalize(out).astype(np.float32)
 
 
-def embed_text(text: str, dim: int = DEFAULT_DIM) -> list[float]:
-    return embed_texts([text], dim)[0].tolist()
+def embed_text(text: str, dim: int = DEFAULT_DIM, seed: str = "") -> list[float]:
+    return embed_texts([text], dim, seed)[0].tolist()
 
 
 class BaseEmbeddingModel:
@@ -103,10 +115,19 @@ class BaseEmbeddingModel:
     def create_embedding(self, text: str) -> list[float]:
         raise NotImplementedError
 
+    def embed_batch(self, texts) -> np.ndarray:
+        """Vectorized default: loops create_embedding; override when the
+        backend can batch (the engine's Arrow UDFs call this)."""
+        return np.array([self.create_embedding(t or "") for t in texts], dtype=np.float32)
+
 
 class HashNgramEmbeddingModel(BaseEmbeddingModel):
-    def __init__(self, dim: int = DEFAULT_DIM):
+    def __init__(self, dim: int = DEFAULT_DIM, seed: str = ""):
         self.dim = dim
+        self.seed = seed
 
     def create_embedding(self, text: str) -> list[float]:
-        return embed_text(text, self.dim)
+        return embed_text(text, self.dim, self.seed)
+
+    def embed_batch(self, texts) -> np.ndarray:
+        return embed_texts(texts, self.dim, self.seed)

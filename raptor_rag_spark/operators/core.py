@@ -38,8 +38,10 @@ def chunk_documents(
     ).withColumnsRenamed({"chunk_text": "text"})
 
 
-def with_embedding(df: DataFrame, text_col: str = "text", dim: int = DEFAULT_DIM) -> DataFrame:
-    embed_udf = make_embed_udf(dim)
+def with_embedding(
+    df: DataFrame, text_col: str = "text", dim: int = DEFAULT_DIM, model=None
+) -> DataFrame:
+    embed_udf = make_embed_udf(dim, model)
     return df.withColumn("embedding", embed_udf(F.col(text_col)))
 
 
@@ -58,6 +60,9 @@ def chunk_embed_fused(
     text_col: str = "text",
     max_tokens: int = 100,
     dim: int = DEFAULT_DIM,
+    overlap: int = 0,
+    models: dict | None = None,
+    cluster_model: str = "default",
 ) -> DataFrame:
     """Chunk + embed in ONE Python round trip (mapInPandas).
 
@@ -65,8 +70,18 @@ def chunk_embed_fused(
     Arrow pipes over the full text volume; fusing them halves the IPC, which
     measurably dominates at high parallelism (syscall-heavy virtualized
     hosts). Kernels are identical (split_text + embed_texts), so output is
-    bit-identical to the composed path."""
+    bit-identical to the composed path.
+
+    With >1 entry in ``models`` (name → BaseEmbeddingModel), an extra
+    ``embeddings MAP<STRING, ARRAY<FLOAT>>`` column carries every model's
+    vector (reference multi-model surface, raptor/tree_structures.py:9 and
+    tree_builder.py:125-127) and the flat ``embedding`` is the
+    ``cluster_model`` entry — the one that drives cell assignment
+    (reference retrieval_augmentation.py:56-64 routing)."""
     base = docs.select(F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text"))
+    multi = models is not None and len(models) > 1
+    if models is not None and cluster_model not in models:
+        raise ValueError("cluster_embedding_model must be a key in the embedding_models dictionary")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = RegexTokenizer()
@@ -75,18 +90,27 @@ def chunk_embed_fused(
             idxs: list[int] = []
             texts: list[str] = []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                chunks = split_text(t or "", tok, max_tokens)
+                chunks = split_text(t or "", tok, max_tokens, overlap)
                 ids.extend([did] * len(chunks))
                 idxs.extend(range(len(chunks)))
                 texts.extend(chunks)
-            emb = embed_texts(texts, dim)
-            yield pd.DataFrame(
-                {"doc_id": ids, "chunk_idx": idxs, "text": texts, "embedding": list(emb)}
-            )
+            out = {"doc_id": ids, "chunk_idx": idxs, "text": texts}
+            if models is None:
+                out["embedding"] = list(embed_texts(texts, dim))
+            else:
+                per_model = {name: m.embed_batch(texts) for name, m in models.items()}
+                out["embedding"] = list(per_model[cluster_model])
+                if multi:
+                    out["embeddings"] = [
+                        {name: per_model[name][i] for name in per_model}
+                        for i in range(len(texts))
+                    ]
+            yield pd.DataFrame(out)
 
-    return base.mapInPandas(
-        gen, "doc_id STRING, chunk_idx INT, text STRING, embedding ARRAY<FLOAT>"
-    )
+    schema = "doc_id STRING, chunk_idx INT, text STRING, embedding ARRAY<FLOAT>"
+    if multi:
+        schema += ", embeddings MAP<STRING, ARRAY<FLOAT>>"
+    return base.mapInPandas(gen, schema)
 
 
 def leaf_nodes(
@@ -96,15 +120,18 @@ def leaf_nodes(
     max_tokens: int = 100,
     res: int = 12,
     dim: int = DEFAULT_DIM,
+    overlap: int = 0,
+    models: dict | None = None,
+    cluster_model: str = "default",
 ) -> DataFrame:
     """Full leaf pipeline → level-0 nodes DataFrame (SURVEY.md §1.2 schema).
 
     One fused Python pass (chunk+embed), then everything else — xy
     projection, cell encode, node ids, token counts — is JVM column
     expressions inside whole-stage codegen."""
-    nodes = chunk_embed_fused(docs, id_col, text_col, max_tokens, dim)
+    nodes = chunk_embed_fused(docs, id_col, text_col, max_tokens, dim, overlap, models, cluster_model)
     nodes = with_cell(with_xy(nodes, dim), res)
-    return nodes.select(
+    cols = [
         G.hash63_col(F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"))).alias("node_id"),
         F.lit(0).alias("level"),
         F.col("cell_id"),
@@ -117,4 +144,7 @@ def leaf_nodes(
         F.array().cast("array<long>").alias("children"),
         G.token_count_col(F.col("text")).cast("int").alias("token_count"),
         F.lit(1).cast("long").alias("n_leaves"),
-    )
+    ]
+    if "embeddings" in nodes.columns:
+        cols.append(F.col("embeddings"))
+    return nodes.select(*cols)

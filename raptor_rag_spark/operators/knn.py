@@ -30,13 +30,18 @@ from pyspark.sql import functions as F
 
 from ..functions import sqlgen as G
 from ..kernels.embedder import DEFAULT_DIM
-from ..kernels.grid import cell_neighbors
+from ..kernels.grid import COORD_BITS, RES_SHIFT
 
 RESULT_COLS = ("query_id", "node_id", "level", "rank", "dist", "text", "token_count")
 
 
-def _distance(dim: int) -> F.Column:
-    return F.lit(1.0) - G.cosine_sim_cols(F.col("q_embedding"), F.col("embedding"), dim)
+def _distance(dim: int, metric: str = "cosine", model: str | None = None) -> F.Column:
+    """Metric-dispatched distance (reference raptor/utils.py:84-102 twin).
+    ``model`` selects a named vector from the multi-model ``embeddings`` map
+    (reference context_embedding_model routing,
+    retrieval_augmentation.py:56-64); None uses the flat cluster embedding."""
+    emb = F.col("embeddings").getItem(model) if model else F.col("embedding")
+    return G.dist_cols(F.col("q_embedding"), emb, dim, metric)
 
 
 def _rank_and_budget(scored: DataFrame, top_k: int, max_tokens: int | None) -> DataFrame:
@@ -54,10 +59,14 @@ def collapsed_knn(
     top_k: int = 10,
     max_tokens: int | None = 3500,
     dim: int = DEFAULT_DIM,
+    distance_metric: str = "cosine",
+    model: str | None = None,
 ) -> DataFrame:
     """Exact kNN over all levels (collapsed tree). queries: (query_id,
     q_embedding). Broadcast-nested-loop on the tiny query side."""
-    scored = nodes.join(F.broadcast(queries)).withColumn("dist", _distance(dim))
+    scored = nodes.join(F.broadcast(queries)).withColumn(
+        "dist", _distance(dim, distance_metric, model)
+    )
     return _rank_and_budget(scored, top_k, max_tokens)
 
 
@@ -67,28 +76,83 @@ def flat_knn(
     top_k: int = 5,
     max_tokens: int | None = 3500,
     dim: int = DEFAULT_DIM,
+    distance_metric: str = "cosine",
+    model: str | None = None,
 ) -> DataFrame:
     """Leaf-only kNN (the FAISS-flat equivalent, J8)."""
-    return collapsed_knn(nodes.filter(F.col("level") == 0), queries, top_k, max_tokens, dim)
-
-
-def query_cells(queries: DataFrame, levels_res: dict[int, int], dim: int = DEFAULT_DIM) -> DataFrame:
-    """(query_id, cell_id) candidate pairs: home + 8 neighbors per level.
-
-    ONE driver round trip for all levels (the query side is small by
-    contract); the result is the tiny broadcast spatial index."""
-    x, y = G.xy_cols(F.col("q_embedding"), dim)
-    homes = [G.cell_col(x, y, res).alias(f"home_{res}") for res in sorted(set(levels_res.values()))]
-    rows = queries.select("query_id", *homes).collect()
-    pairs = {
-        (r["query_id"], c)
-        for r in rows
-        for res in set(levels_res.values())
-        for c in [int(r[f"home_{res}"]), *cell_neighbors(int(r[f"home_{res}"]))]
-    }
-    return queries.sparkSession.createDataFrame(
-        sorted(pairs), "query_id long, cell_id long"
+    return collapsed_knn(
+        nodes.filter(F.col("level") == 0), queries, top_k, max_tokens, dim, distance_metric, model
     )
+
+
+def query_homes(queries: DataFrame, resolutions: list[int], dim: int = DEFAULT_DIM) -> DataFrame:
+    """(query_id, res, ix, iy) home-cell coordinates per resolution — pure
+    column expressions (no driver round trip), one row per query×resolution."""
+    x, y = G.xy_cols(F.col("q_embedding"), dim)
+    per_res = []
+    for res in sorted(set(resolutions)):
+        n = 1 << res
+        ix = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+        iy = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+        per_res.append(F.struct(F.lit(res).alias("res"), ix.alias("ix"), iy.alias("iy")))
+    return queries.select("query_id", F.explode(F.array(*per_res)).alias("h")).select(
+        "query_id", F.col("h.res").alias("res"), F.col("h.ix").alias("ix"), F.col("h.iy").alias("iy")
+    )
+
+
+def ring_cells(homes: DataFrame, radius_col: F.Column) -> DataFrame:
+    """(query_id, res, cell_id) for the (2r+1)^2 neighborhood around each
+    home cell, grid-clipped — `explode(sequence(...))` expressions, exactly
+    the shape soft_assignments uses (operators/pipjoin.py), never a collect."""
+    n = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(res AS INT))")
+    out = homes.withColumn("r", radius_col)
+    out = out.select("query_id", "res", "ix", "iy", "r",
+                     F.explode(F.sequence(-F.col("r"), F.col("r"))).alias("dx"))
+    out = out.select("query_id", "res", "ix", "iy", "r", "dx",
+                     F.explode(F.sequence(-F.col("r"), F.col("r"))).alias("dy"))
+    jx = F.col("ix") + F.col("dx")
+    jy = F.col("iy") + F.col("dy")
+    cell = (
+        F.shiftleft(F.col("res").cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(jx, COORD_BITS))
+        .bitwiseOR(jy)
+    )
+    return out.filter((jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)).select(
+        "query_id", "res", cell.alias("cell_id")
+    )
+
+
+def _widen_to_count(
+    homes: DataFrame, cell_counts: DataFrame, need: int, max_radius: int
+) -> tuple[DataFrame, DataFrame]:
+    """Per (query, res): smallest doubling ring radius holding ≥ ``need``
+    candidates. Returns (homes + radius column, still-short leftovers).
+
+    Driver-side control flow over COUNTS only (cell populations — bounded by
+    occupied cells, tiny next to the data); candidate generation stays pure
+    column expressions (no .collect() of the query side)."""
+    chosen: list[DataFrame] = []
+    pending = homes
+    radius = 1
+    while radius <= max_radius:
+        counts = (
+            ring_cells(pending, F.lit(radius))
+            .join(cell_counts, "cell_id")
+            .groupBy("query_id", "res")
+            .agg(F.sum("n_in_cell").alias("n_cand"))
+        )
+        sat = counts.filter(F.col("n_cand") >= need).select("query_id", "res")
+        chosen.append(
+            pending.join(sat, ["query_id", "res"], "left_semi").withColumn("radius", F.lit(radius))
+        )
+        pending = pending.join(sat, ["query_id", "res"], "left_anti").localCheckpoint(eager=True)
+        if pending.isEmpty():
+            break
+        radius *= 2
+    ring_homes = chosen[0]
+    for df in chosen[1:]:
+        ring_homes = ring_homes.unionByName(df)
+    return ring_homes, pending
 
 
 def cell_pruned_knn(
@@ -98,31 +162,159 @@ def cell_pruned_knn(
     top_k: int = 10,
     max_tokens: int | None = 3500,
     dim: int = DEFAULT_DIM,
+    distance_metric: str = "cosine",
+    max_radius: int = 8,
+    oversample: int = 8,
 ) -> DataFrame:
-    """kNN restricted to each query's cell neighborhood (equi-join pruning).
+    """Approximate kNN restricted to each query's cell neighborhood, with
+    recall-safe adaptive ring widening (SURVEY.md §7 hard-point e).
 
-    levels_res: {level: resolution} as built by the tree plan. The candidate
-    pair set is broadcast; the join on cell_id is a hash join that Catalyst
-    can prune partitions with."""
-    cand = query_cells(queries, levels_res, dim)
+    Per (query, resolution), the neighborhood ring doubles (1, 2, 4, ...,
+    max_radius) until it holds ≥ oversample×top_k candidate nodes (the
+    oversampling buys back recall lost to the 2D projection); queries still
+    short at max_radius fall back to an exact scan of that resolution's
+    nodes — the operator can never return fewer than top_k results while a
+    full level exists, closing the silent tile-boundary recall hole.
+
+    Approximate BY DESIGN for full-embedding-space metrics: candidates are
+    pruned by 2D tile locality but ranked by ``distance_metric`` in the
+    64-dim space, where the projection gives no distance bound. The measured
+    recall vs the exact collapsed scan is reported by the
+    ``cell_knn_recall`` contract query; ``grid_knn`` is the tile-space kNN
+    with a PROVABLE exactness guarantee.
+
+    levels_res: {level: resolution} as built by the tree plan; cell ids
+    encode their resolution, so the candidate equi-join on cell_id lands on
+    the right level automatically.
+    """
+    resolutions = sorted(set(levels_res.values()))
+    homes = query_homes(queries, resolutions, dim).localCheckpoint(eager=True)
+    cell_counts = (
+        nodes.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(eager=True)
+    )
+    ring_homes, pending = _widen_to_count(homes, cell_counts, oversample * top_k, max_radius)
+    cand = ring_cells(ring_homes, F.col("radius")).select("query_id", "cell_id")
     pruned = nodes.join(F.broadcast(cand), "cell_id")
-    scored = pruned.join(F.broadcast(queries), "query_id").withColumn("dist", _distance(dim))
+
+    if not pending.isEmpty():
+        # exact fallback: scan every node at that resolution for the
+        # stragglers — guaranteed ≥ top_k, bounded to (few queries) × (one
+        # resolution's nodes)
+        node_res = F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT).cast("long")
+        fb = nodes.withColumn("res", node_res).join(
+            F.broadcast(pending.select("query_id", "res")), "res"
+        ).drop("res")
+        pruned = pruned.unionByName(fb.select(*pruned.columns))
+
+    scored = pruned.join(F.broadcast(queries), "query_id").withColumn(
+        "dist", _distance(dim, distance_metric)
+    )
     return _rank_and_budget(scored, top_k, max_tokens)
+
+
+def grid_knn(
+    points: DataFrame,
+    queries: DataFrame,
+    res: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    max_radius: int = 64,
+) -> DataFrame:
+    """EXACT tile-space kNN join via grid ring search — the classic
+    grid-index algorithm with the covering-radius guarantee.
+
+    points: (id, x, y); queries: (query_id, x, y), coordinates in [0,1].
+    Phase 1 widens each query's ring until ≥ k candidates; phase 2 computes
+    the kth candidate distance d_k and regathers at R = ceil(d_k / cell)
+    cells. Any point outside ring R is at L∞ (hence L2) distance > R·cell ≥
+    d_k from the query, so the final top-k is provably the true top-k —
+    recall 1.0 by construction, verified against a brute-force DuckDB twin.
+    All phases are column expressions; the driver loop touches counts only.
+    """
+    s = 1.0 / (1 << res)
+    pts = points.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        G.cell_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+    ).localCheckpoint(eager=True)
+    n = 1 << res
+    qix = F.greatest(F.least(F.floor(F.col("x") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    qiy = F.greatest(F.least(F.floor(F.col("y") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    homes = queries.select(
+        "query_id",
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.lit(res).alias("res"),
+        qix.alias("ix"),
+        qiy.alias("iy"),
+    ).localCheckpoint(eager=True)
+
+    cell_counts = pts.groupBy("cell_id").agg(F.count("*").alias("n_in_cell"))
+    ring_homes, pending = _widen_to_count(
+        homes.select("query_id", "res", "ix", "iy"), cell_counts, k, max_radius
+    )
+    if not pending.isEmpty():
+        # fewer than k points inside max_radius: take the whole grid
+        ring_homes = ring_homes.unionByName(
+            pending.withColumn("radius", F.lit(1 << res))
+        )
+
+    dist2 = (F.col("qx") - F.col("px")) * (F.col("qx") - F.col("px")) + (
+        F.col("qy") - F.col("py")
+    ) * (F.col("qy") - F.col("py"))
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+
+    def gather(homes_r: DataFrame) -> DataFrame:
+        cand = ring_cells(homes_r, F.col("radius")).select("query_id", "cell_id")
+        return (
+            pts.join(F.broadcast(cand), "cell_id")
+            .join(F.broadcast(homes.select("query_id", "qx", "qy")), "query_id")
+            .withColumn("d2", dist2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    # phase 2: covering-radius check — regather where the kth distance
+    # exceeds what ring-1 radius provably covers
+    kth = gather(ring_homes).groupBy("query_id").agg(F.max(F.sqrt(F.col("d2"))).alias("d_k"))
+    final_r = F.greatest(
+        F.col("radius"),
+        F.least(F.ceil(F.col("d_k") / F.lit(s)).cast("long"), F.lit(int(n))),
+    )
+    homes2 = (
+        ring_homes.join(kth, "query_id")
+        .withColumn("radius", final_r)
+        .select("query_id", "res", "ix", "iy", "radius")
+    )
+    out = gather(homes2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round(F.sqrt(F.col("d2")), 6).alias("dist"),
+    )
 
 
 def retrieval_context(results: DataFrame) -> DataFrame:
     """Per-query context string, byte-identical to the reference's get_text
     (raptor/utils.py:115-118): rank-ordered texts with intra-node newlines
-    collapsed, '\\n\\n'-joined, trailing '\\n\\n'."""
+    collapsed, '\\n\\n'-joined, trailing '\\n\\n'.
+
+    Traversal results carry a ``round`` column (one per descent level); the
+    reference appends nodes per-layer in selection order
+    (tree_retriever.py:153-182), so ordering is (round, rank) there — rank
+    alone restarts each round and would interleave layers."""
     cleaned = F.regexp_replace(F.regexp_replace("text", r"\r\n|\r|\n", "\n"), r"\n", " ")
     per_node = results.withColumn("clean_text", cleaned)
+    order = ["round", "rank"] if "round" in results.columns else ["rank"]
     return (
         per_node.groupBy("query_id")
         .agg(
             F.concat(
-                F.concat_ws("\n\n", F.array_sort(F.collect_list(F.struct("rank", "clean_text"))).getField("clean_text")),
+                F.concat_ws("\n\n", F.array_sort(F.collect_list(F.struct(*order, "clean_text"))).getField("clean_text")),
                 F.lit("\n\n"),
             ).alias("context"),
-            F.sort_array(F.collect_list(F.struct("rank", "node_id", "level"))).alias("layer_information"),
+            F.sort_array(F.collect_list(F.struct(*order, "node_id", "level"))).alias("layer_information"),
         )
     )

@@ -61,6 +61,8 @@ def build_parent_nodes(
     summarization_length: int = 100,
     max_length_in_cluster: int = 3500,
     dim: int = DEFAULT_DIM,
+    models: dict | None = None,
+    cluster_model: str = "default",
 ) -> DataFrame:
     """One parent node per (parent cell, salt bucket) of the given nodes.
 
@@ -70,7 +72,12 @@ def build_parent_nodes(
     runs ONCE PER ARROW BATCH of grouped rows via ``mapInPandas`` — the
     summary embeddings are computed vectorized across all groups in the batch
     instead of one applyInPandas call (and one embed call) per group, which
-    is ~10× less Python overhead when cells are small."""
+    is ~10× less Python overhead when cells are small.
+
+    With >1 entry in ``models``, every parent also gets the full per-model
+    ``embeddings`` map computed on its summary text (reference
+    tree_builder.py:125-127: parent embeddings are re-embedded per model)."""
+    multi = models is not None and len(models) > 1
     parent_cell = G.cell_parent_col(F.col("cell_id"), 1)
     salt_df = F.broadcast(_salt_map(nodes, parent_cell, max_length_in_cluster))
 
@@ -122,18 +129,26 @@ def build_parent_nodes(
                         "n_leaves": int(r["n_leaves_sum"]),
                     }
                 )
-            embs = embed_texts(summaries, dim)  # one vectorized call per batch
-            for row, emb in zip(rows, embs):
-                row["embedding"] = emb
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "node_id", "level", "cell_id", "url", "chunk_idx", "text",
-                    "embedding", "x", "y", "children", "token_count", "n_leaves",
-                ],
-            )
+            cols = [
+                "node_id", "level", "cell_id", "url", "chunk_idx", "text",
+                "embedding", "x", "y", "children", "token_count", "n_leaves",
+            ]
+            if models is None:
+                embs = embed_texts(summaries, dim)  # one vectorized call per batch
+                for row, emb in zip(rows, embs):
+                    row["embedding"] = emb
+            else:
+                per_model = {name: m.embed_batch(summaries) for name, m in models.items()}
+                for i, row in enumerate(rows):
+                    row["embedding"] = per_model[cluster_model][i]
+                    if multi:
+                        row["embeddings"] = {name: per_model[name][i] for name in per_model}
+                if multi:
+                    cols.append("embeddings")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return grouped.mapInPandas(summarize_batches, NODES_SCHEMA)
+    schema = NODES_SCHEMA + (", embeddings MAP<STRING, ARRAY<FLOAT>>" if multi else "")
+    return grouped.mapInPandas(summarize_batches, schema)
 
 
 def tile_stats(nodes: DataFrame, round_to: int = 6) -> DataFrame:

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from ..functions import sqlgen as G
 from ..kernels.embedder import DEFAULT_DIM
-from ..kernels.grid import cell_neighbors
 
 
 def brute_force_topk(
@@ -37,6 +36,28 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_dist(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DEFAULT_DIM,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by ascending distance under any supported metric
+    (cosine/L1/L2/Linf — reference raptor/utils.py:84-102 dispatch, here as
+    the distributed retrieval path rather than a dead kernel)."""
+    d = G.dist_cols(F.col("q_embedding"), F.col("embedding"), dim, metric)
+    w = Window.partitionBy("query_id").orderBy("dist", id_col)
+    return (
+        vecs.join(F.broadcast(queries))
+        .withColumn("dist", F.round(d, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "dist")
+    )
+
+
 def ivf_topk(
     vecs: DataFrame,
     queries: DataFrame,
@@ -45,21 +66,17 @@ def ivf_topk(
     dim: int = DEFAULT_DIM,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: probe the query's coarse tile + 8 neighbors."""
+    """Approximate top-k: probe the query's coarse tile + 8 neighbors.
+
+    Probe cells are pure column expressions (explode of the 3×3 ring) — no
+    driver round trip, so the query side can itself be a large DataFrame."""
+    from .knn import query_homes, ring_cells
+
     x, y = G.xy_cols(F.col("embedding"), dim)
     bucketed = vecs.select(id_col, "embedding", G.cell_col(x, y, res).alias("bucket"))
 
-    qx, qy = G.xy_cols(F.col("q_embedding"), dim)
-    q_home = queries.select("query_id", "q_embedding", G.cell_col(qx, qy, res).alias("home"))
-    rows = q_home.collect()  # query side small by contract
-    spark = queries.sparkSession
-    probes = spark.createDataFrame(
-        [
-            (r["query_id"], int(c))
-            for r in rows
-            for c in [int(r["home"]), *cell_neighbors(int(r["home"]))]
-        ],
-        "query_id long, bucket long",
+    probes = ring_cells(query_homes(queries, [res], dim), F.lit(1)).select(
+        "query_id", F.col("cell_id").alias("bucket")
     )
     cand = bucketed.join(F.broadcast(probes), "bucket").join(
         F.broadcast(queries), "query_id"

@@ -30,13 +30,16 @@ def traversal_retrieve(
     selection_mode: str = "top_k",
     threshold: float = 0.5,
     dim: int = DEFAULT_DIM,
+    distance_metric: str = "cosine",
+    model: str | None = None,
 ) -> DataFrame:
-    """queries: (query_id, q_embedding). Returns RESULT_COLS with ``rank``
-    being the selection order within each traversal round."""
+    """queries: (query_id, q_embedding). Returns RESULT_COLS + ``round`` with
+    ``rank`` being the selection order within each traversal round."""
     if num_layers > start_layer + 1:
         raise ValueError("num_layers must be less than or equal to start_layer + 1")
 
-    dist = F.lit(1.0) - G.cosine_sim_cols(F.col("q_embedding"), F.col("embedding"), dim)
+    emb = F.col("embeddings").getItem(model) if model else F.col("embedding")
+    dist = G.dist_cols(F.col("q_embedding"), emb, dim, distance_metric)
     w = Window.partitionBy("query_id").orderBy("dist", "node_id")
 
     # candidate set for round 0: whole start layer for every query

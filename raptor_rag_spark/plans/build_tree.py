@@ -21,9 +21,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import ClusterTreeConfig
+from ..kernels.embedder import DEFAULT_DIM, HashNgramEmbeddingModel
 from ..operators.core import leaf_nodes
 from ..operators.rollup import build_parent_nodes
 from ..sources.checkpoint import TreeCheckpoint
+
+
+def _models_arg(cfg: ClusterTreeConfig) -> dict | None:
+    """None when the config is the stock single default hash model (keeps the
+    fast direct-kernel path and round-1 bit-compat); otherwise the model dict
+    for per-model embedding (multi-model surface)."""
+    ms = cfg.embedding_models
+    only = ms.get("default") if len(ms) == 1 else None
+    if (
+        isinstance(only, HashNgramEmbeddingModel)
+        and getattr(only, "seed", "") == ""
+        and only.dim == DEFAULT_DIM
+    ):
+        return None
+    return ms
 
 
 class TileTreeBuilder:
@@ -45,8 +61,17 @@ class TileTreeBuilder:
 
         start_level = ckpt.resume_level() if (ckpt and resume) else 0
 
+        models = _models_arg(cfg)
         if start_level == 0:
-            current = leaf_nodes(docs, id_col, text_col, cfg.max_tokens, cfg.max_resolution)
+            current = leaf_nodes(
+                docs,
+                id_col,
+                text_col,
+                cfg.max_tokens,
+                cfg.max_resolution,
+                models=models,
+                cluster_model=cfg.cluster_embedding_model,
+            )
             if ckpt:
                 ckpt.write_level(current, 0, extra={"stage": "leaves", "res": cfg.max_resolution})
                 current = ckpt.read_level(spark, 0)
@@ -70,6 +95,8 @@ class TileTreeBuilder:
                 next_level=level,
                 summarization_length=cfg.summarization_length,
                 max_length_in_cluster=cfg.max_length_in_cluster,
+                models=models,
+                cluster_model=cfg.cluster_embedding_model,
             )
             if ckpt:
                 ckpt.write_level(parents, level, extra={"res": res - 1})

@@ -597,6 +597,35 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+def _q_emb_topk_metric(metric: str):
+    """Distance-metric-dispatched exact top-k (F5: the reference's
+    cosine/L1/L2/Linf selection, raptor/utils.py:84-102, in the distributed
+    path — sqlgen twins make each metric exactly oracle-checkable)."""
+
+    def q(spark, sf_dir):
+        return S.brute_force_topk_dist(
+            ld(spark, sf_dir, "embeddings"),
+            _queries_from_embeddings(spark, sf_dir),
+            k=5,
+            dim=DIM,
+            metric=metric,
+        )
+
+    return q
+
+
+def _sql_emb_topk_metric(metric: str, k: int = 5, n_q: int = 5) -> str:
+    d = G.dist_sql("q.embedding", "v.embedding", DIM, metric)
+    return f"""
+SELECT query_id, neighbor_id, rank, dist FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round({d}, 6) AS dist,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY round({d}, 6), v.vec_id) AS rank
+  FROM embeddings v, (SELECT * FROM embeddings WHERE vec_id < {n_q}) q
+) WHERE rank <= {k}
+"""
+
+
 def q_emb_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse-tile probes (home + 8 neighbors) then exact cosine."""
     return S.ivf_topk(
@@ -621,6 +650,36 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
          row_number() OVER (PARTITION BY q.vec_id ORDER BY round({sim}, 6) DESC, v.vec_id) AS rank
   FROM pts v JOIN (SELECT * FROM pts WHERE vec_id < {n_q}) q
     ON abs(v.ix - q.ix) <= 1 AND abs(v.iy - q.iy) <= 1
+) WHERE rank <= {k}
+"""
+
+
+def q_grid_knn(spark, sf_dir):
+    """EXACT tile-space kNN via grid ring search with the covering-radius
+    guarantee (operators/knn.py grid_knn): recall 1.0 by construction,
+    checked here against a brute-force DuckDB twin."""
+    from ..operators.knn import grid_knn
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select("vec_id", x.alias("x"), y.alias("y"))
+    queries = pts.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "x", "y"
+    )
+    return grid_knn(pts, queries, res=6, k=5)
+
+
+def _sql_grid_knn(k: int = 5, n_q: int = 5) -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    d2 = "((qx - x) * (qx - x) + (qy - y) * (qy - y))"
+    return f"""
+WITH pts AS (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings),
+q AS (SELECT vec_id AS query_id, x AS qx, y AS qy FROM pts WHERE vec_id < {n_q})
+SELECT query_id, neighbor_id, rank, dist FROM (
+  SELECT q.query_id, p.vec_id AS neighbor_id,
+         round(sqrt{d2}, 6) AS dist,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {d2}, p.vec_id) AS rank
+  FROM pts p, q
 ) WHERE rank <= {k}
 """
 
@@ -901,6 +960,36 @@ def q_tree_cell_knn(spark, sf_dir):
     return cell_pruned_knn(nodes, _tree_queries(spark), levels_res, top_k=10, max_tokens=3500)
 
 
+def q_cell_knn_recall(spark, sf_dir):
+    """recall@10 of the cell-pruned (ring-widened) kNN vs the exact collapsed
+    scan, per query — the recall-safety evidence for the scale path (SURVEY
+    §7(e)). Rows-only check; tests assert recall == 1.0 at this scale."""
+    nodes = _tree(spark, sf_dir)
+    queries = _tree_queries(spark)
+    levels = [r["level"] for r in nodes.select("level").distinct().collect()]
+    levels_res = {lv: max(8 - lv, 0) for lv in levels}
+    k = 10
+    exact = collapsed_knn(nodes, queries, top_k=k, max_tokens=None).select(
+        "query_id", "node_id"
+    )
+    approx = cell_pruned_knn(nodes, queries, levels_res, top_k=k, max_tokens=None).select(
+        "query_id", "node_id"
+    )
+    hits = exact.join(approx, ["query_id", "node_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .fillna({"n_hit": 0})
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def q_tree_traversal(spark, sf_dir):
     """Top-down traversal retrieval (J2+W2, reference tree_retriever.py:153-182)."""
     nodes = _tree(spark, sf_dir)
@@ -973,7 +1062,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cells": q_emb_cells,
     "emb_tile_rollup": q_emb_tile_rollup,
     "emb_topk": q_emb_topk,
+    "emb_topk_l1": _q_emb_topk_metric("L1"),
+    "emb_topk_l2": _q_emb_topk_metric("L2"),
+    "emb_topk_linf": _q_emb_topk_metric("Linf"),
     "emb_ivf_topk": q_emb_ivf_topk,
+    "grid_knn": q_grid_knn,
     "soft_assign": q_soft_assign,
     "pip_join": q_pip_join,
     "binary_features": q_binary_features,
@@ -990,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_tile_stats": q_tree_tile_stats,
     "tree_collapsed_knn": q_tree_collapsed_knn,
     "tree_cell_knn": q_tree_cell_knn,
+    "cell_knn_recall": q_cell_knn_recall,
     "tree_traversal": q_tree_traversal,
     "tree_context": q_tree_context,
     "pages_extract": q_pages_extract,
@@ -1022,7 +1116,11 @@ ORACLES: dict[str, str] = {
     "emb_cells": _sql_emb_cells(),
     "emb_tile_rollup": _sql_emb_tile_rollup(),
     "emb_topk": _sql_emb_topk(),
+    "emb_topk_l1": _sql_emb_topk_metric("L1"),
+    "emb_topk_l2": _sql_emb_topk_metric("L2"),
+    "emb_topk_linf": _sql_emb_topk_metric("Linf"),
     "emb_ivf_topk": _sql_emb_ivf_topk(),
+    "grid_knn": _sql_grid_knn(),
     "soft_assign": _sql_soft_assign(),
     "pip_join": _sql_pip_join(),
     "binary_features": SQL_BINARY,

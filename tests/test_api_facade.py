@@ -103,3 +103,38 @@ def test_gmm_cluster_operator(spark):
     assert out.sort_values(key).reset_index(drop=True)[key].equals(
         out2.sort_values(key).reset_index(drop=True)[key]
     )
+
+
+def test_multi_model_embeddings_build_and_route(spark):
+    """Two-model build: nodes carry a per-model embeddings map, retrieval
+    routed by context_embedding_model gives different deterministic results
+    per model (reference tree_structures.py:9, retrieval_augmentation.py:56-64)."""
+    from raptor_rag_spark.api import RetrievalAugmentation
+    from raptor_rag_spark.config import ClusterTreeConfig, TreeRetrieverConfig
+    from raptor_rag_spark.kernels.embedder import HashNgramEmbeddingModel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter("doc_id < 40")
+    models = {"default": HashNgramEmbeddingModel(), "alt": HashNgramEmbeddingModel(seed="alt")}
+    cfg = ClusterTreeConfig(
+        max_tokens=64, num_layers=2, max_resolution=6, embedding_models=models
+    )
+
+    def run(ctx_model):
+        ra = RetrievalAugmentation(
+            spark,
+            config=cfg,
+            retriever_config=TreeRetrieverConfig(context_embedding_model=ctx_model),
+        )
+        ra.add_documents(docs)
+        assert "embeddings" in ra.tree.columns
+        row = ra.tree.filter("level = 0").select("embedding", "embeddings").first()
+        assert list(row["embeddings"].keys()) and len(row["embeddings"]) == 2
+        assert row["embedding"] == row["embeddings"]["default"]  # cluster model drives cells
+        ctx, info = ra.retrieve("customer order data", top_k=5, max_tokens=None)
+        return ctx, tuple(sorted((d["node_index"], d["layer_number"]) for d in info))
+
+    ctx_a, nodes_a = run("default")
+    ctx_b, nodes_b = run("alt")
+    ctx_a2, nodes_a2 = run("default")
+    assert (ctx_a, nodes_a) == (ctx_a2, nodes_a2)  # deterministic
+    assert nodes_a != nodes_b  # different model → different ranking

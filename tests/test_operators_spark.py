@@ -229,3 +229,40 @@ def test_minhash_band_bucket_cap(spark, docs):
     base = minhash_band_pairs(docs).count()
     organic = [p for p in pairs if p["doc_a"] < 10_000 and p["doc_b"] < 10_000]
     assert len(organic) == base
+
+
+def test_grid_knn_exact_vs_brute_force(spark):
+    """Covering-radius guarantee: grid kNN == brute-force 2D top-k even for
+    skewed point sets where the first ring is nearly empty."""
+    import numpy as np
+
+    from raptor_rag_spark.operators.knn import grid_knn
+
+    rng = np.random.default_rng(7)
+    # cluster far from the query + a sparse tail, to force ring widening
+    xs = np.concatenate([rng.uniform(0.8, 0.9, 200), rng.uniform(0, 1, 20)])
+    ys = np.concatenate([rng.uniform(0.8, 0.9, 200), rng.uniform(0, 1, 20)])
+    pts = spark.createDataFrame(
+        [(i, float(xs[i]), float(ys[i])) for i in range(len(xs))], "vec_id long, x double, y double"
+    )
+    queries = spark.createDataFrame([(0, 0.05, 0.05), (1, 0.85, 0.85)], "query_id long, x double, y double")
+    got = grid_knn(pts, queries, res=5, k=7).collect()
+    for qid, (qx, qy) in [(0, (0.05, 0.05)), (1, (0.85, 0.85))]:
+        d = np.sqrt((xs - qx) ** 2 + (ys - qy) ** 2)
+        order = np.lexsort((np.arange(len(xs)), d))
+        expect = [int(i) for i in order[:7]]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == expect
+
+
+def test_cell_pruned_knn_returns_topk_in_sparse_grid(spark, leaves):
+    """Ring widening + fallback: never fewer than top_k results per query
+    when the tree has >= top_k nodes (the round-1 recall hole)."""
+    from raptor_rag_spark.operators.knn import cell_pruned_knn
+
+    queries = with_embedding(
+        spark.createDataFrame([(0, "zzz unrelated corner text")], "query_id long, qtext string"),
+        "qtext",
+    ).select("query_id", F.col("embedding").alias("q_embedding"))
+    out = cell_pruned_knn(leaves, queries, {0: 6}, top_k=10, max_tokens=None)
+    assert out.count() == 10
