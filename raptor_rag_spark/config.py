@@ -115,6 +115,39 @@ class ClusterTreeConfig(TreeBuilderConfig):
         self.max_resolution = max_resolution
         self.soft_buffer = soft_buffer
 
+    def config_hash(self) -> str:
+        """sha256 cache key over every build-affecting field — the
+        config-keyed tree cache of reference benchmarks/_tree_cache.py:27-29.
+        Two configs with the same hash produce bit-identical trees; a
+        checkpoint dir written under a different hash refuses to resume."""
+        import hashlib
+
+        def model_key(m) -> str:
+            return "|".join(
+                [type(m).__name__, str(getattr(m, "dim", "")), str(getattr(m, "seed", ""))]
+            )
+
+        fields = [
+            f"max_tokens={self.max_tokens}",
+            f"num_layers={self.num_layers}",
+            f"threshold={self.threshold}",
+            f"top_k={self.top_k}",
+            f"selection_mode={self.selection_mode}",
+            f"summarization_length={self.summarization_length}",
+            f"reduction_dimension={self.reduction_dimension}",
+            f"max_length_in_cluster={self.max_length_in_cluster}",
+            f"clustering_threshold={self.clustering_threshold}",
+            f"max_resolution={self.max_resolution}",
+            f"soft_buffer={self.soft_buffer}",
+            f"tokenizer={type(self.tokenizer).__name__}",
+            f"text_splitter={type(self.text_splitter).__name__}",
+            f"summarization_model={type(self.summarization_model).__name__}",
+            f"cluster_embedding_model={self.cluster_embedding_model}",
+            "embedding_models="
+            + ",".join(f"{k}:{model_key(m)}" for k, m in sorted(self.embedding_models.items())),
+        ]
+        return hashlib.sha256("|".join(fields).encode("utf-8")).hexdigest()
+
 
 class TreeRetrieverConfig:
     def __init__(

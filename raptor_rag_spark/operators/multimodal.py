@@ -1,11 +1,12 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata + REAL decode.
 
 Image/audio/video payloads are carried as opaque ``BINARY`` columns next to
 typed metadata, exactly like the `html BINARY` column of the input contract.
-The Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
-partitioning — is real and tested; the actual media decode is stubbed behind
-``decode_payload`` (the codec libraries are not in this sandbox), returning a
-deterministic fake so tests are reproducible.
+``decode_media_features`` performs an actual media decode — pure-numpy BMP
+pixel parsing and WAV PCM sample parsing (kernels/media.py, public byte
+layouts) — exact-oracle checked; ``decode_payload`` remains the generic stub
+slot where PIL/librosa/av adapters plug in for compressed formats on a real
+cluster.
 
 At 100 TB the relevant properties are: payloads never pass through the driver,
 feature extraction is one narrow mapInPandas (no shuffle), and metadata-only
@@ -59,13 +60,13 @@ def binary_features(df: DataFrame, payload_col: str = "html", id_col: str = "url
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
+            for rid, rp in zip(pdf[id_col].to_numpy(), pdf[payload_col].to_numpy()):
+                payload = bytes(rp) if rp is not None else b""
                 meta = decode_payload(payload)
                 n_frames = max(1, len(payload) // 1024)
                 rows.append(
                     {
-                        "url": r[id_col],
+                        "url": rid,
                         "n_bytes": len(payload),
                         "digest": meta["digest"],
                         "fake_width": meta["width"],
@@ -76,3 +77,67 @@ def binary_features(df: DataFrame, payload_col: str = "html", id_col: str = "url
             yield pd.DataFrame(rows, columns=[c.split()[0] for c in FEATURES_SCHEMA.split(", ")])
 
     return cols.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+MEDIA_SCHEMA = "doc_id LONG, bmp BINARY, wav BINARY"
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id LONG, width LONG, height LONG, sum_r LONG, sum_g LONG, sum_b LONG, "
+    "n_samples LONG, duration_ms LONG, sum_abs LONG, max_abs LONG"
+)
+
+
+def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP + WAV payloads per id — stands in for a real binary
+    ingest (the `html BINARY` column shape) with closed-form content the
+    oracle can recompute."""
+    from ..kernels.media import encode_bmp, encode_wav, synth_bmp_pixels, synth_wav_samples
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "bmp": [encode_bmp(synth_bmp_pixels(i)) for i in ids],
+                    "wav": [encode_wav(synth_wav_samples(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL multimodal decode: parse BMP pixels and WAV samples from the
+    binary columns with the pure-numpy codecs (kernels/media.py) and emit
+    integer features — image dimensions + channel sums, audio duration +
+    amplitude stats. One narrow mapInPandas, payloads never reach the driver,
+    and every output value has an exact closed-form DuckDB twin."""
+    from ..kernels.media import decode_bmp, decode_wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, bmp, wav in zip(
+                pdf["doc_id"].to_numpy(), pdf["bmp"].to_numpy(), pdf["wav"].to_numpy()
+            ):
+                img = decode_bmp(bytes(bmp))
+                aud = decode_wav(bytes(wav))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "width": img["width"],
+                        "height": img["height"],
+                        "sum_r": img["sum_r"],
+                        "sum_g": img["sum_g"],
+                        "sum_b": img["sum_b"],
+                        "n_samples": aud["n_samples"],
+                        "duration_ms": aud["duration_ms"],
+                        "sum_abs": aud["sum_abs"],
+                        "max_abs": aud["max_abs"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in MEDIA_FEATURES_SCHEMA.split(", ")]
+            )
+
+    return media.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)

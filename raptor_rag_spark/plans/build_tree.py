@@ -54,10 +54,18 @@ class TileTreeBuilder:
         text_col: str = "text",
         resume: bool = True,
     ) -> DataFrame:
-        """Build all levels; returns the unioned nodes DataFrame."""
+        """Build all levels; returns the unioned nodes DataFrame.
+
+        With a checkpoint_dir the build is config-keyed: a completed tree
+        under the same config hash is returned without running any jobs
+        (skip-if-exists); a dir written under a DIFFERENT config raises
+        (reference benchmarks/_tree_cache.py:27-51)."""
         cfg = self.config
         spark = docs.sparkSession
-        ckpt = TreeCheckpoint(checkpoint_dir) if checkpoint_dir else None
+        ckpt = TreeCheckpoint(checkpoint_dir, cfg.config_hash()) if checkpoint_dir else None
+
+        if ckpt and resume and ckpt.is_complete():
+            return ckpt.read_all(spark)
 
         start_level = ckpt.resume_level() if (ckpt and resume) else 0
 
@@ -106,6 +114,8 @@ class TileTreeBuilder:
             levels.append(parents)
             current = parents
 
+        if ckpt:
+            ckpt.mark_complete(len(levels))
         out = levels[0]
         for df in levels[1:]:
             out = out.unionByName(df)

@@ -842,6 +842,88 @@ def _sql_token_f1() -> str:
     return token_f1_sql(_PAIRS_SQL)
 
 
+_TYPE_CASE = "CASE pair_id % 3 WHEN 0 THEN 'extractive' WHEN 1 THEN 'abstractive' ELSE 'unanswerable' END"
+
+
+def q_f1_by_type(spark, sf_dir):
+    """A7: mean token-F1 grouped by answer type (reference
+    benchmarks/run_qasper.py by_answer_type). Types derived deterministically
+    from the pair id; exact decimal average."""
+    from ..operators.evalmetrics import token_f1_pairs
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.substring("text", 1, 120).alias("prediction"),
+        F.substring("text", 41, 120).alias("gold"),
+    )
+    f1 = token_f1_pairs(d)
+    atype = (
+        F.when(F.col("pair_id") % 3 == 0, F.lit("extractive"))
+        .when(F.col("pair_id") % 3 == 1, F.lit("abstractive"))
+        .otherwise(F.lit("unanswerable"))
+    )
+    return (
+        f1.withColumn("answer_type", atype)
+        .groupBy("answer_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("f1").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("f1_avg"),
+        )
+    )
+
+
+def _sql_f1_by_type() -> str:
+    from ..operators.evalmetrics import token_f1_sql
+
+    return f"""
+WITH f1 AS ({token_f1_sql(_PAIRS_SQL)})
+SELECT {_TYPE_CASE} AS answer_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(f1 AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS f1_avg
+FROM f1 GROUP BY 1
+"""
+
+
+def q_max_over_golds(spark, sf_dir):
+    """A9: max token-F1 over multiple gold answers per question (reference
+    benchmarks/_metrics.py:47-51) — explode the golds, score each, group-max
+    (a selection, so exact)."""
+    from ..operators.evalmetrics import token_f1_pairs
+
+    d = ld(spark, sf_dir, "documents")
+    golds = d.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("prediction"),
+        F.posexplode(
+            F.array(F.substring("text", 41, 120), F.substring("text", 81, 120))
+        ).alias("gold_idx", "gold"),
+    )
+    pairs = golds.select(
+        (F.col("doc_id") * 2 + F.col("gold_idx")).alias("pair_id"), "prediction", "gold"
+    )
+    f1 = token_f1_pairs(pairs)
+    return (
+        f1.groupBy(F.expr("pair_id DIV 2").alias("question_id"))
+        .agg(F.max("f1").alias("f1_max"))
+    )
+
+
+def _sql_max_over_golds() -> str:
+    from ..operators.evalmetrics import token_f1_sql
+
+    pairs = """
+SELECT doc_id * 2 AS pair_id, substr(text, 1, 120) AS prediction, substr(text, 41, 120) AS gold FROM documents
+UNION ALL
+SELECT doc_id * 2 + 1, substr(text, 1, 120), substr(text, 81, 120) FROM documents
+"""
+    return f"""
+WITH f1 AS ({token_f1_sql(pairs)})
+SELECT pair_id // 2 AS question_id, max(f1) AS f1_max FROM f1 GROUP BY 1
+"""
+
+
 def q_rouge_l(spark, sf_dir):
     """F8 ROUGE-L (LCS DP) as a scalar pandas_udf — rows-only check."""
     from ..operators.evalmetrics import rouge_l_pairs
@@ -855,20 +937,33 @@ def q_rouge_l(spark, sf_dir):
 
 
 def q_accuracy(spark, sf_dir):
-    """F9 normalized exact-match accuracy (reference _metrics.py:100-122)."""
+    """F9 normalized exact-match accuracy (reference _metrics.py:100-122).
+    Even ids compare a text against its cased/whitespace-perturbed self
+    (normalization must map them equal → 1.0); odd ids compare against a
+    shifted substring (→ mostly 0.0), so both outcomes and the normalizer
+    are genuinely exercised."""
     from ..operators.evalmetrics import accuracy_pairs
 
     d = ld(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("pair_id"),
         F.substring("text", 1, 60).alias("prediction"),
-        F.substring("text", 1, 60).alias("gold"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("  "), F.upper(F.substring("text", 1, 60)), F.lit(" ")),
+        )
+        .otherwise(F.substring("text", 41, 60))
+        .alias("gold"),
     )
     return accuracy_pairs(d)
 
 
+_ACC_GOLD = (
+    "CASE WHEN doc_id % 2 = 0 THEN '  ' || upper(substr(text, 1, 60)) || ' ' "
+    "ELSE substr(text, 41, 60) END"
+)
 SQL_ACCURACY = f"""
 SELECT doc_id AS pair_id,
-       CASE WHEN {G.normalize_answer_sql("substr(text, 1, 60)")} = {G.normalize_answer_sql("substr(text, 1, 60)")}
+       CASE WHEN {G.normalize_answer_sql("substr(text, 1, 60)")} = {G.normalize_answer_sql(_ACC_GOLD)}
             THEN 1.0 ELSE 0.0 END AS acc
 FROM documents
 """
@@ -1020,12 +1115,50 @@ def q_pages_extract(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Opaque-binary feature extraction over synthetic pages (decode stubbed;
-    Spark plumbing real — mapInPandas over binary + typed metadata)."""
+    """Opaque-binary feature extraction over synthetic pages (generic path;
+    mapInPandas over binary + typed metadata)."""
     from ..operators.multimodal import binary_features
     from ..sources.pages import generate_pages
 
     return binary_features(generate_pages(spark, 200, partitions=8), payload_col="html")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode: deterministic BMP/WAV payloads per doc_id, parsed
+    by the pure-numpy codecs; the oracle recomputes every feature in closed
+    form from the generation parameters — so a decode bug (padding, row
+    order, endianness, chunk walk) breaks the hash match."""
+    from ..operators.multimodal import decode_media_features, synth_media
+
+    return decode_media_features(synth_media(ld(spark, sf_dir, "documents")))
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH params AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, 64 + doc_id % 37 AS n
+  FROM documents
+),
+px AS (SELECT doc_id, w, h, n, unnest(range(0, w)) AS x FROM params),
+pxy AS (SELECT doc_id, w, h, n, x, unnest(range(0, h)) AS y FROM px),
+img AS (
+  SELECT doc_id, w, h, n,
+         CAST(sum((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS sum_r,
+         CAST(sum((x*11 + y*5 + doc_id*3) % 256) AS BIGINT) AS sum_g,
+         CAST(sum((x*3 + y*17 + doc_id*7) % 256) AS BIGINT) AS sum_b
+  FROM pxy GROUP BY doc_id, w, h, n
+),
+smp AS (SELECT doc_id, unnest(range(0, n)) AS i FROM params),
+aud AS (
+  SELECT doc_id,
+         CAST(sum(abs(((doc_id*31 + i*17) % 2003) - 1001)) AS BIGINT) AS sum_abs,
+         CAST(max(abs(((doc_id*31 + i*17) % 2003) - 1001)) AS BIGINT) AS max_abs
+  FROM smp GROUP BY doc_id
+)
+SELECT img.doc_id AS doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       sum_r, sum_g, sum_b, CAST(n AS BIGINT) AS n_samples, CAST(n AS BIGINT) AS duration_ms,
+       sum_abs, max_abs
+FROM img JOIN aud USING (doc_id)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1073,6 +1206,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rerank / metrics / streaming / clustering
     "rerank_docs": q_rerank_docs,
     "token_f1": q_token_f1,
+    "f1_by_type": q_f1_by_type,
+    "max_over_golds": q_max_over_golds,
     "rouge_l": q_rouge_l,
     "accuracy": q_accuracy,
     "gmm_cluster": q_gmm_cluster,
@@ -1088,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_context": q_tree_context,
     "pages_extract": q_pages_extract,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -1124,8 +1260,11 @@ ORACLES: dict[str, str] = {
     "soft_assign": _sql_soft_assign(),
     "pip_join": _sql_pip_join(),
     "binary_features": SQL_BINARY,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "rerank_docs": _sql_rerank(),
     "token_f1": _sql_token_f1(),
+    "f1_by_type": _sql_f1_by_type(),
+    "max_over_golds": _sql_max_over_golds(),
     "accuracy": SQL_ACCURACY,
     "stream_events_hourly": SQL_EVENTS_HOURLY,
 }

@@ -14,6 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """min(48g, 40% of MemTotal) — big enough to kill GC starvation at 32
+    tasks on the reference host, safe on smaller boxes where the 48g default
+    plus /dev/shm shuffle pages would overcommit physical RAM."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, total_gb * 2 // 5))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "raptor-rag-spark",
     cores: int | None = None,
@@ -52,8 +67,9 @@ def get_spark(
         # local mode = one JVM for driver + all executor threads; at 32
         # concurrent tasks an 8g heap spends >30% of task time in GC
         # (measured via event logs: cached leaves + collect_list buffers).
-        # Size the heap to the machine, not the driver role.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Size the heap to the machine, not the driver role — capped at 40%
+        # of host RAM so heap + tmpfs shuffle dirs can't jointly OOM the box.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_heap()))
         .config("spark.ui.enabled", "false")
     )
     if task_cpus:

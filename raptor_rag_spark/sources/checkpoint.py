@@ -37,10 +37,58 @@ class LevelManifest:
 
 
 class TreeCheckpoint:
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, config_hash: str | None = None):
+        """``config_hash`` keys the checkpoint to one build config (reference
+        benchmarks/_tree_cache.py:27-51): the first write records it; opening
+        the same dir under a different hash raises instead of silently mixing
+        two configs' levels in one tree."""
         self.base_dir = base_dir
         self.manifest_dir = os.path.join(base_dir, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
+        self.config_hash = config_hash
+        existing = self._read_meta()
+        if config_hash is not None:
+            if existing is None:
+                self._write_meta({"config_hash": config_hash})
+            elif existing.get("config_hash") != config_hash:
+                raise ValueError(
+                    f"checkpoint at {base_dir} was written with a different config "
+                    f"(hash {existing.get('config_hash')!r} != {config_hash!r}); "
+                    "use a fresh checkpoint_dir or the original config"
+                )
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.manifest_dir, "config.json")
+
+    def _read_meta(self) -> dict | None:
+        if not os.path.exists(self._meta_path()):
+            return None
+        with open(self._meta_path()) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def mark_complete(self, num_levels: int) -> None:
+        """Record that the build finished: load-or-build can then skip every
+        job on a config-hash match (reference _tree_cache skip-if-exists)."""
+        meta = self._read_meta() or {}
+        meta.update({"complete": True, "num_levels": num_levels})
+        if self.config_hash is not None:
+            meta["config_hash"] = self.config_hash
+        self._write_meta(meta)
+
+    def is_complete(self) -> bool:
+        """True only when the complete marker AND every recorded level are
+        still present — losing a level (partial wipe) degrades to resume."""
+        meta = self._read_meta()
+        if not meta or not meta.get("complete"):
+            return False
+        n = meta.get("num_levels")
+        return n is not None and len(self.committed_levels()) >= n
 
     # ---------------------------------------------------------------- paths
     def level_dir(self, level: int) -> str:

@@ -65,5 +65,12 @@ def stream_events_hourly(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a partial drain would surface downstream as a confusing oracle
+        # mismatch; fail loudly at the source instead
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s "
+            f"(query {sink}); result would be partial"
+        )
     return spark.table(sink)

@@ -134,3 +134,30 @@ def test_tile_and_level_stats(tree):
     assert stats[0]["compression_ratio"] == pytest.approx(1.0)
     # summaries compress: upper levels hold fewer tokens than the leaves
     assert stats[-1]["token_sum"] < stats[0]["token_sum"]
+
+
+def test_config_keyed_cache_skip_and_reject(spark, docs, tmp_path_factory, monkeypatch):
+    """Completed checkpoint + same config = zero build work (skip-if-exists);
+    different config on the same dir = ValueError (reference
+    benchmarks/_tree_cache.py:27-51)."""
+    d = str(tmp_path_factory.mktemp("tree_cache"))
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=2, max_resolution=6)
+    first = build_tree(docs, cfg, checkpoint_dir=d)
+    n = first.count()
+
+    # same config: must come straight from the cache — leaf build forbidden
+    import raptor_rag_spark.plans.build_tree as bt
+
+    def boom(*a, **k):
+        raise AssertionError("leaf_nodes called despite completed cache")
+
+    monkeypatch.setattr(bt, "leaf_nodes", boom)
+    again = build_tree(docs, cfg, checkpoint_dir=d)
+    assert again.count() == n
+    monkeypatch.undo()
+
+    # changed config: refuse the dir instead of silently mixing levels
+    cfg2 = ClusterTreeConfig(max_tokens=32, num_layers=2, max_resolution=6)
+    assert cfg2.config_hash() != cfg.config_hash()
+    with pytest.raises(ValueError, match="different config"):
+        build_tree(docs, cfg2, checkpoint_dir=d)
