@@ -93,9 +93,13 @@ def main() -> None:
     timed("soft_assign", lambda: soft_assignments(pts, res=6, buffer_frac=0.1).count())
     timed("tile_rollup", lambda: tile_stats(tree).count())
 
-    # 4. dedup family
+    # 4. dedup family (pairs → connected components → keep-list)
     timed("exact_dedup", lambda: D.exact_dedup(docs).count())
     timed("minhash_pairs", lambda: D.minhash_band_pairs(docs).count())
+    timed(
+        "dedup_clusters",
+        lambda: D.apply_dedup(docs, D.dedup_clusters(D.minhash_band_pairs(docs))).count(),
+    )
     timed("simhash", lambda: D.simhash_fingerprints(docs).count())
 
     # 5. similarity search
@@ -104,6 +108,24 @@ def main() -> None:
     )
     timed("emb_topk", lambda: S.brute_force_topk(embs, eq, k=10, dim=DIM).count())
     timed("emb_ivf_topk", lambda: S.ivf_topk(embs, eq, k=10, res=3, dim=DIM).count())
+
+    # exact tile-space kNN (grid ring search, covering-radius guarantee)
+    from raptor_rag_spark.operators.knn import grid_knn
+
+    gq = pts.filter(F.col("node_id") < 8).select(
+        F.col("node_id").alias("query_id"), "x", "y"
+    )
+    timed(
+        "grid_knn",
+        lambda: grid_knn(
+            pts.select(F.col("node_id").alias("vec_id"), "x", "y"), gq, res=6, k=10
+        ).count(),
+    )
+
+    # real multimodal decode (BMP pixels + WAV samples, pure numpy)
+    from raptor_rag_spark.operators.multimodal import decode_media_features, synth_media
+
+    timed("multimodal_decode", lambda: decode_media_features(synth_media(docs)).count())
 
     # 6. text analysis sweep
     def _text():

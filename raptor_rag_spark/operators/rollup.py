@@ -153,7 +153,13 @@ def build_parent_nodes(
 
 def tile_stats(nodes: DataFrame, round_to: int = 6) -> DataFrame:
     """Raster bands per (level, cell): counts, token stats, centroid.
-    Pure JVM aggregation (A5 — reference: benchmarks/run_compression.py:30-57)."""
+    Pure JVM aggregation (A5 — reference: benchmarks/run_compression.py:30-57).
+
+    Centroids sum coordinates through DECIMAL(28,15): double addition is not
+    associative, so a plain avg(x) depends on partition order — decimal sums
+    make the bands bit-identical across parallelism levels (and against the
+    DuckDB twin)."""
+    dec15 = "decimal(28,15)"
     return (
         nodes.groupBy("level", "cell_id")
         .agg(
@@ -162,8 +168,12 @@ def tile_stats(nodes: DataFrame, round_to: int = 6) -> DataFrame:
             F.round(F.avg("token_count"), round_to).alias("token_avg"),
             F.min("token_count").alias("token_min"),
             F.max("token_count").alias("token_max"),
-            F.round(F.avg("x"), round_to).alias("centroid_x"),
-            F.round(F.avg("y"), round_to).alias("centroid_y"),
+            F.round(
+                F.sum(F.col("x").cast(dec15)).cast("double") / F.count("*"), round_to
+            ).alias("centroid_x"),
+            F.round(
+                F.sum(F.col("y").cast(dec15)).cast("double") / F.count("*"), round_to
+            ).alias("centroid_y"),
             F.sum("n_leaves").alias("leaf_sum"),
         )
     )

@@ -988,7 +988,7 @@ def q_tree_flat_knn(spark, sf_dir):
     """FAISS-flat equivalent (J8): leaf-only kNN (faiss_retriever.py:140-145)."""
     from ..operators.knn import flat_knn
 
-    return flat_knn(_tree(spark, sf_dir), _tree_queries(spark), top_k=5, max_tokens=3500)
+    return flat_knn(_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=5, max_tokens=3500)
 
 
 def q_stream_events_hourly(spark, sf_dir):
@@ -1006,6 +1006,21 @@ def q_stream_events_hourly(spark, sf_dir):
 _TREE_CACHE: dict[tuple[int, str], DataFrame] = {}
 QUERY_TEXTS = ["spark join merge sort", "customer order data", "window agg filter"]
 
+# The built tree passes through Python kernels (chunker/embedder), so DuckDB
+# cannot recompute it from the raw tables — but it CAN read the engine's own
+# parquet output. Each tree query therefore dumps the (deterministic) tree +
+# query embeddings under .tree_dumps/ and the oracle re-derives the query
+# result from those same bits with twin SQL — upgrading the tree retrieval /
+# rollup family from rows-only to exact checks (the dump is rewritten by the
+# Spark side of each driver run before the oracle reads it).
+DUMP_DIR = "/root/repo/.tree_dumps"
+
+
+def _dump_path(name: str, sf_dir: str) -> str:
+    import os
+
+    return os.path.join(DUMP_DIR, f"{os.path.basename(sf_dir.rstrip('/'))}_{name}")
+
 
 def _tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
@@ -1015,32 +1030,98 @@ def _tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs = ld(spark, sf_dir, "documents")
         cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=8)
-        _TREE_CACHE[key] = build_tree(docs, cfg).cache()
+        tree = build_tree(docs, cfg)
+        path = _dump_path("nodes", sf_dir)
+        tree.write.mode("overwrite").parquet(path)
+        # read back: Spark queries and DuckDB oracles consume identical bits
+        _TREE_CACHE[key] = spark.read.parquet(path).cache()
     return _TREE_CACHE[key]
 
 
-def _tree_queries(spark: SparkSession) -> DataFrame:
-    qdf = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(QUERY_TEXTS)], "query_id long, qtext string"
+def _tree_queries(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.01") -> DataFrame:
+    key = (id(spark), sf_dir, "queries")
+    if key not in _TREE_CACHE:
+        qdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(QUERY_TEXTS)], "query_id long, qtext string"
+        )
+        q = with_embedding(qdf, "qtext").select(
+            "query_id", F.col("embedding").alias("q_embedding")
+        )
+        path = _dump_path("queries", sf_dir)
+        q.write.mode("overwrite").parquet(path)
+        _TREE_CACHE[key] = spark.read.parquet(path).cache()
+    return _TREE_CACHE[key]
+
+
+# oracles run at sf0.01 (the driver contract's compare scale)
+_NODES_PQ = "read_parquet('/root/repo/.tree_dumps/sf0.01_nodes/*.parquet')"
+_QUERIES_PQ = "read_parquet('/root/repo/.tree_dumps/sf0.01_queries/*.parquet')"
+
+
+def _sql_collapsed_knn(top_k: int, max_tokens: int | None, level_filter: str = "") -> str:
+    cos = G.cosine_sim_sql("q.q_embedding", "n.embedding", DIM)
+    budget = (
+        f"WHERE rank <= {top_k} AND cum_tokens <= {max_tokens}"
+        if max_tokens is not None
+        else f"WHERE rank <= {top_k}"
     )
-    return with_embedding(qdf, "qtext").select(
-        "query_id", F.col("embedding").alias("q_embedding")
-    )
+    return f"""
+SELECT query_id, node_id, level, rank, dist, text, token_count FROM (
+  SELECT *, CAST(sum(token_count) OVER (PARTITION BY query_id ORDER BY dist, node_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM (
+    SELECT q.query_id, n.node_id, n.level, n.text, n.token_count,
+           (1.0 - {cos}) AS dist,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY (1.0 - {cos}), n.node_id) AS rank
+    FROM {_NODES_PQ} n, {_QUERIES_PQ} q
+    {level_filter}
+  )
+) {budget}
+"""
 
 
 def q_tree_level_stats(spark, sf_dir):
-    """Per-level rollup of the built tile tree (A5; rows-only check)."""
+    """Per-level rollup of the built tile tree (A5) — exact oracle over the
+    tree dump."""
     return level_stats(_tree(spark, sf_dir))
 
 
+SQL_TREE_LEVEL_STATS = f"""
+WITH per AS (
+  SELECT level, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(token_count) AS BIGINT) AS token_sum,
+         round(CAST(sum(token_count) AS BIGINT)::DOUBLE / count(*), 6) AS token_avg,
+         min(token_count) AS token_min, max(token_count) AS token_max
+  FROM {_NODES_PQ} GROUP BY level
+),
+leaf AS (SELECT token_sum AS leaf_token_sum FROM per WHERE level = 0)
+SELECT level, n_nodes, token_sum, token_avg, token_min, token_max,
+       round(token_sum::DOUBLE / leaf_token_sum::DOUBLE, 6) AS compression_ratio
+FROM per, leaf
+"""
+
+
 def q_tree_tile_stats(spark, sf_dir):
-    """Per-(level, cell) raster bands of the built tree (rows-only check)."""
+    """Per-(level, cell) raster bands of the built tree — exact oracle over
+    the tree dump (decimal-sum centroids, order-independent)."""
     return tile_stats(_tree(spark, sf_dir))
+
+
+SQL_TREE_TILE_STATS = f"""
+SELECT level, cell_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(token_count) AS BIGINT) AS token_sum,
+       round(CAST(sum(token_count) AS BIGINT)::DOUBLE / count(*), 6) AS token_avg,
+       min(token_count) AS token_min, max(token_count) AS token_max,
+       round(CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_x,
+       round(CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_y,
+       CAST(sum(n_leaves) AS BIGINT) AS leaf_sum
+FROM {_NODES_PQ} GROUP BY level, cell_id
+"""
 
 
 def q_tree_collapsed_knn(spark, sf_dir):
     """Collapsed-tree retrieval (J1+W1, reference tree_retriever.py:127-151)."""
-    return collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark), top_k=10, max_tokens=3500)
+    return collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=10, max_tokens=3500)
 
 
 def q_tree_cell_knn(spark, sf_dir):
@@ -1052,7 +1133,7 @@ def q_tree_cell_knn(spark, sf_dir):
     cfg_max_res = 8
     levels_res = {lv: max(cfg_max_res - lv, 0) for lv in levels}
     del f
-    return cell_pruned_knn(nodes, _tree_queries(spark), levels_res, top_k=10, max_tokens=3500)
+    return cell_pruned_knn(nodes, _tree_queries(spark, sf_dir), levels_res, top_k=10, max_tokens=3500)
 
 
 def q_cell_knn_recall(spark, sf_dir):
@@ -1060,7 +1141,7 @@ def q_cell_knn_recall(spark, sf_dir):
     scan, per query — the recall-safety evidence for the scale path (SURVEY
     §7(e)). Rows-only check; tests assert recall == 1.0 at this scale."""
     nodes = _tree(spark, sf_dir)
-    queries = _tree_queries(spark)
+    queries = _tree_queries(spark, sf_dir)
     levels = [r["level"] for r in nodes.select("level").distinct().collect()]
     levels_res = {lv: max(8 - lv, 0) for lv in levels}
     k = 10
@@ -1090,23 +1171,85 @@ def q_tree_traversal(spark, sf_dir):
     nodes = _tree(spark, sf_dir)
     top = nodes.agg(F.max("level")).collect()[0][0]
     return traversal_retrieve(
-        nodes, _tree_queries(spark), start_layer=top, num_layers=top + 1, top_k=3
+        nodes, _tree_queries(spark, sf_dir), start_layer=top, num_layers=top + 1, top_k=3
     )
 
 
+def _sql_traversal(start: int = 3, rounds: int = 4, top_k: int = 3) -> str:
+    """Twin of traversal_retrieve at the sf0.01 tree shape (4 levels): each
+    round ranks candidates by the cosine-distance twin, keeps top_k, and the
+    next round's candidates are the distinct exploded children."""
+    cos = G.cosine_sim_sql("q.q_embedding", "n.embedding", DIM)
+    # one materialized scored CTE: the 64-dim unrolled distance expression
+    # appears ONCE instead of once per round (planner blowup otherwise)
+    ctes = [
+        f"q AS (SELECT * FROM {_QUERIES_PQ})",
+        f"n AS (SELECT * FROM {_NODES_PQ})",
+        f"""scored AS MATERIALIZED (
+  SELECT q.query_id, n.node_id, n.level, n.text, n.token_count, n.children,
+         (1.0 - {cos}) AS dist
+  FROM n, q
+)""",
+    ]
+    for r in range(rounds):
+        if r == 0:
+            src = f"scored s WHERE s.level = {start}"
+        else:
+            ctes.append(
+                f"c{r} AS (SELECT DISTINCT query_id, unnest(children) AS node_id FROM r{r - 1})"
+            )
+            src = f"c{r} JOIN scored s USING (query_id, node_id)"
+        ctes.append(f"""r{r} AS (
+  SELECT * FROM (
+    SELECT s.query_id, s.node_id, s.level, s.text, s.token_count, s.children, s.dist,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY s.dist, s.node_id) AS rank
+    FROM {src}
+  ) WHERE rank <= {top_k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, node_id, level, rank, dist, text, token_count, {r} AS round FROM r{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def q_tree_context(spark, sf_dir):
-    """Per-query context strings, byte-exact get_text semantics (P6/F11)."""
-    res = collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark), top_k=5, max_tokens=3500)
+    """Per-query context strings, byte-exact get_text semantics (P6/F11) —
+    exact oracle rebuilds the string from the tree dump."""
+    res = collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=5, max_tokens=3500)
     return retrieval_context(res).select("query_id", "context")
+
+
+def _sql_tree_context() -> str:
+    clean = "regexp_replace(regexp_replace(text, '\\r\\n|\\r|\\n', chr(10), 'g'), '\\n', ' ', 'g')"
+    return f"""
+WITH res AS ({_sql_collapsed_knn(5, 3500)})
+SELECT query_id,
+       string_agg({clean}, chr(10) || chr(10) ORDER BY rank) || chr(10) || chr(10) AS context
+FROM res GROUP BY query_id
+"""
+
+
+_PAGES_PQ = "read_parquet('/root/repo/.tree_dumps/pages/*.parquet')"
+
+
+def _pages(spark: SparkSession) -> DataFrame:
+    """Synthetic pages, dumped + read back so the oracle sees identical bits
+    (same pattern as the tree dump)."""
+    key = (id(spark), "pages")
+    if key not in _TREE_CACHE:
+        from ..sources.pages import generate_pages
+
+        path = f"{DUMP_DIR}/pages"
+        generate_pages(spark, 200, partitions=8).write.mode("overwrite").parquet(path)
+        _TREE_CACHE[key] = spark.read.parquet(path).cache()
+    return _TREE_CACHE[key]
 
 
 def q_pages_extract(spark, sf_dir):
     """Synthetic Common-Crawl pages: html→text extraction invariant surface
-    (byte-identical text per url; rows-only check, invariant asserted in tests)."""
-    from ..sources.pages import generate_pages
-
-    pages = generate_pages(spark, 200, partitions=8)
-    return pages.select(
+    (byte-identical text per url; exact twin over the pages dump)."""
+    return _pages(spark).select(
         "url",
         F.md5("text").alias("text_md5"),
         F.octet_length("html").alias("html_bytes"),
@@ -1114,13 +1257,28 @@ def q_pages_extract(spark, sf_dir):
     )
 
 
+SQL_PAGES_EXTRACT = f"""
+SELECT url, md5(text) AS text_md5, octet_length(html) AS html_bytes, lang
+FROM {_PAGES_PQ}
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Opaque-binary feature extraction over synthetic pages (generic path;
-    mapInPandas over binary + typed metadata)."""
+    mapInPandas over binary + typed metadata) — exact twin recomputes the
+    digest-derived features from the pages dump in SQL."""
     from ..operators.multimodal import binary_features
-    from ..sources.pages import generate_pages
 
-    return binary_features(generate_pages(spark, 200, partitions=8), payload_col="html")
+    return binary_features(_pages(spark), payload_col="html")
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT url, octet_length(html) AS n_bytes, md5(decode(html)) AS digest,
+       CAST(16 + ('0x' || substr(md5(decode(html)), 1, 2))::BIGINT AS INT) AS fake_width,
+       CAST(16 + ('0x' || substr(md5(decode(html)), 3, 2))::BIGINT AS INT) AS fake_height,
+       CAST(least(4, greatest(1, octet_length(html) // 1024)) AS INT) AS n_sampled_frames
+FROM {_PAGES_PQ}
+"""
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1267,4 +1425,13 @@ ORACLES: dict[str, str] = {
     "max_over_golds": _sql_max_over_golds(),
     "accuracy": SQL_ACCURACY,
     "stream_events_hourly": SQL_EVENTS_HOURLY,
+    # tree family — exact twins over the engine's own parquet dump
+    "tree_level_stats": SQL_TREE_LEVEL_STATS,
+    "tree_tile_stats": SQL_TREE_TILE_STATS,
+    "tree_collapsed_knn": _sql_collapsed_knn(10, 3500),
+    "tree_flat_knn": _sql_collapsed_knn(5, 3500, "WHERE n.level = 0"),
+    "tree_context": _sql_tree_context(),
+    "tree_traversal": _sql_traversal(),
+    "pages_extract": SQL_PAGES_EXTRACT,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
