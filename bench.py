@@ -102,6 +102,18 @@ def main() -> None:
     )
     timed("simhash", lambda: D.simhash_fingerprints(docs).count())
 
+    # skew-bomb guard: a corpus with a 2000x-duplicated boilerplate text must
+    # produce BOUNDED candidate pairs (band-bucket cap), not C(2000,2)≈2M
+    def _dup_heavy():
+        boiler = spark.range(2000).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit("identical boiler plate page body repeated across the crawl").alias("text"),
+        )
+        mixed = docs.select("doc_id", "text").unionByName(boiler)
+        state["dup_heavy_pairs"] = D.minhash_band_pairs(mixed).count()
+
+    timed("minhash_pairs_dup_heavy", _dup_heavy)
+
     # 5. similarity search
     eq = embs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
@@ -148,6 +160,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "n_tree_nodes": state["n_nodes"],
+                "dup_heavy_pairs": state.get("dup_heavy_pairs"),
                 "pages_per_sec": round(n_docs / build_s, 2) if build_s else None,
             }
         )

@@ -70,3 +70,43 @@ def rouge_l(prediction: str, gold: str) -> float:
     p = lcs / m
     r = lcs / n
     return 2 * p * r / (p + r)
+
+
+def meteor(prediction: str, gold: str) -> float:
+    """Exact-unigram METEOR (reference wrapper: benchmarks/_metrics.py:100-121).
+
+    The reference delegates to nltk's meteor_score (WordNet stem/synonym
+    stages unavailable here); this is the published METEOR formula restricted
+    to the exact-match stage, which is also what nltk computes when WordNet
+    finds no extra matches: greedy positional unigram alignment, harmonic
+    mean F = P*R / (alpha*P + (1-alpha)*R) with alpha = 0.9, fragmentation
+    penalty gamma * (chunks / matches)^beta with gamma = 0.5, beta = 3.
+    """
+    pred = prediction.split()
+    ref = gold.split()
+    if not pred or not ref:
+        return 0.0
+    # greedy alignment: each pred position matched to the first unused
+    # identical ref position (nltk's exact-match enumeration order)
+    used: set[int] = set()
+    pairs: list[tuple[int, int]] = []
+    for i, tok in enumerate(pred):
+        for j, rtok in enumerate(ref):
+            if j not in used and tok == rtok:
+                used.add(j)
+                pairs.append((i, j))
+                break
+    m = len(pairs)
+    if m == 0:
+        return 0.0
+    p = m / len(pred)
+    r = m / len(ref)
+    fmean = p * r / (0.9 * p + 0.1 * r)
+    # chunks: maximal runs contiguous in BOTH sequences (pairs are sorted by
+    # pred position by construction)
+    chunks = 1
+    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
+        if i1 != i0 + 1 or j1 != j0 + 1:
+            chunks += 1
+    penalty = 0.5 * (chunks / m) ** 3
+    return fmean * (1.0 - penalty)

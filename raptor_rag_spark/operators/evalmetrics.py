@@ -115,6 +115,23 @@ def rouge_l_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
     return pairs.select(id_col, _rouge(F.col("prediction"), F.col("gold")).alias("rouge_l"))
 
 
+def meteor_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
+    """(id, meteor): exact-unigram METEOR per pair (F9; reference
+    benchmarks/_metrics.py:100-121). Alignment + chunk counting is a scalar
+    kernel → pandas_udf; rows-only oracle check like ROUGE-L."""
+    import pandas as pd
+
+    from ..kernels.metrics import meteor
+
+    @F.pandas_udf("double")
+    def _meteor(pred, gold):
+        return pd.Series(
+            [round(meteor(p or "", g or ""), 6) for p, g in zip(pred, gold)]
+        )
+
+    return pairs.select(id_col, _meteor(F.col("prediction"), F.col("gold")).alias("meteor"))
+
+
 def accuracy_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
     """Normalized exact-match accuracy per pair (F9)."""
     return pairs.select(

@@ -122,37 +122,76 @@ def ring_cells(homes: DataFrame, radius_col: F.Column) -> DataFrame:
     )
 
 
+def _initial_radius(
+    cell_counts: DataFrame, resolutions: list[int], need: int, max_radius: int
+) -> F.Column:
+    """Density-informed initial ring radius per resolution: size the ring so
+    its EXPECTED population covers ``need`` (uniform estimate), so the
+    doubling loop usually converges in one round instead of log(max_radius).
+    One driver collect of ≤ len(resolutions) aggregate rows (metadata-scale).
+    """
+    import math
+
+    stats = {
+        int(r["res"]): int(r["total"])
+        for r in cell_counts.withColumn(
+            "res", F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT).cast("int")
+        )
+        .groupBy("res")
+        .agg(F.sum("n_in_cell").alias("total"))
+        .collect()
+    }
+    expr = F.lit(1)
+    for res in resolutions:
+        total = stats.get(res, 0)
+        density = total / float(4**res) if total else 0.0
+        if density > 0:
+            side = math.ceil(math.sqrt(need / density))
+            r0 = min(max((side - 1 + 1) // 2, 1), max_radius)
+        else:
+            r0 = max_radius
+        expr = F.when(F.col("res") == res, F.lit(r0)).otherwise(expr)
+    return expr
+
+
 def _widen_to_count(
     homes: DataFrame, cell_counts: DataFrame, need: int, max_radius: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Per (query, res): smallest doubling ring radius holding ≥ ``need``
-    candidates. Returns (homes + radius column, still-short leftovers).
+    """Per (query, res): a ring radius holding ≥ ``need`` candidates, found
+    by doubling each row's ``radius`` column (initial guess supplied by the
+    caller) until satisfied or past max_radius. Returns (homes + final
+    radius, still-short leftovers).
 
     Driver-side control flow over COUNTS only (cell populations — bounded by
     occupied cells, tiny next to the data); candidate generation stays pure
     column expressions (no .collect() of the query side)."""
-    chosen: list[DataFrame] = []
-    pending = homes
-    radius = 1
-    while radius <= max_radius:
+    empty = homes.limit(0)
+    chosen: list[DataFrame] = [empty]
+    leftovers: list[DataFrame] = [empty]
+    pending = homes.localCheckpoint(eager=True)
+    while not pending.isEmpty():
         counts = (
-            ring_cells(pending, F.lit(radius))
+            ring_cells(pending, F.col("radius"))
             .join(cell_counts, "cell_id")
             .groupBy("query_id", "res")
             .agg(F.sum("n_in_cell").alias("n_cand"))
         )
         sat = counts.filter(F.col("n_cand") >= need).select("query_id", "res")
-        chosen.append(
-            pending.join(sat, ["query_id", "res"], "left_semi").withColumn("radius", F.lit(radius))
+        chosen.append(pending.join(sat, ["query_id", "res"], "left_semi"))
+        rest = (
+            pending.join(sat, ["query_id", "res"], "left_anti")
+            .withColumn("radius", F.col("radius") * 2)
+            .localCheckpoint(eager=True)
         )
-        pending = pending.join(sat, ["query_id", "res"], "left_anti").localCheckpoint(eager=True)
-        if pending.isEmpty():
-            break
-        radius *= 2
+        leftovers.append(rest.filter(F.col("radius") > max_radius))
+        pending = rest.filter(F.col("radius") <= max_radius)
     ring_homes = chosen[0]
     for df in chosen[1:]:
         ring_homes = ring_homes.unionByName(df)
-    return ring_homes, pending
+    leftover = leftovers[0]
+    for df in leftovers[1:]:
+        leftover = leftover.unionByName(df)
+    return ring_homes, leftover
 
 
 def cell_pruned_knn(
@@ -188,11 +227,14 @@ def cell_pruned_knn(
     the right level automatically.
     """
     resolutions = sorted(set(levels_res.values()))
-    homes = query_homes(queries, resolutions, dim).localCheckpoint(eager=True)
     cell_counts = (
         nodes.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(eager=True)
     )
-    ring_homes, pending = _widen_to_count(homes, cell_counts, oversample * top_k, max_radius)
+    need = oversample * top_k
+    homes = query_homes(queries, resolutions, dim).withColumn(
+        "radius", _initial_radius(cell_counts, resolutions, need, max_radius)
+    )
+    ring_homes, pending = _widen_to_count(homes, cell_counts, need, max_radius)
     cand = ring_cells(ring_homes, F.col("radius")).select("query_id", "cell_id")
     pruned = nodes.join(F.broadcast(cand), "cell_id")
 
@@ -232,12 +274,16 @@ def grid_knn(
     All phases are column expressions; the driver loop touches counts only.
     """
     s = 1.0 / (1 << res)
+    # NOTE: deliberately not cached/checkpointed — the projection + cell
+    # encode are whole-stage-codegen expressions; recomputing them per phase
+    # costs three pruned column scans, while materializing the full points
+    # side would not survive a 100-TB corpus
     pts = points.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("x").alias("px"),
         F.col("y").alias("py"),
         G.cell_col(F.col("x"), F.col("y"), res).alias("cell_id"),
-    ).localCheckpoint(eager=True)
+    )
     n = 1 << res
     qix = F.greatest(F.least(F.floor(F.col("x") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
     qiy = F.greatest(F.least(F.floor(F.col("y") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
@@ -250,9 +296,16 @@ def grid_knn(
         qiy.alias("iy"),
     ).localCheckpoint(eager=True)
 
-    cell_counts = pts.groupBy("cell_id").agg(F.count("*").alias("n_in_cell"))
+    cell_counts = pts.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(
+        eager=True
+    )
     ring_homes, pending = _widen_to_count(
-        homes.select("query_id", "res", "ix", "iy"), cell_counts, k, max_radius
+        homes.select("query_id", "res", "ix", "iy").withColumn(
+            "radius", _initial_radius(cell_counts, [res], k, max_radius)
+        ),
+        cell_counts,
+        k,
+        max_radius,
     )
     if not pending.isEmpty():
         # fewer than k points inside max_radius: take the whole grid

@@ -936,6 +936,19 @@ def q_rouge_l(spark, sf_dir):
     return rouge_l_pairs(d)
 
 
+def q_meteor(spark, sf_dir):
+    """F9 METEOR (exact-unigram variant; alignment DP is a scalar pandas_udf
+    — rows-only check like rouge_l)."""
+    from ..operators.evalmetrics import meteor_pairs
+
+    d = ld(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.substring("text", 1, 120).alias("prediction"),
+        F.substring("text", 41, 120).alias("gold"),
+    )
+    return meteor_pairs(d)
+
+
 def q_accuracy(spark, sf_dir):
     """F9 normalized exact-match accuracy (reference _metrics.py:100-122).
     Even ids compare a text against its cased/whitespace-perturbed self
@@ -1367,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
     "rouge_l": q_rouge_l,
+    "meteor": q_meteor,
     "accuracy": q_accuracy,
     "gmm_cluster": q_gmm_cluster,
     "tree_flat_knn": q_tree_flat_knn,

@@ -138,3 +138,36 @@ def test_multi_model_embeddings_build_and_route(spark):
     ctx_a2, nodes_a2 = run("default")
     assert (ctx_a, nodes_a) == (ctx_a2, nodes_a2)  # deterministic
     assert nodes_a != nodes_b  # different model → different ranking
+
+
+def test_integration_adapters(spark):
+    """J7 adapters: result→node materialization join yields documents whose
+    text matches the tree nodes, in selection order with rank-based scores."""
+    from raptor_rag_spark.api import RetrievalAugmentation
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.integrations import LangChainRaptorRetriever, LlamaIndexRaptorRetriever
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter("doc_id < 30")
+    ra = RetrievalAugmentation(
+        spark, config=ClusterTreeConfig(max_tokens=64, num_layers=2, max_resolution=6)
+    )
+    ra.add_documents(docs)
+
+    lc = LangChainRaptorRetriever(ra, top_k=5).get_relevant_documents("customer order data")
+    assert len(lc) == 5
+    texts = {r["node_id"]: r["text"] for r in ra.tree.select("node_id", "text").collect()}
+    for d in lc:
+        assert d.page_content == texts[d.metadata["node_index"]]
+        assert "layer_number" in d.metadata
+
+    li = LlamaIndexRaptorRetriever(ra, top_k=5).retrieve("customer order data")
+    assert [n.score for n in li] == sorted([n.score for n in li], reverse=True)
+    assert li[0].score == 1.0 and li[0].text == lc[0].page_content
+
+
+def test_meteor_kernel_values():
+    from raptor_rag_spark.kernels.metrics import meteor
+
+    assert round(meteor("a b c", "a b c"), 6) == round(1 - 0.5 * (1 / 3) ** 3, 6)
+    assert meteor("b a", "a b") == 0.5  # full match, 2 chunks
+    assert meteor("x y", "a b") == 0.0 and meteor("", "a") == 0.0
