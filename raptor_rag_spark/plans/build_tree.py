@@ -20,11 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from ..config import ClusterTreeConfig
 from ..kernels.embedder import DEFAULT_DIM, HashNgramEmbeddingModel
 from ..operators.core import leaf_nodes
 from ..operators.rollup import build_parent_nodes
 from ..sources.checkpoint import TreeCheckpoint
+from ..sources.metrics import MetricsTable
 
 
 def _models_arg(cfg: ClusterTreeConfig) -> dict | None:
@@ -63,6 +66,19 @@ class TileTreeBuilder:
         cfg = self.config
         spark = docs.sparkSession
         ckpt = TreeCheckpoint(checkpoint_dir, cfg.config_hash()) if checkpoint_dir else None
+        metrics = (
+            MetricsTable(os.path.join(checkpoint_dir, "_metrics")) if checkpoint_dir else None
+        )
+        run_id = cfg.config_hash()[:12]
+
+        def record(kind: str, key: str, rows: int, wall_ms: int) -> None:
+            # S8 final-results / per-level metrics sink (reference
+            # benchmarks/_progress.py:24-58): one append commit per event
+            if metrics:
+                metrics.append(
+                    spark,
+                    [{"run_id": run_id, "kind": kind, "key": key, "rows": rows, "wall_ms": wall_ms}],
+                )
 
         if ckpt and resume and ckpt.is_complete():
             return ckpt.read_all(spark)
@@ -81,7 +97,8 @@ class TileTreeBuilder:
                 cluster_model=cfg.cluster_embedding_model,
             )
             if ckpt:
-                ckpt.write_level(current, 0, extra={"stage": "leaves", "res": cfg.max_resolution})
+                m = ckpt.write_level(current, 0, extra={"stage": "leaves", "res": cfg.max_resolution})
+                record("tree_level", "0", m.rows, m.wall_ms)
                 current = ckpt.read_level(spark, 0)
             else:
                 current = current.cache()  # truncate lineage across the level loop
@@ -107,7 +124,8 @@ class TileTreeBuilder:
                 cluster_model=cfg.cluster_embedding_model,
             )
             if ckpt:
-                ckpt.write_level(parents, level, extra={"res": res - 1})
+                m = ckpt.write_level(parents, level, extra={"res": res - 1})
+                record("tree_level", str(level), m.rows, m.wall_ms)
                 parents = ckpt.read_level(spark, level)
             else:
                 parents = parents.cache()
@@ -116,6 +134,7 @@ class TileTreeBuilder:
 
         if ckpt:
             ckpt.mark_complete(len(levels))
+            record("final", "build", sum(1 for _ in levels), 0)
         out = levels[0]
         for df in levels[1:]:
             out = out.unionByName(df)

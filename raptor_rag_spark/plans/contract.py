@@ -252,6 +252,31 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def q_answer_type(spark, sf_dir):
+    """P9 answer-type projection (reference benchmarks/run_qasper.py:101-126):
+    when/otherwise routing of each answer into
+    unanswerable/extractive/abstractive/free_form buckets."""
+    d = ld(spark, sf_dir, "documents")
+    n = G.token_count_col(F.col("text"))
+    atype = (
+        F.when(n == 0, F.lit("unanswerable"))
+        .when(n <= 50, F.lit("extractive"))
+        .when(n <= 90, F.lit("abstractive"))
+        .otherwise(F.lit("free_form"))
+    )
+    return d.select("doc_id", atype.alias("answer_type"))
+
+
+SQL_ANSWER_TYPE = f"""
+SELECT doc_id,
+       CASE WHEN {G.token_count_sql("text")} = 0 THEN 'unanswerable'
+            WHEN {G.token_count_sql("text")} <= 50 THEN 'extractive'
+            WHEN {G.token_count_sql("text")} <= 90 THEN 'abstractive'
+            ELSE 'free_form' END AS answer_type
+FROM documents
+"""
+
+
 def q_doc_tokens(spark, sf_dir):
     return T.token_counts(ld(spark, sf_dir, "documents"))
 
@@ -1140,12 +1165,8 @@ def q_tree_collapsed_knn(spark, sf_dir):
 def q_tree_cell_knn(spark, sf_dir):
     """Cell-pruned kNN — broadcast spatial index over the tree levels."""
     nodes = _tree(spark, sf_dir)
-    import pyspark.sql.functions as f
-
     levels = [r["level"] for r in nodes.select("level").distinct().collect()]
-    cfg_max_res = 8
-    levels_res = {lv: max(cfg_max_res - lv, 0) for lv in levels}
-    del f
+    levels_res = {lv: max(8 - lv, 0) for lv in levels}
     return cell_pruned_knn(nodes, _tree_queries(spark, sf_dir), levels_res, top_k=10, max_tokens=3500)
 
 
@@ -1347,6 +1368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "letter_parse": q_letter_parse,
+    "answer_type": q_answer_type,
     # text analysis
     "doc_tokens": q_doc_tokens,
     "doc_lang": q_doc_lang,
@@ -1408,6 +1430,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_SESSIONIZE,
     "letter_parse": SQL_LETTER,
+    "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
     "doc_lang": SQL_DOC_LANG,
     "doc_quality": SQL_DOC_QUALITY,

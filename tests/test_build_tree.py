@@ -161,3 +161,28 @@ def test_config_keyed_cache_skip_and_reject(spark, docs, tmp_path_factory, monke
     assert cfg2.config_hash() != cfg.config_hash()
     with pytest.raises(ValueError, match="different config"):
         build_tree(docs, cfg2, checkpoint_dir=d)
+
+
+def test_metrics_table_sink_and_resume(spark, docs, tmp_path_factory):
+    """S8 metrics sink: checkpointed builds append per-level + final rows;
+    resume_filter anti-joins completed keys (S5 shape)."""
+    import os
+
+    from raptor_rag_spark.sources.metrics import MetricsTable
+
+    d = str(tmp_path_factory.mktemp("tree_metrics"))
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=2, max_resolution=6)
+    build_tree(docs, cfg, checkpoint_dir=d)
+
+    mt = MetricsTable(os.path.join(d, "_metrics"))
+    m = mt.load(spark)
+    kinds = {r["kind"] for r in m.select("kind").distinct().collect()}
+    assert kinds == {"tree_level", "final"}
+    levels = sorted(r["key"] for r in m.filter("kind = 'tree_level'").collect())
+    assert levels[0] == "0" and len(levels) >= 2
+    assert all(r["rows"] > 0 for r in m.filter("kind = 'tree_level'").collect())
+
+    # resume: pending work keyed by level, already-recorded levels drop out
+    pending = spark.createDataFrame([(k,) for k in ["0", "1", "99"]], "level string")
+    left = mt.resume_filter(pending, spark, "tree_level", "level").collect()
+    assert [r["level"] for r in left] == ["99"]
