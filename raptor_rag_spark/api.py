@@ -177,7 +177,8 @@ class RetrievalAugmentation:
     def save(self, path: str) -> None:
         if self.tree is None:
             raise ValueError("There is no tree to save.")  # reference :235-236
-        ckpt = TreeCheckpoint(path)
-        for r in self.tree.select("level").distinct().collect():
-            lv = r["level"]
+        ckpt = TreeCheckpoint(path, self.config.config_hash())
+        levels = sorted(r["level"] for r in self.tree.select("level").distinct().collect())
+        for lv in levels:
             ckpt.write_level(self.tree.filter(F.col("level") == lv), lv)
+        ckpt.mark_complete(len(levels))

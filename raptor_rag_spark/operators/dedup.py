@@ -252,6 +252,11 @@ def dedup_clusters(
     (localCheckpoint) so plans stay flat. Reference analogue: the
     cluster→canonical grouping of raptor/cluster_tree_builder.py:106-114.
     """
+    # materialize the pair list ONCE: it is referenced twice below (both edge
+    # directions), and without this the upstream candidate-generation DAG
+    # (the whole MinHash pipeline when fed from minhash_band_pairs) would
+    # execute twice
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -35,7 +35,7 @@ N_PAGES = int(os.environ.get("SCALING_PAGES", "250000"))
 # 32-vCPU box (see the saturated-host note in session.get_spark); both legs
 # then run in the stable regime and the ratio measures the ENGINE, not GC
 # starvation at full host saturation.
-N_SMALL = int(os.environ.get("SCALING_CORES", "4"))
+N_SMALL = int(os.environ.get("SCALING_CORES", "2"))
 # The sandbox host has multi-minute noisy phases (identical runs measured
 # 103 s and 381 s two hours apart). Each (cores, size) config therefore runs
 # REPEATS times, interleaved across configs so a slow phase cannot bias one
