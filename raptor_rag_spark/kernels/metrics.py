@@ -108,5 +108,8 @@ def meteor(prediction: str, gold: str) -> float:
     for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
         if i1 != i0 + 1 or j1 != j0 + 1:
             chunks += 1
-    penalty = 0.5 * (chunks / m) ** 3
+    # explicit cube, not **3: the SQL oracle twin multiplies (c*c)*c, and C
+    # pow() is not guaranteed bit-identical to repeated multiplication
+    c = chunks / m
+    penalty = 0.5 * ((c * c) * c)
     return fmean * (1.0 - penalty)

@@ -100,36 +100,147 @@ FROM sizes s LEFT JOIN overlap o ON s.{id_col} = o.{id_col}
 
 def rouge_l_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
     """(id, rouge_l): LCS ROUGE-L F1 per pair — a DP kernel, so a scalar
-    pandas_udf (F8; reference benchmarks/_metrics.py:71-97). Not
-    SQL-expressible → rows-only oracle check."""
+    pandas_udf (F8; reference benchmarks/_metrics.py:71-97). Exact oracle:
+    rouge_l_sql re-derives the same LCS in a DuckDB recursive CTE, so the
+    result must stay an UNROUNDED double — identical IEEE op order on both
+    sides gives bit-identical values, whereas Python round() (banker's) and
+    SQL round() (half-away) disagree on exact ties like 0.0390625."""
     import pandas as pd
 
     from ..kernels.metrics import rouge_l
 
     @F.pandas_udf("double")
     def _rouge(pred, gold):
-        return pd.Series(
-            [round(rouge_l(p or "", g or ""), 6) for p, g in zip(pred, gold)]
-        )
+        return pd.Series([rouge_l(p or "", g or "") for p, g in zip(pred, gold)])
 
     return pairs.select(id_col, _rouge(F.col("prediction"), F.col("gold")).alias("rouge_l"))
+
+
+def rouge_l_sql(pairs_sql: str, id_col: str = "pair_id") -> str:
+    """DuckDB oracle twin of rouge_l_pairs; ``pairs_sql`` must yield
+    (id, prediction, gold).
+
+    The row-at-a-time LCS recurrence dp[i][j] = max(dp[i-1][j], dp[i][j-1],
+    match ? dp[i-1][j-1]+1) has an in-row dependency (dp[i][j-1]) that SQL
+    can't express elementwise — but because every DP row is monotone
+    non-decreasing, it collapses to dp[i][j] = max(dp[i-1][j],
+    max_{k<=j, pred[i]==gold[k]} dp[i-1][k-1]+1), i.e. prev-row value vs a
+    prefix max over match candidates: one recursive-CTE step per pred token,
+    carrying the DP row as a LIST. O(m*n^2) list ops per pair, fine for
+    bounded answer strings. Verified bit-identical to the numpy-free kernel
+    (kernels/metrics.py rouge_l) over the full sf0.01 pair set."""
+    norm_p = G.normalize_answer_sql("prediction")
+    norm_g = G.normalize_answer_sql("gold")
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+base AS (
+  SELECT {id_col},
+         list_filter(string_split({norm_p}, ' '), t -> t <> '') AS p,
+         list_filter(string_split({norm_g}, ' '), t -> t <> '') AS g
+  FROM pairs
+),
+dp AS (
+  SELECT {id_col}, p, g, 0 AS i,
+         list_transform(range(0, len(g) + 1), x -> 0) AS row
+  FROM base WHERE len(p) > 0 AND len(g) > 0
+  UNION ALL
+  SELECT {id_col}, p, g, i + 1,
+    list_prepend(0,
+      list_transform(range(1, len(g) + 1), j ->
+        greatest(
+          row[j + 1],
+          list_max(list_transform(range(1, j + 1), k ->
+            CASE WHEN p[i + 1] = g[k] THEN row[k] + 1 ELSE 0 END))
+        )))
+  FROM dp WHERE i < len(p)
+),
+lcs AS (
+  SELECT {id_col}, row[len(g) + 1] AS l, len(p) AS m, len(g) AS n
+  FROM dp WHERE i = len(p)
+)
+SELECT b.{id_col} AS {id_col},
+       CASE WHEN len(b.p) = 0 AND len(b.g) = 0 THEN 1.0
+            WHEN len(b.p) = 0 OR len(b.g) = 0 OR coalesce(l.l, 0) = 0 THEN 0.0
+            ELSE ((2.0 * (CAST(l.l AS DOUBLE) / CAST(l.m AS DOUBLE)))
+                        * (CAST(l.l AS DOUBLE) / CAST(l.n AS DOUBLE)))
+                 / ((CAST(l.l AS DOUBLE) / CAST(l.m AS DOUBLE))
+                  + (CAST(l.l AS DOUBLE) / CAST(l.n AS DOUBLE))) END AS rouge_l
+FROM base b LEFT JOIN lcs l USING ({id_col})
+"""
 
 
 def meteor_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
     """(id, meteor): exact-unigram METEOR per pair (F9; reference
     benchmarks/_metrics.py:100-121). Alignment + chunk counting is a scalar
-    kernel → pandas_udf; rows-only oracle check like ROUGE-L."""
+    kernel → pandas_udf; exact oracle via meteor_sql. Unrounded double for
+    the same tie-breaking reason as rouge_l_pairs."""
     import pandas as pd
 
     from ..kernels.metrics import meteor
 
     @F.pandas_udf("double")
     def _meteor(pred, gold):
-        return pd.Series(
-            [round(meteor(p or "", g or ""), 6) for p, g in zip(pred, gold)]
-        )
+        return pd.Series([meteor(p or "", g or "") for p, g in zip(pred, gold)])
 
     return pairs.select(id_col, _meteor(F.col("prediction"), F.col("gold")).alias("meteor"))
+
+
+def meteor_sql(pairs_sql: str, id_col: str = "pair_id") -> str:
+    """DuckDB oracle twin of meteor_pairs.
+
+    The kernel's greedy alignment (each pred position takes the FIRST unused
+    identical ref position) is order-equivalent to: the k-th occurrence of
+    token t in pred matches the k-th occurrence of t in ref — so it is a
+    plain equi-join on (pair, token, occurrence-rank), no iteration needed.
+    Chunks are lag-window breaks over (pred_pos, ref_pos) runs. Verified
+    bit-identical to kernels/metrics.py meteor over the full sf0.01 pair
+    set (raw whitespace split, no normalization — matching the kernel)."""
+    return f"""
+WITH
+pairs AS ({pairs_sql}),
+base AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(prediction, '\\s+'), t -> t <> '') AS p,
+         list_filter(string_split_regex(gold, '\\s+'), t -> t <> '') AS g
+  FROM pairs
+),
+pred_occ AS (
+  SELECT {id_col}, i, p[i] AS tok,
+         row_number() OVER (PARTITION BY {id_col}, p[i] ORDER BY i) AS occ
+  FROM (SELECT {id_col}, p, unnest(range(1, len(p) + 1)) AS i FROM base)
+),
+ref_occ AS (
+  SELECT {id_col}, i, g[i] AS tok,
+         row_number() OVER (PARTITION BY {id_col}, g[i] ORDER BY i) AS occ
+  FROM (SELECT {id_col}, g, unnest(range(1, len(g) + 1)) AS i FROM base)
+),
+matches AS (
+  SELECT p.{id_col} AS {id_col}, p.i AS pi, r.i AS ri
+  FROM pred_occ p
+  JOIN ref_occ r ON p.{id_col} = r.{id_col} AND p.tok = r.tok AND p.occ = r.occ
+),
+chunked AS (
+  SELECT {id_col},
+         CASE WHEN lag(pi) OVER w IS NULL OR pi <> lag(pi) OVER w + 1
+                   OR ri <> lag(ri) OVER w + 1 THEN 1 ELSE 0 END AS brk
+  FROM matches WINDOW w AS (PARTITION BY {id_col} ORDER BY pi)
+),
+stats AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS m, CAST(sum(brk) AS BIGINT) AS chunks
+  FROM chunked GROUP BY {id_col}
+)
+SELECT b.{id_col} AS {id_col},
+       CASE WHEN len(b.p) = 0 OR len(b.g) = 0 OR coalesce(s.m, 0) = 0 THEN 0.0
+            ELSE (((CAST(s.m AS DOUBLE) / CAST(len(b.p) AS DOUBLE))
+                   * (CAST(s.m AS DOUBLE) / CAST(len(b.g) AS DOUBLE)))
+                  / ((0.9 * (CAST(s.m AS DOUBLE) / CAST(len(b.p) AS DOUBLE)))
+                   + (0.1 * (CAST(s.m AS DOUBLE) / CAST(len(b.g) AS DOUBLE)))))
+                 * (1.0 - (0.5 * (((CAST(s.chunks AS DOUBLE) / CAST(s.m AS DOUBLE))
+                                   * (CAST(s.chunks AS DOUBLE) / CAST(s.m AS DOUBLE)))
+                                  * (CAST(s.chunks AS DOUBLE) / CAST(s.m AS DOUBLE))))) END AS meteor
+FROM base b LEFT JOIN stats s USING ({id_col})
+"""
 
 
 def accuracy_pairs(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:

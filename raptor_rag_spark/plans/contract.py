@@ -949,8 +949,28 @@ SELECT pair_id // 2 AS question_id, max(f1) AS f1_max FROM f1 GROUP BY 1
 """
 
 
+_METRIC_PAIRS_SQL = (
+    "SELECT doc_id AS pair_id, substr(text, 1, 120) AS prediction, "
+    "substr(text, 41, 120) AS gold FROM documents"
+)
+
+
+def _sql_rouge_l() -> str:
+    from ..operators.evalmetrics import rouge_l_sql
+
+    return rouge_l_sql(_METRIC_PAIRS_SQL)
+
+
+def _sql_meteor() -> str:
+    from ..operators.evalmetrics import meteor_sql
+
+    return meteor_sql(_METRIC_PAIRS_SQL)
+
+
 def q_rouge_l(spark, sf_dir):
-    """F8 ROUGE-L (LCS DP) as a scalar pandas_udf — rows-only check."""
+    """F8 ROUGE-L (LCS DP) as a scalar pandas_udf. Exact oracle: the
+    monotone-row LCS reformulation in a DuckDB recursive CTE
+    (evalmetrics.rouge_l_sql)."""
     from ..operators.evalmetrics import rouge_l_pairs
 
     d = ld(spark, sf_dir, "documents").select(
@@ -962,8 +982,9 @@ def q_rouge_l(spark, sf_dir):
 
 
 def q_meteor(spark, sf_dir):
-    """F9 METEOR (exact-unigram variant; alignment DP is a scalar pandas_udf
-    — rows-only check like rouge_l)."""
+    """F9 METEOR (exact-unigram variant; alignment is a scalar pandas_udf).
+    Exact oracle: greedy first-unused alignment == k-th-occurrence equi-join
+    (evalmetrics.meteor_sql)."""
     from ..operators.evalmetrics import meteor_pairs
 
     d = ld(spark, sf_dir, "documents").select(
@@ -1038,7 +1059,8 @@ def q_stream_events_hourly(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# tree build + retrieval (Python-kernel embeddings → rows-only checks)
+# tree build + retrieval (Python-kernel embeddings → exact twins via the
+# parquet-dump pattern; only gmm_cluster stays rows-only)
 # --------------------------------------------------------------------------
 
 _TREE_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -1118,6 +1140,132 @@ SELECT query_id, node_id, level, rank, dist, text, token_count FROM (
 """
 
 
+def _sql_cell_knn(top_k: int, max_tokens: int | None) -> str:
+    """Exact oracle twin of cell_pruned_knn over the tree dump.
+
+    The operator's driver-side doubling loop is deterministic given the cell
+    populations: per (query, res) the chosen ring radius is the FIRST of
+    r0*2^t (t = 0, 1, ...; radius <= max_radius 8) whose clipped-square ring
+    holds >= oversample*top_k candidates, where r0 is the density-seeded seed
+    of knn._initial_radius — all pure arithmetic over counts, so the whole
+    control flow unrolls into static SQL: seed radius (same IEEE
+    ceil/sqrt/div order), candidate radii via a 4-value doubling table, ring
+    counts via a [-8, 8]^2 offset cross join, first-satisfying pick, exact
+    per-resolution fallback for never-satisfied pairs, then the same
+    distance/rank/budget tail as _sql_collapsed_knn."""
+    cos = G.cosine_sim_sql("q.q_embedding", "n.embedding", DIM)
+    qx, qy = G.xy_sql("q_embedding", DIM)
+    need = 8 * top_k  # oversample * top_k, defaults of cell_pruned_knn
+    budget = (
+        f"WHERE rank <= {top_k} AND cum_tokens <= {max_tokens}"
+        if max_tokens is not None
+        else f"WHERE rank <= {top_k}"
+    )
+    return f"""
+WITH
+n AS (SELECT * FROM {_NODES_PQ}),
+qs AS MATERIALIZED (
+  SELECT query_id, q_embedding, {qx} AS qx, {qy} AS qy FROM {_QUERIES_PQ}
+),
+counts AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_in_cell FROM n GROUP BY cell_id),
+resl AS (SELECT DISTINCT greatest(8 - level, 0) AS res FROM n),
+totals AS (
+  SELECT r.res, coalesce(t.total, 0) AS total
+  FROM resl r LEFT JOIN (
+    SELECT cell_id >> {G.RES_SHIFT} AS res, CAST(sum(n_in_cell) AS BIGINT) AS total
+    FROM counts GROUP BY 1
+  ) t ON r.res = t.res
+),
+r0 AS (
+  SELECT res,
+         CASE WHEN total > 0 THEN
+           least(greatest(
+             CAST(ceil(sqrt({need}.0 / (CAST(total AS DOUBLE)
+                                        / CAST(1::BIGINT << (2 * res) AS DOUBLE)))) AS BIGINT) // 2,
+             1), 8)
+         ELSE 8 END AS r0
+  FROM totals
+),
+homes AS (
+  SELECT q.query_id, rr.res, rr.r0,
+    greatest(least(CAST(floor(q.qx * CAST(1::BIGINT << rr.res AS DOUBLE)) AS BIGINT),
+                   (1::BIGINT << rr.res) - 1), 0) AS ix,
+    greatest(least(CAST(floor(q.qy * CAST(1::BIGINT << rr.res AS DOUBLE)) AS BIGINT),
+                   (1::BIGINT << rr.res) - 1), 0) AS iy
+  FROM qs q, r0 rr
+),
+radii AS (
+  SELECT query_id, res, ix, iy, t, r0 * (1::BIGINT << t) AS r
+  FROM homes, (SELECT unnest(range(0, 4)) AS t) ts
+  WHERE r0 * (1::BIGINT << t) <= 8
+),
+offs AS (SELECT unnest(range(-8, 9)) AS d),
+ringcells AS (
+  SELECT ra.query_id, ra.res, ra.t,
+         ((CAST(ra.res AS BIGINT) << {G.RES_SHIFT})
+          | ((ra.ix + dx.d) << {G.COORD_BITS}) | (ra.iy + dy.d)) AS cell_id
+  FROM radii ra, offs dx, offs dy
+  WHERE abs(dx.d) <= ra.r AND abs(dy.d) <= ra.r
+    AND ra.ix + dx.d >= 0 AND ra.ix + dx.d < (1::BIGINT << ra.res)
+    AND ra.iy + dy.d >= 0 AND ra.iy + dy.d < (1::BIGINT << ra.res)
+),
+ringcount AS (
+  SELECT rc.query_id, rc.res, rc.t,
+         CAST(coalesce(sum(c.n_in_cell), 0) AS BIGINT) AS n_cand
+  FROM ringcells rc LEFT JOIN counts c USING (cell_id)
+  GROUP BY 1, 2, 3
+),
+chosen AS (
+  SELECT query_id, res, t FROM (
+    SELECT query_id, res, t,
+           row_number() OVER (PARTITION BY query_id, res ORDER BY t) AS pick
+    FROM ringcount WHERE n_cand >= {need}
+  ) WHERE pick = 1
+),
+fallback AS (
+  SELECT h.query_id, h.res FROM homes h
+  LEFT JOIN chosen c USING (query_id, res) WHERE c.t IS NULL
+),
+pruned AS (
+  SELECT rc.query_id, n.node_id, n.level, n.text, n.token_count, n.embedding
+  FROM ringcells rc JOIN chosen ch USING (query_id, res, t)
+  JOIN n ON n.cell_id = rc.cell_id
+  UNION ALL
+  SELECT f.query_id, n.node_id, n.level, n.text, n.token_count, n.embedding
+  FROM fallback f JOIN n ON (n.cell_id >> {G.RES_SHIFT}) = f.res
+),
+scored AS MATERIALIZED (
+  SELECT n.query_id, n.node_id, n.level, n.text, n.token_count,
+         (1.0 - {cos}) AS dist
+  FROM pruned n JOIN qs q USING (query_id)
+)
+SELECT query_id, node_id, level, rank, dist, text, token_count FROM (
+  SELECT *, CAST(sum(token_count) OVER (PARTITION BY query_id ORDER BY dist, node_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, node_id) AS rank
+    FROM scored
+  )
+) {budget}
+"""
+
+
+def _sql_cell_knn_recall(top_k: int = 10) -> str:
+    return f"""
+WITH exact_res AS ({_sql_collapsed_knn(top_k, None)}),
+approx_res AS ({_sql_cell_knn(top_k, None)}),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM exact_res e JOIN approx_res a USING (query_id, node_id) GROUP BY 1
+)
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       coalesce(any_value(h.n_hit), 0) AS n_hit,
+       round(coalesce(any_value(h.n_hit), 0) / CAST(count(*) AS BIGINT), 6) AS recall
+FROM exact_res e LEFT JOIN hits h USING (query_id)
+GROUP BY e.query_id
+"""
+
+
 def q_tree_level_stats(spark, sf_dir):
     """Per-level rollup of the built tile tree (A5) — exact oracle over the
     tree dump."""
@@ -1163,7 +1311,9 @@ def q_tree_collapsed_knn(spark, sf_dir):
 
 
 def q_tree_cell_knn(spark, sf_dir):
-    """Cell-pruned kNN — broadcast spatial index over the tree levels."""
+    """Cell-pruned kNN — broadcast spatial index over the tree levels. Exact
+    oracle: the deterministic ring-widening control flow unrolled into static
+    SQL (_sql_cell_knn)."""
     nodes = _tree(spark, sf_dir)
     levels = [r["level"] for r in nodes.select("level").distinct().collect()]
     levels_res = {lv: max(8 - lv, 0) for lv in levels}
@@ -1173,7 +1323,7 @@ def q_tree_cell_knn(spark, sf_dir):
 def q_cell_knn_recall(spark, sf_dir):
     """recall@10 of the cell-pruned (ring-widened) kNN vs the exact collapsed
     scan, per query — the recall-safety evidence for the scale path (SURVEY
-    §7(e)). Rows-only check; tests assert recall == 1.0 at this scale."""
+    §7(e)). Exact oracle: both sides re-derived in SQL (_sql_cell_knn_recall)."""
     nodes = _tree(spark, sf_dir)
     queries = _tree_queries(spark, sf_dir)
     levels = [r["level"] for r in nodes.select("level").distinct().collect()]
@@ -1407,7 +1557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gmm_cluster": q_gmm_cluster,
     "tree_flat_knn": q_tree_flat_knn,
     "stream_events_hourly": q_stream_events_hourly,
-    # tree build + retrieval (rows-only)
+    # tree build + retrieval (exact twins over the tree dump)
     "tree_level_stats": q_tree_level_stats,
     "tree_tile_stats": q_tree_tile_stats,
     "tree_collapsed_knn": q_tree_collapsed_knn,
@@ -1461,12 +1611,16 @@ ORACLES: dict[str, str] = {
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),
     "accuracy": SQL_ACCURACY,
+    "rouge_l": _sql_rouge_l(),
+    "meteor": _sql_meteor(),
     "stream_events_hourly": SQL_EVENTS_HOURLY,
     # tree family — exact twins over the engine's own parquet dump
     "tree_level_stats": SQL_TREE_LEVEL_STATS,
     "tree_tile_stats": SQL_TREE_TILE_STATS,
     "tree_collapsed_knn": _sql_collapsed_knn(10, 3500),
     "tree_flat_knn": _sql_collapsed_knn(5, 3500, "WHERE n.level = 0"),
+    "tree_cell_knn": _sql_cell_knn(10, 3500),
+    "cell_knn_recall": _sql_cell_knn_recall(10),
     "tree_context": _sql_tree_context(),
     "tree_traversal": _sql_traversal(),
     "pages_extract": SQL_PAGES_EXTRACT,
