@@ -47,18 +47,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # The sf parquet files are a single input split (<1 MB), which would pin
+    # every map stage to ONE core — a local artifact a real corpus never has
+    # (100 TB = thousands of splits). Spread the cached input like a real
+    # scan would be.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus).cache()
     n_docs = docs.count()
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus).cache()
     embs.count()
 
     timings: dict[str, float] = {}
     state: dict[str, object] = {}
 
     def timed(name, fn):
+        # job-group label → event-log stages attribute to the query when
+        # profiling with SPARK_GRAFT_EVENTLOG=1
+        spark.sparkContext.setJobGroup(name, name)
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        spark.sparkContext.setJobGroup("", "")
 
     # 1. headline: full tile-tree build (chunk→embed→cell→per-level rollup)
     def _build():

@@ -116,6 +116,14 @@ def minhash_band_pairs(
     banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk").cast("string").alias("band_key")
     )
+    # materialize ONCE: banded feeds four consumers (bucket counts + both
+    # sides of the self-join); without this, AQE materializes each as an
+    # independent subquery and the whole shingle→md5→16-min-agg signature
+    # DAG executes four times concurrently (measured: 4 equal stages
+    # dominating the query). (bands × n_docs) rows of (long, short string) —
+    # metadata-scale next to the corpus; at cluster scale this is the
+    # signature table you would persist anyway before LSH.
+    banded = banded.localCheckpoint(eager=True)
     ok = (
         banded.groupBy("band_key")
         .agg(F.count("*").alias("n_bk"))

@@ -100,15 +100,18 @@ def query_homes(queries: DataFrame, resolutions: list[int], dim: int = DEFAULT_D
     )
 
 
-def ring_cells(homes: DataFrame, radius_col: F.Column) -> DataFrame:
-    """(query_id, res, cell_id) for the (2r+1)^2 neighborhood around each
-    home cell, grid-clipped — `explode(sequence(...))` expressions, exactly
-    the shape soft_assignments uses (operators/pipjoin.py), never a collect."""
+def ring_cells(homes: DataFrame, radius_col: F.Column, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(query_id, res, *extra, cell_id) for the (2r+1)^2 neighborhood around
+    each home cell, grid-clipped — `explode(sequence(...))` expressions,
+    exactly the shape soft_assignments uses (operators/pipjoin.py), never a
+    collect. ``extra`` columns (e.g. the candidate-radius index) pass
+    through untouched."""
     n = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(res AS INT))")
+    keep = ["query_id", "res", *extra]
     out = homes.withColumn("r", radius_col)
-    out = out.select("query_id", "res", "ix", "iy", "r",
+    out = out.select(*keep, "ix", "iy", "r",
                      F.explode(F.sequence(-F.col("r"), F.col("r"))).alias("dx"))
-    out = out.select("query_id", "res", "ix", "iy", "r", "dx",
+    out = out.select(*keep, "ix", "iy", "r", "dx",
                      F.explode(F.sequence(-F.col("r"), F.col("r"))).alias("dy"))
     jx = F.col("ix") + F.col("dx")
     jy = F.col("iy") + F.col("dy")
@@ -118,16 +121,16 @@ def ring_cells(homes: DataFrame, radius_col: F.Column) -> DataFrame:
         .bitwiseOR(jy)
     )
     return out.filter((jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)).select(
-        "query_id", "res", cell.alias("cell_id")
+        *keep, cell.alias("cell_id")
     )
 
 
 def _initial_radius(
     cell_counts: DataFrame, resolutions: list[int], need: int, max_radius: int
 ) -> F.Column:
-    """Density-informed initial ring radius per resolution: size the ring so
-    its EXPECTED population covers ``need`` (uniform estimate), so the
-    doubling loop usually converges in one round instead of log(max_radius).
+    """Density-informed seed radius per resolution: size the ring so its
+    EXPECTED population covers ``need`` (uniform estimate), keeping the
+    examined doubling sequence in _choose_radii short and its rings small.
     One driver collect of ≤ len(resolutions) aggregate rows (metadata-scale).
     """
     import math
@@ -154,44 +157,48 @@ def _initial_radius(
     return expr
 
 
-def _widen_to_count(
+def _choose_radii(
     homes: DataFrame, cell_counts: DataFrame, need: int, max_radius: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Per (query, res): a ring radius holding ≥ ``need`` candidates, found
-    by doubling each row's ``radius`` column (initial guess supplied by the
-    caller) until satisfied or past max_radius. Returns (homes + final
-    radius, still-short leftovers).
+    """Per (query, res): the FIRST radius of the doubling sequence
+    radius*2^t (t = 0, 1, ...; ≤ max_radius) whose ring holds ≥ ``need``
+    candidates. Returns (homes with that final radius, never-satisfied
+    leftovers).
 
-    Driver-side control flow over COUNTS only (cell populations — bounded by
-    occupied cells, tiny next to the data); candidate generation stays pure
-    column expressions (no .collect() of the query side)."""
-    empty = homes.limit(0)
-    chosen: list[DataFrame] = [empty]
-    leftovers: list[DataFrame] = [empty]
-    pending = homes.localCheckpoint(eager=True)
-    while not pending.isEmpty():
-        counts = (
-            ring_cells(pending, F.col("radius"))
-            .join(cell_counts, "cell_id")
-            .groupBy("query_id", "res")
-            .agg(F.sum("n_in_cell").alias("n_cand"))
-        )
-        sat = counts.filter(F.col("n_cand") >= need).select("query_id", "res")
-        chosen.append(pending.join(sat, ["query_id", "res"], "left_semi"))
-        rest = (
-            pending.join(sat, ["query_id", "res"], "left_anti")
-            .withColumn("radius", F.col("radius") * 2)
-            .localCheckpoint(eager=True)
-        )
-        leftovers.append(rest.filter(F.col("radius") > max_radius))
-        pending = rest.filter(F.col("radius") <= max_radius)
-    ring_homes = chosen[0]
-    for df in chosen[1:]:
-        ring_homes = ring_homes.unionByName(df)
-    leftover = leftovers[0]
-    for df in leftovers[1:]:
-        leftover = leftover.unionByName(df)
-    return ring_homes, leftover
+    Closed form, not a loop: the doubling sequence has ≤ log2(max_radius)+1
+    members, so ALL candidate radii are examined in ONE declarative plan
+    (explode t → ring cells → count ≥ need → min t). Semantically identical
+    to iterative widening, but zero driver-side round trips — the old loop
+    paid one localCheckpoint + isEmpty job per iteration (~1-2 s each of
+    fixed overhead here, and a full cluster-wide barrier per round at
+    scale)."""
+    t_hi = max(max_radius, 1).bit_length()
+    r_of_t = F.expr("radius * shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))")
+    radii = (
+        homes.withColumn("t", F.explode(F.sequence(F.lit(0), F.lit(t_hi))))
+        .withColumn("r", r_of_t)
+        .filter(F.col("r") <= max_radius)
+    )
+    # materialized: best_t is (queries × resolutions) rows and feeds BOTH the
+    # chosen-side candidate broadcast and the fallback anti-join broadcast —
+    # without this the ring-count aggregation runs once per consumer
+    best_t = (
+        ring_cells(radii, F.col("r"), extra=("t",))
+        .join(cell_counts, "cell_id")
+        .groupBy("query_id", "res", "t")
+        .agg(F.sum("n_in_cell").alias("n_cand"))
+        .filter(F.col("n_cand") >= need)
+        .groupBy("query_id", "res")
+        .agg(F.min("t").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    chosen = (
+        homes.join(best_t, ["query_id", "res"])
+        .withColumn("radius", r_of_t)
+        .drop("t")
+    )
+    leftover = homes.join(best_t, ["query_id", "res"], "left_anti")
+    return chosen, leftover
 
 
 def cell_pruned_knn(
@@ -208,12 +215,15 @@ def cell_pruned_knn(
     """Approximate kNN restricted to each query's cell neighborhood, with
     recall-safe adaptive ring widening (SURVEY.md §7 hard-point e).
 
-    Per (query, resolution), the neighborhood ring doubles (1, 2, 4, ...,
-    max_radius) until it holds ≥ oversample×top_k candidate nodes (the
+    Per (query, resolution), the smallest ring of the doubling sequence
+    (r0, 2r0, 4r0, ..., ≤ max_radius) holding ≥ oversample×top_k candidate
+    nodes is selected in one declarative pass (_choose_radii; the
     oversampling buys back recall lost to the 2D projection); queries still
     short at max_radius fall back to an exact scan of that resolution's
     nodes — the operator can never return fewer than top_k results while a
-    full level exists, closing the silent tile-boundary recall hole.
+    full level exists, closing the silent tile-boundary recall hole. No
+    per-iteration driver round trips: one cell-counts materialization, one
+    metadata-scale density collect, then a single declarative plan.
 
     Approximate BY DESIGN for full-embedding-space metrics: candidates are
     pruned by 2D tile locality but ranked by ``distance_metric`` in the
@@ -231,22 +241,29 @@ def cell_pruned_knn(
         nodes.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(eager=True)
     )
     need = oversample * top_k
-    homes = query_homes(queries, resolutions, dim).withColumn(
-        "radius", _initial_radius(cell_counts, resolutions, need, max_radius)
+    # materialize the tiny homes table (queries × resolutions rows of plain
+    # ints): query_homes embeds the 64-term projection fold, and threading
+    # that expression tree through the ring explodes/filters below multiplies
+    # it ~6x per reference — measured as minutes of driver-side Catalyst
+    # optimization. Checkpointing cuts the lineage to flat integer columns.
+    homes = (
+        query_homes(queries, resolutions, dim)
+        .withColumn("radius", _initial_radius(cell_counts, resolutions, need, max_radius))
+        .localCheckpoint(eager=True)
     )
-    ring_homes, pending = _widen_to_count(homes, cell_counts, need, max_radius)
+    ring_homes, pending = _choose_radii(homes, cell_counts, need, max_radius)
     cand = ring_cells(ring_homes, F.col("radius")).select("query_id", "cell_id")
     pruned = nodes.join(F.broadcast(cand), "cell_id")
 
-    if not pending.isEmpty():
-        # exact fallback: scan every node at that resolution for the
-        # stragglers — guaranteed ≥ top_k, bounded to (few queries) × (one
-        # resolution's nodes)
-        node_res = F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT).cast("long")
-        fb = nodes.withColumn("res", node_res).join(
-            F.broadcast(pending.select("query_id", "res")), "res"
-        ).drop("res")
-        pruned = pruned.unionByName(fb.select(*pruned.columns))
+    # exact fallback: scan every node at that resolution for never-satisfied
+    # (query, res) pairs — guaranteed ≥ top_k, bounded to (few queries) ×
+    # (one resolution's nodes). Composed declaratively (empty when all
+    # queries satisfied) so the whole operator stays ONE Spark action.
+    node_res = F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT).cast("long")
+    fb = nodes.withColumn("res", node_res).join(
+        F.broadcast(pending.select("query_id", "res")), "res"
+    ).drop("res")
+    pruned = pruned.unionByName(fb.select(*pruned.columns))
 
     scored = pruned.join(F.broadcast(queries), "query_id").withColumn(
         "dist", _distance(dim, distance_metric)
@@ -299,7 +316,7 @@ def grid_knn(
     cell_counts = pts.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(
         eager=True
     )
-    ring_homes, pending = _widen_to_count(
+    ring_homes, pending = _choose_radii(
         homes.select("query_id", "res", "ix", "iy").withColumn(
             "radius", _initial_radius(cell_counts, [res], k, max_radius)
         ),
@@ -307,11 +324,11 @@ def grid_knn(
         k,
         max_radius,
     )
-    if not pending.isEmpty():
-        # fewer than k points inside max_radius: take the whole grid
-        ring_homes = ring_homes.unionByName(
-            pending.withColumn("radius", F.lit(1 << res))
-        )
+    # fewer than k points inside max_radius: take the whole grid (empty
+    # unless the corpus is tiny — composed declaratively, no isEmpty job)
+    ring_homes = ring_homes.unionByName(
+        pending.withColumn("radius", F.lit(1 << res).cast("long"))
+    )
 
     dist2 = (F.col("qx") - F.col("px")) * (F.col("qx") - F.col("px")) + (
         F.col("qy") - F.col("py")

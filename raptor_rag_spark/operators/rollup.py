@@ -179,6 +179,39 @@ def tile_stats(nodes: DataFrame, round_to: int = 6) -> DataFrame:
     )
 
 
+def tile_vectorize(nodes: DataFrame, round_to: int = 6) -> DataFrame:
+    """Raster→vector export: one row per (level, cell) with the cell's
+    boundary square (closed-form from the cell-id bit layout, same geometry
+    as pipjoin.cell_polygons) and its raster-band values from tile_stats.
+    This is the vector half of the raster↔vector rollup pair — tile_stats
+    aggregates points into per-cell bands (rasterize); this emits each cell
+    back out as a polygon feature carrying those bands (vectorize). Flat
+    (x0, y0, x1, y1) corners rather than a nested ring so downstream sinks
+    and the oracle hash stay on scalar columns; all geometry is JVM bit
+    arithmetic — no UDF, no shuffle beyond the tile_stats aggregation."""
+    from ..kernels.grid import COORD_BITS, COORD_MASK, RES_SHIFT
+
+    res = F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT)
+    ix = F.shiftrightunsigned(F.col("cell_id"), COORD_BITS).bitwiseAND(F.lit(COORD_MASK))
+    iy = F.col("cell_id").bitwiseAND(F.lit(COORD_MASK))
+    size = F.lit(1.0) / F.pow(F.lit(2.0), res.cast("double"))
+    return tile_stats(nodes, round_to).select(
+        "level",
+        "cell_id",
+        res.cast("long").alias("res"),
+        (ix.cast("double") * size).alias("x0"),
+        (iy.cast("double") * size).alias("y0"),
+        ((ix.cast("double") + F.lit(1.0)) * size).alias("x1"),
+        ((iy.cast("double") + F.lit(1.0)) * size).alias("y1"),
+        "n",
+        "token_sum",
+        "token_avg",
+        "centroid_x",
+        "centroid_y",
+        "leaf_sum",
+    )
+
+
 def level_stats(nodes: DataFrame) -> DataFrame:
     """Per-layer tree stats incl. compression ratio vs leaf tokens
     (reference: benchmarks/run_compression.py:30-57)."""

@@ -36,7 +36,7 @@ from ..operators import textops as T
 from ..operators.core import with_embedding
 from ..operators.knn import cell_pruned_knn, collapsed_knn, retrieval_context
 from ..operators.pipjoin import pip_join, soft_assignments
-from ..operators.rollup import level_stats, tile_stats
+from ..operators.rollup import level_stats, tile_stats, tile_vectorize
 from ..operators.traverse import traversal_retrieve
 
 DIM = 64  # driver testdata embeddings dim (embeddings.parquet)
@@ -1125,16 +1125,20 @@ def _sql_collapsed_knn(top_k: int, max_tokens: int | None, level_filter: str = "
         if max_tokens is not None
         else f"WHERE rank <= {top_k}"
     )
+    # the 64-dim unrolled cosine appears ONCE in a materialized CTE — inlined
+    # twice (dist + ORDER BY) it blows up DuckDB's planner (see _sql_traversal)
     return f"""
 SELECT query_id, node_id, level, rank, dist, text, token_count FROM (
   SELECT *, CAST(sum(token_count) OVER (PARTITION BY query_id ORDER BY dist, node_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
   FROM (
-    SELECT q.query_id, n.node_id, n.level, n.text, n.token_count,
-           (1.0 - {cos}) AS dist,
-           row_number() OVER (PARTITION BY q.query_id ORDER BY (1.0 - {cos}), n.node_id) AS rank
-    FROM {_NODES_PQ} n, {_QUERIES_PQ} q
-    {level_filter}
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, node_id) AS rank
+    FROM (
+      SELECT q.query_id, n.node_id, n.level, n.text, n.token_count,
+             (1.0 - {cos}) AS dist
+      FROM {_NODES_PQ} n, {_QUERIES_PQ} q
+      {level_filter}
+    )
   )
 ) {budget}
 """
@@ -1302,6 +1306,33 @@ SELECT level, cell_id, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_y,
        CAST(sum(n_leaves) AS BIGINT) AS leaf_sum
 FROM {_NODES_PQ} GROUP BY level, cell_id
+"""
+
+
+def q_tree_tile_vectorize(spark, sf_dir):
+    """Raster→vector export of the tile tree: per-(level, cell) boundary
+    square + raster bands (the vector half of the raster↔vector rollup pair;
+    geometry is closed-form bit arithmetic, exact oracle over the dump)."""
+    return tile_vectorize(_tree(spark, sf_dir))
+
+
+SQL_TREE_TILE_VECTORIZE = f"""
+WITH bands AS ({SQL_TREE_TILE_STATS}),
+geom AS (
+  SELECT cell_id,
+         cell_id >> {G.RES_SHIFT} AS res,
+         (cell_id >> {G.COORD_BITS}) & {G.COORD_MASK_LIT} AS ix,
+         cell_id & {G.COORD_MASK_LIT} AS iy,
+         1.0 / power(2.0, CAST(cell_id >> {G.RES_SHIFT} AS DOUBLE)) AS size
+  FROM (SELECT DISTINCT cell_id FROM bands)
+)
+SELECT b.level, b.cell_id, g.res,
+       CAST(g.ix AS DOUBLE) * g.size AS x0,
+       CAST(g.iy AS DOUBLE) * g.size AS y0,
+       (CAST(g.ix AS DOUBLE) + 1.0) * g.size AS x1,
+       (CAST(g.iy AS DOUBLE) + 1.0) * g.size AS y1,
+       b.n, b.token_sum, b.token_avg, b.centroid_x, b.centroid_y, b.leaf_sum
+FROM bands b JOIN geom g USING (cell_id)
 """
 
 
@@ -1560,6 +1591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tree build + retrieval (exact twins over the tree dump)
     "tree_level_stats": q_tree_level_stats,
     "tree_tile_stats": q_tree_tile_stats,
+    "tree_tile_vectorize": q_tree_tile_vectorize,
     "tree_collapsed_knn": q_tree_collapsed_knn,
     "tree_cell_knn": q_tree_cell_knn,
     "cell_knn_recall": q_cell_knn_recall,
@@ -1617,6 +1649,7 @@ ORACLES: dict[str, str] = {
     # tree family — exact twins over the engine's own parquet dump
     "tree_level_stats": SQL_TREE_LEVEL_STATS,
     "tree_tile_stats": SQL_TREE_TILE_STATS,
+    "tree_tile_vectorize": SQL_TREE_TILE_VECTORIZE,
     "tree_collapsed_knn": _sql_collapsed_knn(10, 3500),
     "tree_flat_knn": _sql_collapsed_knn(5, 3500, "WHERE n.level = 0"),
     "tree_cell_knn": _sql_cell_knn(10, 3500),

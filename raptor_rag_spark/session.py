@@ -82,6 +82,16 @@ def get_spark(
         shm_dir = "/dev/shm/spark-local"
         os.makedirs(shm_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", shm_dir)
+    # profiling knob: SPARK_GRAFT_EVENTLOG=1 writes uncompressed event logs
+    # (the round-1/2 profiling discipline — parse stage walls per job group)
+    if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+        ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events")
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", ev_dir)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
