@@ -52,3 +52,33 @@ def normalize_texts(docs: DataFrame, col: str = "text", prefix_len: int = 80) ->
         "doc_id",
         G.normalize_answer_col(F.substring(col, 1, prefix_len)).alias("normalized"),
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    clusters: DataFrame,
+    min_quality: float = 0.48,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """End-to-end training-corpus curation — the composition a 100-TB
+    pipeline actually runs: near-dup keep-list (connected-components
+    canonical resolution) ∩ language filter ∩ quality gate, with token
+    counts for downstream budget accounting.
+
+    One anti-join (broadcast of the small drop set) + pure JVM expression
+    filters fused into the scan — the language/quality predicates are
+    Catalyst-pushable, so at scale the dropped rows never leave the
+    executors. All arithmetic comes from the sqlgen twins, so the whole
+    composite has an exact DuckDB oracle."""
+    from .dedup import apply_dedup
+
+    kept = apply_dedup(docs, clusters)
+    out = kept.select(
+        "doc_id",
+        G.lang_id_cols(F.col("text")).alias("lang_guess"),
+        F.round(G.quality_score_cols(F.col("text")), 6).alias("quality"),
+        G.token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    return out.filter(
+        F.col("lang_guess").isin(*langs) & (F.col("quality") >= F.lit(min_quality))
+    )

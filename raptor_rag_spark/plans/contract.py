@@ -537,6 +537,32 @@ WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation (the LLM-data-pipeline composite): near-dup
+    keep-list ∩ lang filter ∩ quality gate + token counts — one broadcast
+    anti-join plus scan-fused JVM predicates (operators/textops.curate_corpus)."""
+    docs = ld(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(D.minhash_band_pairs(docs))
+    return T.curate_corpus(docs, clusters)
+
+
+def _sql_curate_corpus() -> str:
+    return f"""
+WITH comp AS ({_sql_dedup_components()}),
+kept AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+)
+SELECT doc_id, lang_guess, quality, n_tokens FROM (
+  SELECT doc_id,
+         {G.lang_id_sql("text")} AS lang_guess,
+         round({G.quality_score_sql("text")}, 6) AS quality,
+         {G.token_count_sql("text")} AS n_tokens
+  FROM kept
+) WHERE lang_guess IN ('en') AND quality >= 0.48
+"""
+
+
 # --------------------------------------------------------------------------
 # spatial / similarity over the embeddings table
 # --------------------------------------------------------------------------
@@ -1565,6 +1591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup": q_emb_neardup,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
+    "curate_corpus": q_curate_corpus,
     # spatial / similarity
     "emb_cells": q_emb_cells,
     "emb_tile_rollup": q_emb_tile_rollup,
@@ -1626,6 +1653,7 @@ ORACLES: dict[str, str] = {
     "emb_neardup": _sql_emb_neardup(),
     "dedup_clusters": _sql_dedup_components(),
     "dedup_keep": _sql_dedup_keep(),
+    "curate_corpus": _sql_curate_corpus(),
     "emb_cells": _sql_emb_cells(),
     "emb_tile_rollup": _sql_emb_tile_rollup(),
     "emb_topk": _sql_emb_topk(),
