@@ -231,6 +231,47 @@ FROM (
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join: each purchase attributed to the user's latest
+    prior (or same-instant) click — union + ordered-window carry, ONE shuffle
+    on the key, no range-join explosion (operators/asof.asof_join). The
+    oracle is DuckDB's NATIVE ASOF JOIN: two independent algorithms must
+    agree row-for-row."""
+    from ..operators.asof import asof_join
+
+    e = ld(spark, sf_dir, "events")
+    out = asof_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        key="user_id",
+        ts_col="ts",
+        left_cols=("event_id", "value"),
+        right_cols=("event_id", "value"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "event_id",
+        "value",
+        F.date_format("ts_r", fmt).alias("ts_r"),
+        F.col("event_id_r"),
+        F.col("value_r"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       l.event_id, l.value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_r,
+       r.event_id AS event_id_r, r.value AS value_r
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -1574,6 +1615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumulative_budget": q_cumulative_budget,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_asof": q_events_asof,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -1638,6 +1680,7 @@ ORACLES: dict[str, str] = {
     "cumulative_budget": SQL_CUMBUDGET,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_SESSIONIZE,
+    "events_asof": SQL_EVENTS_ASOF,
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -266,3 +266,27 @@ def test_cell_pruned_knn_returns_topk_in_sparse_grid(spark, leaves):
     ).select("query_id", F.col("embedding").alias("q_embedding"))
     out = cell_pruned_knn(leaves, queries, {0: 6}, top_k=10, max_tokens=None)
     assert out.count() == 10
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ts' <= ts per key, inclusive at equal ts,
+    NULL when no prior right row. Oracle cross-check: DuckDB native ASOF."""
+    from raptor_rag_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 20, 101, 2.0), (2, 5, 102, 3.0)],
+        "user_id long, t long, event_id long, value double",
+    ).selectExpr("user_id", "timestamp_micros(t * 1000000) AS ts", "event_id", "value")
+    right = spark.createDataFrame(
+        [(1, 10, 200, 9.0), (1, 15, 201, 8.0), (1, 25, 202, 7.0), (3, 1, 203, 6.0)],
+        "user_id long, t long, event_id long, value double",
+    ).selectExpr("user_id", "timestamp_micros(t * 1000000) AS ts", "event_id", "value")
+
+    rows = {
+        r["event_id"]: (r["event_id_r"], r["value_r"])
+        for r in asof_join(
+            left, right, key="user_id", ts_col="ts",
+            left_cols=("event_id", "value"), right_cols=("event_id", "value"),
+        ).collect()
+    }
+    assert rows[100] == (200, 9.0)  # same-instant right row matches (inclusive)
+    assert rows[101] == (201, 8.0)  # latest prior, not the later one
+    assert rows[102] == (None, None)  # no right rows for key 2
