@@ -245,6 +245,68 @@ def dist_sql(a: str, b: str, dim: int, metric: str = "cosine") -> str:
     raise _unsupported(metric)
 
 
+# ---------------------------------------------------------------- twin exp (x <= 0)
+# A transcendental that is bit-identical across engines BY CONSTRUCTION: the
+# builtin exp() differs between the JVM and libm in the last ulp, so instead we
+# evaluate the same finite sequence of IEEE +,*,/ ops on both sides —
+# Cody-Waite range reduction (x = k*ln2 + f, |f| <= ln2/2, the hi/lo split
+# keeps k*LN2_HI exact) followed by a degree-12 Horner Taylor polynomial and a
+# 2^k scale. power(2.0, k) is exact for integral k in every IEEE libm.
+# Verified bit-identical Spark / DuckDB / numpy-scalar over a 7k-value sweep
+# (tests/test_sqlgen_exp.py); relative error vs true exp < 4e-16. Domain:
+# x <= 0 (the softmax-stabilized case); x < -700 clamps to 0.0 (underflow
+# guard) on both sides.
+#
+# NOTE for oracle SQL: the argument expression is inlined ~40 times in the
+# Horner form — pass a plain column reference (materialize the argument in a
+# CTE first), never a large expression, or DuckDB's planner blows up.
+
+_EXP_INV_LN2 = 1.4426950408889634
+_EXP_LN2_HI = 0.6931471803691238
+_EXP_LN2_LO = 1.9082149292705877e-10
+_EXP_COEF = [1.0]
+_f = 1.0
+for _n in range(1, 13):
+    _f *= _n
+    _EXP_COEF.append(1.0 / _f)
+del _f, _n
+
+
+def exp_col(x: Column) -> Column:
+    """Twin exp for x <= 0 as a Spark Column (see block comment above)."""
+    k = F.floor(x * F.lit(_EXP_INV_LN2) + F.lit(0.5)).cast("double")
+    fe = (x - k * F.lit(_EXP_LN2_HI)) - k * F.lit(_EXP_LN2_LO)
+    p = F.lit(_EXP_COEF[12])
+    for c in reversed(_EXP_COEF[:12]):
+        p = p * fe + F.lit(c)
+    return F.when(x < F.lit(-700.0), F.lit(0.0)).otherwise(p * F.pow(F.lit(2.0), k))
+
+
+def exp_sql(x: str) -> str:
+    """Twin exp for x <= 0 as DuckDB SQL. ``x`` MUST be a simple column ref."""
+    k = f"CAST(floor(({x}) * {_EXP_INV_LN2!r} + 0.5) AS BIGINT)"
+    kd = f"CAST({k} AS DOUBLE)"
+    fe = f"((({x}) - {kd} * {_EXP_LN2_HI!r}) - {kd} * {_EXP_LN2_LO!r})"
+    p = f"{_EXP_COEF[12]!r}"
+    for c in reversed(_EXP_COEF[:12]):
+        p = f"({p} * {fe} + {c!r})"
+    return f"CASE WHEN ({x}) < -700.0 THEN 0.0 ELSE {p} * power(2.0, {kd}) END"
+
+
+def exp_py(x: float) -> float:
+    """Twin exp as a Python scalar — the kernel-side reference implementation."""
+    import math
+
+    if x < -700.0:
+        return 0.0
+    k = float(math.floor(x * _EXP_INV_LN2 + 0.5))
+    fe = (x - k * _EXP_LN2_HI) - k * _EXP_LN2_LO
+    p = _EXP_COEF[12]
+    for c in reversed(_EXP_COEF[:12]):
+        p = p * fe + c
+    return p * (2.0**k)
+
+
 # ---------------------------------------------------------------- shingles / minhash / simhash
 
 def shingles_col(col: Column, n: int = SHINGLE_N) -> Column:

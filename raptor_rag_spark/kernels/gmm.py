@@ -129,6 +129,84 @@ def gmm_cluster(embeddings: np.ndarray, threshold: float, random_state: int = 0)
     return labels, n_clusters
 
 
+def perform_clustering_export(
+    embeddings: np.ndarray, dim: int, threshold: float
+) -> tuple[list[dict], list[dict]]:
+    """Same control flow as ``perform_clustering``, but instead of label
+    arrays it exports the *final* model state so the soft-assignment step can
+    be recomputed as a distributed dataflow (and by a DuckDB oracle) from a
+    parquet dump of these rows:
+
+    - point rows: one per (row, global-cluster membership g) with that row's
+      local reduced coordinates (``perform_clustering`` assigns within g from
+      ``reduce_embeddings(members, dim)``).
+    - param rows: one per final local cluster with the global-offset final
+      ``cluster_id``, ``log_norm`` = log w_j - 0.5*(d log 2π + Σ log var_jd),
+      the mean vector, and ``nhiv`` = -0.5/var (so the joint log prob is
+      log_norm + Σ_d (x_d-μ_d)² · nhiv_d, matching ``DiagGMM._log_prob``).
+
+    Trivial fits (n ≤ dim+1 globally or locally — ``perform_clustering``'s
+    single-cluster fallbacks) export log_norm=0.0 with empty mean/nhiv and
+    empty point coords: the quadratic form folds to 0, exp(0-0)=1, and the
+    softmax assigns every member to that cluster — same labels, same algebra.
+    """
+    embeddings = np.asarray(embeddings, dtype=np.float64)
+    n = len(embeddings)
+    points: list[dict] = []
+    params: list[dict] = []
+
+    def _trivial(g: int, cluster_id: int, member_rows) -> None:
+        params.append(
+            {"g": g, "cluster_id": cluster_id, "log_norm": 0.0, "mean": [], "nhiv": []}
+        )
+        for row in member_rows:
+            points.append({"g": g, "row": int(row), "coords": []})
+
+    if n <= dim + 1:
+        _trivial(0, 0, range(n))
+        return points, params
+
+    reduced_global = reduce_embeddings(embeddings, min(dim, n - 2))
+    global_labels, n_global = gmm_cluster(reduced_global, threshold)
+
+    total = 0
+    for g in range(n_global):
+        member_idx = np.array([i for i in range(n) if g in global_labels[i]], dtype=np.int64)
+        if len(member_idx) == 0:
+            continue
+        members = embeddings[member_idx]
+        if len(members) <= dim + 1:
+            _trivial(g, total, member_idx)
+            total += 1
+            continue
+        reduced_local = reduce_embeddings(members, dim)
+        # mirror gmm_cluster exactly: BIC scan seeded RANDOM_SEED, final fit seed 0
+        n_local = get_optimal_clusters(reduced_local)
+        gm = DiagGMM(n_local, random_state=0).fit(reduced_local)
+        log_norms = (
+            np.log(gm.weights_ + 1e-300)
+            - 0.5
+            * (
+                reduced_local.shape[1] * np.log(2 * np.pi)
+                + np.log(gm.var_).sum(axis=1)
+            )
+        )
+        for j in range(n_local):
+            params.append(
+                {
+                    "g": g,
+                    "cluster_id": total + j,
+                    "log_norm": float(log_norms[j]),
+                    "mean": [float(v) for v in gm.means_[j]],
+                    "nhiv": [float(v) for v in (-0.5 / gm.var_[j])],
+                }
+            )
+        for pos, row in enumerate(member_idx):
+            points.append({"g": g, "row": int(row), "coords": [float(v) for v in reduced_local[pos]]})
+        total += n_local
+    return points, params
+
+
 def perform_clustering(embeddings: np.ndarray, dim: int, threshold: float) -> list[np.ndarray]:
     """Global reduce+GMM, then local reduce+GMM per global cluster; returns
     one label array per input row (reference: cluster_utils.py:55-87)."""

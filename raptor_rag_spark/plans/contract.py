@@ -1095,19 +1095,40 @@ FROM documents
 """
 
 
-def q_gmm_cluster(spark, sf_dir):
-    """Reference RaptorClustering contract (cluster_utils.py:90-126) as a
-    grouped distributed kernel over coarse cells — rows-only check."""
-    from ..operators.cluster import gmm_soft_cluster
+def _gmm_dump(spark, sf_dir):
+    """EM fit per coarse cell (numpy kernel), final model state dumped to
+    parquet and read back — both engines consume identical bits (same pattern
+    as the tree dumps)."""
+    key = (id(spark), sf_dir, "gmm")
+    if key not in _TREE_CACHE:
+        from ..operators.cluster import gmm_fit_export
 
-    e = ld(spark, sf_dir, "embeddings")
-    x, y = G.xy_cols(F.col("embedding"), DIM)
-    pts = e.select(
-        F.col("vec_id").alias("node_id"),
-        "embedding",
-        G.cell_col(x, y, 2).alias("cell_id"),
+        e = ld(spark, sf_dir, "embeddings")
+        x, y = G.xy_cols(F.col("embedding"), DIM)
+        pts = e.select(
+            F.col("vec_id").alias("node_id"),
+            "embedding",
+            G.cell_col(x, y, 2).alias("cell_id"),
+        )
+        dump = gmm_fit_export(pts, reduction_dimension=4)
+        path = _dump_path("gmm", sf_dir)
+        dump.write.mode("overwrite").parquet(path)
+        _TREE_CACHE[key] = spark.read.parquet(path).cache()
+    return _TREE_CACHE[key]
+
+
+def q_gmm_cluster(spark, sf_dir):
+    """Reference RaptorClustering contract (cluster_utils.py:90-126) split
+    into per-cell EM fit (kernel → parquet dump) + distributed twin-arithmetic
+    soft assignment, giving the GMM family an exact DuckDB oracle."""
+    from ..operators.cluster import gmm_assign_from_params
+
+    raw = _gmm_dump(spark, sf_dir)
+    points = raw.where(F.col("kind") == "pt").select("group_key", "node_id", "g", "coords")
+    params = raw.where(F.col("kind") == "pm").select(
+        "group_key", "g", "cluster_id", "log_norm", "mean", "nhiv"
     )
-    return gmm_soft_cluster(pts, reduction_dimension=4)
+    return gmm_assign_from_params(points, params, threshold=0.1)
 
 
 def q_tree_flat_knn(spark, sf_dir):
@@ -1512,6 +1533,45 @@ FROM res GROUP BY query_id
 """
 
 
+_GMM_PQ = "read_parquet('/root/repo/.tree_dumps/sf0.01_gmm/*.parquet')"
+
+
+def _sql_gmm_cluster(threshold: float = 0.1) -> str:
+    """Twin of operators.cluster.gmm_assign_from_params over the gmm dump:
+    left-assoc quadratic-form fold (list_transform + list_reduce), stabilized
+    softmax with sqlgen's by-construction-identical exp, threshold decided as
+    e > t·Σe with the Σ folded in cluster_id order. Every float op mirrors the
+    Spark column expressions bit-for-bit; the exp argument is materialized in
+    a CTE first (its Horner form inlines the argument ~40×)."""
+    quad = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(p.coords) + 1), "
+        "i -> ((p.coords[i] - m.mean[i]) * (p.coords[i] - m.mean[i])) * m.nhiv[i])), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+WITH raw AS (SELECT * FROM {_GMM_PQ}),
+pt AS (SELECT group_key, g, node_id, coords FROM raw WHERE kind = 'pt'),
+pm AS (SELECT group_key, g, cluster_id, log_norm, mean, nhiv FROM raw WHERE kind = 'pm'),
+nc AS (SELECT group_key, CAST(count(*) AS INT) AS n_clusters FROM pm GROUP BY group_key),
+s AS MATERIALIZED (
+  SELECT p.group_key, p.node_id, p.g, m.cluster_id, m.log_norm + {quad} AS s
+  FROM pt p JOIN pm m ON p.group_key = m.group_key AND p.g = m.g),
+d AS MATERIALIZED (
+  SELECT s.group_key, s.node_id, s.g, s.cluster_id, s.s - mx.mx AS d
+  FROM s JOIN (SELECT group_key, node_id, g, max(s) AS mx FROM s GROUP BY 1, 2, 3) mx
+  USING (group_key, node_id, g)),
+ev AS MATERIALIZED (
+  SELECT group_key, node_id, g, cluster_id, {G.exp_sql('d')} AS e FROM d),
+tot AS (
+  SELECT group_key, node_id, g,
+         list_reduce(list_prepend(0.0, list(e ORDER BY cluster_id)), (a, b) -> a + b) AS tot
+  FROM ev GROUP BY 1, 2, 3)
+SELECT ev.group_key, ev.node_id, ev.cluster_id, nc.n_clusters
+FROM ev JOIN tot USING (group_key, node_id, g) JOIN nc USING (group_key)
+WHERE ev.e > {threshold!r} * tot.tot
+"""
+
+
 _PAGES_PQ = "read_parquet('/root/repo/.tree_dumps/pages/*.parquet')"
 
 
@@ -1717,6 +1777,7 @@ ORACLES: dict[str, str] = {
     "rouge_l": _sql_rouge_l(),
     "meteor": _sql_meteor(),
     "stream_events_hourly": SQL_EVENTS_HOURLY,
+    "gmm_cluster": _sql_gmm_cluster(),
     # tree family — exact twins over the engine's own parquet dump
     "tree_level_stats": SQL_TREE_LEVEL_STATS,
     "tree_tile_stats": SQL_TREE_TILE_STATS,
