@@ -1146,6 +1146,15 @@ def q_stream_events_hourly(spark, sf_dir):
     return stream_events_hourly(spark, sf_dir)
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState): per-user
+    (last_epoch, session) state across micro-batches — must equal the batch
+    lag+cumulative-window twin (SQL_SESSIONIZE) exactly."""
+    from ..streaming.events_stream import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # tree build + retrieval (Python-kernel embeddings → exact twins via the
 # parquet-dump pattern; only gmm_cluster stays rows-only)
@@ -1717,6 +1726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gmm_cluster": q_gmm_cluster,
     "tree_flat_knn": q_tree_flat_knn,
     "stream_events_hourly": q_stream_events_hourly,
+    "stream_sessionize": q_stream_sessionize,
     # tree build + retrieval (exact twins over the tree dump)
     "tree_level_stats": q_tree_level_stats,
     "tree_tile_stats": q_tree_tile_stats,
@@ -1777,6 +1787,7 @@ ORACLES: dict[str, str] = {
     "rouge_l": _sql_rouge_l(),
     "meteor": _sql_meteor(),
     "stream_events_hourly": SQL_EVENTS_HOURLY,
+    "stream_sessionize": SQL_SESSIONIZE,
     "gmm_cluster": _sql_gmm_cluster(),
     # tree family — exact twins over the engine's own parquet dump
     "tree_level_stats": SQL_TREE_LEVEL_STATS,

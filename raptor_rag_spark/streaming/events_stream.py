@@ -74,3 +74,92 @@ def stream_events_hourly(
             f"(query {sink}); result would be partial"
         )
     return spark.table(sink)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    timeout_s: int = 300,
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization as a REAL stateful streaming operator
+    (applyInPandasWithState): per-user state carries (last event epoch,
+    current session ordinal) across micro-batches, so sessions spanning
+    batch boundaries are stitched correctly — the semantics the batch twin
+    (contract query ``events_sessionize``) expresses with lag + cumulative
+    windows. Drained with Trigger.AvailableNow; output (user_id, event_id,
+    session_id) must equal the batch twin exactly.
+
+    ``source_dir``/``max_files_per_trigger`` let tests feed a multi-file copy
+    of the events table in several micro-batches (files must be ordered by
+    event time per user, which is how a log source delivers them); by default
+    the single events.parquet drains in one batch.
+
+    Scale shape: state is two longs per user key, partitioned by user_id —
+    the standard streaming-aggregation layout; watermark-less NoTimeout state
+    is fine here because the key space is the user population.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(batch_schema).format("parquet")
+    if source_dir is None:
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    else:
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        # latestFirst=False (default) + one file per trigger = time-ordered batches
+        stream = reader.load(source_dir)
+
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        last_epoch, session = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            epochs = pdf["ts"].astype("int64") // 1_000_000_000
+            sess = []
+            for e in epochs:
+                if last_epoch is None or e - last_epoch > gap_s:
+                    session += 1
+                sess.append(session)
+                last_epoch = int(e)
+            out.append(
+                pd.DataFrame(
+                    {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "session_id": sess}
+                )
+            )
+        state.update((last_epoch, session))
+        yield from out
+
+    result = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id LONG, event_id LONG, session_id LONG",
+            stateStructType="last_epoch LONG, session LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"sessionize_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s "
+            f"(query {sink}); result would be partial"
+        )
+    return spark.table(sink)

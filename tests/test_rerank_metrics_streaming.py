@@ -99,3 +99,40 @@ def test_frame_sample_indices():
     assert frame_sample_indices(100, 4) == [0, 25, 50, 75]
     assert frame_sample_indices(3, 10) == [0, 1, 2]
     assert frame_sample_indices(0, 4) == []
+
+
+def test_stateful_sessionize_stitches_across_batches(spark, tmp_path):
+    """Cross-batch state carry: the events table split into two time-ordered
+    files, drained one file per micro-batch, must equal both the single-batch
+    drain and the batch lag+window twin — sessions spanning the batch
+    boundary are stitched by the (last_epoch, session) state."""
+    from raptor_rag_spark.plans.contract import q_events_sessionize
+    from raptor_rag_spark.streaming.events_stream import stream_sessionize
+
+    batch = q_events_sessionize(spark, SF).toPandas()
+
+    events = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "_epoch", F.col("ts").cast("timestamp_ltz").cast("long")
+    )
+    cut = events.approxQuantile("_epoch", [0.5], 0.0)[0]
+    src = tmp_path / "events_src"
+    early = events.where(F.col("_epoch") <= cut).drop("_epoch").coalesce(1)
+    late = events.where(F.col("_epoch") > cut).drop("_epoch").coalesce(1)
+    early.write.parquet(str(src / "b0"))
+    import time
+
+    time.sleep(1.1)  # file-source ordering is by modification time
+    late.write.parquet(str(src / "b1"))
+
+    out = stream_sessionize(
+        spark, SF, source_dir=str(src) + "/*/", max_files_per_trigger=1
+    ).toPandas()
+
+    key = ["user_id", "event_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = out[batch.columns].sort_values(key).reset_index(drop=True)
+    assert b.equals(s)
+    # the split genuinely crosses sessions: some user has events in both halves
+    ep = events.toPandas()
+    both = ep.groupby("user_id")["_epoch"].agg(["min", "max"])
+    assert ((both["min"] <= cut) & (both["max"] > cut)).any()
