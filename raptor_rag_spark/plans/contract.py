@@ -1614,6 +1614,54 @@ FROM {_PAGES_PQ}
 """
 
 
+def q_pages_host_stats(spark, sf_dir):
+    """Per-host crawl rollup (webtext curation surface): regexp URL parse +
+    one skew-safe groupBy with map-side combine (operators/webops.py)."""
+    from ..operators.webops import host_stats
+
+    return host_stats(_pages(spark))
+
+
+def q_pages_host_filter(spark, sf_dir):
+    """C4-style domain-quality gate: keep en pages whose host's mean
+    tokens-per-page >= 40 (broadcast per-host table back onto pages)."""
+    from ..operators.webops import host_quality_filter
+
+    return host_quality_filter(_pages(spark), min_avg_tokens=40.0, lang="en")
+
+
+from ..operators.webops import URL_RE as _URL_RE  # noqa: E402
+
+_HOST_SQL = f"regexp_extract(url, '{_URL_RE}', 2)"
+_PAGE_TOKENS_SQL = G.token_count_sql("text")
+
+SQL_PAGES_HOST_STATS = f"""
+SELECT {_HOST_SQL} AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum({_PAGE_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+       strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM {_PAGES_PQ} GROUP BY 1
+"""
+
+SQL_PAGES_HOST_FILTER = f"""
+WITH parsed AS (
+  SELECT url, {_HOST_SQL} AS host, lang, {_PAGE_TOKENS_SQL} AS n_tokens
+  FROM {_PAGES_PQ}
+),
+per_host AS (
+  SELECT host,
+         CAST(sum(CAST(n_tokens AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_tokens
+  FROM parsed GROUP BY host
+)
+SELECT p.url, p.host, p.lang, p.n_tokens, h.avg_tokens AS host_avg_tokens
+FROM parsed p JOIN per_host h ON p.host = h.host
+WHERE h.avg_tokens >= 40.0 AND p.lang = 'en'
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Opaque-binary feature extraction over synthetic pages (generic path;
     mapInPandas over binary + typed metadata) — exact twin recomputes the
@@ -1737,6 +1785,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_traversal": q_tree_traversal,
     "tree_context": q_tree_context,
     "pages_extract": q_pages_extract,
+    "pages_host_stats": q_pages_host_stats,
+    "pages_host_filter": q_pages_host_filter,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -1800,5 +1850,7 @@ ORACLES: dict[str, str] = {
     "tree_context": _sql_tree_context(),
     "tree_traversal": _sql_traversal(),
     "pages_extract": SQL_PAGES_EXTRACT,
+    "pages_host_stats": SQL_PAGES_HOST_STATS,
+    "pages_host_filter": SQL_PAGES_HOST_FILTER,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -136,3 +136,25 @@ def test_stateful_sessionize_stitches_across_batches(spark, tmp_path):
     ep = events.toPandas()
     both = ep.groupby("user_id")["_epoch"].agg(["min", "max"])
     assert ((both["min"] <= cut) & (both["max"] > cut)).any()
+
+
+def test_webops_host_rollup_and_filter(spark):
+    from raptor_rag_spark.operators.webops import host_quality_filter, host_stats, parse_urls
+    from raptor_rag_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300, partitions=4).cache()
+    parsed = parse_urls(pages).toPandas()
+    assert (parsed["scheme"] == "https").all()
+    assert parsed["host"].str.match(r"site\d+\.example\.com").all()
+    assert parsed["path"].str.startswith("/p/").all()
+
+    stats = host_stats(pages).toPandas()
+    assert stats["n_pages"].sum() == 300
+    # Zipf-ish skew is load-bearing: the hottest host dominates the median
+    assert stats["n_pages"].max() >= 5 * stats["n_pages"].median()
+
+    kept = host_quality_filter(pages, min_avg_tokens=40.0, lang="en").toPandas()
+    assert (kept["lang"] == "en").all()
+    assert (kept["host_avg_tokens"] >= 40.0).all()
+    # the gate is per-HOST: a kept page may itself be short
+    assert set(kept["host"]).issubset(set(stats["host"]))
