@@ -16,6 +16,7 @@ Two paths:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -151,3 +152,65 @@ def pip_join(
             yield pdf.loc[keep, [id_col, poly_id_col]]
 
     return pairs.mapInPandas(verify, out_schema).dropDuplicates([id_col, poly_id_col])
+
+
+def dwithin_join(points: DataFrame, d: float, id_col: str = "node_id") -> DataFrame:
+    """All point pairs within euclidean distance ``d`` (ST_DWithin self-join):
+    (id_a, id_b, dist) with id_a < id_b.
+
+    Plan: bucket both sides at the coarsest resolution whose cell size >= d
+    (so a 3×3 neighborhood provably covers the radius — the join is EXACT,
+    not approximate), explode the left side to its 9 candidate cells with
+    inline bit arithmetic, equi-join on the right side's home cell, verify
+    with the exact squared distance. Each surviving pair appears exactly once
+    (the right home cell is unique), so no dedup shuffle. At 100 TB the only
+    shuffle is the equi-join on cell; skewed hot cells are AQE-split, and the
+    candidate count per point is bounded by the 9-cell population, which the
+    resolution choice ties to the radius — not to corpus size.
+
+    The distance test is twin arithmetic ((xa-xb)² + (ya-yb)² < d², then
+    sqrt), so a DuckDB quadratic-join oracle must hash-match exactly: any
+    pair the pruning missed would break the match.
+    """
+    # coarsest res with cell_size = 2^-res >= d; capped by the grid depth
+    res = max(0, min(16, -math.ceil(math.log2(d))) if d < 1.0 else 0)
+    n = 1 << res
+
+    home = G.cell_col(F.col("x"), F.col("y"), res)
+    pts = points.select(id_col, "x", "y").withColumn("home_cell", home)
+    ix = F.shiftrightunsigned(F.col("home_cell"), COORD_BITS).bitwiseAND(F.lit(COORD_MASK))
+    iy = F.col("home_cell").bitwiseAND(F.lit(COORD_MASK))
+
+    cand_cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            jx = ix + F.lit(dx)
+            jy = iy + F.lit(dy)
+            cell = (
+                F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+                .bitwiseOR(F.shiftleft(jx, COORD_BITS))
+                .bitwiseOR(jy)
+            )
+            in_grid = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+            cand_cells.append(F.when(in_grid, cell))
+    left = pts.select(
+        F.col(id_col).alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.filter(F.array(*cand_cells), lambda c: c.isNotNull())).alias("cell"),
+    )
+    right = pts.select(
+        F.col(id_col).alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("home_cell").alias("cell"),
+    )
+    dx2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+    dy2 = (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    d2 = dx2 + dy2
+    return (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(d2 < F.lit(d) * F.lit(d))
+        .select("id_a", "id_b", F.sqrt(d2).alias("dist"))
+    )

@@ -630,6 +630,30 @@ FROM (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings)
 """
 
 
+def q_emb_dwithin(spark, sf_dir):
+    """ST_DWithin self-join in tile space: all vector pairs whose projected
+    points lie within 0.02 — grid-pruned (coarsest cell >= radius, 3×3
+    neighborhood) but provably exact; the oracle is a QUADRATIC DuckDB join,
+    so any pair the pruning dropped breaks the hash."""
+    from ..operators.pipjoin import dwithin_join
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("node_id"), x.alias("x"), y.alias("y"))
+    return dwithin_join(pts, d=0.02)
+
+
+def _sql_emb_dwithin(d: float = 0.02) -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    return f"""
+WITH pts AS MATERIALIZED (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {d!r} * {d!r}
+"""
+
+
 def q_emb_tile_rollup(spark, sf_dir):
     """Per-cell raster-band rollup (A5 shape) with exact decimal centroids."""
     e = ld(spark, sf_dir, "embeddings")
@@ -1753,6 +1777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     # spatial / similarity
     "emb_cells": q_emb_cells,
+    "emb_dwithin": q_emb_dwithin,
     "emb_tile_rollup": q_emb_tile_rollup,
     "emb_topk": q_emb_topk,
     "emb_topk_l1": _q_emb_topk_metric("L1"),
@@ -1818,6 +1843,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep": _sql_dedup_keep(),
     "curate_corpus": _sql_curate_corpus(),
     "emb_cells": _sql_emb_cells(),
+    "emb_dwithin": _sql_emb_dwithin(),
     "emb_tile_rollup": _sql_emb_tile_rollup(),
     "emb_topk": _sql_emb_topk(),
     "emb_topk_l1": _sql_emb_topk_metric("L1"),

@@ -290,3 +290,29 @@ def test_asof_join_semantics(spark):
     assert rows[100] == (200, 9.0)  # same-instant right row matches (inclusive)
     assert rows[101] == (201, 8.0)  # latest prior, not the later one
     assert rows[102] == (None, None)  # no right rows for key 2
+
+
+def test_dwithin_join_exact_vs_bruteforce(spark):
+    """Grid-pruned DWithin must equal the quadratic reference on random
+    points, including pairs that straddle cell boundaries."""
+    from raptor_rag_spark.operators.pipjoin import dwithin_join
+
+    rng = np.random.default_rng(11)
+    xy = rng.random((400, 2))
+    # plant boundary-straddling near pairs around a cell edge (d=0.05 -> res 4,
+    # cell size 1/16 = 0.0625; edge at 0.5)
+    xy = np.vstack([xy, [[0.499, 0.3], [0.501, 0.3], [0.2, 0.4999], [0.2, 0.5001]]])
+    d = 0.05
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)],
+        "node_id long, x double, y double",
+    )
+    got = dwithin_join(pts, d=d).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+
+    diff = xy[:, None, :] - xy[None, :, :]
+    d2 = (diff**2).sum(axis=2)
+    ii, jj = np.nonzero((d2 < d * d) & (np.arange(len(xy))[:, None] < np.arange(len(xy))[None, :]))
+    assert pairs == set(zip(ii.tolist(), jj.tolist()))
+    assert (302, 303) not in pairs  # sanity: planted pairs are the last four ids
+    assert (400, 401) in pairs and (402, 403) in pairs
