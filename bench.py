@@ -147,6 +147,19 @@ def main() -> None:
 
     timed("multimodal_decode", lambda: decode_media_features(synth_media(docs)).count())
 
+    # full-text BM25 (inverted-index postings + twin-ln idf + per-query top-k)
+    from raptor_rag_spark.operators.ranking import bm25_rank
+
+    bq = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(QUERY_TEXTS)], "query_id int, qtext string"
+    )
+    timed(
+        "bm25_rank",
+        lambda: bm25_rank(
+            docs.select("doc_id", "text"), bq, top_k=10, max_df_ratio=(9, 10)
+        ).count(),
+    )
+
     # 6. text analysis sweep
     def _text():
         T.token_counts(docs).agg(F.sum("n_tokens")).collect()

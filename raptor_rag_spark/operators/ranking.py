@@ -1,0 +1,115 @@
+"""Distributed BM25 full-text ranking over the document corpus.
+
+The webtext IR surface the reference's lexical reranker
+(operators/rerank.py; reference integrations score by hit-rate) stops short
+of: a real inverted-index scoring pipeline. Three stages, all JVM
+expressions:
+
+1. postings: explode(words) → (doc_id, term, tf) — one shuffle, map-side
+   combine; document frequency df per term is a second aggregate over it.
+2. corpus stats: N and exact-decimal avgdl broadcast as a 1-row literal.
+3. score: query terms (small, broadcast) equi-join the postings on term;
+   per-term BM25 contribution idf·(tf·(k1+1))/(tf + k1·(1-b+b·dl/avgdl))
+   with idf = ln((N-df+0.5)/(df+0.5)+1) via the sqlgen ln twin; per-(query,
+   doc) scores summed exactly in DECIMAL(28,15) (order-free), ranked by
+   (score desc, doc_id) with a per-query top-k window.
+
+At 100 TB the shuffles are the postings groupBy and the final per-query
+window; the term join broadcasts the QUERY side and hits the postings where
+they live. Hot terms (stopwords) are exactly the ones idf sends to ~0 —
+optionally pre-drop df > df_cap terms to keep the candidate row count
+bounded (same trick as the dedup family's frequency caps).
+
+Every float op is twin-pinned, so the DuckDB oracle hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    df_cap: int | None = None,
+    max_df_ratio: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k docs per query.
+
+    docs: (doc_id, text); queries: (query_id, qtext). ``df_cap`` drops terms
+    whose document frequency exceeds the cap before the join (scale guard for
+    stopword-heavy corpora; None keeps all terms). ``max_df_ratio=(num, den)``
+    is the corpus-relative form of the same guard — keep terms with
+    df·den ≤ N·num (pure-integer comparison, so the cutoff is identical on any
+    engine); e.g. (1, 2) drops terms appearing in more than half the corpus."""
+    words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
+    dl = words.select("doc_id", F.size("ws").cast("double").alias("dl"))
+    postings = (
+        words.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if df_cap is not None:
+        dfreq = dfreq.where(F.col("df") <= df_cap)
+
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.count("*").alias("n_long"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    if max_df_ratio is not None:
+        num, den = max_df_ratio
+        dfreq = (
+            dfreq.join(F.broadcast(stats.select("n_long")))
+            .where(F.col("df") * F.lit(den) <= F.col("n_long") * F.lit(num))
+            .drop("n_long")
+        )
+    stats = stats.drop("n_long")
+
+    qterms = queries.select(
+        "query_id", F.explode(G.words_col(F.col("qtext"))).alias("term")
+    ).distinct()
+
+    idf_arg = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    ) + F.lit(1.0)
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .join(dl, "doc_id")
+        .withColumn("idf_arg", idf_arg)
+    )
+    contrib = G.ln_col(F.col("idf_arg")) * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    scored = (
+        matched.withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -934,6 +934,66 @@ SELECT doc_id, score, rank FROM (
 """
 
 
+BM25_QUERIES = [(0, "spark join merge sort"), (1, "customer order data"), (2, "window agg filter part")]
+
+
+def q_bm25_rank(spark, sf_dir):
+    """Full-text BM25 ranking over the corpus: inverted-index postings +
+    per-query top-k (webtext IR surface beyond the reference's lexical
+    reranker, raptor/reranker.py:31-46). idf's ln comes from the sqlgen twin,
+    scores are decimal-summed — the whole pipeline is hash-exact. Terms in
+    more than 90% of the corpus are dropped (integer-exact relative df cap,
+    the stopword/skew guard; the driver corpus's vocabulary is tiny, with
+    every word in ~78% of docs, so a tighter cap would empty the index)."""
+    from ..operators.ranking import bm25_rank
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return bm25_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
+
+
+def _sql_bm25(top_k: int = 10, ratio: tuple[int, int] = (9, 10)) -> str:
+    from ..operators.ranking import B, K1
+
+    ws = G.words_sql("text")
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    contrib = (
+        f"{G.ln_sql('idf_arg')} * ((tf * {K1 + 1.0!r}) / "
+        f"(tf + {K1!r} * ({1.0 - B!r} + {B!r} * (dl / avgdl))))"
+    )
+    return f"""
+WITH words AS (SELECT doc_id, {ws} AS ws FROM documents),
+dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM words),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM words) GROUP BY doc_id, term),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(count(*) AS BIGINT) AS n_long,
+         CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl),
+dfreq AS (
+  SELECT term, df FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term), stats
+  WHERE df * {ratio[1]} <= n_long * {ratio[0]}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({G.words_sql('qtext')}) AS term
+  FROM (VALUES {qvals}) q(query_id, qtext)),
+matched AS MATERIALIZED (
+  SELECT q.query_id, p.doc_id, p.tf, l.dl, s.n_docs, s.avgdl,
+         ((s.n_docs - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0) AS idf_arg
+  FROM postings p
+  JOIN qterms q USING (term) JOIN dfreq d USING (term)
+  CROSS JOIN stats s JOIN dl l ON p.doc_id = l.doc_id),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST({contrib} AS DECIMAL(28,15))) AS DOUBLE) AS score
+  FROM matched GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored) WHERE rank <= {top_k}
+"""
+
+
 _PAIRS_SQL = (
     "SELECT doc_id AS pair_id, substr(text, 1, 120) AS prediction, "
     "substr(text, 41, 120) AS gold FROM documents"
@@ -1790,6 +1850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_features": q_binary_features,
     # rerank / metrics / streaming / clustering
     "rerank_docs": q_rerank_docs,
+    "bm25_rank": q_bm25_rank,
     "token_f1": q_token_f1,
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
@@ -1856,6 +1917,7 @@ ORACLES: dict[str, str] = {
     "binary_features": SQL_BINARY,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "rerank_docs": _sql_rerank(),
+    "bm25_rank": _sql_bm25(),
     "token_f1": _sql_token_f1(),
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),
