@@ -160,6 +160,21 @@ def main() -> None:
         ).count(),
     )
 
+    # Gaussian KDE heatmap raster over the embedding plane (twin-exp kernel)
+    from raptor_rag_spark.operators.heatmap import kde_heatmap
+
+    timed(
+        "kde_heatmap",
+        lambda: kde_heatmap(
+            embs.select(x.alias("x"), y.alias("y")), res=6, bandwidth=0.03
+        ).count(),
+    )
+
+    # unigram-LM quality gate (postings + twin-ln log-likelihood)
+    from raptor_rag_spark.operators.textops import lm_scores
+
+    timed("doc_lm_score", lambda: lm_scores(docs.select("doc_id", "text")).count())
+
     # 6. text analysis sweep
     def _text():
         T.token_counts(docs).agg(F.sum("n_tokens")).collect()

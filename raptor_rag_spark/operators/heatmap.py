@@ -1,0 +1,133 @@
+"""Gaussian KDE heatmap: truncated-kernel density per grid cell.
+
+The geospatial rollup surface one step past tile_stats (counts/means per
+cell): a kernel-density raster, the standard "heatmap" layer of a web-map
+stack. For every cell at resolution ``res``, density is the sum over nearby
+points of exp(-d² / 2h²), where d is the distance from the point to the CELL
+CENTER and the kernel is truncated at ``cutoff``·h (the 3σ tail is dropped —
+the textbook truncation that turns KDE from an all-pairs problem into a
+bounded-neighborhood one).
+
+Scale shape: each point fans out to the (2R+1)² candidate cells whose
+centers can be within the cutoff radius (R = ceil(cutoff·h·2^res) cells,
+a COMPILE-TIME constant), the exact-distance filter prunes the corners, and
+ONE groupBy(cell) with map-side partial aggregation collapses everything to
+at most 4^res output rows. No self-join, no driver loop; at 100 TB the
+fan-out is a constant factor on the scan and the shuffle carries only
+(cell, partial-sum) pairs. This mirrors how the reference's per-cluster
+summarize gathers bounded neighborhoods (raptor/cluster_tree_builder.py:
+106-114) — recast from cluster membership to metric proximity.
+
+Every float op is twin-pinned (exp from sqlgen's bit-exact twin; cross-row
+sums in DECIMAL), so the DuckDB oracle hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from ..kernels.grid import COORD_BITS, RES_SHIFT
+
+
+def _plan(res: int, bandwidth: float, cutoff: float) -> tuple[int, int, float, float, float]:
+    """(n, radius_cells, cell_size, r2, two_h2) — Python-computed constants
+    shared verbatim by the Column and SQL twins."""
+    n = 1 << res
+    s = 1.0 / n  # exact power of two
+    rad = cutoff * bandwidth
+    radius_cells = int(math.ceil(rad / s))
+    return n, radius_cells, s, rad * rad, 2.0 * (bandwidth * bandwidth)
+
+
+def kde_heatmap(
+    pts: DataFrame,
+    res: int,
+    bandwidth: float,
+    cutoff: float = 3.0,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(cell_id, ix, iy, n_pts, density) — truncated-Gaussian KDE per cell.
+
+    pts carries planar coords in [0,1)² (columns ``x_col``/``y_col``)."""
+    n, R, s, r2, two_h2 = _plan(res, bandwidth, cutoff)
+    x, y = F.col(x_col), F.col(y_col)
+    ix0 = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    iy0 = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    cand = (
+        pts.select(x.alias("x"), y.alias("y"), ix0.alias("ix0"), iy0.alias("iy0"))
+        .select(
+            "x",
+            "y",
+            "iy0",
+            F.explode(
+                F.sequence(F.greatest(F.col("ix0") - R, F.lit(0)), F.least(F.col("ix0") + R, F.lit(n - 1)))
+            ).alias("ix"),
+        )
+        .select(
+            "x",
+            "y",
+            "ix",
+            F.explode(
+                F.sequence(F.greatest(F.col("iy0") - R, F.lit(0)), F.least(F.col("iy0") + R, F.lit(n - 1)))
+            ).alias("iy"),
+        )
+    )
+    cx = (F.col("ix").cast("double") + F.lit(0.5)) * F.lit(s)
+    cy = (F.col("iy").cast("double") + F.lit(0.5)) * F.lit(s)
+    dx = cx - F.col("x")
+    dy = cy - F.col("y")
+    d2 = dx * dx + dy * dy
+    arg = -(F.col("d2") / F.lit(two_h2))
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("ix"), COORD_BITS))
+        .bitwiseOR(F.col("iy"))
+    )
+    return (
+        cand.withColumn("d2", d2)
+        .where(F.col("d2") <= F.lit(r2))
+        .withColumn("contrib", G.exp_col(arg))
+        .groupBy("ix", "iy")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("density"),
+        )
+        .select(cell.alias("cell_id"), "ix", "iy", "n_pts", "density")
+    )
+
+
+def kde_heatmap_sql(
+    pts_sql: str, res: int, bandwidth: float, cutoff: float = 3.0
+) -> str:
+    """DuckDB twin of :func:`kde_heatmap`. ``pts_sql`` must select x, y."""
+    n, R, s, r2, two_h2 = _plan(res, bandwidth, cutoff)
+    ix0 = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iy0 = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    cx = f"((CAST(ix AS DOUBLE) + 0.5) * {s!r})"
+    cy = f"((CAST(iy AS DOUBLE) + 0.5) * {s!r})"
+    cell = f"(({res}::BIGINT << {RES_SHIFT}) | (ix << {COORD_BITS}) | iy)"
+    return f"""
+WITH pts AS ({pts_sql}),
+home AS (SELECT x, y, {ix0} AS ix0, {iy0} AS iy0 FROM pts),
+cx_ AS (SELECT x, y, iy0,
+               unnest(generate_series(greatest(ix0 - {R}, 0), least(ix0 + {R}, {n - 1}))) AS ix
+        FROM home),
+cy_ AS (SELECT x, y, ix,
+               unnest(generate_series(greatest(iy0 - {R}, 0), least(iy0 + {R}, {n - 1}))) AS iy
+        FROM cx_),
+d AS MATERIALIZED (
+  SELECT ix, iy,
+         (({cx} - x) * ({cx} - x) + ({cy} - y) * ({cy} - y)) AS d2
+  FROM cy_),
+f AS MATERIALIZED (
+  SELECT ix, iy, (-(d2 / {two_h2!r})) AS arg FROM d WHERE d2 <= {r2!r})
+SELECT {cell} AS cell_id, ix, iy,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(CAST({G.exp_sql('arg')} AS DECIMAL(28,15))) AS DOUBLE) AS density
+FROM f GROUP BY ix, iy
+"""

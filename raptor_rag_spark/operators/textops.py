@@ -54,6 +54,67 @@ def normalize_texts(docs: DataFrame, col: str = "text", prefix_len: int = 80) ->
     )
 
 
+def lm_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): per-doc mean log-likelihood under the
+    corpus's own unigram MLE language model — the classic perplexity-style
+    quality gate a training pipeline runs AFTER the cheap heuristic
+    ``quality_scores`` (gibberish and boilerplate both sit far from the
+    corpus distribution). avg_logprob = Σ_w tf_w·ln(c_w / total) / doclen.
+
+    Scale shape: one postings shuffle (doc_id, term, tf), one vocab-sized
+    term-count aggregate, a term-keyed join back (AQE picks broadcast when
+    the vocab is small), cross-row sums in exact DECIMAL. ln is the sqlgen
+    twin, so the whole statistic is hash-exact against DuckDB. Empty docs
+    carry no tokens and drop out (no 0/0)."""
+    words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
+    dl = words.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    postings = (
+        words.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = postings.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    contrib = F.col("tf").cast("double") * G.ln_col(F.col("p"))
+    per_doc = (
+        postings.join(counts, "term")
+        .join(F.broadcast(total))
+        .withColumn("p", p)
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("s"))
+    )
+    return per_doc.join(dl, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("s") / F.col("n_tokens").cast("double")).alias("avg_logprob"),
+    )
+
+
+def lm_scores_sql(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB twin of :func:`lm_scores`."""
+    ws = G.words_sql("text")
+    return f"""
+WITH words AS (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM words),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM words) GROUP BY doc_id, term),
+counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM postings GROUP BY term),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+m AS MATERIALIZED (
+  SELECT doc_id, CAST(tf AS DOUBLE) AS tfd, (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) AS p
+  FROM postings JOIN counts USING (term) CROSS JOIN total),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CAST(tfd * {G.ln_sql('p')} AS DECIMAL(28,15))) AS DOUBLE) AS s
+  FROM m GROUP BY doc_id)
+SELECT doc_id, n_tokens, (s / CAST(n_tokens AS DOUBLE)) AS avg_logprob
+FROM agg JOIN dl USING (doc_id)
+"""
+
+
 def curate_corpus(
     docs: DataFrame,
     clusters: DataFrame,

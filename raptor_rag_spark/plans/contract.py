@@ -994,6 +994,44 @@ SELECT query_id, doc_id, score, rank FROM (
 """
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """Unigram-LM mean log-likelihood per document (perplexity-style quality
+    gate; the statistical sibling of the heuristic doc_quality). Twin ln +
+    decimal sums → hash-exact."""
+    from ..operators.textops import lm_scores
+
+    return lm_scores(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_lm_score() -> str:
+    from ..operators.textops import lm_scores_sql
+
+    return lm_scores_sql()
+
+
+KDE_RES, KDE_BW = 5, 0.05
+
+
+def q_kde_heatmap(spark, sf_dir):
+    """Truncated-Gaussian KDE raster over the embedding plane (the heatmap
+    layer of the geospatial recast). Bounded per-point fan-out + one groupBy;
+    twin exp + decimal sums → hash-exact."""
+    from ..operators.heatmap import kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+
+
+def _sql_kde_heatmap() -> str:
+    from ..operators.heatmap import kde_heatmap_sql
+
+    vx, vy = G.xy_sql("embedding", DIM)
+    return kde_heatmap_sql(
+        f"SELECT {vx} AS x, {vy} AS y FROM embeddings", res=KDE_RES, bandwidth=KDE_BW
+    )
+
+
 _PAIRS_SQL = (
     "SELECT doc_id AS pair_id, substr(text, 1, 120) AS prediction, "
     "substr(text, 41, 120) AS gold FROM documents"
@@ -1851,6 +1889,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rerank / metrics / streaming / clustering
     "rerank_docs": q_rerank_docs,
     "bm25_rank": q_bm25_rank,
+    "doc_lm_score": q_doc_lm_score,
+    "kde_heatmap": q_kde_heatmap,
     "token_f1": q_token_f1,
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
@@ -1918,6 +1958,8 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "rerank_docs": _sql_rerank(),
     "bm25_rank": _sql_bm25(),
+    "doc_lm_score": _sql_lm_score(),
+    "kde_heatmap": _sql_kde_heatmap(),
     "token_f1": _sql_token_f1(),
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),

@@ -1,0 +1,86 @@
+"""KDE heatmap + unigram-LM scores vs independent single-machine references."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.operators.heatmap import kde_heatmap
+from raptor_rag_spark.operators.textops import lm_scores
+
+RES, BW, CUT = 4, 0.08, 3.0
+
+
+def _ref_kde(xy, res, h, cutoff):
+    """Truncated-kernel KDE per cell, dense numpy loop over all (cell, point)."""
+    n = 1 << res
+    s = 1.0 / n
+    out = {}
+    for ix in range(n):
+        for iy in range(n):
+            cx, cy = (ix + 0.5) * s, (iy + 0.5) * s
+            d2 = (cx - xy[:, 0]) ** 2 + (cy - xy[:, 1]) ** 2
+            m = d2 <= (cutoff * h) ** 2
+            if m.any():
+                out[(ix, iy)] = (int(m.sum()), float(np.exp(-d2[m] / (2 * h * h)).sum()))
+    return out
+
+
+def test_kde_matches_dense_reference(spark):
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(0.05, 0.95, (300, 2))
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in xy], "x double, y double")
+    got = {
+        (r["ix"], r["iy"]): (r["n_pts"], r["density"])
+        for r in kde_heatmap(df, res=RES, bandwidth=BW, cutoff=CUT).collect()
+    }
+    ref = _ref_kde(xy, RES, BW, CUT)
+    assert set(got) == set(ref)
+    for k, (n_ref, d_ref) in ref.items():
+        n_got, d_got = got[k]
+        assert n_got == n_ref
+        assert d_got == pytest.approx(d_ref, rel=1e-12)
+
+
+def test_kde_cell_id_roundtrip(spark):
+    from raptor_rag_spark.kernels.grid import COORD_BITS, RES_SHIFT, COORD_MASK
+
+    df = spark.createDataFrame([(0.51, 0.52), (0.1, 0.9)], "x double, y double")
+    for r in kde_heatmap(df, res=RES, bandwidth=BW).collect():
+        assert r["cell_id"] >> RES_SHIFT == RES
+        assert (r["cell_id"] >> COORD_BITS) & COORD_MASK == r["ix"]
+        assert r["cell_id"] & COORD_MASK == r["iy"]
+
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "cat dog cat dog cat"),
+    (3, "entirely novel vocabulary zone"),
+    (4, ""),
+]
+
+
+def test_lm_scores_match_reference(spark):
+    toks = {d: t.lower().split() for d, t in DOCS}
+    counts: dict[str, int] = {}
+    for ws in toks.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    ref = {
+        d: sum(math.log(counts[w] / total) for w in ws) / len(ws)
+        for d, ws in toks.items()
+        if ws
+    }
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"]) for r in lm_scores(df).collect()}
+    assert set(got) == set(ref)  # empty doc 4 drops out
+    for d, lp in ref.items():
+        assert got[d][0] == len(toks[d])
+        assert got[d][1] == pytest.approx(lp, rel=1e-12)
+    # repeated common tokens score higher (less surprising) than novel vocab
+    assert got[2][1] > got[3][1]
