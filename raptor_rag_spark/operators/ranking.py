@@ -2,23 +2,27 @@
 
 The webtext IR surface the reference's lexical reranker
 (operators/rerank.py; reference integrations score by hit-rate) stops short
-of: a real inverted-index scoring pipeline. Three stages, all JVM
-expressions:
+of: a real inverted-index scoring pipeline, split the way a search stack
+splits it:
 
-1. postings: explode(words) → (doc_id, term, tf) — one shuffle, map-side
-   combine; document frequency df per term is a second aggregate over it.
-2. corpus stats: N and exact-decimal avgdl broadcast as a 1-row literal.
+1. ``bm25_index``: explode(words) → (doc_id, term, tf) — ONE shuffle with
+   map-side combine. At 100 TB this is the index-BUILD job: persist or write
+   the result once and pass it back in; every derived statistic (document
+   length, document frequency, corpus size) comes from the index, so ranking
+   never rescans the raw corpus.
+2. corpus stats: dl = Σtf per doc (exact integer), N and exact-decimal avgdl
+   broadcast as a 1-row literal. N counts docs with ≥1 token (empty docs
+   can't match and don't dilute avgdl).
 3. score: query terms (small, broadcast) equi-join the postings on term;
    per-term BM25 contribution idf·(tf·(k1+1))/(tf + k1·(1-b+b·dl/avgdl))
    with idf = ln((N-df+0.5)/(df+0.5)+1) via the sqlgen ln twin; per-(query,
    doc) scores summed exactly in DECIMAL(28,15) (order-free), ranked by
    (score desc, doc_id) with a per-query top-k window.
 
-At 100 TB the shuffles are the postings groupBy and the final per-query
-window; the term join broadcasts the QUERY side and hits the postings where
-they live. Hot terms (stopwords) are exactly the ones idf sends to ~0 —
-optionally pre-drop df > df_cap terms to keep the candidate row count
-bounded (same trick as the dedup family's frequency caps).
+Hot terms (stopwords) are exactly the ones idf sends to ~0 — the
+``max_df_ratio`` guard drops them before the join with a pure-integer
+df·den ≤ N·num comparison (same trick as the dedup family's frequency
+caps), keeping the candidate row count bounded on stopword-heavy corpora.
 
 Every float op is twin-pinned, so the DuckDB oracle hash-matches exactly.
 """
@@ -34,30 +38,38 @@ K1 = 1.2
 B = 0.75
 
 
+def bm25_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): the inverted index. Build once; at scale, persist
+    or write this and feed it to :func:`bm25_rank` via ``postings=``."""
+    words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
+    return (
+        words.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def bm25_rank(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     top_k: int = 10,
     k1: float = K1,
     b: float = B,
     df_cap: int | None = None,
     max_df_ratio: tuple[int, int] | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): BM25 top-k docs per query.
 
-    docs: (doc_id, text); queries: (query_id, qtext). ``df_cap`` drops terms
-    whose document frequency exceeds the cap before the join (scale guard for
-    stopword-heavy corpora; None keeps all terms). ``max_df_ratio=(num, den)``
-    is the corpus-relative form of the same guard — keep terms with
-    df·den ≤ N·num (pure-integer comparison, so the cutoff is identical on any
-    engine); e.g. (1, 2) drops terms appearing in more than half the corpus."""
-    words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
-    dl = words.select("doc_id", F.size("ws").cast("double").alias("dl"))
-    postings = (
-        words.select("doc_id", F.explode("ws").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+    docs: (doc_id, text); queries: (query_id, qtext). Pass a prebuilt
+    (persisted) ``postings`` index to skip tokenization entirely. ``df_cap``
+    drops terms with document frequency above an absolute cap;
+    ``max_df_ratio=(num, den)`` is the corpus-relative form (keep terms with
+    df·den ≤ N·num — pure-integer, engine-portable); e.g. (1, 2) drops terms
+    appearing in more than half the corpus."""
+    if postings is None:
+        postings = bm25_index(docs)
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     if df_cap is not None:
         dfreq = dfreq.where(F.col("df") <= df_cap)
@@ -66,7 +78,7 @@ def bm25_rank(
         F.count("*").cast("double").alias("n_docs"),
         F.count("*").alias("n_long"),
         (
-            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            F.sum(F.col("dl_l").cast("decimal(28,6)")).cast("double")
             / F.count("*").cast("double")
         ).alias("avgdl"),
     )
@@ -91,13 +103,16 @@ def bm25_rank(
         .join(F.broadcast(dfreq), "term")
         .join(F.broadcast(stats))
         .join(dl, "doc_id")
+        .withColumn("tfd", F.col("tf").cast("double"))
+        .withColumn("dld", F.col("dl_l").cast("double"))
         .withColumn("idf_arg", idf_arg)
     )
     contrib = G.ln_col(F.col("idf_arg")) * (
-        (F.col("tf") * F.lit(k1 + 1.0))
+        (F.col("tfd") * F.lit(k1 + 1.0))
         / (
-            F.col("tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            F.col("tfd")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dld") / F.col("avgdl")))
         )
     )
     scored = (

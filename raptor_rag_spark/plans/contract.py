@@ -963,13 +963,13 @@ def _sql_bm25(top_k: int = 10, ratio: tuple[int, int] = (9, 10)) -> str:
     )
     return f"""
 WITH words AS (SELECT doc_id, {ws} AS ws FROM documents),
-dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM words),
 postings AS (
-  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(ws) AS term FROM words) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl_l FROM postings GROUP BY doc_id),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(count(*) AS BIGINT) AS n_long,
-         CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         CAST(sum(CAST(dl_l AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
   FROM dl),
 dfreq AS (
   SELECT term, df FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term), stats
@@ -978,7 +978,8 @@ qterms AS (
   SELECT DISTINCT query_id, unnest({G.words_sql('qtext')}) AS term
   FROM (VALUES {qvals}) q(query_id, qtext)),
 matched AS MATERIALIZED (
-  SELECT q.query_id, p.doc_id, p.tf, l.dl, s.n_docs, s.avgdl,
+  SELECT q.query_id, p.doc_id, CAST(p.tf AS DOUBLE) AS tf, CAST(l.dl_l AS DOUBLE) AS dl,
+         s.n_docs, s.avgdl,
          ((s.n_docs - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0) AS idf_arg
   FROM postings p
   JOIN qterms q USING (term) JOIN dfreq d USING (term)
