@@ -170,10 +170,31 @@ def main() -> None:
         ).count(),
     )
 
+    # map-algebra focal mean over the KDE raster (3×3 smoothing)
+    from raptor_rag_spark.operators.heatmap import focal_mean
+
+    timed(
+        "kde_focal",
+        lambda: focal_mean(
+            kde_heatmap(embs.select(x.alias("x"), y.alias("y")), res=6, bandwidth=0.03),
+            res=6,
+        ).count(),
+    )
+
     # unigram-LM quality gate (postings + twin-ln log-likelihood)
     from raptor_rag_spark.operators.textops import lm_scores
 
     timed("doc_lm_score", lambda: lm_scores(docs.select("doc_id", "text")).count())
+
+    # TF-IDF keyword extraction (top-5 characteristic terms per doc)
+    from raptor_rag_spark.operators.ranking import doc_top_terms
+
+    timed("doc_top_terms", lambda: doc_top_terms(docs.select("doc_id", "text"), top_k=5).count())
+
+    # zonal statistics (exact-PIP membership → per-polygon aggregates)
+    from raptor_rag_spark.operators.pipjoin import zonal_stats
+
+    timed("zonal_stats", lambda: zonal_stats(pts.select("node_id", "x", "y"), polys).count())
 
     # 6. text analysis sweep
     def _text():

@@ -101,6 +101,64 @@ def kde_heatmap(
     )
 
 
+def focal_mean(
+    raster: DataFrame,
+    res: int,
+    radius: int = 1,
+    value_col: str = "density",
+) -> DataFrame:
+    """(cell_id, ix, iy, n_cells, mean) — sparse focal mean (map algebra).
+
+    The classic raster neighborhood operation (smoothing / focal statistics):
+    each populated cell contributes its value to every cell within the
+    (2·radius+1)² window, and each target averages over the populated cells
+    it received (absent cells are absent, not zero — the sparse-raster
+    convention). Same bounded fan-out + one groupBy shape as kde_heatmap:
+    at 4^res ≤ cells ≪ corpus size this is metadata-scale work."""
+    n = 1 << res
+    nb = (
+        raster.select("ix", "iy", F.col(value_col).alias("v"))
+        .select("ix", "iy", "v", F.explode(F.sequence(F.lit(-radius), F.lit(radius))).alias("dx"))
+        .select("ix", "iy", "v", "dx", F.explode(F.sequence(F.lit(-radius), F.lit(radius))).alias("dy"))
+        .select((F.col("ix") + F.col("dx")).alias("tix"), (F.col("iy") + F.col("dy")).alias("tiy"), "v")
+        .where((F.col("tix") >= 0) & (F.col("tix") <= n - 1) & (F.col("tiy") >= 0) & (F.col("tiy") <= n - 1))
+    )
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("tix"), COORD_BITS))
+        .bitwiseOR(F.col("tiy"))
+    )
+    return (
+        nb.groupBy("tix", "tiy")
+        .agg(
+            F.count("*").alias("n_cells"),
+            (
+                F.sum(F.col("v").cast("decimal(28,15)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean"),
+        )
+        .select(cell.alias("cell_id"), F.col("tix").alias("ix"), F.col("tiy").alias("iy"), "n_cells", "mean")
+    )
+
+
+def focal_mean_sql(raster_sql: str, res: int, radius: int = 1, value_col: str = "density") -> str:
+    """DuckDB twin of :func:`focal_mean`. ``raster_sql`` must select ix, iy
+    and ``value_col``."""
+    n = 1 << res
+    cell = f"(({res}::BIGINT << {RES_SHIFT}) | (tix << {COORD_BITS}) | tiy)"
+    return f"""
+WITH r AS ({raster_sql}),
+nx AS (SELECT iy, {value_col} AS v, (ix + unnest(generate_series(-{radius}, {radius}))) AS tix FROM r),
+ny AS (SELECT tix, v, (iy + unnest(generate_series(-{radius}, {radius}))) AS tiy FROM nx),
+f AS (SELECT tix, tiy, v FROM ny
+      WHERE tix >= 0 AND tix <= {n - 1} AND tiy >= 0 AND tiy <= {n - 1})
+SELECT {cell} AS cell_id, tix AS ix, tiy AS iy,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CAST(v AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM f GROUP BY tix, tiy
+"""
+
+
 def kde_heatmap_sql(
     pts_sql: str, res: int, bandwidth: float, cutoff: float = 3.0
 ) -> str:

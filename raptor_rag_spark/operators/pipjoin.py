@@ -214,3 +214,29 @@ def dwithin_join(points: DataFrame, d: float, id_col: str = "node_id") -> DataFr
         .where(d2 < F.lit(d) * F.lit(d))
         .select("id_a", "id_b", F.sqrt(d2).alias("dist"))
     )
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    prune_res: int = 4,
+    id_col: str = "node_id",
+    poly_id_col: str = "cell_id",
+) -> DataFrame:
+    """(cell_id, n_pts, mean_x, mean_y): per-polygon point statistics — the
+    GIS "zonal statistics" composite: exact PIP join (bbox-cell pruned, see
+    pip_join) then one groupBy per zone with exact-decimal coordinate means.
+    At scale the join output carries only matched (point, zone) pairs and
+    the aggregate is map-side combined per zone — no polygon sees more than
+    its own membership."""
+    hits = pip_join(points, polygons, prune_res=prune_res, id_col=id_col, poly_id_col=poly_id_col)
+    joined = hits.join(points.select(F.col(id_col), "x", "y"), id_col)
+    dec = "decimal(28,15)"
+    return (
+        joined.groupBy(poly_id_col)
+        .agg(
+            F.count("*").alias("n_pts"),
+            (F.sum(F.col("x").cast(dec)).cast("double") / F.count("*").cast("double")).alias("mean_x"),
+            (F.sum(F.col("y").cast(dec)).cast("double") / F.count("*").cast("double")).alias("mean_y"),
+        )
+    )

@@ -49,6 +49,63 @@ def bm25_index(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_top_terms(
+    docs: DataFrame | None,
+    top_k: int = 5,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, term, tfidf, rank): top-k characteristic terms per document
+    by tf·idf with idf = ln(N/df) — distributed keyword extraction, the
+    labeling pass a corpus-exploration pipeline runs after dedup/quality.
+    Reuses the bm25_index postings; idf's ln is the sqlgen twin, so the
+    oracle is hash-exact. Terms present in every document get idf = ln(1)
+    = 0 exactly and rank last."""
+    if postings is None:
+        postings = bm25_index(docs)
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
+    n_docs = dl.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    idf_arg = F.col("n_docs") / F.col("df").cast("double")
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("idf_arg", idf_arg)
+        .withColumn(
+            "tfidf", F.col("tf").cast("double") * G.ln_col(F.col("idf_arg"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def doc_top_terms_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents", top_k: int = 5
+) -> str:
+    """DuckDB twin of :func:`doc_top_terms`."""
+    ws = G.words_sql("text")
+    return f"""
+WITH words AS (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM words) GROUP BY doc_id, term),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM postings),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+m AS MATERIALIZED (
+  SELECT p.doc_id, p.term, CAST(p.tf AS DOUBLE) AS tfd,
+         (n.n_docs / CAST(d.df AS DOUBLE)) AS idf_arg
+  FROM postings p JOIN dfreq d USING (term) CROSS JOIN nd n),
+s AS (SELECT doc_id, term, tfd * {G.ln_sql('idf_arg')} AS tfidf FROM m)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM s) WHERE rank <= {top_k}
+"""
+
+
 def bm25_rank(
     docs: DataFrame | None,
     queries: DataFrame,

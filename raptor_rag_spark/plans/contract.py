@@ -1033,6 +1033,66 @@ def _sql_kde_heatmap() -> str:
     )
 
 
+def q_kde_focal(spark, sf_dir):
+    """Map-algebra focal mean over the KDE raster (3×3 smoothing window) —
+    raster ops compose: heatmap → focal statistics, both twin-exact."""
+    from ..operators.heatmap import focal_mean, kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return focal_mean(raster, res=KDE_RES, radius=1)
+
+
+def _sql_kde_focal() -> str:
+    from ..operators.heatmap import focal_mean_sql
+
+    return focal_mean_sql(f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES, radius=1)
+
+
+def q_doc_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-5 characteristic terms per document
+    (twin-ln idf over the shared bm25_index postings)."""
+    from ..operators.ranking import doc_top_terms
+
+    return doc_top_terms(ld(spark, sf_dir, "documents").select("doc_id", "text"), top_k=5)
+
+
+def _sql_doc_top_terms() -> str:
+    from ..operators.ranking import doc_top_terms_sql
+
+    return doc_top_terms_sql(top_k=5)
+
+
+def q_zonal_stats(spark, sf_dir):
+    """GIS zonal statistics: exact-PIP membership then per-polygon counts and
+    exact-decimal coordinate means."""
+    from ..operators.pipjoin import zonal_stats
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("node_id"), x.alias("x"), y.alias("y"))
+    polys = spark.createDataFrame(PIP_POLYS, "cell_id long, ring array<array<double>>")
+    return zonal_stats(pts, polys)
+
+
+def _sql_zonal_stats() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT node_id, {pid} AS cell_id FROM pts WHERE {_pip_parity_sql(ring)}"
+        for pid, ring in PIP_POLYS
+    )
+    return f"""
+WITH pts AS (SELECT vec_id AS node_id, {x} AS x, {y} AS y FROM embeddings),
+hits AS ({branches})
+SELECT cell_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_x,
+       CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_y
+FROM hits h JOIN pts p USING (node_id)
+GROUP BY cell_id
+"""
+
+
 _PAIRS_SQL = (
     "SELECT doc_id AS pair_id, substr(text, 1, 120) AS prediction, "
     "substr(text, 41, 120) AS gold FROM documents"
@@ -1891,7 +1951,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rerank_docs": q_rerank_docs,
     "bm25_rank": q_bm25_rank,
     "doc_lm_score": q_doc_lm_score,
+    "doc_top_terms": q_doc_top_terms,
     "kde_heatmap": q_kde_heatmap,
+    "kde_focal": q_kde_focal,
+    "zonal_stats": q_zonal_stats,
     "token_f1": q_token_f1,
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
@@ -1960,7 +2023,10 @@ ORACLES: dict[str, str] = {
     "rerank_docs": _sql_rerank(),
     "bm25_rank": _sql_bm25(),
     "doc_lm_score": _sql_lm_score(),
+    "doc_top_terms": _sql_doc_top_terms(),
     "kde_heatmap": _sql_kde_heatmap(),
+    "kde_focal": _sql_kde_focal(),
+    "zonal_stats": _sql_zonal_stats(),
     "token_f1": _sql_token_f1(),
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),

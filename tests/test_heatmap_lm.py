@@ -84,3 +84,42 @@ def test_lm_scores_match_reference(spark):
         assert got[d][1] == pytest.approx(lp, rel=1e-12)
     # repeated common tokens score higher (less surprising) than novel vocab
     assert got[2][1] > got[3][1]
+
+
+def test_focal_mean_matches_dense_reference(spark):
+    from raptor_rag_spark.operators.heatmap import focal_mean
+
+    res, n = 3, 8
+    cells = {(0, 0): 1.0, (0, 1): 2.0, (1, 0): 4.0, (4, 4): 8.0, (7, 7): 16.0}
+    rows = [(ix, iy, v) for (ix, iy), v in cells.items()]
+    df = spark.createDataFrame(rows, "ix long, iy long, density double")
+    got = {
+        (r["ix"], r["iy"]): (r["n_cells"], r["mean"])
+        for r in focal_mean(df, res=res, radius=1).collect()
+    }
+    ref = {}
+    for (ix, iy), v in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                t = (ix + dx, iy + dy)
+                if 0 <= t[0] < n and 0 <= t[1] < n:
+                    c, s = ref.get(t, (0, 0.0))
+                    ref[t] = (c + 1, s + v)
+    ref = {t: (c, s / c) for t, (c, s) in ref.items()}
+    assert got == {t: (c, pytest.approx(m)) for t, (c, m) in ref.items()}
+
+
+def test_zonal_stats_square_polygons(spark):
+    from raptor_rag_spark.operators.pipjoin import zonal_stats
+
+    sq = lambda x0, y0, x1, y1: [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+    polys = spark.createDataFrame(
+        [(1, sq(0.0, 0.0, 0.5, 0.5)), (2, sq(0.5, 0.5, 1.0, 1.0))],
+        "cell_id long, ring array<array<double>>",
+    )
+    pts_rows = [(0, 0.1, 0.1), (1, 0.2, 0.3), (2, 0.7, 0.8), (3, 0.9, 0.6), (4, 0.49, 0.51)]
+    pts = spark.createDataFrame(pts_rows, "node_id long, x double, y double")
+    got = {r["cell_id"]: (r["n_pts"], r["mean_x"], r["mean_y"]) for r in zonal_stats(pts, polys).collect()}
+    assert got[1][0] == 2 and got[1][1] == pytest.approx(0.15) and got[1][2] == pytest.approx(0.2)
+    assert got[2][0] == 2 and got[2][1] == pytest.approx(0.8) and got[2][2] == pytest.approx(0.7)
+    assert set(got) == {1, 2}  # point 4 (0.49,0.51) is in neither square

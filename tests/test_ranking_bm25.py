@@ -141,3 +141,31 @@ def test_bm25_max_df_ratio_drops_stopwords(spark):
     assert set(got) == set(ref)
     for key, s in ref.items():
         assert got[key] == pytest.approx(s, rel=1e-12)
+
+
+def test_doc_top_terms_matches_reference(spark):
+    from raptor_rag_spark.operators.ranking import doc_top_terms
+
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n = len([d for d, ws in toks.items() if ws])
+    dfm: dict[str, int] = {}
+    for ws in toks.values():
+        for t in set(ws):
+            dfm[t] = dfm.get(t, 0) + 1
+    ref = {}
+    for d, ws in toks.items():
+        scores = sorted(
+            ((ws.count(t) * math.log(n / dfm[t]), t) for t in set(ws)),
+            key=lambda p: (-p[0], p[1]),
+        )[:3]
+        ref[d] = [(t, s) for s, t in scores]
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = doc_top_terms(df, top_k=3).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rank"])):
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    assert set(got) == set(ref)
+    for d in ref:
+        assert [t for t, _ in got[d]] == [t for t, _ in ref[d]]
+        for (_, s_got), (_, s_ref) in zip(got[d], ref[d]):
+            assert s_got == pytest.approx(s_ref, rel=1e-12, abs=1e-12)
