@@ -181,6 +181,18 @@ def main() -> None:
         ).count(),
     )
 
+    # full tile pyramid over the KDE raster (per-level quadtree rollup)
+    from raptor_rag_spark.operators.heatmap import build_pyramid
+
+    timed(
+        "kde_pyramid",
+        lambda: build_pyramid(
+            kde_heatmap(embs.select(x.alias("x"), y.alias("y")), res=6, bandwidth=0.03),
+            res=6,
+            min_res=2,
+        ).count(),
+    )
+
     # unigram-LM quality gate (postings + twin-ln log-likelihood)
     from raptor_rag_spark.operators.textops import lm_scores
 

@@ -159,6 +159,87 @@ FROM f GROUP BY tix, tiy
 """
 
 
+def build_pyramid(
+    raster: DataFrame,
+    res: int,
+    min_res: int = 0,
+    value_col: str = "density",
+) -> DataFrame:
+    """(res, cell_id, ix, iy, n_leaves, value): the full tile pyramid.
+
+    Aggregates a sparse raster up the quadtree parent chain — each level
+    halves the grid and sums the four children (web-map tile pyramids,
+    hypertable-style rollups; the raster twin of build_tree's level loop,
+    reference raptor/tree_builder.py:125-139's layer recursion). The loop is
+    driver-side over ≤ res levels; each level is ONE groupBy whose key is a
+    bit-shift of the previous level's key, so every shuffle is strictly
+    smaller than the last and partial aggregation collapses map-side.
+    Value sums go through exact DECIMAL per level (deterministic
+    level-by-level semantics, mirrored verbatim by the SQL twin);
+    n_leaves counts the populated base-resolution cells under each tile."""
+    base = raster.select(
+        F.lit(res).cast("int").alias("res"),
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+        F.lit(1).cast("long").alias("n_leaves"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    levels = [base]
+    cur = base
+    for r in range(res - 1, min_res - 1, -1):
+        cur = (
+            cur.select(
+                F.shiftright(F.col("ix"), 1).alias("ix"),
+                F.shiftright(F.col("iy"), 1).alias("iy"),
+                "n_leaves",
+                "value",
+            )
+            .groupBy("ix", "iy")
+            .agg(
+                F.sum("n_leaves").alias("n_leaves"),
+                F.sum(F.col("value").cast("decimal(28,15)")).cast("double").alias("value"),
+            )
+            .select(F.lit(r).cast("int").alias("res"), "ix", "iy", "n_leaves", "value")
+        )
+        levels.append(cur)
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionByName(df)
+    cell = (
+        F.shiftleft(F.col("res").cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("ix"), COORD_BITS))
+        .bitwiseOR(F.col("iy"))
+    )
+    return out.select("res", cell.alias("cell_id"), "ix", "iy", "n_leaves", "value")
+
+
+def build_pyramid_sql(
+    raster_sql: str, res: int, min_res: int = 0, value_col: str = "density"
+) -> str:
+    """DuckDB twin of :func:`build_pyramid`. ``raster_sql`` selects ix, iy
+    and ``value_col``."""
+    ctes = [
+        f"l{res} AS (SELECT {res} AS res, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy, "
+        f"1::BIGINT AS n_leaves, CAST({value_col} AS DOUBLE) AS value FROM ({raster_sql}))"
+    ]
+    for r in range(res - 1, min_res - 1, -1):
+        ctes.append(
+            f"l{r} AS (SELECT {r} AS res, ix, iy, CAST(sum(n_leaves) AS BIGINT) AS n_leaves, "
+            f"CAST(sum(CAST(value AS DECIMAL(28,15))) AS DOUBLE) AS value "
+            f"FROM (SELECT (ix >> 1) AS ix, (iy >> 1) AS iy, n_leaves, value FROM l{r + 1}) "
+            f"GROUP BY ix, iy)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT res, ix, iy, n_leaves, value FROM l{r}" for r in range(res, min_res - 1, -1)
+    )
+    cell = f"((CAST(res AS BIGINT) << {RES_SHIFT}) | (ix << {COORD_BITS}) | iy)"
+    return f"""
+WITH {', '.join(ctes)},
+u AS ({union})
+SELECT res, {cell} AS cell_id, ix, iy, n_leaves, value FROM u
+"""
+
+
 def kde_heatmap_sql(
     pts_sql: str, res: int, bandwidth: float, cutoff: float = 3.0
 ) -> str:

@@ -240,3 +240,56 @@ def zonal_stats(
             (F.sum(F.col("y").cast(dec)).cast("double") / F.count("*").cast("double")).alias("mean_y"),
         )
     )
+
+
+def poly_metrics(polygons: DataFrame, poly_id_col: str = "cell_id") -> DataFrame:
+    """(cell_id, n_vertices, signed_area, cx, cy): shoelace polygon metrics.
+
+    Signed area and centroid from the ring vertex list (Gauss shoelace /
+    standard polygon centroid), computed as pure JVM expressions: posexplode
+    the ring, pair each vertex with its successor (wrapping via modulo on the
+    join key), sum the cross terms in exact DECIMAL. Signed area is positive
+    for counter-clockwise rings — the orientation check a geometry loader
+    needs. Polygons are metadata-scale rows; the self-join is per-polygon and
+    each edge appears exactly once."""
+    edges = polygons.select(
+        F.col(poly_id_col),
+        F.size("ring").alias("m"),
+        F.posexplode("ring").alias("pos", "p"),
+    )
+    e1 = edges.select(
+        F.col(poly_id_col).alias("pid"),
+        "m",
+        ((F.col("pos") + F.lit(1)) % F.col("m")).alias("succ"),
+        F.element_at("p", 1).alias("xi"),
+        F.element_at("p", 2).alias("yi"),
+    )
+    e2 = edges.select(
+        F.col(poly_id_col).alias("pid2"),
+        F.col("pos").alias("pos2"),
+        F.element_at("p", 1).alias("xj"),
+        F.element_at("p", 2).alias("yj"),
+    )
+    paired = e1.join(
+        e2, (F.col("pid") == F.col("pid2")) & (F.col("succ") == F.col("pos2"))
+    ).select("pid", "m", "xi", "yi", "xj", "yj")
+    cross = (F.col("xi") * F.col("yj")) - (F.col("xj") * F.col("yi"))
+    dec = "decimal(28,15)"
+    agg = (
+        paired.withColumn("cross", cross)
+        .withColumn("sx", (F.col("xi") + F.col("xj")) * F.col("cross"))
+        .withColumn("sy", (F.col("yi") + F.col("yj")) * F.col("cross"))
+        .groupBy("pid", "m")
+        .agg(
+            F.sum(F.col("cross").cast(dec)).cast("double").alias("s"),
+            F.sum(F.col("sx").cast(dec)).cast("double").alias("sxs"),
+            F.sum(F.col("sy").cast(dec)).cast("double").alias("sys"),
+        )
+    )
+    return agg.select(
+        F.col("pid").alias(poly_id_col),
+        F.col("m").alias("n_vertices"),
+        (F.col("s") * F.lit(0.5)).alias("signed_area"),
+        (F.col("sxs") / (F.col("s") * F.lit(3.0))).alias("cx"),
+        (F.col("sys") / (F.col("s") * F.lit(3.0))).alias("cy"),
+    )

@@ -1050,6 +1050,74 @@ def _sql_kde_focal() -> str:
     return focal_mean_sql(f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES, radius=1)
 
 
+def q_kde_pyramid(spark, sf_dir):
+    """Full tile pyramid over the KDE raster: per-level quadtree rollup
+    (res 5 → 2), each level one bit-shift groupBy — the raster twin of the
+    tree build's layer loop."""
+    from ..operators.heatmap import build_pyramid, kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return build_pyramid(raster, res=KDE_RES, min_res=2)
+
+
+def _sql_kde_pyramid() -> str:
+    from ..operators.heatmap import build_pyramid_sql
+
+    return build_pyramid_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES, min_res=2
+    )
+
+
+def q_poly_metrics(spark, sf_dir):
+    """Shoelace polygon metrics: signed area + centroid per ring (geometry
+    loader surface: orientation check and label anchor)."""
+    from ..operators.pipjoin import poly_metrics
+
+    polys = spark.createDataFrame(PIP_POLYS, "cell_id long, ring array<array<double>>")
+    return poly_metrics(polys)
+
+
+def _sql_poly_metrics() -> str:
+    vals = ", ".join(
+        f"({pid}, [{', '.join(f'[{x!r}, {y!r}]' for x, y in ring)}])"
+        for pid, ring in PIP_POLYS
+    )
+    return f"""
+WITH polys AS (SELECT * FROM (VALUES {vals}) p(cell_id, ring)),
+e AS (SELECT cell_id, len(ring) AS m, unnest(ring) AS p, generate_subscripts(ring, 1) AS i FROM polys),
+e1 AS (SELECT cell_id, m, (i % m) + 1 AS succ, p[1] AS xi, p[2] AS yi FROM e),
+e2 AS (SELECT cell_id AS cid2, i AS j, p[1] AS xj, p[2] AS yj FROM e),
+pr AS (SELECT cell_id, m, xi, yi, xj, yj, ((xi * yj) - (xj * yi)) AS cr
+       FROM e1 JOIN e2 ON cell_id = cid2 AND succ = j),
+a AS (SELECT cell_id, m,
+             CAST(sum(CAST(cr AS DECIMAL(28,15))) AS DOUBLE) AS s,
+             CAST(sum(CAST((xi + xj) * cr AS DECIMAL(28,15))) AS DOUBLE) AS sxs,
+             CAST(sum(CAST((yi + yj) * cr AS DECIMAL(28,15))) AS DOUBLE) AS sys
+      FROM pr GROUP BY cell_id, m)
+SELECT cell_id, CAST(m AS INT) AS n_vertices, (s * 0.5) AS signed_area,
+       (sxs / (s * 3.0)) AS cx, (sys / (s * 3.0)) AS cy
+FROM a
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup rollup: per-fingerprint (min doc_id, count) as
+    streaming aggregation state, drained with availableNow — equals the
+    order-free batch twin."""
+    from ..streaming.events_stream import stream_dedup
+
+    return stream_dedup(spark, sf_dir)
+
+
+SQL_STREAM_DEDUP = f"""
+SELECT {G.fingerprint_sql("text")} AS fingerprint,
+       min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
 def q_doc_top_terms(spark, sf_dir):
     """TF-IDF keyword extraction: top-5 characteristic terms per document
     (twin-ln idf over the shared bm25_index postings)."""
@@ -1954,7 +2022,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": q_doc_top_terms,
     "kde_heatmap": q_kde_heatmap,
     "kde_focal": q_kde_focal,
+    "kde_pyramid": q_kde_pyramid,
     "zonal_stats": q_zonal_stats,
+    "poly_metrics": q_poly_metrics,
+    "stream_dedup": q_stream_dedup,
     "token_f1": q_token_f1,
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
@@ -2026,7 +2097,10 @@ ORACLES: dict[str, str] = {
     "doc_top_terms": _sql_doc_top_terms(),
     "kde_heatmap": _sql_kde_heatmap(),
     "kde_focal": _sql_kde_focal(),
+    "kde_pyramid": _sql_kde_pyramid(),
     "zonal_stats": _sql_zonal_stats(),
+    "poly_metrics": _sql_poly_metrics(),
+    "stream_dedup": SQL_STREAM_DEDUP,
     "token_f1": _sql_token_f1(),
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),

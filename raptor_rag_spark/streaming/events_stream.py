@@ -163,3 +163,55 @@ def stream_sessionize(
             f"(query {sink}); result would be partial"
         )
     return spark.table(sink)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_s: int = 300,
+    source_dir: str | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup rollup: per-content-fingerprint canonical id and
+    duplicate count maintained as STREAMING AGGREGATION STATE — the ingest-
+    time dedup a crawl pipeline runs so duplicates never reach storage.
+    State per key is (min doc_id, count); outputMode complete + availableNow
+    drain makes the result deterministic and equal to the batch twin
+    (min/count are order-free), unlike streaming dropDuplicates whose
+    keep-first winner depends on arrival order.
+
+    Returns (fingerprint, canonical_id, n_dups). ``source_dir`` points the
+    stream at a plain parquet directory (tests / multi-file feeds); by
+    default the single documents.parquet file in ``sf_dir`` drains."""
+    from ..functions import sqlgen as G
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(batch_schema).format("parquet")
+    if source_dir is None:
+        stream = reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+    else:
+        stream = reader.load(source_dir)
+    agg = (
+        stream.select("doc_id", G.fingerprint_col(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s "
+            f"(query {sink}); result would be partial"
+        )
+    return spark.table(sink)

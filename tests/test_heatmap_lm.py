@@ -123,3 +123,68 @@ def test_zonal_stats_square_polygons(spark):
     assert got[1][0] == 2 and got[1][1] == pytest.approx(0.15) and got[1][2] == pytest.approx(0.2)
     assert got[2][0] == 2 and got[2][1] == pytest.approx(0.8) and got[2][2] == pytest.approx(0.7)
     assert set(got) == {1, 2}  # point 4 (0.49,0.51) is in neither square
+
+
+def test_poly_metrics_known_shapes(spark):
+    from raptor_rag_spark.operators.pipjoin import poly_metrics
+
+    ccw_square = [[0.2, 0.2], [0.6, 0.2], [0.6, 0.6], [0.2, 0.6]]
+    cw_square = list(reversed(ccw_square))
+    tri = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    polys = spark.createDataFrame(
+        [(1, ccw_square), (2, cw_square), (3, tri)],
+        "cell_id long, ring array<array<double>>",
+    )
+    got = {r["cell_id"]: r for r in poly_metrics(polys).collect()}
+    assert got[1]["signed_area"] == pytest.approx(0.16)
+    assert got[1]["cx"] == pytest.approx(0.4) and got[1]["cy"] == pytest.approx(0.4)
+    assert got[2]["signed_area"] == pytest.approx(-0.16)  # CW orientation flips sign
+    assert got[2]["cx"] == pytest.approx(0.4) and got[2]["cy"] == pytest.approx(0.4)
+    assert got[3]["signed_area"] == pytest.approx(0.5)
+    assert got[3]["cx"] == pytest.approx(1 / 3) and got[3]["cy"] == pytest.approx(1 / 3)
+    assert got[1]["n_vertices"] == 4 and got[3]["n_vertices"] == 3
+
+
+def test_pyramid_conserves_mass_and_counts(spark):
+    from raptor_rag_spark.operators.heatmap import build_pyramid
+
+    rows = [(0, 0, 1.5), (1, 1, 2.5), (5, 5, 4.0), (7, 2, 8.0)]
+    df = spark.createDataFrame(rows, "ix long, iy long, density double")
+    out = build_pyramid(df, res=3, min_res=0).collect()
+    by_res = {}
+    for r in out:
+        by_res.setdefault(r["res"], []).append(r)
+    assert set(by_res) == {0, 1, 2, 3}
+    for res, rs in by_res.items():
+        assert sum(r["value"] for r in rs) == pytest.approx(16.0)
+        assert sum(r["n_leaves"] for r in rs) == 4
+    root = by_res[0]
+    assert len(root) == 1 and root[0]["ix"] == 0 and root[0]["iy"] == 0
+    # level-2 parents: (0,0)+(1,1)→(0,0); (5,5)→(2,2); (7,2)→(3,1)
+    l2 = {(r["ix"], r["iy"]): (r["n_leaves"], r["value"]) for r in by_res[2]}
+    assert l2 == {(0, 0): (2, pytest.approx(4.0)), (2, 2): (1, 4.0), (3, 1): (1, 8.0)}
+
+
+def test_stream_dedup_equals_batch(spark, tmp_path):
+    from raptor_rag_spark.streaming.events_stream import stream_dedup
+    from raptor_rag_spark.functions import sqlgen as G
+    import pyspark.sql.functions as F
+
+    docs = [(i, ["alpha beta", "gamma  delta", "ALPHA BETA "][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "dedup_src")
+    df.coalesce(1).write.parquet(f"{src}/documents.parquet")
+    got = {
+        r["fingerprint"]: (r["canonical_id"], r["n_dups"])
+        for r in stream_dedup(spark, src, source_dir=f"{src}/documents.parquet").collect()
+    }
+    batch = {
+        r["fingerprint"]: (r["canonical_id"], r["n_dups"])
+        for r in df.select("doc_id", G.fingerprint_col(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+        .collect()
+    }
+    assert got == batch
+    # normalization folds case/whitespace: 'alpha beta' == 'ALPHA BETA ' → 2 groups
+    assert len(got) == 2
