@@ -203,6 +203,14 @@ def main() -> None:
 
     timed("doc_top_terms", lambda: doc_top_terms(docs.select("doc_id", "text"), top_k=5).count())
 
+    # token-budget sharding (scalable two-level prefix sum, hash order)
+    from raptor_rag_spark.operators.sampling import corpus_shards
+
+    timed(
+        "corpus_shards",
+        lambda: corpus_shards(docs.select("doc_id", "text"), token_budget=4096).count(),
+    )
+
     # zonal statistics (exact-PIP membership → per-polygon aggregates)
     from raptor_rag_spark.operators.pipjoin import zonal_stats
 

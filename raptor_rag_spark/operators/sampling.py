@@ -1,0 +1,198 @@
+"""Deterministic sampling / splitting / sharding over the document corpus.
+
+A training-data pipeline needs reproducible subsetting that never depends on
+RNG state, partitioning, or row order — the standard trick is to hash a
+stable key and threshold the hash. All three operators here are pure JVM
+expressions over the sqlgen hash63 twin, so every one has a hash-exact
+DuckDB oracle and produces IDENTICAL output at any parallelism:
+
+- ``hash_split``: train/val/test assignment by hash bucket (salted, so
+  different salts give independent splits).
+- ``stratified_sample``: per-stratum keep fractions (e.g. per-language
+  quotas) via integer-percent thresholds on the same buckets.
+- ``corpus_shards``: pack documents into fixed token-budget shards in
+  deterministic pseudo-random (hash) order, via a SCALABLE PREFIX SUM —
+  within-bucket window cumsums in parallel plus a broadcast of the 256
+  bucket offsets — instead of one global-window sort that would serialize
+  onto a single task at 100 TB. Integer arithmetic end-to-end, so the
+  result equals the naive global cumsum exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+
+N_BUCKETS = 100  # percent buckets for split/sample
+_PREFIX_BITS = 8  # 256-way parallelism of the sharding prefix sum
+
+
+def _bucket_col(id_col: str, salt: str) -> "F.Column":
+    h = G.hash63_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return (h % N_BUCKETS).alias("bucket")
+
+
+def _bucket_sql(id_expr: str, salt: str) -> str:
+    h = G.hash63_sql(f"CAST({id_expr} AS VARCHAR) || '{':' + salt}'")
+    return f"({h} % {N_BUCKETS})"
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """(id, bucket, split): deterministic train/val/test assignment.
+
+    bucket = hash63(id ‖ salt) mod 100; split boundaries are integer
+    percents. Any engine, any order, any partitioning → same assignment."""
+    split = (
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(F.col(id_col), _bucket_col(id_col, salt)).withColumn(
+        "split", split
+    )
+
+
+def hash_split_sql(
+    id_expr: str = "doc_id",
+    source: str = "documents",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> str:
+    b = _bucket_sql(id_expr, salt)
+    return f"""
+SELECT {id_expr}, bucket,
+       CASE WHEN bucket < {train_pct} THEN 'train'
+            WHEN bucket < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT {id_expr}, {b} AS bucket FROM {source})
+"""
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_pcts: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Rows whose hash bucket falls under their stratum's integer-percent
+    quota — reproducible per-language (or any category) downsampling.
+    Strata missing from ``strata_pcts`` keep ``default_pct``%."""
+    pct = F.lit(default_pct)
+    for k, v in sorted(strata_pcts.items()):
+        pct = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(pct)
+    return (
+        docs.withColumn("bucket", _bucket_col(id_col, salt))
+        .where(F.col("bucket") < pct)
+        .drop("bucket")
+    )
+
+
+def stratified_sample_sql(
+    strata_pcts: dict[str, int],
+    stratum_col: str = "lang",
+    id_expr: str = "doc_id",
+    source: str = "documents",
+    default_pct: int = 0,
+    salt: str = "sample",
+    select: str = "*",
+) -> str:
+    pct = str(default_pct)
+    for k, v in sorted(strata_pcts.items()):
+        pct = f"CASE WHEN {stratum_col} = '{k}' THEN {v} ELSE {pct} END"
+    b = _bucket_sql(id_expr, salt)
+    return f"SELECT {select} FROM {source} WHERE {b} < ({pct})"
+
+
+def corpus_shards(
+    docs: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    salt: str = "shard",
+) -> DataFrame:
+    """(id, n_tokens, h, global_cum, shard_id): fixed-token-budget sharding.
+
+    Documents are laid out in deterministic hash order and a document whose
+    START offset falls in [k·budget, (k+1)·budget) lands in shard k. The
+    global cumulative sum is computed scalably: within-bucket window cumsums
+    (2^_PREFIX_BITS-way parallel) + a broadcast cumsum of the tiny per-bucket
+    totals. Buckets are the hash's TOP bits, so (bucket, h) order == h order
+    and, with pure integers throughout, this equals the single-window global
+    cumsum bit-for-bit (the DuckDB oracle computes it the naive way)."""
+    base = docs.select(
+        F.col(id_col),
+        (
+            G.token_count_col(F.col("text")).alias("n_tokens")
+            if tokens_col is None
+            else F.col(tokens_col).alias("n_tokens")
+        ),
+        G.hash63_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))).alias("h"),
+        # bucket = TOP 8 bits of the 63-bit hash, so ordering by (pb, h) is
+        # identical to ordering by h alone — the two-level prefix sum then
+        # reproduces the naive global cumsum exactly
+    ).withColumn("pb", F.shiftrightunsigned(F.col("h"), 63 - _PREFIX_BITS))
+    w_in = (
+        Window.partitionBy("pb")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = base.groupBy("pb").agg(F.sum("n_tokens").alias("tot"))
+    w_off = (
+        Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn("off", F.sum("tot").over(w_off) - F.col("tot")).select(
+        "pb", "off"
+    )
+    out = within.join(F.broadcast(offsets), "pb").withColumn(
+        "global_cum", F.col("off") + F.col("cum_in")
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "h",
+        "global_cum",
+        # integer division (div), never float: exact at any magnitude
+        F.expr(f"(global_cum - n_tokens) div {token_budget}").alias("shard_id"),
+    )
+
+
+def corpus_shards_sql(
+    token_budget: int,
+    id_expr: str = "doc_id",
+    source: str = "documents",
+    salt: str = "shard",
+) -> str:
+    """Naive global-window twin of :func:`corpus_shards` (equal by integer
+    exactness; DuckDB runs at oracle scale where one sort is fine)."""
+    h = G.hash63_sql(f"CAST({id_expr} AS VARCHAR) || '{':' + salt}'")
+    tok = G.token_count_sql("text")
+    return f"""
+WITH base AS (
+  SELECT {id_expr}, {tok} AS n_tokens, {h} AS h,
+         ({h} >> {63 - _PREFIX_BITS}) AS pb
+  FROM {source}),
+c AS (
+  SELECT {id_expr}, n_tokens, h, pb,
+         CAST(sum(n_tokens) OVER (PARTITION BY pb ORDER BY h, {id_expr}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+  FROM base),
+t AS (SELECT pb, CAST(sum(n_tokens) AS BIGINT) AS tot FROM base GROUP BY pb),
+o AS (SELECT pb, CAST(sum(tot) OVER (ORDER BY pb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - tot AS off
+      FROM t)
+SELECT {id_expr}, n_tokens, h, (o.off + c.cum_in) AS global_cum,
+       CAST((o.off + c.cum_in - n_tokens) // {token_budget} AS BIGINT) AS shard_id
+FROM c JOIN o USING (pb)
+"""

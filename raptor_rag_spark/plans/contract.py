@@ -1118,6 +1118,56 @@ FROM documents GROUP BY 1
 """
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test split by salted hash bucket (order- and
+    partitioning-independent, the reproducible-subset contract a training
+    pipeline needs)."""
+    from ..operators.sampling import hash_split
+
+    return hash_split(ld(spark, sf_dir, "documents"))
+
+
+def q_doc_sample(spark, sf_dir):
+    """Per-language stratified downsampling via integer-percent hash quotas
+    (keeps doc_id + stratum so the assignment itself is checked)."""
+    from ..operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        ld(spark, sf_dir, "documents"), {"en": 60, "de": 30}, default_pct=10
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_corpus_shards(spark, sf_dir):
+    """Token-budget sharding in deterministic hash order via the scalable
+    two-level prefix sum (within-bucket window cumsums + broadcast bucket
+    offsets); oracle computes the same integers with one naive global
+    window."""
+    from ..operators.sampling import corpus_shards
+
+    return corpus_shards(ld(spark, sf_dir, "documents"), token_budget=4096)
+
+
+def _sql_doc_split() -> str:
+    from ..operators.sampling import hash_split_sql
+
+    return hash_split_sql()
+
+
+def _sql_doc_sample() -> str:
+    from ..operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(
+        {"en": 60, "de": 30}, default_pct=10, select="doc_id, lang"
+    )
+
+
+def _sql_corpus_shards() -> str:
+    from ..operators.sampling import corpus_shards_sql
+
+    return corpus_shards_sql(token_budget=4096)
+
+
 def q_doc_top_terms(spark, sf_dir):
     """TF-IDF keyword extraction: top-5 characteristic terms per document
     (twin-ln idf over the shared bm25_index postings)."""
@@ -2026,6 +2076,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "poly_metrics": q_poly_metrics,
     "stream_dedup": q_stream_dedup,
+    "doc_split": q_doc_split,
+    "doc_sample": q_doc_sample,
+    "corpus_shards": q_corpus_shards,
     "token_f1": q_token_f1,
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
@@ -2101,6 +2154,9 @@ ORACLES: dict[str, str] = {
     "zonal_stats": _sql_zonal_stats(),
     "poly_metrics": _sql_poly_metrics(),
     "stream_dedup": SQL_STREAM_DEDUP,
+    "doc_split": _sql_doc_split(),
+    "doc_sample": _sql_doc_sample(),
+    "corpus_shards": _sql_corpus_shards(),
     "token_f1": _sql_token_f1(),
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),

@@ -1,0 +1,70 @@
+"""Deterministic sampling / split / sharding properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.operators.sampling import (
+    corpus_shards,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400, parts=4):
+    return spark.range(n).repartition(parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body number "), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"),
+    )
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    a = {r["doc_id"]: r["split"] for r in hash_split(_docs(spark, parts=2)).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(_docs(spark, parts=13)).collect()}
+    assert a == b
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in ("train", "val", "test")}
+    assert frac["train"] == pytest.approx(0.8, abs=0.08)
+    assert frac["val"] == pytest.approx(0.1, abs=0.05)
+    assert frac["test"] == pytest.approx(0.1, abs=0.05)
+
+
+def test_hash_split_salt_gives_independent_assignment(spark):
+    d = _docs(spark)
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, salt="s1").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d, salt="s2").collect()}
+    assert a != b  # different salts reshuffle
+    assert set(a) == set(b)
+
+
+def test_stratified_sample_quotas(spark):
+    d = _docs(spark, n=900)
+    kept = stratified_sample(d, {"en": 50, "de": 20}, default_pct=0).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert "fr" not in by_lang  # default 0%
+    assert by_lang["en"] / 300 == pytest.approx(0.5, abs=0.12)
+    assert by_lang["de"] / 300 == pytest.approx(0.2, abs=0.1)
+    # subset of input, deterministic
+    again = stratified_sample(d, {"en": 50, "de": 20}, default_pct=0).collect()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in again}
+
+
+def test_corpus_shards_equals_naive_prefix_sum(spark):
+    d = _docs(spark, n=300, parts=7)
+    budget = 64
+    rows = corpus_shards(d, token_budget=budget).collect()
+    # naive reference: sort by (h, doc_id), running sum, start-offset shard
+    rows_sorted = sorted(rows, key=lambda r: (r["h"], r["doc_id"]))
+    cum = 0
+    for r in rows_sorted:
+        start = cum
+        cum += r["n_tokens"]
+        assert r["global_cum"] == cum
+        assert r["shard_id"] == start // budget
+    # shards are contiguous in hash order and cover 0..max
+    sids = [r["shard_id"] for r in rows_sorted]
+    assert sids == sorted(sids)
+    assert set(sids) == set(range(max(sids) + 1))
