@@ -115,6 +115,96 @@ FROM agg JOIN dl USING (doc_id)
 """
 
 
+def collocations(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """(term_a, term_b, n_ab, pmi, rank): top-k bigram collocations by PMI.
+
+    pmi = ln((n_ab · n_tok) / (n_a · n_b)) over adjacent word pairs — the
+    corpus-statistics pass that surfaces multi-word expressions ("new york")
+    for tokenizer/phrase-table construction. Bigrams come from zipping each
+    token array with its tail (no self-join); counts are one map-side-combined
+    groupBy each; the ``min_count`` filter bounds the final global top-k
+    window to frequent pairs only. The ratio is evaluated in a pinned
+    double order and ln is the sqlgen twin → hash-exact oracle.
+
+    At petabyte scale the product n_ab·n_tok exceeds 2^53 and rounds in
+    float64; both engines round identically (twin-pinned), so exactness
+    holds — the VALUE is the standard PMI up to that rounding."""
+    words = docs.select(G.words_col(F.col("text")).alias("ws"))
+    toks = words.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("n_w"))
+    n_tok = toks.agg(F.count("*").alias("n_tok"))
+    pairs = words.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))).alias("a"),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    big = (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("term_a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("term_b"), F.col("n_w").alias("n_b"))
+    arg = (F.col("n_ab").cast("double") * F.col("n_tok").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    scored = (
+        big.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .join(F.broadcast(n_tok))
+        .withColumn("arg", arg)
+        .withColumn("pmi", G.ln_col(F.col("arg")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi"), "term_a", "term_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("term_a", "term_b", "n_ab", "pmi", "rank")
+    )
+
+
+def collocations_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    top_k: int = 20,
+    min_count: int = 5,
+) -> str:
+    """DuckDB twin of :func:`collocations` (positional self-join bigrams —
+    identical pair multiset to the Spark zip)."""
+    ws = G.words_sql("text")
+    return f"""
+WITH words AS (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+t AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM t GROUP BY w),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM t),
+big AS (
+  SELECT a.w AS term_a, b.w AS term_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.w, b.w HAVING count(*) >= {min_count}),
+m AS MATERIALIZED (
+  SELECT g.term_a, g.term_b, g.n_ab,
+         ((CAST(g.n_ab AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) /
+          (CAST(ua.n_w AS DOUBLE) * CAST(ub.n_w AS DOUBLE))) AS arg
+  FROM big g
+  JOIN uni ua ON g.term_a = ua.w
+  JOIN uni ub ON g.term_b = ub.w
+  CROSS JOIN nt n),
+s AS (SELECT term_a, term_b, n_ab, {G.ln_sql('arg')} AS pmi FROM m)
+SELECT term_a, term_b, n_ab, pmi, rank FROM (
+  SELECT term_a, term_b, n_ab, pmi,
+         row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS rank
+  FROM s) WHERE rank <= {top_k}
+"""
+
+
 def curate_corpus(
     docs: DataFrame,
     clusters: DataFrame,

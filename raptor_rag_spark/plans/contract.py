@@ -1168,6 +1168,21 @@ def _sql_corpus_shards() -> str:
     return corpus_shards_sql(token_budget=4096)
 
 
+def q_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (min count 5) — corpus statistics
+    for phrase/tokenizer construction; twin-ln ratio, global top-k bounded
+    by the count filter."""
+    from ..operators.textops import collocations
+
+    return collocations(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_collocations() -> str:
+    from ..operators.textops import collocations_sql
+
+    return collocations_sql()
+
+
 def q_doc_top_terms(spark, sf_dir):
     """TF-IDF keyword extraction: top-5 characteristic terms per document
     (twin-ln idf over the shared bm25_index postings)."""
@@ -2079,6 +2094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split": q_doc_split,
     "doc_sample": q_doc_sample,
     "corpus_shards": q_corpus_shards,
+    "collocations": q_collocations,
     "token_f1": q_token_f1,
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
@@ -2157,6 +2173,7 @@ ORACLES: dict[str, str] = {
     "doc_split": _sql_doc_split(),
     "doc_sample": _sql_doc_sample(),
     "corpus_shards": _sql_corpus_shards(),
+    "collocations": _sql_collocations(),
     "token_f1": _sql_token_f1(),
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),

@@ -169,3 +169,37 @@ def test_doc_top_terms_matches_reference(spark):
         assert [t for t, _ in got[d]] == [t for t, _ in ref[d]]
         for (_, s_got), (_, s_ref) in zip(got[d], ref[d]):
             assert s_got == pytest.approx(s_ref, rel=1e-12, abs=1e-12)
+
+
+def test_collocations_match_reference(spark):
+    from raptor_rag_spark.operators.textops import collocations
+
+    docs = [
+        (i, "new york city has a new mayor in new york today") for i in range(5)
+    ] + [(100 + i, "old town road and old town square") for i in range(4)]
+    toks = {d: t.lower().split() for d, t in docs}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    n_tok = 0
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+            n_tok += 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    ref = {
+        p: (c, math.log(c * n_tok / (uni[p[0]] * uni[p[1]])))
+        for p, c in big.items()
+        if c >= 5
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations(df, top_k=50, min_count=5).collect()
+    got = {(r["term_a"], r["term_b"]): (r["n_ab"], r["pmi"]) for r in rows}
+    assert set(got) == set(ref)
+    for p, (c, pmi) in ref.items():
+        assert got[p][0] == c
+        assert got[p][1] == pytest.approx(pmi, rel=1e-12)
+    # ranks ordered by pmi desc
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    pmis = [r["pmi"] for r in by_rank]
+    assert pmis == sorted(pmis, reverse=True)
