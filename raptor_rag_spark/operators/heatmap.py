@@ -240,6 +240,44 @@ SELECT res, {cell} AS cell_id, ix, iy, n_leaves, value FROM u
 """
 
 
+def hotspot_cells(
+    focal: DataFrame,
+    res: int,
+    threshold: float,
+) -> DataFrame:
+    """(cell_id, ix, iy, mean, x0, y0, x1, y1): smoothed-density hotspots as
+    vector cell boxes — the raster→vector tail of the heatmap stack
+    (kde_heatmap → focal_mean → threshold → polygonize). The threshold is a
+    Catalyst-pushable filter on the tiny raster; box corners are pure
+    arithmetic on the cell indices."""
+    s = 1.0 / (1 << res)
+    ixd, iyd = F.col("ix").cast("double"), F.col("iy").cast("double")
+    return focal.where(F.col("mean") > F.lit(threshold)).select(
+        "cell_id",
+        "ix",
+        "iy",
+        "mean",
+        (ixd * F.lit(s)).alias("x0"),
+        (iyd * F.lit(s)).alias("y0"),
+        ((ixd + F.lit(1.0)) * F.lit(s)).alias("x1"),
+        ((iyd + F.lit(1.0)) * F.lit(s)).alias("y1"),
+    )
+
+
+def hotspot_cells_sql(focal_sql: str, res: int, threshold: float) -> str:
+    """DuckDB twin of :func:`hotspot_cells`. ``focal_sql`` selects cell_id,
+    ix, iy, mean."""
+    s = 1.0 / (1 << res)
+    return f"""
+SELECT cell_id, ix, iy, mean,
+       (CAST(ix AS DOUBLE) * {s!r}) AS x0,
+       (CAST(iy AS DOUBLE) * {s!r}) AS y0,
+       ((CAST(ix AS DOUBLE) + 1.0) * {s!r}) AS x1,
+       ((CAST(iy AS DOUBLE) + 1.0) * {s!r}) AS y1
+FROM ({focal_sql}) WHERE mean > {threshold!r}
+"""
+
+
 def kde_heatmap_sql(
     pts_sql: str, res: int, bandwidth: float, cutoff: float = 3.0
 ) -> str:

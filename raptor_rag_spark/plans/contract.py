@@ -1183,6 +1183,27 @@ def _sql_collocations() -> str:
     return collocations_sql()
 
 
+KDE_HOT_T = 1.5
+
+
+def q_kde_hotspots(spark, sf_dir):
+    """End-to-end hotspot composite: KDE raster → 3×3 focal smooth →
+    threshold → vector cell boxes (raster→vector tail of the heatmap
+    stack)."""
+    from ..operators.heatmap import focal_mean, hotspot_cells, kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return hotspot_cells(focal_mean(raster, res=KDE_RES, radius=1), res=KDE_RES, threshold=KDE_HOT_T)
+
+
+def _sql_kde_hotspots() -> str:
+    from ..operators.heatmap import hotspot_cells_sql
+
+    return hotspot_cells_sql(_sql_kde_focal(), res=KDE_RES, threshold=KDE_HOT_T)
+
+
 def q_doc_top_terms(spark, sf_dir):
     """TF-IDF keyword extraction: top-5 characteristic terms per document
     (twin-ln idf over the shared bm25_index postings)."""
@@ -2095,6 +2116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample": q_doc_sample,
     "corpus_shards": q_corpus_shards,
     "collocations": q_collocations,
+    "kde_hotspots": q_kde_hotspots,
     "token_f1": q_token_f1,
     "f1_by_type": q_f1_by_type,
     "max_over_golds": q_max_over_golds,
@@ -2174,6 +2196,7 @@ ORACLES: dict[str, str] = {
     "doc_sample": _sql_doc_sample(),
     "corpus_shards": _sql_corpus_shards(),
     "collocations": _sql_collocations(),
+    "kde_hotspots": _sql_kde_hotspots(),
     "token_f1": _sql_token_f1(),
     "f1_by_type": _sql_f1_by_type(),
     "max_over_golds": _sql_max_over_golds(),
