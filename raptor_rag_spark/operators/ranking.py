@@ -62,8 +62,19 @@ def doc_top_terms(
     = 0 exactly and rank last."""
     if postings is None:
         postings = bm25_index(docs)
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
-    n_docs = dl.agg(F.count("*").cast("double").alias("n_docs"))
+        # count docs with >=1 token from the cheap words scan (no shuffle
+        # recompute of the postings DAG; identical value — see bm25_rank)
+        n_docs = (
+            docs.select(F.size(G.words_col(F.col("text"))).alias("n"))
+            .where(F.col("n") > 0)
+            .agg(F.count("*").cast("double").alias("n_docs"))
+        )
+    else:
+        n_docs = (
+            postings.select("doc_id")
+            .distinct()
+            .agg(F.count("*").cast("double").alias("n_docs"))
+        )
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     idf_arg = F.col("n_docs") / F.col("df").cast("double")
     scored = (
@@ -126,7 +137,20 @@ def bm25_rank(
     appearing in more than half the corpus."""
     if postings is None:
         postings = bm25_index(docs)
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
+        # doc length from the raw token arrays (scan + size(), no shuffle):
+        # Catalyst doesn't reuse subplans, so deriving dl from `postings`
+        # would re-execute the postings groupBy per consumer — measured 3-4x
+        # slower. sum(tf) == size(ws) for docs with >=1 token, so the two
+        # derivations are value-identical; N counts docs with >=1 token.
+        words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
+        dl = (
+            words.select("doc_id", F.size("ws").cast("long").alias("dl_l"))
+            .where(F.col("dl_l") > 0)
+        )
+    else:
+        # prebuilt (persisted) index: everything derives from it, the raw
+        # corpus is never touched
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     if df_cap is not None:
         dfreq = dfreq.where(F.col("df") <= df_cap)
