@@ -1,0 +1,162 @@
+"""Host-level link graph + PageRank over the web-pages corpus.
+
+The webtext-side graph surface: a crawl curation pipeline ranks hosts by
+link authority (the classic PageRank prior used for crawl scheduling and
+quality weighting — e.g. Common Crawl's harmonic-centrality host ranks).
+The link graph here is derived deterministically from the pages table:
+each page contributes one out-link from its host to a pseudo-target host
+chosen by a stable hash of its url over the dense host-id space — the same
+"synthesize structure from hashes" trick the dedup/multimodal families use
+so both engines (Spark and the DuckDB oracle) rebuild the identical graph
+from the identical bits.
+
+Scale shape (100 TB of pages):
+- The pages scan collapses to a HOST-level graph in one groupBy (hosts are
+  millions where pages are trillions), so the iteration runs on metadata-
+  scale tables; the only data-scale work is the initial parse+groupBy.
+- Each PageRank round is edges ⋈ ranks (broadcast — ranks is |hosts| rows)
+  then ONE groupBy(dst) with map-side partial aggregation; K rounds = K
+  bounded shuffles of the edge table, the standard distributed formulation.
+- Dense host ids come from a window rank over the host table; that is a
+  single-partition sort of a metadata-scale table (NOT the pages table) —
+  the same tradeoff as the per-host rollup in operators/webops.py.
+
+Cross-engine exactness: contributions rank/out_deg are per-row double ops
+(twin-identical); cross-row sums go through DECIMAL(28,15); the damping
+constants are Python-computed once and injected into both twins verbatim.
+
+Reference role: the reference has no graph surface; this is corpus-scale
+curation infrastructure per SURVEY.md §2.1 (crawl-quality priors), the
+page-level analog of host_quality_filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from .webops import parse_urls
+
+DAMPING = 0.85
+BASE_NUM = 1.0 - DAMPING  # computed ONCE; injected into both twins
+
+
+def host_nodes(pages: DataFrame) -> DataFrame:
+    """(host_id, host, out_deg): dense-id host table. out_deg = pages per
+    host (each page emits exactly one out-link, so no dangling nodes by
+    construction — every host has ≥1 page ⇒ ≥1 out-edge)."""
+    hosts = parse_urls(pages).groupBy("host").agg(F.count("*").alias("out_deg"))
+    w = Window.orderBy("host")
+    return hosts.withColumn("host_id", (F.row_number().over(w) - 1).cast("long")).select(
+        "host_id", "host", "out_deg"
+    )
+
+
+def host_link_edges(pages: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(src, dst, w, out_deg): weighted host→host edges. Each page links its
+    host to host ``hash63(url) mod n_hosts``; parallel edges collapse into a
+    weight (one groupBy with map-side combine over the pages scan)."""
+    n_hosts = nodes.agg(F.count("*").alias("n_hosts"))
+    parsed = parse_urls(pages).select("url", "host")
+    e = (
+        parsed.join(F.broadcast(nodes.select("host", "host_id")), "host")
+        .crossJoin(F.broadcast(n_hosts))
+        .select(
+            F.col("host_id").alias("src"),
+            F.pmod(G.hash63_col(F.col("url")), F.col("n_hosts")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return e.join(
+        F.broadcast(nodes.select(F.col("host_id").alias("src"), "out_deg")), "src"
+    )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """(host_id, rank): PageRank after a FIXED number of power-iteration
+    rounds (fixed K ⇒ the DuckDB twin unrolls into chained CTEs).
+
+        rank⁰ = 1/N
+        rankᵏ = (1−d)/N + d · Σ_in  w·(rankᵏ⁻¹_src / out_deg_src)
+
+    Sums in exact DECIMAL; hosts with no in-links keep the (1−d)/N floor
+    via coalesce(·, 0.0) (adding d·0.0 is IEEE-exact)."""
+    dec = "decimal(28,15)"
+    n_hosts = nodes.agg(F.count("*").alias("n_hosts"))
+    base = nodes.select("host_id").crossJoin(F.broadcast(n_hosts)).select(
+        "host_id",
+        (F.lit(BASE_NUM) / F.col("n_hosts").cast("double")).alias("base"),
+        (F.lit(1.0) / F.col("n_hosts").cast("double")).alias("rank"),
+    )
+    ranks = base.select("host_id", "rank")
+    for _ in range(iterations):
+        contrib = (
+            edges.join(F.broadcast(ranks.withColumnRenamed("host_id", "src")), "src")
+            .select(
+                "dst",
+                (
+                    F.col("w").cast("double")
+                    * (F.col("rank") / F.col("out_deg").cast("double"))
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast(dec)).cast("double").alias("s"))
+        )
+        ranks = (
+            base.select("host_id", "base")
+            .join(contrib.withColumnRenamed("dst", "host_id"), "host_id", "left")
+            .select(
+                "host_id",
+                (
+                    F.col("base")
+                    + F.lit(DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def host_pagerank(pages: DataFrame, iterations: int = 5) -> DataFrame:
+    """(host, out_deg, rank): the end-to-end composite — parse → host graph
+    → K PageRank rounds → named hosts."""
+    nodes = host_nodes(pages)
+    edges = host_link_edges(pages, nodes)
+    ranks = pagerank(nodes, edges, iterations)
+    return nodes.join(ranks, "host_id").select("host", "out_deg", "rank")
+
+
+def host_pagerank_sql(pages_sql: str, url_re: str, iterations: int = 5) -> str:
+    """DuckDB twin of :func:`host_pagerank`. ``pages_sql`` selects url (and
+    any other page columns); ``url_re`` is the shared URL regex."""
+    dec = "DECIMAL(28,15)"
+    ctes = [
+        f"parsed AS (SELECT url, regexp_extract(url, '{url_re}', 2) AS host FROM ({pages_sql}))",
+        "hosts AS (SELECT host, CAST(count(*) AS BIGINT) AS out_deg FROM parsed GROUP BY host)",
+        "nid AS (SELECT host, out_deg, CAST(row_number() OVER (ORDER BY host) - 1 AS BIGINT) AS host_id FROM hosts)",
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts FROM nid)",
+        f"""e0 AS (SELECT n.host_id AS src,
+               ({G.hash63_sql('p.url')} % (SELECT n_hosts FROM c)) AS dst
+        FROM parsed p JOIN nid n ON p.host = n.host)""",
+        "ew AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY src, dst)",
+        "edges AS (SELECT ew.src, ew.dst, ew.w, n.out_deg FROM ew JOIN nid n ON ew.src = n.host_id)",
+        "r0 AS (SELECT host_id, (1.0 / CAST((SELECT n_hosts FROM c) AS DOUBLE)) AS rank FROM nid)",
+    ]
+    base = f"({BASE_NUM!r} / CAST((SELECT n_hosts FROM c) AS DOUBLE))"
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT nid.host_id,
+         ({base} + {DAMPING!r} * coalesce(s.sc, 0.0)) AS rank
+  FROM nid LEFT JOIN (
+    SELECT e.dst AS host_id,
+           CAST(sum(CAST((CAST(e.w AS DOUBLE) * (r.rank / CAST(e.out_deg AS DOUBLE))) AS {dec})) AS DOUBLE) AS sc
+    FROM edges e JOIN r{k - 1} r ON e.src = r.host_id GROUP BY e.dst) s
+  ON nid.host_id = s.host_id)"""
+        )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT n.host, n.out_deg, r.rank
+FROM nid n JOIN r{iterations} r ON n.host_id = r.host_id
+"""

@@ -308,3 +308,97 @@ SELECT {cell} AS cell_id, ix, iy,
        CAST(sum(CAST({G.exp_sql('arg')} AS DECIMAL(28,15))) AS DOUBLE) AS density
 FROM f GROUP BY ix, iy
 """
+
+
+def local_moran(raster: DataFrame, res: int, value_col: str = "density") -> DataFrame:
+    """(cell_id, ix, iy, z, lag_z, n_nb, moran_i): local Moran's I spatial
+    autocorrelation per populated raster cell — the standard hotspot/coldspot
+    LISA statistic (Anselin). For cell i with deviation z_i = v_i − μ:
+
+        I_i = z_i · mean(z over populated 8-neighbors) / m2,   m2 = Σz²/n
+
+    High positive I_i = a cluster (hot-hot or cold-cold); negative = a
+    spatial outlier. Plan: two metadata-scale global aggregates broadcast
+    back via crossJoin (the raster is ≤ 4^res rows regardless of corpus
+    size), then the same bounded neighbor fan-out + ONE groupBy as
+    focal_mean. Cells with no populated neighbor are dropped (lag undefined
+    — the sparse-raster convention). Cross-row sums in exact DECIMAL; every
+    division order is pinned and mirrored by the SQL twin.
+    """
+    n = 1 << res
+    base = raster.select("ix", "iy", F.col(value_col).cast("double").alias("v"))
+    g1 = base.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("v").cast("decimal(28,15)")).cast("double").alias("sv"),
+    )
+    withz = (
+        base.crossJoin(F.broadcast(g1))
+        .withColumn("mu", F.col("sv") / F.col("n_cells").cast("double"))
+        .withColumn("z", F.col("v") - F.col("mu"))
+        .select("ix", "iy", "z", "n_cells")
+    )
+    g2 = withz.agg(
+        F.sum((F.col("z") * F.col("z")).cast("decimal(28,15)")).cast("double").alias("szz"),
+        F.max("n_cells").alias("nc"),
+    ).select((F.col("szz") / F.col("nc").cast("double")).alias("m2"))
+    nb = (
+        withz.select("ix", "iy", "z")
+        .select("ix", "iy", "z", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"))
+        .select("ix", "iy", "z", "dx", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"))
+        .where(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select((F.col("ix") + F.col("dx")).alias("tix"), (F.col("iy") + F.col("dy")).alias("tiy"), "z")
+        .where((F.col("tix") >= 0) & (F.col("tix") <= n - 1) & (F.col("tiy") >= 0) & (F.col("tiy") <= n - 1))
+    )
+    lag = nb.groupBy("tix", "tiy").agg(
+        F.count("*").alias("n_nb"),
+        (
+            F.sum(F.col("z").cast("decimal(28,15)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("lag_z"),
+    )
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("ix"), COORD_BITS))
+        .bitwiseOR(F.col("iy"))
+    )
+    return (
+        withz.join(lag, (F.col("ix") == F.col("tix")) & (F.col("iy") == F.col("tiy")))
+        .crossJoin(F.broadcast(g2))
+        .select(
+            cell.alias("cell_id"),
+            "ix",
+            "iy",
+            "z",
+            "lag_z",
+            "n_nb",
+            ((F.col("z") * F.col("lag_z")) / F.col("m2")).alias("moran_i"),
+        )
+    )
+
+
+def local_moran_sql(raster_sql: str, res: int, value_col: str = "density") -> str:
+    """DuckDB twin of :func:`local_moran`. ``raster_sql`` selects ix, iy and
+    ``value_col``."""
+    n = 1 << res
+    cell = f"(({res}::BIGINT << {RES_SHIFT}) | (ix << {COORD_BITS}) | iy)"
+    return f"""
+WITH base AS (SELECT ix, iy, CAST({value_col} AS DOUBLE) AS v FROM ({raster_sql})),
+g1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(CAST(v AS DECIMAL(28,15))) AS DOUBLE) AS sv FROM base),
+withz AS (SELECT ix, iy, (v - (sv / CAST(n_cells AS DOUBLE))) AS z, n_cells
+          FROM base CROSS JOIN g1),
+g2 AS (SELECT (CAST(sum(CAST(z * z AS DECIMAL(28,15))) AS DOUBLE)
+               / CAST(max(n_cells) AS DOUBLE)) AS m2 FROM withz),
+nx AS (SELECT ix, iy, z, unnest(generate_series(-1, 1)) AS dx FROM withz),
+ny AS (SELECT ix, iy, z, dx, unnest(generate_series(-1, 1)) AS dy FROM nx),
+nb AS (SELECT (ix + dx) AS tix, (iy + dy) AS tiy, z FROM ny
+       WHERE NOT (dx = 0 AND dy = 0)
+         AND ix + dx >= 0 AND ix + dx <= {n - 1}
+         AND iy + dy >= 0 AND iy + dy <= {n - 1}),
+lag_ AS (SELECT tix, tiy, CAST(count(*) AS BIGINT) AS n_nb,
+                CAST(sum(CAST(z AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lag_z
+         FROM nb GROUP BY tix, tiy)
+SELECT {cell} AS cell_id, ix, iy, z, lag_z, n_nb,
+       ((z * lag_z) / m2) AS moran_i
+FROM withz JOIN lag_ ON ix = tix AND iy = tiy CROSS JOIN g2
+"""

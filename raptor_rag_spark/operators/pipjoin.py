@@ -293,3 +293,78 @@ def poly_metrics(polygons: DataFrame, poly_id_col: str = "cell_id") -> DataFrame
         (F.col("sxs") / (F.col("s") * F.lit(3.0))).alias("cx"),
         (F.col("sys") / (F.col("s") * F.lit(3.0))).alias("cy"),
     )
+
+
+def polygon_cover(
+    polygons: DataFrame, res: int, poly_id_col: str = "cell_id"
+) -> DataFrame:
+    """(poly_id, cover_id, ix, iy): the cells at ``res`` whose CENTER lies
+    inside each polygon — the H3 ``polyfill`` analog (polygon → cell set),
+    the inverse direction of pip_join (point → polygon).
+
+    Plan: candidate cells come from the ring's bbox (pure expressions on the
+    ring array, clamped to the grid), exploded as two integer sequences; the
+    exact ray-cast kernel verifies each candidate's center in one Arrow
+    batch. Fan-out is bbox-bounded, there is NO join at all — each polygon
+    row expands and filters independently, so the operator scales linearly
+    in Σ bbox areas and polygons never see each other. Center-containment
+    gives an exact partition of cells among non-overlapping polygons (every
+    center is tested against each covering polygon once).
+
+    Output is integer-only (res/ix/iy bit-packed into cover_id); floats
+    exist only inside the twin-pinned PIP predicate, so the DuckDB oracle
+    (unrolled parity test on the same center arithmetic) is hash-exact.
+    """
+    n = 1 << res
+    s = 1.0 / n  # exact power of two
+    xs = F.transform(F.col("ring"), lambda p: F.element_at(p, 1))
+    ys = F.transform(F.col("ring"), lambda p: F.element_at(p, 2))
+    clamp = lambda c: F.greatest(F.least(c.cast("long"), F.lit(n - 1)), F.lit(0))  # noqa: E731
+    cand = (
+        polygons.select(
+            F.col(poly_id_col).alias("poly_id"),
+            "ring",
+            clamp(F.floor(F.array_min(xs) * n)).alias("bx0"),
+            clamp(F.floor(F.array_max(xs) * n)).alias("bx1"),
+            clamp(F.floor(F.array_min(ys) * n)).alias("by0"),
+            clamp(F.floor(F.array_max(ys) * n)).alias("by1"),
+        )
+        .select(
+            "poly_id",
+            "ring",
+            "by0",
+            "by1",
+            F.explode(F.sequence(F.col("bx0"), F.col("bx1"))).alias("ix"),
+        )
+        .select(
+            "poly_id",
+            "ring",
+            "ix",
+            F.explode(F.sequence(F.col("by0"), F.col("by1"))).alias("iy"),
+        )
+        .withColumn("x", (F.col("ix").cast("double") + F.lit(0.5)) * F.lit(s))
+        .withColumn("y", (F.col("iy").cast("double") + F.lit(0.5)) * F.lit(s))
+    )
+
+    out_schema = "poly_id LONG, ix LONG, iy LONG"
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            xs_ = pdf["x"].to_numpy()
+            ys_ = pdf["y"].to_numpy()
+            for _, idx in pdf.groupby("poly_id").indices.items():
+                ring = np.array([list(p) for p in pdf["ring"].iloc[idx[0]]])
+                keep[idx] = point_in_polygon(xs_[idx], ys_[idx], ring)
+            yield pdf.loc[keep, ["poly_id", "ix", "iy"]]
+
+    cover = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("ix"), COORD_BITS))
+        .bitwiseOR(F.col("iy"))
+    )
+    return cand.mapInPandas(verify, out_schema).select(
+        F.col("poly_id").alias(poly_id_col), cover.alias("cover_id"), "ix", "iy"
+    )

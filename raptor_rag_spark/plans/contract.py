@@ -2056,6 +2056,113 @@ FROM img JOIN aud USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# cell-set compaction / polyfill / spatial autocorrelation / host PageRank
+# --------------------------------------------------------------------------
+
+COMPACT_RES = 4
+
+
+def q_cell_compact(spark, sf_dir):
+    """H3-style ``compact``: minimal multi-resolution cover of the populated
+    embedding cells at res 4 (pure-integer level chain, operators/compact)."""
+    from ..operators.compact import compact_cells
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    n = 1 << COMPACT_RES
+    clamp = lambda c: F.greatest(F.least(F.floor(c * float(n)).cast("long"), F.lit(n - 1)), F.lit(0))  # noqa: E731
+    cells = e.select(clamp(x).alias("ix"), clamp(y).alias("iy"))
+    return compact_cells(cells, COMPACT_RES)
+
+
+def _sql_cell_compact() -> str:
+    from ..operators.compact import compact_cells_sql
+
+    vx, vy = G.xy_sql("embedding", DIM)
+    n = 1 << COMPACT_RES
+    ix = f"greatest(least(floor(({vx}) * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iy = f"greatest(least(floor(({vy}) * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    return compact_cells_sql(
+        f"SELECT {ix} AS ix, {iy} AS iy FROM embeddings", COMPACT_RES
+    )
+
+
+COVER_RES = 6
+
+
+def q_poly_cover(spark, sf_dir):
+    """H3-style ``polyfill``: cells at res 6 whose center lies in each test
+    polygon — the polygon→cells inverse of pip_join, bbox-bounded fan-out
+    with the exact ray-cast verify (operators/pipjoin.polygon_cover)."""
+    from ..operators.pipjoin import polygon_cover
+
+    polys = spark.createDataFrame(PIP_POLYS, "cell_id long, ring array<array<double>>")
+    return polygon_cover(polys, COVER_RES)
+
+
+def _sql_poly_cover() -> str:
+    import math
+
+    from ..kernels.grid import COORD_BITS, RES_SHIFT
+
+    n = 1 << COVER_RES
+    s = 1.0 / n
+    cover = f"(({COVER_RES}::BIGINT << {RES_SHIFT}) | (ix << {COORD_BITS}) | iy)"
+    branches = []
+    for pid, ring in PIP_POLYS:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        clampi = lambda v: max(min(int(math.floor(v * float(n))), n - 1), 0)  # noqa: E731
+        bx0, bx1 = clampi(min(xs)), clampi(max(xs))
+        by0, by1 = clampi(min(ys)), clampi(max(ys))
+        branches.append(
+            f"""SELECT {pid} AS cell_id, {cover} AS cover_id, ix, iy FROM (
+  SELECT ix, iy,
+         ((CAST(ix AS DOUBLE) + 0.5) * {s!r}) AS x,
+         ((CAST(iy AS DOUBLE) + 0.5) * {s!r}) AS y
+  FROM (SELECT unnest(generate_series({bx0}::BIGINT, {bx1}::BIGINT)) AS ix) a,
+       (SELECT unnest(generate_series({by0}::BIGINT, {by1}::BIGINT)) AS iy) b
+) WHERE {_pip_parity_sql(ring)}"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def q_kde_moran(spark, sf_dir):
+    """Local Moran's I (LISA hotspot statistic) over the KDE raster — the
+    spatial-autocorrelation tail of the heatmap stack (heatmap → moran)."""
+    from ..operators.heatmap import kde_heatmap, local_moran
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return local_moran(raster, res=KDE_RES)
+
+
+def _sql_kde_moran() -> str:
+    from ..operators.heatmap import local_moran_sql
+
+    return local_moran_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
+def q_host_pagerank(spark, sf_dir):
+    """PageRank over the hash-derived host link graph (5 unrolled power
+    iterations; operators/graph) — the crawl-authority prior of a web
+    curation pipeline, run on the metadata-scale host table."""
+    from ..operators.graph import host_pagerank
+
+    return host_pagerank(_pages(spark), iterations=5)
+
+
+def _sql_host_pagerank() -> str:
+    from ..operators.graph import host_pagerank_sql
+    from ..operators.webops import URL_RE
+
+    return host_pagerank_sql(f"SELECT url FROM {_PAGES_PQ}", URL_RE, iterations=5)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2141,6 +2248,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pages_host_filter": q_pages_host_filter,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    # cell-set algebra / spatial autocorrelation / host graph
+    "cell_compact": q_cell_compact,
+    "poly_cover": q_poly_cover,
+    "kde_moran": q_kde_moran,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -2220,4 +2332,8 @@ ORACLES: dict[str, str] = {
     "pages_host_stats": SQL_PAGES_HOST_STATS,
     "pages_host_filter": SQL_PAGES_HOST_FILTER,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "cell_compact": _sql_cell_compact(),
+    "poly_cover": _sql_poly_cover(),
+    "kde_moran": _sql_kde_moran(),
+    "host_pagerank": _sql_host_pagerank(),
 }
