@@ -216,7 +216,40 @@ def main() -> None:
 
     timed("zonal_stats", lambda: zonal_stats(pts.select("node_id", "x", "y"), polys).count())
 
-    # 6. text analysis sweep
+    # 6. web-corpus curation sweep over synthetic Common-Crawl pages
+    from raptor_rag_spark.operators.curation import (
+        canonical_dedup,
+        extract_links,
+        line_dedup,
+        pii_scrub,
+    )
+    from raptor_rag_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, max(2 * n_docs, 2000)).cache()
+    timed("pages_gen", lambda: pages.count())
+    timed("para_dedup", lambda: line_dedup(pages).count())
+    timed("pii_scrub", lambda: pii_scrub(pages).count())
+    timed("url_canon", lambda: canonical_dedup(pages).count())
+    timed("link_graph", lambda: extract_links(pages).count())
+
+    # exact phrase search over the positional index (3 phrases incl. a 3-gram)
+    from raptor_rag_spark.operators.phrases import phrase_search
+    from raptor_rag_spark.plans.contract import PHRASES
+
+    pq = spark.createDataFrame(PHRASES, "phrase_id INT, qtext STRING")
+    timed("phrase_search", lambda: phrase_search(docs.select("doc_id", "text"), pq).count())
+
+    # per-cell directional extremes (approx convex hull of each tile)
+    from raptor_rag_spark.operators.extremes import cell_extremes
+
+    timed(
+        "cell_extremes",
+        lambda: cell_extremes(
+            pts.select(F.col("node_id").alias("vec_id"), "x", "y"), res=3
+        ).count(),
+    )
+
+    # 7. text analysis sweep
     def _text():
         T.token_counts(docs).agg(F.sum("n_tokens")).collect()
         T.language_id(docs).groupBy("lang_guess").count().collect()

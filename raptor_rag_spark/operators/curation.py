@@ -1,0 +1,310 @@
+"""Corpus-curation operators over the pages table: paragraph-level dedup,
+repetition quality signals, PII scrubbing, URL canonicalization, and link
+extraction.
+
+These are the CCNet/C4/Gopher-style cleanup passes a Common-Crawl-scale
+pipeline runs between raw ingest and anything that costs money (embedding,
+training). The reference ingests a single trusted string
+(raptor/retrieval_augmentation.py:170-175); this module is the corpus-scale
+ingest hygiene SURVEY.md §2.1 maps that surface to. Everything is pure JVM
+expressions (regexp + aggregates) — no Python in any hot path — and every
+float op is twin-pinned so the DuckDB oracles hash-match exactly.
+
+Scale notes (100 TB of pages):
+
+- ``line_dedup`` shuffles on md5(line), never on the line text itself, so
+  shuffle keys are fixed-width 32 bytes no matter how long the paragraph is.
+  The document-frequency table is built from ``distinct(url, hash)`` —
+  map-side combinable — and the hot keys (site boilerplate shared by millions
+  of pages) are exactly the rows the df-filter *drops*, so the re-join that
+  follows only ever carries surviving (rare) lines. The per-doc reassembly is
+  one groupBy(url) with map-side combine over struct(pos, line).
+- ``repetition_signals`` is two per-doc groupBys (line counts, bigram
+  counts); both partial-aggregate map-side, keys are (url, token) — no
+  corpus-wide hot keys because everything is per-document.
+- ``pii_scrub`` is a pure map (regexp_count/replace in whole-stage codegen);
+  zero shuffles.
+- ``canonicalize_urls`` is a map; the recrawl-dedup ranking shuffles on
+  canon_url (bounded by per-URL recrawl count, not corpus size).
+- ``extract_links`` scans html once, explodes hrefs, and collapses to a
+  host→host edge list in one groupBy with map-side combine — hosts are
+  millions where pages are trillions, so the output is metadata-scale. The
+  edge list feeds operators/graph.py's PageRank directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from .webops import URL_RE
+
+NL = "\n"
+
+# regexes kept inside the Java-regex ∩ RE2 common subset (Spark / DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+TRACKING_RE = r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+FRAGMENT_RE = r"#.*"
+HREF_RE = r'href="([^"]+)"'
+
+
+# ------------------------------------------------------------ paragraph dedup
+
+
+def line_dedup(pages: DataFrame, max_df: int = 1) -> DataFrame:
+    """(url, n_lines, n_kept, clean_text): CCNet-style paragraph-level dedup.
+
+    Every text line (paragraph) whose corpus document frequency exceeds
+    ``max_df`` is dropped — this is the pass that strips nav bars, cookie
+    banners and copyright footers that repeat across a site. Documents whose
+    every line is boilerplate disappear entirely (both engines agree).
+    """
+    lines = pages.select(
+        "url", F.posexplode(F.split(F.col("text"), NL)).alias("pos", "line")
+    )
+    dfreq = (
+        lines.select("url", F.md5("line").alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("line_df"))
+    )
+    totals = lines.groupBy("url").agg(F.count("*").alias("n_lines"))
+    kept = (
+        lines.withColumn("h", F.md5("line"))
+        .join(dfreq, "h")
+        .where(F.col("line_df") <= max_df)
+    )
+    rebuilt = kept.groupBy("url").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            NL,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return rebuilt.join(totals, "url").select("url", "n_lines", "n_kept", "clean_text")
+
+
+def line_dedup_sql(pages_sql: str, max_df: int = 1) -> str:
+    """DuckDB twin of :func:`line_dedup`."""
+    return f"""
+WITH lines AS (
+  SELECT url, CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos, unnest(ls) AS line
+  FROM (SELECT url, string_split(text, chr(10)) AS ls FROM ({pages_sql}))
+),
+dfreq AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS line_df
+  FROM (SELECT DISTINCT url, md5(line) AS h FROM lines) GROUP BY h),
+totals AS (SELECT url, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY url),
+kept AS (
+  SELECT l.url, l.pos, l.line FROM lines l JOIN dfreq d ON md5(l.line) = d.h
+  WHERE d.line_df <= {max_df})
+SELECT k.url, t.n_lines, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text
+FROM kept k JOIN totals t USING (url)
+GROUP BY k.url, t.n_lines
+"""
+
+
+# --------------------------------------------------- repetition quality gates
+
+
+def repetition_signals(pages: DataFrame) -> DataFrame:
+    """(url, n_lines, dup_line_frac, dup_char_frac, top_bigram_frac):
+    Gopher-style within-document repetition signals (Rae et al. 2021 §A1.1):
+    the fraction of duplicate lines, of characters inside duplicate lines,
+    and of tokens covered by the most frequent bigram. High values flag
+    machine-generated / template spam before model training sees it."""
+    lines = pages.select("url", F.explode(F.split(F.col("text"), NL)).alias("line"))
+    lc = lines.groupBy("url", "line").agg(F.count("*").alias("c"))
+    line_stats = lc.groupBy("url").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("tot_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+    words = pages.select("url", G.words_col(F.col("text")).alias("ws"))
+    pairs = words.select(
+        "url",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))).alias("a"),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+    ).select("url", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bc = pairs.groupBy("url", "a", "b").agg(F.count("*").alias("c"))
+    bigram_stats = bc.groupBy("url").agg(
+        F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams")
+    )
+    frac = lambda n, d: F.col(n).cast("double") / F.col(d).cast("double")  # noqa: E731
+    return (
+        line_stats.join(bigram_stats, "url")
+        .select(
+            "url",
+            "n_lines",
+            frac("dup_lines", "n_lines").alias("dup_line_frac"),
+            frac("dup_chars", "tot_chars").alias("dup_char_frac"),
+            frac("top_bigram", "n_bigrams").alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_signals_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`repetition_signals`."""
+    ws = G.words_sql("text")
+    return f"""
+WITH lc AS (
+  SELECT url, line, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT url, unnest(string_split(text, chr(10))) AS line FROM ({pages_sql}))
+  GROUP BY url, line),
+line_stats AS (
+  SELECT url, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+         CAST(sum(c * length(line)) AS BIGINT) AS tot_chars,
+         CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT) AS dup_chars
+  FROM lc GROUP BY url),
+t AS (
+  SELECT url, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+  FROM (SELECT url, {ws} AS ws FROM ({pages_sql}))),
+bc AS (
+  SELECT a.url, a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS c
+  FROM t a JOIN t b ON a.url = b.url AND b.i = a.i + 1
+  GROUP BY a.url, a.w, b.w),
+bigram_stats AS (
+  SELECT url, CAST(max(c) AS BIGINT) AS top_bigram, CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM bc GROUP BY url)
+SELECT l.url, l.n_lines,
+       CAST(l.dup_lines AS DOUBLE) / CAST(l.n_lines AS DOUBLE) AS dup_line_frac,
+       CAST(l.dup_chars AS DOUBLE) / CAST(l.tot_chars AS DOUBLE) AS dup_char_frac,
+       CAST(b.top_bigram AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE) AS top_bigram_frac
+FROM line_stats l JOIN bigram_stats b USING (url)
+"""
+
+
+# ---------------------------------------------------------------- PII scrub
+
+
+def pii_scrub(pages: DataFrame) -> DataFrame:
+    """(url, n_emails, n_ips, scrubbed): mask emails then IPv4 literals with
+    typed placeholders. Pure codegen map — the shape of every
+    redaction/decontamination pass (emails first: an address can contain
+    digit runs, never vice versa)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return pages.select(
+        "url",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def pii_scrub_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`pii_scrub` (note DuckDB needs the 'g' flag —
+    Spark's regexp_replace is global by default)."""
+    return f"""
+SELECT url,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{IPV4_RE}', '<IP>', 'g') AS scrubbed
+FROM ({pages_sql})
+"""
+
+
+# ------------------------------------------------------- URL canonicalization
+
+
+def canon_url_col(url: Column | str = "url") -> Column:
+    """Canonical URL: drop the #fragment, strip tracking params
+    (utm_*/ref/fbclid/gclid — each match eats its own ?/& separator, so a
+    leading tracked param takes the '?' with it and a kept param retains
+    it), lowercase."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, FRAGMENT_RE, "")
+    u = F.regexp_replace(u, TRACKING_RE, "")
+    return F.lower(u)
+
+
+def canon_url_sql(url_expr: str = "url") -> str:
+    return (
+        f"lower(regexp_replace(regexp_replace({url_expr}, '{FRAGMENT_RE}', '', 'g'), "
+        f"'{TRACKING_RE}', '', 'g'))"
+    )
+
+
+def canonical_dedup(pages: DataFrame) -> DataFrame:
+    """(url, canon_url, fetch_rank, n_fetches): recrawl dedup — group fetches
+    by canonical URL, rank by (warc_ts, url); fetch_rank = 1 is the keeper.
+    The shuffle key is canon_url; group size is the recrawl count of one
+    page, never corpus-scale."""
+    c = pages.select("url", "warc_ts", canon_url_col("url").alias("canon_url"))
+    w = Window.partitionBy("canon_url").orderBy("warc_ts", "url")
+    cw = Window.partitionBy("canon_url")
+    return (
+        c.withColumn("fetch_rank", F.row_number().over(w))
+        .withColumn("n_fetches", F.count("*").over(cw))
+        .select("url", "canon_url", "fetch_rank", "n_fetches")
+    )
+
+
+def canonical_dedup_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`canonical_dedup`."""
+    canon = canon_url_sql("url")
+    return f"""
+WITH c AS (SELECT url, warc_ts, {canon} AS canon_url FROM ({pages_sql}))
+SELECT url, canon_url,
+       CAST(row_number() OVER (PARTITION BY canon_url ORDER BY warc_ts, url) AS INT)
+         AS fetch_rank,
+       CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_fetches
+FROM c
+"""
+
+
+# ------------------------------------------------------------ link extraction
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links): the real host-level link graph, parsed
+    out of the raw html bytes (decode → regexp over href attributes). One
+    scan, one map-side-combined groupBy; output is host-cardinality, so this
+    is the job that turns a trillion-page crawl into the metadata-scale edge
+    list PageRank (operators/graph.py) iterates on."""
+    hrefs = pages.select(
+        F.regexp_extract(F.col("url"), URL_RE, 2).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(F.decode(F.col("html"), "UTF-8"), F.lit(HREF_RE), 1)
+        ).alias("dst_url"),
+    )
+    return (
+        hrefs.select(
+            "src_host", F.regexp_extract(F.col("dst_url"), URL_RE, 2).alias("dst_host")
+        )
+        .where(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def extract_links_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`extract_links`."""
+    return f"""
+WITH hrefs AS (
+  SELECT regexp_extract(url, '{URL_RE}', 2) AS src_host,
+         unnest(regexp_extract_all(decode(html), 'href="([^"]+)"', 1)) AS dst_url
+  FROM ({pages_sql})
+)
+SELECT src_host, regexp_extract(dst_url, '{URL_RE}', 2) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM hrefs
+WHERE regexp_extract(dst_url, '{URL_RE}', 2) <> ''
+GROUP BY src_host, dst_host
+"""

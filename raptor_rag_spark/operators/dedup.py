@@ -319,3 +319,88 @@ def apply_dedup(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------- duplicate spans
+
+
+def duplicate_spans(docs: DataFrame, w: int = 8) -> DataFrame:
+    """(doc_id, start_pos, end_pos, n_tokens, n_windows): maximal duplicated
+    token spans — the exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), windowed:
+    every ``w``-token window whose hash occurs in MORE THAN ONE document is
+    flagged, and overlapping flagged windows merge into maximal spans via the
+    gaps-and-islands window trick. Downstream, a pipeline cuts these spans
+    out of the text rather than dropping whole near-duplicate documents.
+
+    Scale shape: windows shuffle as fixed-width md5 keys; the cross-doc
+    frequency table comes from distinct(doc_id, hash) with map-side combine.
+    Unlike the pair generators, hot windows (mass boilerplate) need no cap:
+    flagging joins each window to a 1-row df verdict, never doc×doc, so the
+    operator is linear in corpus size by construction. The island merge is
+    one per-doc window function over flagged positions only.
+    """
+    sh = docs.select(
+        "doc_id", F.posexplode(G.shingles_col(F.col("text"), w)).alias("pos", "s")
+    ).select("doc_id", "pos", F.md5("s").alias("h"))
+    dfreq = (
+        sh.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") > 1)
+    )
+    flagged = sh.join(dfreq, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    ordw = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos").over(ordw) <= w, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(ordw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(w - 1)).alias("end_pos"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("n_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def duplicate_spans_sql(docs_sql: str, w: int = 8) -> str:
+    """DuckDB twin of :func:`duplicate_spans`."""
+    shingles = G.shingles_sql("text", w)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, md5(unnest(l)) AS h
+  FROM (SELECT doc_id, {shingles} AS l FROM ({docs_sql}))),
+dfreq AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh) GROUP BY h HAVING count(*) > 1),
+flagged AS (SELECT s.doc_id, s.pos FROM sh s JOIN dfreq USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {w}
+              THEN 0 ELSE 1 END AS new_isl
+  FROM flagged),
+grp AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
+       CAST(max(pos) + {w - 1} AS INT) AS end_pos,
+       CAST(max(pos) + {w - 1} - min(pos) + 1 AS INT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grp GROUP BY doc_id, island
+"""

@@ -1999,6 +1999,144 @@ WHERE h.avg_tokens >= 40.0 AND p.lang = 'en'
 """
 
 
+# --------------------------------------------------------------------------
+# corpus curation over pages: paragraph dedup, repetition gates, PII scrub,
+# URL canonicalization, link-graph extraction (operators/curation.py)
+# --------------------------------------------------------------------------
+
+_PAGES_SQL = f"SELECT * FROM {_PAGES_PQ}"
+
+
+def q_para_dedup(spark, sf_dir):
+    """CCNet paragraph-level dedup: drop every text line whose corpus
+    document frequency > 1 (nav bars, cookie banners, per-site footers),
+    reassemble the cleaned document in original line order."""
+    from ..operators.curation import line_dedup
+
+    return line_dedup(_pages(spark), max_df=1)
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals: duplicate-line
+    fraction, duplicate-line character fraction, top-bigram token share."""
+    from ..operators.curation import repetition_signals
+
+    return repetition_signals(_pages(spark))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: mask emails then IPv4 literals with typed placeholders;
+    pure-codegen map (counts + global regexp_replace)."""
+    from ..operators.curation import pii_scrub
+
+    return pii_scrub(_pages(spark))
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization + recrawl dedup: strip fragments and tracking
+    params, rank fetches of the same canonical URL by (warc_ts, url)."""
+    from ..operators.curation import canonical_dedup
+
+    return canonical_dedup(_pages(spark))
+
+
+def q_link_graph(spark, sf_dir):
+    """Host-level link graph parsed from the raw html bytes (href regexp
+    over decode(html)) — the real-edge feed for host PageRank."""
+    from ..operators.curation import extract_links
+
+    return extract_links(_pages(spark))
+
+
+def _sql_curation() -> dict[str, str]:
+    from ..operators.curation import (
+        canonical_dedup_sql,
+        extract_links_sql,
+        line_dedup_sql,
+        pii_scrub_sql,
+        repetition_signals_sql,
+    )
+
+    return {
+        "para_dedup": line_dedup_sql(_PAGES_SQL, max_df=1),
+        "doc_repetition": repetition_signals_sql(_PAGES_SQL),
+        "pii_scrub": pii_scrub_sql(_PAGES_SQL),
+        "url_canon": canonical_dedup_sql(_PAGES_SQL),
+        "link_graph": extract_links_sql(_PAGES_SQL),
+    }
+
+
+PHRASES = [(0, "join order"), (1, "table scan"), (2, "sort merge part")]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search over the positional inverted index (quoted-query /
+    decontamination primitive): docs containing each phrase verbatim, with
+    occurrence counts. Includes a 3-token phrase so the multi-offset anchor
+    logic is exercised."""
+    from ..operators.phrases import phrase_search
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = spark.createDataFrame(PHRASES, "phrase_id INT, qtext STRING")
+    return phrase_search(docs, phrases)
+
+
+def _sql_phrase_search() -> str:
+    from ..operators.phrases import phrase_search_sql
+
+    values = ", ".join(f"({pid}, '{q}')" for pid, q in PHRASES)
+    phrases_sql = f"SELECT * FROM (VALUES {values}) AS p(phrase_id, qtext)"
+    return phrase_search_sql("SELECT doc_id, text FROM documents", phrases_sql)
+
+
+def q_cell_extremes(spark, sf_dir):
+    """Per-cell directional extremes (approximate convex hull): the ≤8 points
+    of maximal compass-direction support per occupied cell — the point-set →
+    vector-geometry reduction (operators/extremes.py)."""
+    from ..operators.extremes import cell_extremes
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select("vec_id", x.alias("x"), y.alias("y"))
+    return cell_extremes(pts, res=3)
+
+
+def _sql_cell_extremes() -> str:
+    from ..operators.extremes import cell_extremes_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    points_sql = f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings"
+    return cell_extremes_sql(points_sql, res=3)
+
+
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join: events stream ⋈ broadcast customer
+    dimension, windowed per (hour, mktsegment) — equals the batch twin."""
+    from ..streaming.events_stream import stream_enrich
+
+    return stream_enrich(spark, sf_dir)
+
+
+SQL_STREAM_ENRICH = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, c_mktsegment,
+       count(*) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup, windowed (Lee et al. 2022): maximal spans of
+    8-token windows duplicated across documents — the span-cut alternative
+    to whole-document near-dup dropping (operators/dedup.py)."""
+    return D.duplicate_spans(ld(spark, sf_dir, "documents").select("doc_id", "text"), w=8)
+
+
+def _sql_dup_spans() -> str:
+    return D.duplicate_spans_sql("SELECT doc_id, text FROM documents", w=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Opaque-binary feature extraction over synthetic pages (generic path;
     mapInPandas over binary + typed metadata) — exact twin recomputes the
@@ -2253,6 +2391,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "poly_cover": q_poly_cover,
     "kde_moran": q_kde_moran,
     "host_pagerank": q_host_pagerank,
+    # corpus curation / IR / vector geometry / stream enrichment
+    "para_dedup": q_para_dedup,
+    "doc_repetition": q_doc_repetition,
+    "pii_scrub": q_pii_scrub,
+    "url_canon": q_url_canon,
+    "link_graph": q_link_graph,
+    "phrase_search": q_phrase_search,
+    "cell_extremes": q_cell_extremes,
+    "stream_enrich": q_stream_enrich,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -2336,4 +2484,9 @@ ORACLES: dict[str, str] = {
     "poly_cover": _sql_poly_cover(),
     "kde_moran": _sql_kde_moran(),
     "host_pagerank": _sql_host_pagerank(),
+    "phrase_search": _sql_phrase_search(),
+    "cell_extremes": _sql_cell_extremes(),
+    "stream_enrich": SQL_STREAM_ENRICH,
+    "dup_spans": _sql_dup_spans(),
+    **_sql_curation(),
 }

@@ -165,6 +165,66 @@ def stream_sessionize(
     return spark.table(sink)
 
 
+def stream_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: the events stream is
+    joined to the STATIC customer dimension (broadcast — stream-static joins
+    are stateless, the canonical way to attach dimensions in-flight), then
+    aggregated per (hour, market segment). Returns (hour_ts, c_mktsegment,
+    n, value_sum) equal to the batch twin.
+
+    Scale shape: the dimension is broadcast once per micro-batch (cache it
+    if hot); no state beyond the windowed agg, whose cleanup the watermark
+    bounds."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "c_mktsegment",
+            "n",
+            "value_sum",
+        )
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s "
+            f"(query {sink}); result would be partial"
+        )
+    return spark.table(sink)
+
+
 def stream_dedup(
     spark: SparkSession,
     sf_dir: str,
