@@ -249,6 +249,64 @@ def main() -> None:
         ).count(),
     )
 
+    # SRP-LSH cosine near-dup candidates (32 sign bits, 8-bit bands, verify)
+    from raptor_rag_spark.operators.similarity import srp_pairs
+
+    timed("srp_pairs", lambda: srp_pairs(embs, min_sim=0.4).count())
+
+    # Getis-Ord Gi* hotspot z-scores over the KDE raster
+    from raptor_rag_spark.operators.heatmap import getis_ord
+
+    timed(
+        "getis_ord",
+        lambda: getis_ord(
+            kde_heatmap(embs.select(x.alias("x"), y.alias("y")), res=6, bandwidth=0.03),
+            res=6,
+            value_col="density",
+        ).count(),
+    )
+
+    # lakehouse MERGE decision dataflow (one full-outer join)
+    from raptor_rag_spark.operators.merge import merge_upsert
+
+    def _merge():
+        updates = docs.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.upper("text").alias("text")
+        )
+        merge_upsert(docs.select("doc_id", "text"), updates, ["doc_id"], ["text"]).count()
+
+    timed("merge_upsert", _merge)
+
+    # exact per-language token-length quantiles (rank selection, no sketch)
+    from raptor_rag_spark.operators.stats import group_quantiles
+
+    timed(
+        "token_quantiles",
+        lambda: group_quantiles(
+            docs.select("lang", G.token_count_col(F.col("text")).alias("v")), "lang", "v"
+        ).count(),
+    )
+
+    # windowed exact-substring duplicate spans (Lee et al. 2022)
+    from raptor_rag_spark.operators.dedup import duplicate_spans
+
+    timed("dup_spans", lambda: duplicate_spans(docs.select("doc_id", "text"), w=8).count())
+
+    # PageRank over the REAL extracted link graph
+    from raptor_rag_spark.operators.graph import link_pagerank
+
+    timed("link_pagerank", lambda: link_pagerank(extract_links(pages), iterations=5).count())
+
+    # Z-order (Morton) lakehouse layout assignment
+    from raptor_rag_spark.operators.layout import zorder_layout
+
+    timed(
+        "zorder_layout",
+        lambda: zorder_layout(
+            pts.select(F.col("node_id").alias("vec_id"), "x", "y"), res=6, bucket_bits=4
+        ).count(),
+    )
+
     # 7. text analysis sweep
     def _text():
         T.token_counts(docs).agg(F.sum("n_tokens")).collect()

@@ -160,3 +160,80 @@ WITH {', '.join(ctes)}
 SELECT n.host, n.out_deg, r.rank
 FROM nid n JOIN r{iterations} r ON n.host_id = r.host_id
 """
+
+
+def link_pagerank(links: DataFrame, iterations: int = 5) -> DataFrame:
+    """(host, out_deg, rank): PageRank over REAL extracted edges
+    (curation.extract_links: src_host, dst_host, n_links) instead of the
+    hash-synthesized graph. Hosts that only ever appear as link targets are
+    dangling (out_deg = 0): they receive rank but contribute none — the
+    standard damping-floor treatment; they can never be join sources so no
+    division by zero arises.
+
+    Scale shape identical to host_pagerank: the edge list is already
+    host-cardinality, each round is one broadcast join + one map-side-
+    combined groupBy."""
+    hosts = (
+        links.select(F.col("src_host").alias("host"))
+        .unionByName(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out = links.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("n_links").alias("deg")
+    )
+    w = Window.orderBy("host")
+    nodes = (
+        hosts.join(out, "host", "left")
+        .select("host", F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_deg"))
+        .withColumn("host_id", (F.row_number().over(w) - 1).cast("long"))
+    )
+    sid = nodes.select(F.col("host").alias("src_host"), F.col("host_id").alias("src"), "out_deg")
+    did = nodes.select(F.col("host").alias("dst_host"), F.col("host_id").alias("dst"))
+    edges = (
+        links.join(F.broadcast(sid), "src_host")
+        .join(F.broadcast(did), "dst_host")
+        .select("src", "dst", F.col("n_links").alias("w"), "out_deg")
+    )
+    ranks = pagerank(nodes, edges, iterations)
+    return nodes.join(ranks, "host_id").select("host", "out_deg", "rank")
+
+
+def link_pagerank_sql(links_sql: str, iterations: int = 5) -> str:
+    """DuckDB twin of :func:`link_pagerank`. ``links_sql`` must yield
+    (src_host, dst_host, n_links)."""
+    dec = "DECIMAL(28,15)"
+    ctes = [
+        f"links AS ({links_sql})",
+        """hosts AS (SELECT DISTINCT host FROM (
+           SELECT src_host AS host FROM links
+           UNION ALL SELECT dst_host AS host FROM links))""",
+        """odeg AS (SELECT src_host AS host, CAST(sum(n_links) AS BIGINT) AS deg
+           FROM links GROUP BY src_host)""",
+        """nid AS (SELECT h.host, coalesce(o.deg, 0) AS out_deg,
+             CAST(row_number() OVER (ORDER BY h.host) - 1 AS BIGINT) AS host_id
+           FROM hosts h LEFT JOIN odeg o ON h.host = o.host)""",
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts FROM nid)",
+        """edges AS (SELECT s.host_id AS src, d.host_id AS dst,
+             CAST(l.n_links AS BIGINT) AS w, s.out_deg
+           FROM links l
+           JOIN nid s ON l.src_host = s.host
+           JOIN nid d ON l.dst_host = d.host)""",
+        "r0 AS (SELECT host_id, (1.0 / CAST((SELECT n_hosts FROM c) AS DOUBLE)) AS rank FROM nid)",
+    ]
+    base = f"({BASE_NUM!r} / CAST((SELECT n_hosts FROM c) AS DOUBLE))"
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT nid.host_id,
+         ({base} + {DAMPING!r} * coalesce(s.sc, 0.0)) AS rank
+  FROM nid LEFT JOIN (
+    SELECT e.dst AS host_id,
+           CAST(sum(CAST((CAST(e.w AS DOUBLE) * (r.rank / CAST(e.out_deg AS DOUBLE))) AS {dec})) AS DOUBLE) AS sc
+    FROM edges e JOIN r{k - 1} r ON e.src = r.host_id GROUP BY e.dst) s
+  ON nid.host_id = s.host_id)"""
+        )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT n.host, n.out_deg, r.rank
+FROM nid n JOIN r{iterations} r ON n.host_id = r.host_id
+"""

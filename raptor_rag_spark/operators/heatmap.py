@@ -402,3 +402,104 @@ SELECT {cell} AS cell_id, ix, iy, z, lag_z, n_nb,
        ((z * lag_z) / m2) AS moran_i
 FROM withz JOIN lag_ ON ix = tix AND iy = tiy CROSS JOIN g2
 """
+
+
+# ------------------------------------------------------------- Getis-Ord Gi*
+
+
+def getis_ord(raster: DataFrame, res: int, value_col: str = "v") -> DataFrame:
+    """(cell_id, ix, iy, w_sum, k_cells, gi_z): Getis-Ord Gi* hot/cold-spot
+    z-scores over a raster — the classic local spatial statistic behind
+    "hotspot analysis" tools, complementing local Moran's I (kde_moran) with
+    a calibrated z-score: |z| > 2.58 ≈ 99% hotspot.
+
+    Universe semantics: ALL 4^res cells of the grid, absent cells = 0 — the
+    raster convention (Moran here uses the sparse one; both are standard).
+    Global mean/std over the full grid come from the occupied cells' sums
+    (zeros add nothing); the neighborhood weight count k_i is the in-bounds
+    3x3 window size, computed from coordinates. Only cells within one step
+    of an occupied cell are emitted (any farther cell has w=0 and the same
+    baseline score — no information).
+
+    Gi* = (W_i - x̄·k_i) / (s·sqrt((N·k_i - k_i²)/(N-1))), Ord & Getis 1995.
+
+    Scale shape: identical to focal_mean — bounded 9x fan-out + one groupBy
+    on metadata-scale cells; global stats are a broadcast 1-row aggregate.
+    """
+    n = 1 << res
+    big_n = float(n * n)
+    vd = F.col(value_col).cast("double")
+    stats = raster.agg(
+        F.sum(vd.cast("decimal(28,15)")).cast("double").alias("s1"),
+        F.sum((vd * vd).cast("decimal(28,15)")).cast("double").alias("s2"),
+    )
+    nb = (
+        raster.select("ix", "iy", vd.alias("vd"))
+        .select("ix", "iy", "vd", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"))
+        .select("ix", "iy", "vd", "dx", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"))
+        .select((F.col("ix") + F.col("dx")).alias("tix"), (F.col("iy") + F.col("dy")).alias("tiy"), "vd")
+        .where((F.col("tix") >= 0) & (F.col("tix") <= n - 1) & (F.col("tiy") >= 0) & (F.col("tiy") <= n - 1))
+    )
+    w = nb.groupBy("tix", "tiy").agg(
+        F.sum(F.col("vd").cast("decimal(28,15)")).cast("double").alias("w_sum")
+    )
+    k = (
+        (F.least(F.col("tix") + 1, F.lit(n - 1)) - F.greatest(F.col("tix") - 1, F.lit(0)) + 1)
+        * (F.least(F.col("tiy") + 1, F.lit(n - 1)) - F.greatest(F.col("tiy") - 1, F.lit(0)) + 1)
+    ).cast("long")
+    mean = F.col("s1") / F.lit(big_n)
+    var = F.col("s2") / F.lit(big_n) - mean * mean
+    kd = F.col("k_cells").cast("double")
+    gi = (F.col("w_sum") - mean * kd) / (
+        F.sqrt(var)
+        * F.sqrt((F.lit(big_n) * kd - kd * kd) / F.lit(big_n - 1.0))
+    )
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("tix"), COORD_BITS))
+        .bitwiseOR(F.col("tiy"))
+    )
+    return (
+        w.withColumn("k_cells", k)
+        .join(F.broadcast(stats))
+        .select(
+            cell.alias("cell_id"),
+            F.col("tix").alias("ix"),
+            F.col("tiy").alias("iy"),
+            "w_sum",
+            "k_cells",
+            gi.alias("gi_z"),
+        )
+    )
+
+
+def getis_ord_sql(raster_sql: str, res: int, value_col: str = "v") -> str:
+    """DuckDB twin of :func:`getis_ord`. ``raster_sql`` must select ix, iy
+    and ``value_col``."""
+    n = 1 << res
+    big_n = float(n * n)
+    cell = f"(({res}::BIGINT << {RES_SHIFT}) | (tix << {COORD_BITS}) | tiy)"
+    return f"""
+WITH r AS (SELECT ix, iy, CAST({value_col} AS DOUBLE) AS vd FROM ({raster_sql})),
+stats AS (
+  SELECT CAST(sum(CAST(vd AS DECIMAL(28,15))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(vd * vd AS DECIMAL(28,15))) AS DOUBLE) AS s2
+  FROM r),
+nx AS (SELECT iy, vd, (ix + unnest(generate_series(-1, 1))) AS tix FROM r),
+ny AS (SELECT tix, vd, (iy + unnest(generate_series(-1, 1))) AS tiy FROM nx),
+f AS (SELECT tix, tiy, vd FROM ny
+      WHERE tix >= 0 AND tix <= {n - 1} AND tiy >= 0 AND tiy <= {n - 1}),
+w AS (
+  SELECT tix, tiy,
+         CAST(sum(CAST(vd AS DECIMAL(28,15))) AS DOUBLE) AS w_sum,
+         CAST((least(tix + 1, {n - 1}) - greatest(tix - 1, 0) + 1)
+            * (least(tiy + 1, {n - 1}) - greatest(tiy - 1, 0) + 1) AS BIGINT) AS k_cells
+  FROM f GROUP BY tix, tiy)
+SELECT {cell} AS cell_id, tix AS ix, tiy AS iy, w_sum, k_cells,
+       ((w_sum - (s1 / {big_n!r}) * CAST(k_cells AS DOUBLE))
+        / (sqrt(s2 / {big_n!r} - (s1 / {big_n!r}) * (s1 / {big_n!r}))
+           * sqrt(({big_n!r} * CAST(k_cells AS DOUBLE)
+                   - CAST(k_cells AS DOUBLE) * CAST(k_cells AS DOUBLE)) / {big_n - 1.0!r})))
+         AS gi_z
+FROM w CROSS JOIN stats
+"""

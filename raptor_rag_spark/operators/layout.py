@@ -1,0 +1,91 @@
+"""Z-order (Morton) data layout — the lakehouse file-clustering operator.
+
+``OPTIMIZE … ZORDER BY (x, y)`` in Delta/Iceberg rewrites files so rows close
+in 2-D space land in the same file, which turns bounding-box predicates into
+file skips. The heart of it is pure bit arithmetic: interleave the bits of
+the two grid coordinates into one Morton key, then slice the keyspace into
+buckets (files). Both steps are JVM shift/mask expressions with an exact
+DuckDB twin.
+
+Bucketing is by EQUAL KEYSPACE SLICES (``zkey >> shift``), not equal row
+counts: that is fully distributed (no global sort — the real ZORDER job
+range-partitions by sampled boundaries, and the keyspace slice is the
+deterministic, sample-free version of that). Skewed occupancy shows up as
+uneven bucket sizes, which ``layout_stats``-style rollups expose and AQE
+absorbs at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key_col(ix: Column, iy: Column, res: int) -> Column:
+    """Morton key: interleave ``res`` bits of ix (odd positions) and iy
+    (even positions)."""
+    z = F.lit(0).cast("long")
+    for b in range(res):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(ix, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(iy, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return z
+
+
+def zorder_key_sql(ix: str, iy: str, res: int) -> str:
+    parts = []
+    for b in range(res):
+        parts.append(f"(((({ix}) >> {b}) & 1) << {2 * b + 1})")
+        parts.append(f"(((({iy}) >> {b}) & 1) << {2 * b})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def zorder_layout(
+    points: DataFrame,
+    res: int = 6,
+    bucket_bits: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, ix, iy, zkey, bucket): Morton layout assignment for (x, y) points
+    in [0, 1). ``bucket_bits`` = log2(number of keyspace slices); bucket is
+    the top bits of the key, so each bucket is a contiguous Morton range =
+    a spatially compact file."""
+    n = 1 << res
+    ix = F.greatest(
+        F.least(F.floor(F.col("x") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    iy = F.greatest(
+        F.least(F.floor(F.col("y") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    pts = points.select(id_col, ix.alias("ix"), iy.alias("iy"))
+    zkey = zorder_key_col(F.col("ix"), F.col("iy"), res)
+    shift = 2 * res - bucket_bits
+    return pts.select(
+        id_col,
+        "ix",
+        "iy",
+        zkey.alias("zkey"),
+        F.shiftrightunsigned(zkey, shift).alias("bucket"),
+    )
+
+
+def zorder_layout_sql(
+    points_sql: str,
+    res: int = 6,
+    bucket_bits: int = 4,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`zorder_layout`. ``points_sql`` must yield
+    (``id_col``, x, y)."""
+    n = 1 << res
+    ix = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iy = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    zkey = zorder_key_sql("ix", "iy", res)
+    shift = 2 * res - bucket_bits
+    return f"""
+WITH pts AS (SELECT {id_col}, {ix} AS ix, {iy} AS iy FROM ({points_sql})),
+keyed AS (SELECT {id_col}, ix, iy, {zkey} AS zkey FROM pts)
+SELECT {id_col}, ix, iy, zkey, (zkey >> {shift}) AS bucket FROM keyed
+"""

@@ -89,3 +89,154 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+# ------------------------------------------------------- SRP-LSH (cosine LSH)
+
+SRP_BITS = 32
+SRP_BAND_BITS = 8
+SRP_MAX_BUCKET = 64  # same skew-bomb guard as the MinHash band buckets
+
+
+def _srp_weights(dim: int, bits: int = SRP_BITS):
+    """Fixed seeded hyperplane normals (bits, dim) — the signed-random-
+    projection family of Charikar 2002: sign(w·e) is a 1-bit cosine sketch,
+    P[bit_a = bit_b] = 1 - angle(a,b)/pi. Reuses the deterministic 9-decimal
+    projection weights so both engines share identical literals. 8-bit bands
+    give 256 keys per band — raise band_bits (and bits) as the corpus grows
+    so expected bucket population stays bounded, the same knob as
+    dedup.adaptive_res."""
+    from ..kernels.reduce import projection_weights
+
+    return projection_weights(dim, bits)
+
+
+def srp_pairs(
+    vecs: DataFrame,
+    min_sim: float = 0.6,
+    bits: int = SRP_BITS,
+    band_bits: int = SRP_BAND_BITS,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    max_bucket: int = SRP_MAX_BUCKET,
+) -> DataFrame:
+    """(a_id, b_id, cos_sim): cosine near-duplicate candidate pairs via
+    signed-random-projection LSH, verified with the exact twin cosine.
+
+    The embedding-side analog of MinHash-LSH for text: ``bits`` sign bits
+    from fixed hyperplanes, split into bands of ``band_bits``; vectors
+    agreeing on ALL bits of any band become candidates (equi-join on the
+    band key — never all-pairs); candidates are deduped across bands and
+    verified with the exact cosine, keeping pairs with cos_sim >= min_sim.
+
+    Scale shape: the self-join key is (band, band_key) with at most
+    2^band_bits · bands distinct values per vector; oversize buckets
+    (mass-duplicated embeddings) are dropped by ``max_bucket`` exactly like
+    minhash_band_pairs — exact_dedup handles identical payloads cheaper.
+    The bit computation is 32 dot products in whole-stage codegen; at very
+    high dim split the projection into chunked columns.
+    """
+    w = _srp_weights(dim, bits)
+
+    # band keys as F.expr STRINGS, not nested Column objects: 32×64 terms
+    # built via py4j calls costs ~13 s of driver round trips; one SQL-string
+    # parse is milliseconds. CAST('…' AS DOUBLE) pins each weight literal to
+    # the same IEEE value the DuckDB twin parses.
+    def bit(j: int) -> str:
+        terms = " + ".join(
+            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * CAST('{float(w[j][i])!r}' AS DOUBLE)"
+            for i in range(dim)
+        )
+        return f"(CASE WHEN (0.0D + {terms}) > 0 THEN 1L ELSE 0L END)"
+
+    n_bands = bits // band_bits
+    band_exprs = [
+        "("
+        + " + ".join(f"{bit(b * band_bits + r)} * {1 << r}L" for r in range(band_bits))
+        + f") AS band{b}"
+        for b in range(n_bands)
+    ]
+    # evaluate the giant projection ONCE and CUT THE LINEAGE — three
+    # consumers (bucket sizes, both join sides) would otherwise each carry
+    # the 2k-term tree through analysis/optimization/codegen, which costs
+    # far more than executing it
+    keyed = vecs.selectExpr(id_col, *band_exprs).localCheckpoint(eager=True)
+    bands = keyed.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("n"))
+    bounded = bands.join(
+        F.broadcast(sizes.where(F.col("n") <= max_bucket)).select("band", "key"),
+        ["band", "key"],
+    )
+    a = bounded.select(F.col("band"), F.col("key"), F.col(id_col).alias("a_id"))
+    b = bounded.select(F.col("band"), F.col("key"), F.col(id_col).alias("b_id"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = vecs.select(F.col(id_col).alias("a_id"), F.col("embedding").alias("ea"))
+    eb = vecs.select(F.col(id_col).alias("b_id"), F.col("embedding").alias("eb"))
+    sim = G.cosine_sim_cols(F.col("ea"), F.col("eb"), dim)
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= F.lit(min_sim))
+        .select("a_id", "b_id", "cos_sim")
+    )
+
+
+def srp_pairs_sql(
+    vecs_sql: str,
+    min_sim: float = 0.6,
+    bits: int = SRP_BITS,
+    band_bits: int = SRP_BAND_BITS,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    max_bucket: int = SRP_MAX_BUCKET,
+) -> str:
+    """DuckDB twin of :func:`srp_pairs`. ``vecs_sql`` must yield
+    (``id_col``, embedding ARRAY<FLOAT>)."""
+    w = _srp_weights(dim, bits)
+
+    def bit(j: int) -> str:
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(w[j][i])!r}" for i in range(dim)
+        )
+        return f"(CASE WHEN (0.0 + {terms}) > 0 THEN 1 ELSE 0 END)"
+
+    n_bands = bits // band_bits
+    band_exprs = ", ".join(
+        "("
+        + " + ".join(f"{bit(b * band_bits + r)} * {1 << r}" for r in range(band_bits))
+        + f")::BIGINT AS band{b}"
+        for b in range(n_bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, band{b} AS key FROM keyed" for b in range(n_bands)
+    )
+    sim = G.cosine_sim_sql("ea.embedding", "eb.embedding", dim)
+    return f"""
+WITH keyed AS MATERIALIZED (SELECT {id_col}, {band_exprs} FROM ({vecs_sql})),
+bands AS MATERIALIZED ({band_union}),
+sizes AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= {max_bucket}),
+bounded AS (SELECT b.* FROM bands b JOIN sizes USING (band, key)),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
+  FROM bounded a JOIN bounded b ON a.band = b.band AND a.key = b.key
+  WHERE a.{id_col} < b.{id_col})
+SELECT c.a_id, c.b_id, {sim} AS cos_sim
+FROM cand c
+JOIN ({vecs_sql}) ea ON ea.{id_col} = c.a_id
+JOIN ({vecs_sql}) eb ON eb.{id_col} = c.b_id
+WHERE {sim} >= {min_sim!r}
+"""

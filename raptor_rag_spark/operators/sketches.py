@@ -1,0 +1,105 @@
+"""Distinct-count sketching (HyperLogLog) with a bit-exact cross-engine twin.
+
+``approx_count_distinct`` is the standard scale answer for cardinality
+(distinct URLs, distinct fingerprints) but its registers are engine-private —
+unverifiable. This HLL is built from the same portable md5 hash the rest of
+the engine uses, so BOTH engines compute byte-identical registers and a
+byte-identical estimate: the sketch itself has an exact DuckDB oracle, while
+still being a genuine O(m)-memory streaming-mergeable sketch.
+
+Layout (Flajolet et al. 2007): p = 8 → m = 256 registers; bucket = low 8
+bits of the 60-bit hash; w = the remaining 52 bits; rho(w) = leading-zero
+count within 52 bits + 1 (computed exactly via length(bin(w)) — no float
+log); register = max rho per bucket. Estimate = alpha·m²/Σ2^(−M_j) with the
+standard small-range linear-counting correction (ln via the sqlgen twin).
+2^(−M_j) terms are exact powers of two and are folded in bucket order
+(ordered left fold in both engines), so even the float sum is bit-identical.
+
+Scale shape: ONE map-side-combinable groupBy(bucket) max — 256 groups — then
+a 1-row fold. Registers merge across partitions/streams by max, which is
+what makes HLL the sketch of choice for distributed distinct counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+
+P_BITS = 8
+M_REGS = 1 << P_BITS
+W_BITS = 60 - P_BITS  # hash63 is a 60-bit value (15 hex chars)
+ALPHA = 0.7213 / (1.0 + 1.079 / M_REGS)  # 0.7182725932495458
+ALPHA_MM = ALPHA * M_REGS * M_REGS
+
+
+def hll_distinct(df: DataFrame, value_col: str) -> DataFrame:
+    """One row: (est_distinct, occupied, n_exact). ``n_exact`` is the true
+    distinct count (cheap at test scale) so the estimate's error is visible
+    in the same result; drop it at 100 TB and keep only the sketch."""
+    h = G.hash63_col(F.col(value_col))
+    regs = df.select(h.alias("h")).select(
+        (F.col("h") % F.lit(M_REGS)).alias("bucket"),
+        F.shiftrightunsigned(F.col("h"), P_BITS).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    per_bucket = (
+        regs.withColumn("rho", rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+        # 2^-mj is an exact power of two (integer shift, then divide)
+        .withColumn("term", F.expr("1.0 / CAST(shiftleft(1L, mj) AS DOUBLE)"))
+    )
+    terms = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+        lambda s: s["term"],
+    )
+    folded = per_bucket.agg(
+        F.count("*").alias("occ"),
+        F.aggregate(terms, F.lit(0.0), lambda a, b: a + b).alias("s_occ"),
+    )
+    n_exact = df.agg(F.countDistinct(value_col).alias("n_exact"))
+    s = (F.lit(M_REGS) - F.col("occ")).cast("double") + F.col("s_occ")
+    e_raw = F.lit(ALPHA_MM) / s
+    v_zero = (F.lit(M_REGS) - F.col("occ")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
+        F.lit(float(M_REGS)) * G.ln_col(F.lit(float(M_REGS)) / v_zero),
+    ).otherwise(e_raw)
+    return folded.crossJoin(n_exact).select(
+        est.alias("est_distinct"), F.col("occ").alias("occupied"), "n_exact"
+    )
+
+
+def hll_distinct_sql(src_sql: str, value_col: str) -> str:
+    """DuckDB twin of :func:`hll_distinct`. ``src_sql`` must yield
+    ``value_col``."""
+    h = G.hash63_sql(value_col)
+    wb1 = W_BITS + 1
+    return f"""
+WITH hv AS (SELECT {h} AS h, {value_col} AS v FROM ({src_sql})),
+r AS (SELECT h % {M_REGS} AS bucket, h >> {P_BITS} AS w FROM hv),
+rr AS (SELECT bucket,
+              CASE WHEN w = 0 THEN {wb1} ELSE {wb1} - length(bin(w)) END AS rho
+       FROM r),
+m AS (SELECT bucket, max(rho) AS mj FROM rr GROUP BY bucket),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS occ,
+         list_reduce(
+           list_prepend(0.0, list(1.0 / CAST(1::BIGINT << mj AS DOUBLE) ORDER BY bucket)),
+           (a, b) -> a + b) AS s_occ
+  FROM m),
+ne AS (SELECT CAST(count(DISTINCT {value_col}) AS BIGINT) AS n_exact FROM ({src_sql})),
+est AS (
+  SELECT occ,
+         ({ALPHA_MM!r} / (CAST({M_REGS} - occ AS DOUBLE) + s_occ)) AS e_raw
+  FROM agg)
+SELECT CASE WHEN e_raw <= {2.5 * M_REGS!r} AND occ < {M_REGS}
+            THEN {float(M_REGS)!r} * {G.ln_sql(f"({float(M_REGS)!r} / CAST({M_REGS} - occ AS DOUBLE))")}
+            ELSE e_raw END AS est_distinct,
+       occ AS occupied, n_exact
+FROM est CROSS JOIN ne
+"""

@@ -2126,6 +2126,174 @@ GROUP BY 1, 2
 """
 
 
+def q_srp_pairs(spark, sf_dir):
+    """Cosine near-dup candidates via signed-random-projection LSH (Charikar
+    2002), exact-cosine verified. The corpus has no natural near-dups (max
+    pairwise cos = 0.51), so every 7th vector gets a perturbed twin (first
+    coordinate zeroed — pure slicing, bit-identical in both engines) whose
+    cos ≈ 0.98 the LSH must recover."""
+    from ..operators.similarity import srp_pairs
+
+    e = ld(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0).cast("float")), F.slice(F.col("embedding"), 2, DIM - 1)
+        ).alias("embedding"),
+    )
+    return srp_pairs(e.unionByName(perturbed), min_sim=0.4, dim=DIM)
+
+
+def _sql_srp_pairs() -> str:
+    from ..operators.similarity import srp_pairs_sql
+
+    vecs_sql = f"""
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_concat([CAST(0.0 AS FLOAT)], embedding[2:{DIM}]) AS embedding
+FROM embeddings WHERE vec_id % 7 = 0
+"""
+    return srp_pairs_sql(vecs_sql, min_sim=0.4, dim=DIM)
+
+
+def q_getis_ord(spark, sf_dir):
+    """Getis-Ord Gi* hot/cold-spot z-scores over the KDE raster (full-grid
+    universe, in-bounds 3×3 weights) — the calibrated counterpart to the
+    local Moran's I query."""
+    from ..operators.heatmap import getis_ord, kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return getis_ord(raster, res=KDE_RES, value_col="density")
+
+
+def _sql_getis_ord() -> str:
+    from ..operators.heatmap import getis_ord_sql
+
+    return getis_ord_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})",
+        res=KDE_RES,
+        value_col="density",
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Lakehouse MERGE (upsert) decision dataflow: base = orders snapshot;
+    updates = repriced every-5th order (twin double arithmetic), a no-op
+    batch for every 7th, and brand-new keys (+20M) for every 11th — all four
+    actions (insert/update/unchanged/keep) occur."""
+    from ..operators.merge import merge_upsert
+
+    o = ld(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    repriced = o.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.05)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    unchanged = o.where((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0))
+    inserts = o.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    updates = repriced.unionByName(unchanged).unionByName(inserts)
+    return merge_upsert(
+        o, updates, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def _sql_merge_upsert() -> str:
+    from ..operators.merge import merge_upsert_sql
+
+    base_sql = "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"
+    updates_sql = """
+SELECT o_orderkey, o_totalprice * 1.05 AS o_totalprice, 'U' AS o_orderstatus
+FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+UNION ALL
+SELECT o_orderkey + 20000000 AS o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+    return merge_upsert_sql(
+        base_sql, updates_sql, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def q_token_quantiles(spark, sf_dir):
+    """Exact per-language token-length quantiles (p50/p90/p99 by integer rank
+    selection) — the corpus length-distribution report, no sketches."""
+    from ..operators.stats import group_quantiles
+
+    d = ld(spark, sf_dir, "documents").select(
+        "lang", G.token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return group_quantiles(d, "lang", "n_tokens")
+
+
+def _sql_token_quantiles() -> str:
+    from ..operators.stats import group_quantiles_sql
+
+    src = f"SELECT lang, {G.token_count_sql('text')} AS n_tokens FROM documents"
+    return group_quantiles_sql(src, "lang", "n_tokens")
+
+
+def q_link_pagerank(spark, sf_dir):
+    """PageRank over the REAL html-extracted link graph (curation.
+    extract_links → graph.link_pagerank), including dangling link-target
+    hosts — the authority prior a crawl scheduler actually uses."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import link_pagerank
+
+    return link_pagerank(extract_links(_pages(spark)), iterations=5)
+
+
+def _sql_link_pagerank() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import link_pagerank_sql
+
+    return link_pagerank_sql(extract_links_sql(_PAGES_SQL), iterations=5)
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) file-layout assignment over the embedding plane —
+    the OPTIMIZE…ZORDER BY clustering primitive as exact bit arithmetic
+    (operators/layout.py), keyspace-sliced into 16 buckets."""
+    from ..operators.layout import zorder_layout
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return zorder_layout(e.select("vec_id", x.alias("x"), y.alias("y")), res=6, bucket_bits=4)
+
+
+def _sql_zorder_layout() -> str:
+    from ..operators.layout import zorder_layout_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return zorder_layout_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=6, bucket_bits=4
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count with byte-identical registers AND estimate
+    in both engines (portable-hash buckets, exact power-of-two fold, twin
+    ln correction) — the verifiable sketch (operators/sketches.py). Counts
+    distinct document texts; n_exact rides along to show the error."""
+    from ..operators.sketches import hll_distinct
+
+    return hll_distinct(ld(spark, sf_dir, "documents").select("text"), "text")
+
+
+def _sql_hll_distinct() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    return hll_distinct_sql("SELECT text FROM documents", "text")
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact-substring dedup, windowed (Lee et al. 2022): maximal spans of
     8-token windows duplicated across documents — the span-cut alternative
@@ -2401,6 +2569,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_extremes": q_cell_extremes,
     "stream_enrich": q_stream_enrich,
     "dup_spans": q_dup_spans,
+    "srp_pairs": q_srp_pairs,
+    "getis_ord": q_getis_ord,
+    "merge_upsert": q_merge_upsert,
+    "token_quantiles": q_token_quantiles,
+    "link_pagerank": q_link_pagerank,
+    "zorder_layout": q_zorder_layout,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -2488,5 +2663,12 @@ ORACLES: dict[str, str] = {
     "cell_extremes": _sql_cell_extremes(),
     "stream_enrich": SQL_STREAM_ENRICH,
     "dup_spans": _sql_dup_spans(),
+    "srp_pairs": _sql_srp_pairs(),
+    "getis_ord": _sql_getis_ord(),
+    "merge_upsert": _sql_merge_upsert(),
+    "token_quantiles": _sql_token_quantiles(),
+    "link_pagerank": _sql_link_pagerank(),
+    "zorder_layout": _sql_zorder_layout(),
+    "hll_distinct": _sql_hll_distinct(),
     **_sql_curation(),
 }

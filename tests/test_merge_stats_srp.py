@@ -1,0 +1,139 @@
+"""MERGE upsert, exact group quantiles, Getis-Ord Gi*, and SRP-LSH pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_merge_upsert_actions(spark):
+    from raptor_rag_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+        "k LONG, price DOUBLE, status STRING",
+    )
+    updates = spark.createDataFrame(
+        [(2, 25.0, "B"), (3, 30.0, "C"), (5, 50.0, "E"), (4, None, "D")],
+        "k LONG, price DOUBLE, status STRING",
+    )
+    out = {r["k"]: r for r in merge_upsert(base, updates, ["k"], ["price", "status"]).collect()}
+    assert out[1]["action"] == "keep" and out[1]["price"] == 10.0
+    assert out[2]["action"] == "update" and out[2]["price"] == 25.0
+    assert out[3]["action"] == "unchanged"
+    # null-safe compare: (None == None) is a match, not an update
+    assert out[4]["action"] == "unchanged" and out[4]["price"] is None
+    assert out[5]["action"] == "insert" and out[5]["price"] == 50.0
+    assert len(out) == 5
+
+
+def test_group_quantiles_exact(spark):
+    from raptor_rag_spark.operators.stats import group_quantiles
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g STRING, v LONG")
+    out = {r["g"]: r for r in group_quantiles(df, "g", "v", qs=(50, 90, 99)).collect()}
+    a = out["a"]
+    # type-1 lower quantile over 1..100: idx = (99*q)//100 + 1
+    assert (a["p50"], a["p90"], a["p99"]) == (50, 90, 99)
+    assert (a["n"], a["v_min"], a["v_max"]) == (100, 1, 100)
+    b = out["b"]
+    assert (b["p50"], b["p90"], b["p99"]) == (7, 7, 7) and b["n"] == 1
+
+
+def test_getis_ord_hotspot(spark):
+    from raptor_rag_spark.operators.heatmap import getis_ord
+
+    # res=2 -> 4x4 grid (N=16); one hot 2x2 block of mass, rest empty
+    raster = spark.createDataFrame(
+        [(0, 0, 8.0), (0, 1, 8.0), (1, 0, 8.0), (1, 1, 8.0)],
+        "ix LONG, iy LONG, v DOUBLE",
+    )
+    out = {(r["ix"], r["iy"]): r for r in getis_ord(raster, res=2).collect()}
+    # emitted cells = within 1 step of occupied = the 3x3 block
+    assert set(out) == {(i, j) for i in range(3) for j in range(3)}
+    # hand-check the corner cell (0,0): k=4 (corner window), W=32 (all mass)
+    r00 = out[(0, 0)]
+    assert r00["k_cells"] == 4 and r00["w_sum"] == 32.0
+    N, mean = 16.0, 32.0 / 16.0
+    s = math.sqrt(sum(64.0 for _ in range(4)) / N - mean * mean)
+    expected = (32.0 - mean * 4.0) / (s * math.sqrt((N * 4.0 - 16.0) / (N - 1.0)))
+    assert r00["gi_z"] == pytest.approx(expected, rel=1e-12)
+    # the far corner of the emitted block holds only one occupied neighbor
+    assert out[(2, 2)]["w_sum"] == 8.0 and out[(2, 2)]["k_cells"] == 9
+    assert out[(2, 2)]["gi_z"] < r00["gi_z"]
+
+
+def test_zorder_key_and_layout(spark):
+    from raptor_rag_spark.operators.layout import zorder_layout
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.999, 0.999), (3, 0.999, 0.0), (4, 0.26, 0.51)],
+        "vec_id LONG, x DOUBLE, y DOUBLE",
+    )
+    out = {r["vec_id"]: r for r in zorder_layout(pts, res=2, bucket_bits=2).collect()}
+    # res=2 grid: (0,0)->z 0; (3,3)->z 15; (3,0)->bits ix=11 interleaved odd -> 0b1010=10
+    assert out[1]["zkey"] == 0 and out[1]["bucket"] == 0
+    assert out[2]["zkey"] == 15 and out[2]["bucket"] == 3
+    assert out[3]["zkey"] == 10 and out[3]["bucket"] == 2
+    # (ix=1, iy=2): ix bits at odd pos -> 0b0010=2 ; iy bit1 at pos 2 -> 8 ; z=10? no:
+    # ix=1 -> bit0=1 -> pos1 (2); iy=2 -> bit1=1 -> pos2 (4); z=6
+    assert out[4]["zkey"] == 6 and out[4]["bucket"] == 1
+
+
+def test_link_pagerank_dangling(spark):
+    from raptor_rag_spark.operators.graph import link_pagerank
+
+    links = spark.createDataFrame(
+        [("a.com", "hub.com", 3), ("b.com", "hub.com", 1), ("hub.com", "a.com", 1)],
+        "src_host STRING, dst_host STRING, n_links LONG",
+    )
+    out = {r["host"]: r for r in link_pagerank(links, iterations=5).collect()}
+    assert set(out) == {"a.com", "b.com", "hub.com"}
+    # b.com is never linked to -> floor rank; hub.com collects the most mass
+    assert out["hub.com"]["rank"] > out["a.com"]["rank"] > out["b.com"]["rank"]
+    assert out["b.com"]["out_deg"] == 1 and out["hub.com"]["out_deg"] == 1
+    total = sum(r["rank"] for r in out.values())
+    assert 0.4 < total <= 1.0001  # dangling leak keeps total <= 1
+
+
+def test_hll_distinct_accuracy(spark):
+    from raptor_rag_spark.operators.sketches import hll_distinct
+
+    # 5000 rows, 1000 distinct values
+    df = spark.range(5000).select((F.col("id") % 1000).cast("string").alias("v"))
+    r = hll_distinct(df, "v").collect()[0]
+    assert r["n_exact"] == 1000
+    # p=8 HLL standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(r["est_distinct"] - 1000) / 1000 < 0.20
+    # small cardinality -> linear counting regime, still in tolerance
+    small = spark.range(500).select((F.col("id") % 40).cast("string").alias("v"))
+    r2 = hll_distinct(small, "v").collect()[0]
+    assert r2["n_exact"] == 40 and abs(r2["est_distinct"] - 40) / 40 < 0.25
+    # determinism: same input partitioned differently -> identical estimate
+    r3 = hll_distinct(df.repartition(7), "v").collect()[0]
+    assert r3["est_distinct"] == r["est_distinct"]
+
+
+def test_srp_pairs_finds_neardups(spark):
+    import numpy as np
+
+    from raptor_rag_spark.operators.similarity import srp_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64)).astype("float32")
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    # near-dup twins: tiny perturbation of vectors 0..4
+    for i in range(5):
+        pert = base[i].copy()
+        pert[0] = 0.0
+        rows.append((100 + i, [float(v) for v in pert]))
+    vecs = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = srp_pairs(vecs, min_sim=0.9)
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    # all five planted twins recovered (cos ≈ 0.99, all 32 bits agree whp)
+    assert {(i, 100 + i) for i in range(5)} <= got
+    for r in srp_pairs(vecs, min_sim=0.9).collect():
+        assert r["cos_sim"] >= 0.9
