@@ -130,3 +130,74 @@ def test_leaf_pipeline_single_python_pass(spark, pages_pq):
         for tag in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython")
     )
     assert n_python == 1, plan
+
+
+def test_phrase_search_broadcasts_phrases(spark, pages_pq):
+    """The phrase side must broadcast; the corpus postings must never
+    shuffle onto phrase keys via sort-merge."""
+    from raptor_rag_spark.operators.phrases import phrase_search
+
+    docs = spark.read.parquet(pages_pq).select(
+        F.abs(F.hash("url")).cast("long").alias("doc_id"), "text"
+    )
+    phrases = spark.createDataFrame(
+        [(0, "subscribe newsletter")], "phrase_id INT, qtext STRING"
+    )
+    plan = explain_str(phrase_search(docs, phrases))
+    assert "BroadcastHashJoin" in plan, plan
+    # the html payload is never read for text-only work
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans and all("html" not in s for s in scans), scans
+
+
+def test_line_dedup_no_cartesian_and_pruned(spark, pages_pq):
+    from raptor_rag_spark.operators.curation import line_dedup
+
+    pages = spark.read.parquet(pages_pq)
+    plan = explain_str(line_dedup(pages))
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans and all("html" not in s for s in scans), scans
+
+
+def test_pii_scrub_single_codegen_map(spark, pages_pq):
+    """pii_scrub is a pure map: no Exchange at all in its plan."""
+    from raptor_rag_spark.operators.curation import pii_scrub
+
+    plan = explain_str(pii_scrub(spark.read.parquet(pages_pq)))
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan, plan
+
+
+def test_merge_upsert_is_single_join(spark, pages_pq):
+    from raptor_rag_spark.operators.merge import merge_upsert
+
+    pages = spark.read.parquet(pages_pq).select("url", "lang")
+    upd = pages.limit(10)
+    plan = explain_str(merge_upsert(pages, upd, ["url"], ["lang"]))
+    # exactly one join operator (the full-outer merge), no window, no agg
+    joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "HashJoin" in l]
+    assert len([l for l in joins if "FullOuter" in l]) == 1, plan
+    assert "Window" not in plan
+
+
+def test_hll_single_small_aggregation(spark, pages_pq):
+    """The HLL register build must partial-aggregate map-side (256 groups)."""
+    from raptor_rag_spark.operators.sketches import hll_distinct
+
+    plan = explain_str(hll_distinct(spark.read.parquet(pages_pq).select("url"), "url"))
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_pure_map(spark, pages_pq):
+    from raptor_rag_spark.operators.layout import zorder_layout
+
+    pts = spark.read.parquet(pages_pq).select(
+        F.abs(F.hash("url")).cast("long").alias("vec_id"),
+        (F.abs(F.hash("url", "lang")) % 1000 / 1000.0).alias("x"),
+        (F.abs(F.hash("lang", "url")) % 1000 / 1000.0).alias("y"),
+    )
+    plan = explain_str(zorder_layout(pts, res=6, bucket_bits=4))
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan, plan
