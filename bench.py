@@ -216,6 +216,14 @@ def main() -> None:
 
     timed("zonal_stats", lambda: zonal_stats(pts.select("node_id", "x", "y"), polys).count())
 
+    # density clustering (cell-granular DBSCAN: CC over cells, not points)
+    from raptor_rag_spark.operators.spatial import grid_dbscan
+
+    timed(
+        "grid_dbscan",
+        lambda: grid_dbscan(pts, res=4, min_pts=4, id_col="node_id").count(),
+    )
+
     # 6. web-corpus curation sweep over synthetic Common-Crawl pages
     from raptor_rag_spark.operators.curation import (
         canonical_dedup,

@@ -103,3 +103,107 @@ SELECT CASE WHEN e_raw <= {2.5 * M_REGS!r} AND occ < {M_REGS}
        occ AS occupied, n_exact
 FROM est CROSS JOIN ne
 """
+
+
+# ------------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(d, bucket, c): the count-min table (Cormode & Muthukrishnan 2005) —
+    depth salted hash rows × width counters. Like the HLL, every hash is the
+    portable md5-based hash63, so both engines build byte-identical tables.
+    ONE map-side-combinable groupBy over depth·width (= 2048) groups; tables
+    merge across partitions/streams by +."""
+    rows = df.select(F.col(value_col).alias("v")).withColumn(
+        "d", F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    )
+    bucket = G.hash63_col(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("v"))) % F.lit(width)
+    return rows.select("d", bucket.alias("bucket")).groupBy("d", "bucket").agg(
+        F.count("*").alias("c")
+    )
+
+
+def cms_estimate(
+    table: DataFrame,
+    items: DataFrame,
+    item_col: str = "v",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(item, est): point-estimate frequencies — min over the item's depth
+    counters (over-estimate only, never under). The item side broadcasts."""
+    probes = items.select(F.col(item_col).alias("item")).withColumn(
+        "d", F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    )
+    bucket = G.hash63_col(
+        F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))
+    ) % F.lit(width)
+    probes = probes.select("item", "d", bucket.alias("bucket"))
+    return (
+        table.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def cms_heavy_terms(
+    docs: DataFrame,
+    top_k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(term, est, exact, rank): the top-k exact-frequency terms with their
+    count-min estimates alongside — est >= exact always (one-sided error),
+    and at width >= vocabulary pressure the two coincide. The composite
+    exists to make the sketch's error VISIBLE in an oracle-checked result."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(G.words_col(F.col("text"))).alias("v"))
+    exact = toks.groupBy("v").agg(F.count("*").alias("exact"))
+    w = Window.orderBy(F.desc("exact"), "v")
+    top = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
+    table = cms_table(toks, "v", depth, width)
+    est = cms_estimate(table, top.select("v"), "v", depth, width)
+    return top.join(
+        est.select(F.col("item").alias("v"), "est"), "v"
+    ).select(F.col("v").alias("term"), "est", "exact", "rank")
+
+
+def cms_heavy_terms_sql(
+    docs_sql: str,
+    top_k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_heavy_terms`."""
+    ws = G.words_sql("text")
+    h = G.hash63_sql("(CAST(d AS VARCHAR) || '|' || v)")
+    return f"""
+WITH toks AS (
+  SELECT unnest({ws}) AS v FROM ({docs_sql})),
+exact AS (SELECT v, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY v),
+top AS (
+  SELECT v, exact, rank FROM (
+    SELECT v, exact, row_number() OVER (ORDER BY exact DESC, v) AS rank FROM exact)
+  WHERE rank <= {top_k}),
+rows_ AS (SELECT v, unnest(range(0, {depth})) AS d FROM toks),
+tbl AS (
+  SELECT d, ({h}) % {width} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM rows_ GROUP BY 1, 2),
+probes AS (SELECT v AS item, unnest(range(0, {depth})) AS d FROM top),
+pb AS (SELECT item, d, ({G.hash63_sql("(CAST(d AS VARCHAR) || '|' || item)")}) % {width} AS bucket FROM probes),
+est AS (
+  SELECT pb.item, CAST(min(t.c) AS BIGINT) AS est
+  FROM tbl t JOIN pb ON t.d = pb.d AND t.bucket = pb.bucket
+  GROUP BY pb.item)
+SELECT top.v AS term, est.est, top.exact, CAST(top.rank AS INT) AS rank
+FROM top JOIN est ON top.v = est.item
+"""

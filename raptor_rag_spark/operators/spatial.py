@@ -1,0 +1,175 @@
+"""Density clustering over the quadkey grid: cell-granular DBSCAN.
+
+Follows the engine's one rule for pairwise spatial work at 100 TB: never join
+points against points globally — density decisions and connected components
+run on CELLS (metadata-scale at any corpus size), and the only point-sized
+steps are one count aggregate and one broadcast label join. Every step is
+twin-expressible, so the operator carries an exact DuckDB oracle
+(recursive-CTE reachability replaces the min-label-propagation loop).
+
+Reference analogue: the reference's GMM soft-clustering over embedding space
+(raptor/cluster_utils.py:90-126) is the *model-based* clustering surface; the
+grid DBSCAN here is the density-based twin a tiling engine needs for
+hot-region discovery. The distance-band pair join lives in
+operators/pipjoin.py (dwithin_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from ..kernels.grid import COORD_BITS, RES_SHIFT
+
+_MASK = (1 << COORD_BITS) - 1
+_OFFS8 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+
+
+def _ix(cell):
+    return F.shiftrightunsigned(cell, COORD_BITS).bitwiseAND(F.lit(_MASK))
+
+
+def _iy(cell):
+    return cell.bitwiseAND(F.lit(_MASK))
+
+
+def _encode(ix, iy, res: int):
+    return (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(ix.cast("long"), COORD_BITS))
+        .bitwiseOR(iy.cast("long"))
+    )
+
+
+def _neighbor_keys(cell, res: int, offs) -> "F.Column":
+    """Array of in-range neighbor cell ids — pure bit arithmetic, no UDF, no
+    driver round-trip (the explode(array(...)) shape soft_assignments uses)."""
+    n = 1 << res
+    ix, iy = _ix(cell), _iy(cell)
+    ks = []
+    for dx, dy in offs:
+        nx, ny = ix + F.lit(dx), iy + F.lit(dy)
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        ks.append(F.when(ok, _encode(nx, ny, res)))
+    return F.array_compact(F.array(*ks))
+
+
+def _sql_neighbor_cte(res: int, offs) -> str:
+    """offs(dx, dy) VALUES list for the DuckDB twin."""
+    vals = ", ".join(f"({dx}, {dy})" for dx, dy in offs)
+    return f"offs(dx, dy) AS (VALUES {vals})"
+
+
+def _sql_nkey(cell_expr: str, res: int) -> tuple[str, str]:
+    """(neighbor-cell expr over offs row, in-range predicate)."""
+    n = 1 << res
+    ix = f"((({cell_expr}) >> {COORD_BITS}) & {_MASK})"
+    iy = f"(({cell_expr}) & {_MASK})"
+    nx, ny = f"({ix} + dx)", f"({iy} + dy)"
+    key = f"(({res}::BIGINT << {RES_SHIFT}) | ({nx}::BIGINT << {COORD_BITS}) | {ny}::BIGINT)"
+    ok = f"({nx} >= 0 AND {nx} < {n} AND {ny} >= 0 AND {ny} < {n})"
+    return key, ok
+
+
+# ------------------------------------------------------------- grid DBSCAN
+
+
+def grid_dbscan(
+    points: DataFrame,
+    res: int = 6,
+    min_pts: int = 5,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cell-granular DBSCAN (the GriDBSCAN family): (id, cluster_id, kind)
+    where kind ∈ {core, border, noise}.
+
+    A cell with ≥ min_pts points is a CORE cell; core cells connected through
+    8-neighbor adjacency form one cluster (cluster_id = min core-cell id of
+    the component); points in core cells are 'core', points in non-core cells
+    with ≥1 core 8-neighbor join the min-cluster_id neighboring cluster as
+    'border', everything else is 'noise' (cluster_id −1).
+
+    Scale shape: ONE count aggregate over points (map-side combinable), then
+    every subsequent step — adjacency, connected components, labeling — runs
+    over CELLS (≤ 4^res rows, metadata-scale at any corpus size), and the
+    final label is a broadcast join back onto points. Density decisions never
+    shuffle the point set twice. Deterministic: counts and bit arithmetic
+    only."""
+    from .dedup import dedup_clusters
+
+    pts = points.withColumn("_cell", G.cell_col(F.col("x"), F.col("y"), res))
+    counts = pts.groupBy("_cell").agg(F.count("*").alias("_n"))
+    core = counts.where(F.col("_n") >= min_pts).select(F.col("_cell").alias("cell"))
+
+    nbr = core.select(
+        F.col("cell").alias("cell_a"),
+        F.explode(_neighbor_keys(F.col("cell"), res, _OFFS8)).alias("cell_b"),
+    )
+    edges = nbr.join(
+        core.select(F.col("cell").alias("cell_b")), "cell_b"
+    ).select("cell_a", "cell_b")
+    cc = dedup_clusters(edges, "cell_a", "cell_b")
+    labels = (
+        core.join(cc, core.cell == cc.doc_id, "left")
+        .select("cell", F.coalesce("canonical_id", F.col("cell")).alias("cluster_id"))
+    )
+
+    core_pts = pts.join(F.broadcast(labels), pts._cell == labels.cell).select(
+        F.col(id_col), "cluster_id", F.lit("core").alias("kind")
+    )
+    noncore = pts.join(F.broadcast(labels), pts._cell == labels.cell, "left_anti")
+    border = (
+        noncore.select(
+            F.col(id_col),
+            F.explode(_neighbor_keys(F.col("_cell"), res, _OFFS8)).alias("nk"),
+        )
+        .join(F.broadcast(labels), F.col("nk") == labels.cell)
+        .groupBy(id_col)
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col(id_col), "cluster_id", F.lit("border").alias("kind"))
+    )
+    noise = (
+        noncore.join(border.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.lit(-1).cast("long").alias("cluster_id"), F.lit("noise").alias("kind"))
+    )
+    return core_pts.unionByName(border).unionByName(noise)
+
+
+def grid_dbscan_sql(
+    points_sql: str, res: int = 6, min_pts: int = 5, id_col: str = "id"
+) -> str:
+    """DuckDB twin of :func:`grid_dbscan` — recursive-CTE reachability over
+    core-cell adjacency replaces the min-label-propagation loop."""
+    cell = G.cell_sql("x", "y", res)
+    nkey, nok = _sql_nkey("cell", res)
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT *, {cell} AS cell FROM ({points_sql})),
+counts AS (SELECT cell, count(*) AS n FROM pts GROUP BY cell),
+core AS (SELECT cell FROM counts WHERE n >= {min_pts}),
+{_sql_neighbor_cte(res, _OFFS8)},
+edges AS (
+  SELECT c.cell AS src, {nkey.replace('cell', 'c.cell')} AS dst
+  FROM core c CROSS JOIN offs
+  WHERE {nok.replace('cell', 'c.cell')}
+    AND {nkey.replace('cell', 'c.cell')} IN (SELECT cell FROM core)),
+reach(cell, r) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.cell),
+lab AS (SELECT cell, min(r) AS cluster_id FROM reach GROUP BY cell),
+core_pts AS (
+  SELECT p.{id_col} AS {id_col}, l.cluster_id, 'core' AS kind
+  FROM pts p JOIN lab l ON p.cell = l.cell),
+noncore AS (SELECT * FROM pts WHERE cell NOT IN (SELECT cell FROM lab)),
+border AS (
+  SELECT p.{id_col} AS {id_col}, min(l.cluster_id) AS cluster_id, 'border' AS kind
+  FROM noncore p CROSS JOIN offs
+  JOIN lab l ON {nok.replace('cell', 'p.cell')} AND l.cell = {nkey.replace('cell', 'p.cell')}
+  GROUP BY p.{id_col}),
+noise AS (
+  SELECT {id_col}, CAST(-1 AS BIGINT) AS cluster_id, 'noise' AS kind
+  FROM noncore WHERE {id_col} NOT IN (SELECT {id_col} FROM border))
+SELECT * FROM core_pts UNION ALL SELECT * FROM border UNION ALL SELECT * FROM noise
+"""

@@ -2294,6 +2294,132 @@ def _sql_hll_distinct() -> str:
     return hll_distinct_sql("SELECT text FROM documents", "text")
 
 
+def q_stream_late_drop(spark, sf_dir):
+    """Watermark late-data drop, end-to-end: events arrive in four batches
+    (early / latest-in-two-halves / MIDDLE-third-late); the late batch lands
+    hours below the settled watermark (max ts − 1 h) and is dropped; append
+    mode emits only finalized windows (end ≤ final watermark). The twin
+    replicates the deterministic batch construction and emission rule in
+    SQL."""
+    from ..streaming.events_stream import stream_late_drop
+
+    return stream_late_drop(spark, sf_dir, delay_s=3600)
+
+
+SQL_STREAM_LATE_DROP = """
+WITH ev AS (
+  SELECT ts, event_type, "value", CAST(epoch(ts) AS BIGINT) AS ep FROM events),
+b AS (SELECT min(ep) AS lo, max(ep) AS hi FROM ev),
+lims AS (SELECT lo + (hi - lo) // 3 AS d1, lo + (2 * (hi - lo)) // 3 AS d2, hi FROM b),
+kept AS (
+  SELECT e.* FROM ev e CROSS JOIN lims WHERE e.ep < lims.d1 OR e.ep >= lims.d2),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n,
+         CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+  FROM kept GROUP BY 1, 2)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type, n, value_sum
+FROM agg CROSS JOIN lims
+WHERE CAST(epoch(h) AS BIGINT) + 3600 <= lims.hi - 3600
+"""
+
+
+def q_cms_heavy_terms(spark, sf_dir):
+    """Count-min sketch heavy hitters: top-20 exact-frequency terms with
+    their CMS estimates alongside (est >= exact, one-sided error) — the
+    second verifiable sketch (operators/sketches.py), byte-identical tables
+    in both engines."""
+    from ..operators.sketches import cms_heavy_terms
+
+    return cms_heavy_terms(ld(spark, sf_dir, "documents").select("text"), top_k=20)
+
+
+def _sql_cms_heavy_terms() -> str:
+    from ..operators.sketches import cms_heavy_terms_sql
+
+    return cms_heavy_terms_sql("SELECT text FROM documents", top_k=20)
+
+
+def _xy_points(spark, sf_dir):
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return ld(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), x.alias("x"), y.alias("y")
+    )
+
+
+def _xy_points_sql() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    return f"SELECT vec_id AS id, {x} AS x, {y} AS y FROM embeddings"
+
+
+def q_grid_dbscan(spark, sf_dir):
+    """Density clustering over embedding space: cell-granular DBSCAN (core /
+    border / noise, connected components over dense 8-adjacent cells). The
+    density twin of the reference's model-based GMM clustering
+    (cluster_utils.py:90-126); all cluster math runs on CELLS, so it is
+    metadata-scale at any corpus size."""
+    from ..operators.spatial import grid_dbscan
+
+    return grid_dbscan(_xy_points(spark, sf_dir), res=4, min_pts=4)
+
+
+def _sql_grid_dbscan() -> str:
+    from ..operators.spatial import grid_dbscan_sql
+
+    return grid_dbscan_sql(_xy_points_sql(), res=4, min_pts=4)
+
+
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join (conversion attribution): signups ⋈
+    purchases by user within 12 h, both sides watermarked file streams;
+    the availableNow drain equals the batch interval join."""
+    from ..streaming.events_stream import stream_stream_join
+
+    return stream_stream_join(spark, sf_dir, interval_s=43200)
+
+
+SQL_STREAM_JOIN = """
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+       p."value" AS value
+FROM events s JOIN events p ON s.user_id = p.user_id
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+  AND epoch_us(p.ts) >= epoch_us(s.ts)
+  AND epoch_us(p.ts) <= epoch_us(s.ts) + 43200::BIGINT * 1000000
+"""
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Write-once bucketed layout: documents and their token metrics saved as
+    same-bucketed+sorted tables (the one-time shuffle), then joined with ZERO
+    Exchange (plan asserted in tests/test_plan_shapes.py) and aggregated per
+    source — the co-located big-big join layout for artifacts written once
+    and joined many times."""
+    import hashlib
+    import tempfile
+
+    from ..sources.bucketed import bucketed_join, save_bucketed
+
+    base = tempfile.mkdtemp(prefix="contract_bkt_")
+    docs = ld(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    left = docs.select("doc_id", "source")
+    right = docs.select("doc_id", G.token_count_col(F.col("text")).alias("n_tokens"))
+    save_bucketed(left, f"bkt_docs_{tag}", "doc_id", buckets=8, path=f"{base}/docs")
+    save_bucketed(right, f"bkt_tok_{tag}", "doc_id", buckets=8, path=f"{base}/tok")
+    j = bucketed_join(spark, f"bkt_docs_{tag}", f"bkt_tok_{tag}", "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok_sum")
+    )
+
+
+def _sql_bucketed_join() -> str:
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum({G.token_count_sql("text")}) AS BIGINT) AS tok_sum
+FROM documents GROUP BY source
+"""
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact-substring dedup, windowed (Lee et al. 2022): maximal spans of
     8-token windows duplicated across documents — the span-cut alternative
@@ -2576,6 +2702,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_pagerank": q_link_pagerank,
     "zorder_layout": q_zorder_layout,
     "hll_distinct": q_hll_distinct,
+    "cms_heavy_terms": q_cms_heavy_terms,
+    "stream_late_drop": q_stream_late_drop,
+    "grid_dbscan": q_grid_dbscan,
+    "stream_join": q_stream_join,
+    "bucketed_join": q_bucketed_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2670,5 +2801,10 @@ ORACLES: dict[str, str] = {
     "link_pagerank": _sql_link_pagerank(),
     "zorder_layout": _sql_zorder_layout(),
     "hll_distinct": _sql_hll_distinct(),
+    "cms_heavy_terms": _sql_cms_heavy_terms(),
+    "stream_late_drop": SQL_STREAM_LATE_DROP,
+    "grid_dbscan": _sql_grid_dbscan(),
+    "stream_join": SQL_STREAM_JOIN,
+    "bucketed_join": _sql_bucketed_join(),
     **_sql_curation(),
 }

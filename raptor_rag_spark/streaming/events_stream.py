@@ -225,6 +225,169 @@ def stream_enrich(
     return spark.table(sink)
 
 
+def stream_late_drop(
+    spark: SparkSession,
+    sf_dir: str,
+    delay_s: int = 3600,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Watermark late-data semantics, demonstrated end-to-end: the events
+    table is split into four time-ordered arrival batches — early rows, the
+    LATEST third in two halves (which advance the watermark to
+    max(ts) − delay), then a final batch holding the MIDDLE third, which now
+    arrives hours below the watermark and must be dropped by the windowed
+    aggregation.
+
+    The latest third arrives as TWO batches because Spark (3.4+) keeps two
+    watermark values per micro-batch: late-event *filtering* uses the
+    watermark derived from data through batch N−2, while state *eviction*
+    uses data through batch N−1 — so a late batch arriving immediately after
+    the watermark-advancing batch is NOT yet filtered. The extra batch lets
+    the advanced watermark settle before the late rows land.
+
+    Batch boundaries are integer-second arithmetic on (min, max) event time
+    (d1 = lo + span/3, d2 = lo + 2·span/3), so the batch twin can replicate
+    the feed exactly: kept rows = epochs < d1 or ≥ d2; emitted windows =
+    finalized ones (window end ≤ final watermark). Returns (hour_ts,
+    event_type, n, value_sum) for the emitted windows.
+
+    Scale: watermarks are THE state-bound for streaming aggs — without the
+    drop, a year-late row would keep every historical window alive."""
+    import tempfile
+    import time as _time
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "_epoch", F.col("ts").cast("timestamp_ltz").cast("long")
+    )
+    lo, hi = ev.agg(F.min("_epoch"), F.max("_epoch")).first()
+    span = hi - lo
+    d1 = lo + span // 3
+    d2 = lo + (2 * span) // 3
+    d3 = lo + (5 * span) // 6  # latest-third split; d3 − d2 = span/6
+    if span // 6 <= 2 * delay_s:
+        raise ValueError(
+            f"event span {span}s too short for delay {delay_s}s: the middle "
+            "third would not be below the watermark when it arrives"
+        )
+    src = tempfile.mkdtemp(prefix="stream_late_src_")
+    batches = [
+        ev.where(F.col("_epoch") < d1),
+        ev.where((F.col("_epoch") >= d2) & (F.col("_epoch") < d3)),
+        ev.where(F.col("_epoch") >= d3),  # settles the watermark at hi − delay
+        ev.where((F.col("_epoch") >= d1) & (F.col("_epoch") < d2)),  # late
+    ]
+    for i, b in enumerate(batches):
+        b.drop("_epoch").coalesce(1).write.parquet(f"{src}/b{i}")
+        _time.sleep(1.1)  # file-source batch order is modification time
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/*/")
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    agg = (
+        stream.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    sink = f"late_drop_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s "
+            f"(query {sink}); result would be partial"
+        )
+    return spark.table(sink)
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    interval_s: int = 1800,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stream-stream interval join — the canonical two-stream pattern
+    (conversion attribution): a stream of signups joined to a stream of
+    purchases by the same user within ``interval_s`` seconds of the signup.
+    Both sides are REAL file streams with event-time watermarks; the join
+    condition carries the time bound (p.ts ∈ [s.ts, s.ts + interval]), which
+    is what lets Spark expire join state — without it a stream-stream join
+    buffers both streams forever. Returns (user_id, signup_id, purchase_id,
+    value); inner-join matches emit as they are found, so the availableNow
+    drain equals the batch interval join exactly.
+
+    Scale shape: state per side is bounded by watermark + interval; the join
+    itself shuffles both streams on user_id once per micro-batch."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="stream_ssj_")
+    ev.where(F.col("event_type") == "signup").coalesce(1).write.parquet(f"{src}/signup")
+    ev.where(F.col("event_type") == "purchase").coalesce(1).write.parquet(f"{src}/purchase")
+
+    def _read(sub: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .load(f"{src}/{sub}")
+        )
+        return s.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+
+    s = _read("signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    ).withWatermark("s_ts", "1 hour")
+    p = _read("purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    ).withWatermark("p_ts", "1 hour")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {interval_s} SECONDS")),
+    ).select(F.col("s_user").alias("user_id"), "signup_id", "purchase_id", "value")
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s "
+            f"(query {sink}); result would be partial"
+        )
+    return spark.table(sink)
+
+
 def stream_dedup(
     spark: SparkSession,
     sf_dir: str,

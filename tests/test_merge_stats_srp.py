@@ -117,6 +117,59 @@ def test_hll_distinct_accuracy(spark):
     assert r3["est_distinct"] == r["est_distinct"]
 
 
+def test_stream_late_drop_semantics(spark):
+    """The middle-third batch arrives below the watermark and must vanish;
+    emitted windows are exactly the finalized ones (end <= max ts - delay)."""
+    import pandas as pd
+
+    from raptor_rag_spark.streaming.events_stream import stream_late_drop
+
+    SF = "/root/testdata/sf0.001"
+    out = stream_late_drop(spark, SF, delay_s=3600).toPandas()
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ep", F.col("ts").cast("timestamp_ltz").cast("long")
+    )
+    lo, hi = ev.agg(F.min("ep"), F.max("ep")).first()
+    d1, d2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    kept = ev.where((F.col("ep") < d1) | (F.col("ep") >= d2))
+    expect = (
+        kept.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_sum"),
+        )
+        .withColumn("wend", F.unix_timestamp("hour_ts") + 3600)
+        .where(F.col("wend") <= hi - 3600)
+        .drop("wend")
+        .toPandas()
+    )
+    key = ["hour_ts", "event_type"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = expect[out.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the late batch really contained data (the drop is meaningful)
+    n_late = ev.where((F.col("ep") >= d1) & (F.col("ep") < d2)).count()
+    assert n_late > 0 and len(out) > 0
+
+
+def test_cms_one_sided_error(spark):
+    from raptor_rag_spark.operators.sketches import cms_heavy_terms
+
+    docs = spark.createDataFrame(
+        [(("alpha " * 50) + ("beta " * 20) + "gamma delta epsilon",)], "text STRING"
+    )
+    out = {r["term"]: r for r in cms_heavy_terms(docs, top_k=3).collect()}
+    assert out["alpha"]["exact"] == 50 and out["beta"]["exact"] == 20
+    for r in out.values():
+        assert r["est"] >= r["exact"]  # count-min never underestimates
+    # at width 512 with 5 distinct terms collisions are absent -> exact
+    assert out["alpha"]["est"] == 50
+
+
 def test_srp_pairs_finds_neardups(spark):
     import numpy as np
 

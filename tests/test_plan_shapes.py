@@ -201,3 +201,31 @@ def test_zorder_layout_pure_map(spark, pages_pq):
     plan = explain_str(zorder_layout(pts, res=6, bucket_bits=4))
     assert "Exchange" not in plan, plan
     assert "codegen id" in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the same key join with ZERO Exchange — the
+    write-once shuffle that makes big-big joins co-located at 100 TB."""
+    from raptor_rag_spark.sources.bucketed import bucketed_join, save_bucketed
+
+    base = tmp_path_factory.mktemp("buckets")
+    a = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("w")
+    )
+    save_bucketed(a, "ps_bucket_a", "doc_id", buckets=8, path=str(base / "a"))
+    save_bucketed(b, "ps_bucket_b", "doc_id", buckets=8, path=str(base / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "ps_bucket_a", "ps_bucket_b", "doc_id")
+        plan = explain_str(j)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ps_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS ps_bucket_b")
