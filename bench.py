@@ -224,6 +224,16 @@ def main() -> None:
         lambda: grid_dbscan(pts, res=4, min_pts=4, id_col="node_id").count(),
     )
 
+    # IDW interpolation raster (Shepard power-2, 9× bounded fan-out)
+    from raptor_rag_spark.operators.heatmap import idw_surface
+
+    timed(
+        "idw_surface",
+        lambda: idw_surface(
+            pts.withColumn("v", (F.col("node_id") % 7).cast("double")), res=5
+        ).count(),
+    )
+
     # 6. web-corpus curation sweep over synthetic Common-Crawl pages
     from raptor_rag_spark.operators.curation import (
         canonical_dedup,

@@ -310,6 +310,99 @@ FROM f GROUP BY ix, iy
 """
 
 
+def idw_surface(
+    pts: DataFrame,
+    res: int,
+    eps: float = 1e-6,
+    value_col: str = "v",
+) -> DataFrame:
+    """(cell_id, ix, iy, n_pts, idw) — inverse-distance-squared weighted
+    interpolation (Shepard's method, power 2) of point values at cell
+    centers, from the points in each cell's 3×3 neighborhood.
+
+    The raster twin of the KDE: instead of summing a kernel, each point
+    contributes w·v with w = 1/(eps + d²) and the cell value is Σw·v / Σw.
+    Power 2 keeps the whole weight path in products and one division — no
+    sqrt, no pow — and both cross-row sums go through exact DECIMAL, so the
+    DuckDB twin hash-matches. Scale shape: 9× bounded fan-out (pure column
+    arithmetic) then ONE map-side-combinable groupBy per output cell —
+    identical to kde_heatmap with R = 1."""
+    n = 1 << res
+    s = 1.0 / float(n)
+    x, y = F.col("x"), F.col("y")
+    ix0 = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    iy0 = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    cand = (
+        pts.select(x.alias("x"), y.alias("y"), F.col(value_col).alias("v"),
+                   ix0.alias("ix0"), iy0.alias("iy0"))
+        .select(
+            "x", "y", "v", "iy0",
+            F.explode(
+                F.sequence(F.greatest(F.col("ix0") - 1, F.lit(0)), F.least(F.col("ix0") + 1, F.lit(n - 1)))
+            ).alias("ix"),
+        )
+        .select(
+            "x", "y", "v", "ix",
+            F.explode(
+                F.sequence(F.greatest(F.col("iy0") - 1, F.lit(0)), F.least(F.col("iy0") + 1, F.lit(n - 1)))
+            ).alias("iy"),
+        )
+    )
+    cx = (F.col("ix").cast("double") + F.lit(0.5)) * F.lit(s)
+    cy = (F.col("iy").cast("double") + F.lit(0.5)) * F.lit(s)
+    dx = cx - F.col("x")
+    dy = cy - F.col("y")
+    d2 = dx * dx + dy * dy
+    w = F.lit(1.0) / (F.lit(eps) + d2)
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("ix"), COORD_BITS))
+        .bitwiseOR(F.col("iy"))
+    )
+    return (
+        cand.withColumn("w", w)
+        .groupBy("ix", "iy")
+        .agg(
+            F.count("*").alias("n_pts"),
+            (
+                F.sum((F.col("w") * F.col("v")).cast("decimal(28,15)")).cast("double")
+                / F.sum(F.col("w").cast("decimal(28,15)")).cast("double")
+            ).alias("idw"),
+        )
+        .select(cell.alias("cell_id"), "ix", "iy", "n_pts", "idw")
+    )
+
+
+def idw_surface_sql(pts_sql: str, res: int, eps: float = 1e-6) -> str:
+    """DuckDB twin of :func:`idw_surface`. ``pts_sql`` must select x, y, v."""
+    n = 1 << res
+    s = 1.0 / float(n)
+    ix0 = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iy0 = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    cx = f"((CAST(ix AS DOUBLE) + 0.5) * {s!r})"
+    cy = f"((CAST(iy AS DOUBLE) + 0.5) * {s!r})"
+    cell = f"(({res}::BIGINT << {RES_SHIFT}) | (ix << {COORD_BITS}) | iy)"
+    return f"""
+WITH pts AS ({pts_sql}),
+home AS (SELECT x, y, v, {ix0} AS ix0, {iy0} AS iy0 FROM pts),
+cx_ AS (SELECT x, y, v, iy0,
+               unnest(generate_series(greatest(ix0 - 1, 0), least(ix0 + 1, {n - 1}))) AS ix
+        FROM home),
+cy_ AS (SELECT x, y, v, ix,
+               unnest(generate_series(greatest(iy0 - 1, 0), least(iy0 + 1, {n - 1}))) AS iy
+        FROM cx_),
+wt AS MATERIALIZED (
+  SELECT ix, iy, v,
+         (1.0 / ({eps!r} + (({cx} - x) * ({cx} - x) + ({cy} - y) * ({cy} - y)))) AS w
+  FROM cy_)
+SELECT {cell} AS cell_id, ix, iy,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       (CAST(sum(CAST((w * v) AS DECIMAL(28,15))) AS DOUBLE)
+        / CAST(sum(CAST(w AS DECIMAL(28,15))) AS DOUBLE)) AS idw
+FROM wt GROUP BY ix, iy
+"""
+
+
 def local_moran(raster: DataFrame, res: int, value_col: str = "density") -> DataFrame:
     """(cell_id, ix, iy, z, lag_z, n_nb, moran_i): local Moran's I spatial
     autocorrelation per populated raster cell — the standard hotspot/coldspot

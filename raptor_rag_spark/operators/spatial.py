@@ -80,6 +80,7 @@ def grid_dbscan(
     res: int = 6,
     min_pts: int = 5,
     id_col: str = "id",
+    driver_cc_max: int = 1 << 17,
 ) -> DataFrame:
     """Cell-granular DBSCAN (the GriDBSCAN family): (id, cluster_id, kind)
     where kind ∈ {core, border, noise}.
@@ -94,10 +95,13 @@ def grid_dbscan(
     every subsequent step — adjacency, connected components, labeling — runs
     over CELLS (≤ 4^res rows, metadata-scale at any corpus size), and the
     final label is a broadcast join back onto points. Density decisions never
-    shuffle the point set twice. Deterministic: counts and bit arithmetic
-    only."""
-    from .dedup import dedup_clusters
-
+    shuffle the point set twice. Because core cells are bounded by the grid
+    (65k at res 8) rather than the corpus, the component pass runs as a
+    driver union-find over ≤ 8·cells edges when they fit (the same
+    metadata-on-driver move every planner makes — not a data collect); only
+    past ``driver_cc_max`` cells does it fall back to the distributed
+    pointer-jumping loop, which costs one shuffle round per log(diameter).
+    Deterministic: counts and bit arithmetic only."""
     pts = points.withColumn("_cell", G.cell_col(F.col("x"), F.col("y"), res))
     counts = pts.groupBy("_cell").agg(F.count("*").alias("_n"))
     core = counts.where(F.col("_n") >= min_pts).select(F.col("_cell").alias("cell"))
@@ -109,11 +113,36 @@ def grid_dbscan(
     edges = nbr.join(
         core.select(F.col("cell").alias("cell_b")), "cell_b"
     ).select("cell_a", "cell_b")
-    cc = dedup_clusters(edges, "cell_a", "cell_b")
-    labels = (
-        core.join(cc, core.cell == cc.doc_id, "left")
-        .select("cell", F.coalesce("canonical_id", F.col("cell")).alias("cluster_id"))
-    )
+
+    core_cells = [r["cell"] for r in core.collect()] if (1 << (2 * res)) <= driver_cc_max else None
+    if core_cells is not None:
+        # union by min root: the smaller root always becomes parent, so the
+        # final root of every tree IS the component's min cell id — the same
+        # canonical label the distributed path and the SQL oracle produce
+        parent = {c: c for c in core_cells}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for e in edges.collect():
+            ra, rb = find(e["cell_a"]), find(e["cell_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = points.sparkSession.createDataFrame(
+            [(c, find(c)) for c in core_cells] or [],
+            "cell LONG, cluster_id LONG",
+        )
+    else:
+        from .dedup import dedup_clusters
+
+        cc = dedup_clusters(edges, "cell_a", "cell_b")
+        labels = (
+            core.join(cc, core.cell == cc.doc_id, "left")
+            .select("cell", F.coalesce("canonical_id", F.col("cell")).alias("cluster_id"))
+        )
 
     core_pts = pts.join(F.broadcast(labels), pts._cell == labels.cell).select(
         F.col(id_col), "cluster_id", F.lit("core").alias("kind")

@@ -2369,6 +2369,28 @@ def _sql_grid_dbscan() -> str:
     return grid_dbscan_sql(_xy_points_sql(), res=4, min_pts=4)
 
 
+def q_idw_surface(spark, sf_dir):
+    """Inverse-distance-weighted interpolation raster: embedding labels
+    interpolated at cell centers from the 3×3 point neighborhood (Shepard
+    power-2; exact-decimal weight sums)."""
+    from ..operators.heatmap import idw_surface
+
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = ld(spark, sf_dir, "embeddings").select(
+        x.alias("x"), y.alias("y"), F.col("label").cast("double").alias("v")
+    )
+    return idw_surface(pts, res=4)
+
+
+def _sql_idw_surface() -> str:
+    from ..operators.heatmap import idw_surface_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return idw_surface_sql(
+        f"SELECT {x} AS x, {y} AS y, CAST(label AS DOUBLE) AS v FROM embeddings", res=4
+    )
+
+
 def q_stream_join(spark, sf_dir):
     """Stream-stream interval join (conversion attribution): signups ⋈
     purchases by user within 12 h, both sides watermarked file streams;
@@ -2705,6 +2727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_terms": q_cms_heavy_terms,
     "stream_late_drop": q_stream_late_drop,
     "grid_dbscan": q_grid_dbscan,
+    "idw_surface": q_idw_surface,
     "stream_join": q_stream_join,
     "bucketed_join": q_bucketed_join,
 }
@@ -2804,6 +2827,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_terms": _sql_cms_heavy_terms(),
     "stream_late_drop": SQL_STREAM_LATE_DROP,
     "grid_dbscan": _sql_grid_dbscan(),
+    "idw_surface": _sql_idw_surface(),
     "stream_join": SQL_STREAM_JOIN,
     "bucketed_join": _sql_bucketed_join(),
     **_sql_curation(),

@@ -56,6 +56,43 @@ def test_grid_dbscan_adjacent_cells_merge(spark):
     assert set(out["kind"]) == {"core"}
 
 
+def test_grid_dbscan_driver_and_distributed_cc_agree(spark):
+    """The driver union-find fast path and the distributed pointer-jumping
+    fallback must label identically (both produce min-cell-id canonicals)."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), float(x), float(y)) for i, (x, y) in enumerate(rng.random((200, 2)))
+    ]
+    fast = grid_dbscan(_pts(spark, rows), res=3, min_pts=4).toPandas()
+    slow = grid_dbscan(_pts(spark, rows), res=3, min_pts=4, driver_cc_max=0).toPandas()
+    key = ["id"]
+    a = fast.sort_values(key).reset_index(drop=True)
+    b = slow[fast.columns].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert {"core", "border"} <= set(a["kind"])
+
+
+def test_idw_surface_hand_computed(spark):
+    """IDW at a cell center equals the numpy Shepard power-2 estimate."""
+    from raptor_rag_spark.operators.heatmap import idw_surface
+
+    # res=2 → 4×4 grid, cell (1,1) center at (0.375, 0.375)
+    rows = [(0.30, 0.30, 10.0), (0.45, 0.40, 20.0)]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE, v DOUBLE")
+    out = {(r["ix"], r["iy"]): r for r in idw_surface(df, res=2).collect()}
+    cx = cy = 0.375
+    eps = 1e-6
+    ws = [1.0 / (eps + (cx - x) ** 2 + (cy - y) ** 2) for x, y, _ in rows]
+    want = (ws[0] * 10.0 + ws[1] * 20.0) / (ws[0] + ws[1])
+    got = out[(1, 1)]
+    assert got["n_pts"] == 2
+    assert abs(got["idw"] - want) < 1e-9
+    # every cell in the 3×3 neighborhoods is interpolated, none outside
+    assert all(abs(ix - 1) <= 1 and abs(iy - 1) <= 1 for ix, iy in out)
+
+
 def test_stream_stream_join_equals_batch(spark):
     from raptor_rag_spark.streaming.events_stream import stream_stream_join
 
