@@ -212,6 +212,30 @@ def tile_vectorize(nodes: DataFrame, round_to: int = 6) -> DataFrame:
     )
 
 
+def viewport_tiles(
+    nodes: DataFrame,
+    bbox: tuple[float, float, float, float],
+    level: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tile-server read path: the vector tiles of ONE level that intersect a
+    viewport bbox (x0, y0, x1, y1) — what a map client requests per pan/zoom.
+
+    The level predicate prunes to one partition of the level-partitioned tree
+    table and the bbox test is pure arithmetic on the cell's closed-form
+    bounds (open intervals: touching edges do not intersect), so at 100 TB
+    the scan reads one level and Catalyst pushes the cheap filters down —
+    nothing about the viewport ever shuffles more than the level's cells."""
+    vx0, vy0, vx1, vy1 = (float(v) for v in bbox)
+    tiles = tile_vectorize(nodes.where(F.col("level") == level), round_to)
+    return tiles.where(
+        (F.col("x1") > F.lit(vx0))
+        & (F.col("x0") < F.lit(vx1))
+        & (F.col("y1") > F.lit(vy0))
+        & (F.col("y0") < F.lit(vy1))
+    )
+
+
 def level_stats(nodes: DataFrame) -> DataFrame:
     """Per-layer tree stats incl. compression ratio vs leaf tokens
     (reference: benchmarks/run_compression.py:30-57)."""

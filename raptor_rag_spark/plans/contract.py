@@ -1770,6 +1770,23 @@ FROM bands b JOIN geom g USING (cell_id)
 """
 
 
+def q_viewport_tiles(spark, sf_dir):
+    """Tile-server viewport read: level-1 vector tiles intersecting the
+    center-quarter bbox — level partition pruning + arithmetic bbox filter
+    over the tree dump (the per-pan/zoom query a map client issues)."""
+    from ..operators.rollup import viewport_tiles
+
+    return viewport_tiles(_tree(spark, sf_dir), (0.25, 0.25, 0.75, 0.75), level=1)
+
+
+SQL_VIEWPORT_TILES = f"""
+WITH tiles AS ({SQL_TREE_TILE_VECTORIZE})
+SELECT * FROM tiles
+WHERE level = 1
+  AND x1 > 0.25 AND x0 < 0.75 AND y1 > 0.25 AND y0 < 0.75
+"""
+
+
 def q_tree_collapsed_knn(spark, sf_dir):
     """Collapsed-tree retrieval (J1+W1, reference tree_retriever.py:127-151)."""
     return collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=10, max_tokens=3500)
@@ -2692,6 +2709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_level_stats": q_tree_level_stats,
     "tree_tile_stats": q_tree_tile_stats,
     "tree_tile_vectorize": q_tree_tile_vectorize,
+    "viewport_tiles": q_viewport_tiles,
     "tree_collapsed_knn": q_tree_collapsed_knn,
     "tree_cell_knn": q_tree_cell_knn,
     "cell_knn_recall": q_cell_knn_recall,
@@ -2799,6 +2817,7 @@ ORACLES: dict[str, str] = {
     "tree_level_stats": SQL_TREE_LEVEL_STATS,
     "tree_tile_stats": SQL_TREE_TILE_STATS,
     "tree_tile_vectorize": SQL_TREE_TILE_VECTORIZE,
+    "viewport_tiles": SQL_VIEWPORT_TILES,
     "tree_collapsed_knn": _sql_collapsed_knn(10, 3500),
     "tree_flat_knn": _sql_collapsed_knn(5, 3500, "WHERE n.level = 0"),
     "tree_cell_knn": _sql_cell_knn(10, 3500),

@@ -93,6 +93,28 @@ def test_idw_surface_hand_computed(spark):
     assert all(abs(ix - 1) <= 1 and abs(iy - 1) <= 1 for ix, iy in out)
 
 
+def test_viewport_tiles_filters_to_bbox(spark):
+    """Only the level's tiles intersecting the viewport come back; edge-
+    touching tiles (open-interval semantics) are excluded."""
+    from raptor_rag_spark.kernels.grid import cell_encode
+    from raptor_rag_spark.operators.rollup import viewport_tiles
+
+    # res=2 cells (width 0.25): (0,0), (1,1), (3,3); level 1 rows only
+    rows = []
+    for i, (cx, cy) in enumerate([(0.1, 0.1), (0.3, 0.3), (0.9, 0.9)]):
+        rows.append((100 + i, 1, int(cell_encode(cx, cy, 2)), 10, cx, cy, 4))
+    rows.append((200, 0, int(cell_encode(0.3, 0.3, 3)), 10, 0.3, 0.3, 1))  # other level
+    nodes = spark.createDataFrame(
+        rows,
+        "node_id LONG, level INT, cell_id LONG, token_count LONG, x DOUBLE, y DOUBLE, n_leaves LONG",
+    )
+    # viewport = exactly cell (1,1): [0.25,0.5)²; cell (0,0) touches at the
+    # corner (0.25, 0.25) but open intervals exclude it
+    out = viewport_tiles(nodes, (0.25, 0.25, 0.5, 0.5), level=1).collect()
+    assert len(out) == 1
+    assert out[0]["x0"] == 0.25 and out[0]["y0"] == 0.25 and out[0]["n"] == 1
+
+
 def test_stream_stream_join_equals_batch(spark):
     from raptor_rag_spark.streaming.events_stream import stream_stream_join
 
