@@ -343,6 +343,12 @@ def duplicate_spans(docs: DataFrame, w: int = 8) -> DataFrame:
     sh = docs.select(
         "doc_id", F.posexplode(G.shingles_col(F.col("text"), w)).alias("pos", "s")
     ).select("doc_id", "pos", F.md5("s").alias("h"))
+    # materialize the window table ONCE: both consumers below (the frequency
+    # table and the flagging join) would otherwise each re-run the
+    # shingle+md5 explosion — the single most expensive map of the operator.
+    # The checkpoint is the same order of magnitude as the shuffle the join
+    # performs anyway (fixed-width rows, linear in corpus tokens).
+    sh = sh.localCheckpoint(eager=True)
     dfreq = (
         sh.select("doc_id", "h")
         .distinct()

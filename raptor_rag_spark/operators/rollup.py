@@ -236,6 +236,23 @@ def viewport_tiles(
     )
 
 
+def drill_down(
+    nodes: DataFrame, parent_cell: int, level: int, round_to: int = 6
+) -> DataFrame:
+    """Tile-server drill-down: the child tiles (one resolution finer, one
+    tree level lower) of ``parent_cell`` — the query a map client issues on
+    zoom-in. The child relation is the cell-id bit shift (parent(cell) ==
+    parent_cell), so the filter is pushed-down arithmetic over one level
+    partition; at most 4 child cells exist, so the result is always tiny."""
+    from ..functions import sqlgen as G
+
+    kids = nodes.where(
+        (F.col("level") == level)
+        & (G.cell_parent_col(F.col("cell_id"), 1) == F.lit(int(parent_cell)))
+    )
+    return tile_stats(kids, round_to)
+
+
 def level_stats(nodes: DataFrame) -> DataFrame:
     """Per-layer tree stats incl. compression ratio vs leaf tokens
     (reference: benchmarks/run_compression.py:30-57)."""

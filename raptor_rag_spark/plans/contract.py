@@ -1787,6 +1787,43 @@ WHERE level = 1
 """
 
 
+def q_drill_down(spark, sf_dir):
+    """Tile-server zoom-in: child tiles of the level-2 cell with the largest
+    subtree (max leaf_sum, ties → min cell_id) at level 1 — the parent
+    relation is the cell-id bit shift, so drilling costs one pushed-down
+    arithmetic filter over one level."""
+    from ..operators.rollup import drill_down, tile_stats
+
+    tree = _tree(spark, sf_dir)
+    parent = (
+        tile_stats(tree.where(F.col("level") == 2))
+        .orderBy(F.desc("leaf_sum"), "cell_id")
+        .select("cell_id")
+        .first()["cell_id"]
+    )
+    return drill_down(tree, parent, level=1)
+
+
+SQL_DRILL_DOWN = f"""
+WITH l2 AS (
+  SELECT cell_id, sum(n_leaves) AS leaf_sum FROM {_NODES_PQ} WHERE level = 2 GROUP BY cell_id),
+parent AS (
+  SELECT cell_id FROM l2 ORDER BY leaf_sum DESC, cell_id LIMIT 1),
+kids AS (
+  SELECT * FROM {_NODES_PQ}
+  WHERE level = 1
+    AND {G.cell_parent_sql('cell_id', 1)} = (SELECT cell_id FROM parent))
+SELECT level, cell_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(token_count) AS BIGINT) AS token_sum,
+       round(CAST(sum(token_count) AS BIGINT)::DOUBLE / count(*), 6) AS token_avg,
+       min(token_count) AS token_min, max(token_count) AS token_max,
+       round(CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_x,
+       round(CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_y,
+       CAST(sum(n_leaves) AS BIGINT) AS leaf_sum
+FROM kids GROUP BY level, cell_id
+"""
+
+
 def q_tree_collapsed_knn(spark, sf_dir):
     """Collapsed-tree retrieval (J1+W1, reference tree_retriever.py:127-151)."""
     return collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=10, max_tokens=3500)
@@ -2710,6 +2747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_tile_stats": q_tree_tile_stats,
     "tree_tile_vectorize": q_tree_tile_vectorize,
     "viewport_tiles": q_viewport_tiles,
+    "drill_down": q_drill_down,
     "tree_collapsed_knn": q_tree_collapsed_knn,
     "tree_cell_knn": q_tree_cell_knn,
     "cell_knn_recall": q_cell_knn_recall,
@@ -2818,6 +2856,7 @@ ORACLES: dict[str, str] = {
     "tree_tile_stats": SQL_TREE_TILE_STATS,
     "tree_tile_vectorize": SQL_TREE_TILE_VECTORIZE,
     "viewport_tiles": SQL_VIEWPORT_TILES,
+    "drill_down": SQL_DRILL_DOWN,
     "tree_collapsed_knn": _sql_collapsed_knn(10, 3500),
     "tree_flat_knn": _sql_collapsed_knn(5, 3500, "WHERE n.level = 0"),
     "tree_cell_knn": _sql_cell_knn(10, 3500),

@@ -115,6 +115,29 @@ def test_viewport_tiles_filters_to_bbox(spark):
     assert out[0]["x0"] == 0.25 and out[0]["y0"] == 0.25 and out[0]["n"] == 1
 
 
+def test_drill_down_returns_children_only(spark):
+    """Zoom-in returns exactly the tiles whose cell-id parent (bit shift)
+    is the requested cell, from the requested level."""
+    from raptor_rag_spark.kernels.grid import cell_encode, cell_parent
+    from raptor_rag_spark.operators.rollup import drill_down
+
+    parent = int(cell_encode(0.30, 0.30, 2))
+    rows = []
+    # four res-3 children inside the parent's quadrant + one outside
+    for i, (cx, cy) in enumerate([(0.26, 0.26), (0.26, 0.40), (0.40, 0.26), (0.40, 0.40)]):
+        rows.append((10 + i, 1, int(cell_encode(cx, cy, 3)), 5, cx, cy, 2))
+    rows.append((99, 1, int(cell_encode(0.9, 0.9, 3)), 5, 0.9, 0.9, 2))
+    rows.append((98, 0, int(cell_encode(0.26, 0.26, 4)), 5, 0.26, 0.26, 1))  # wrong level
+    nodes = spark.createDataFrame(
+        rows,
+        "node_id LONG, level INT, cell_id LONG, token_count LONG, x DOUBLE, y DOUBLE, n_leaves LONG",
+    )
+    out = drill_down(nodes, parent, level=1).collect()
+    assert len(out) == 4
+    for r in out:
+        assert int(cell_parent(r["cell_id"], 1)) == parent
+
+
 def test_stream_stream_join_equals_batch(spark):
     from raptor_rag_spark.streaming.events_stream import stream_stream_join
 
