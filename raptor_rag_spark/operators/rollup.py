@@ -244,8 +244,6 @@ def drill_down(
     zoom-in. The child relation is the cell-id bit shift (parent(cell) ==
     parent_cell), so the filter is pushed-down arithmetic over one level
     partition; at most 4 child cells exist, so the result is always tiny."""
-    from ..functions import sqlgen as G
-
     kids = nodes.where(
         (F.col("level") == level)
         & (G.cell_parent_col(F.col("cell_id"), 1) == F.lit(int(parent_cell)))

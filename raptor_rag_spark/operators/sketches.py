@@ -147,10 +147,14 @@ def cms_estimate(
         F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))
     ) % F.lit(width)
     probes = probes.select("item", "d", bucket.alias("bucket"))
+    # LEFT join from the probe side: the table is sparse (only buckets with
+    # count > 0 materialize), so an item whose bucket is empty must see a 0
+    # counter — an inner join would drop absent items entirely and take min
+    # over only the non-empty rows, breaking the one-sided CMS bound
     return (
-        table.join(F.broadcast(probes), ["d", "bucket"])
+        probes.join(F.broadcast(table), ["d", "bucket"], "left")
         .groupBy("item")
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce("c", F.lit(0).cast("long"))).alias("est"))
     )
 
 
@@ -167,10 +171,24 @@ def cms_heavy_terms(
     from pyspark.sql import Window
 
     toks = docs.select(F.explode(G.words_col(F.col("text"))).alias("v"))
-    exact = toks.groupBy("v").agg(F.count("*").alias("exact"))
+    # ONE corpus scan: the vocab-sized exact counts (materialized, they are
+    # metadata-scale) feed both the top-k ranking and the sketch build —
+    # summing per-term counts into buckets yields a byte-identical CMS table
+    # to hashing every token occurrence, without re-exploding the corpus
+    exact = toks.groupBy("v").agg(F.count("*").alias("exact")).localCheckpoint(eager=True)
     w = Window.orderBy(F.desc("exact"), "v")
     top = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
-    table = cms_table(toks, "v", depth, width)
+    weighted = exact.withColumn(
+        "d", F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    )
+    bucket = G.hash63_col(
+        F.concat(F.col("d").cast("string"), F.lit("|"), F.col("v"))
+    ) % F.lit(width)
+    table = (
+        weighted.select("d", bucket.alias("bucket"), "exact")
+        .groupBy("d", "bucket")
+        .agg(F.sum("exact").alias("c"))
+    )
     est = cms_estimate(table, top.select("v"), "v", depth, width)
     return top.join(
         est.select(F.col("item").alias("v"), "est"), "v"

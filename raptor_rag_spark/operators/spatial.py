@@ -106,20 +106,19 @@ def grid_dbscan(
     counts = pts.groupBy("_cell").agg(F.count("*").alias("_n"))
     core = counts.where(F.col("_n") >= min_pts).select(F.col("_cell").alias("cell"))
 
-    nbr = core.select(
-        F.col("cell").alias("cell_a"),
-        F.explode(_neighbor_keys(F.col("cell"), res, _OFFS8)).alias("cell_b"),
-    )
-    edges = nbr.join(
-        core.select(F.col("cell").alias("cell_b")), "cell_b"
-    ).select("cell_a", "cell_b")
+    if (1 << (2 * res)) <= driver_cc_max:
+        # driver path: core cells are grid-bounded metadata. ONE corpus scan
+        # builds the counts; adjacency, union-find components, and the
+        # border map are pure bit arithmetic over the collected cell set; a
+        # second scan broadcast-joins the finished (cell → cluster, kind)
+        # map back onto the points. Union by min root: the smaller root
+        # always becomes parent, so the final root of every tree IS the
+        # component's min cell id — the same canonical label the distributed
+        # path and the SQL oracle produce.
+        from ..kernels.grid import cell_neighbors
 
-    core_cells = [r["cell"] for r in core.collect()] if (1 << (2 * res)) <= driver_cc_max else None
-    if core_cells is not None:
-        # union by min root: the smaller root always becomes parent, so the
-        # final root of every tree IS the component's min cell id — the same
-        # canonical label the distributed path and the SQL oracle produce
-        parent = {c: c for c in core_cells}
+        core_set = {r["cell"] for r in core.collect()}
+        parent = {c: c for c in core_set}
 
         def find(x: int) -> int:
             while parent[x] != x:
@@ -127,28 +126,51 @@ def grid_dbscan(
                 x = parent[x]
             return x
 
-        for e in edges.collect():
-            ra, rb = find(e["cell_a"]), find(e["cell_b"])
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        labels = points.sparkSession.createDataFrame(
-            [(c, find(c)) for c in core_cells] or [],
-            "cell LONG, cluster_id LONG",
+        for c in core_set:
+            for nb in cell_neighbors(c):
+                if nb in core_set:
+                    ra, rb = find(c), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        label = {c: find(c) for c in core_set}
+        border: dict[int, int] = {}
+        for c in core_set:
+            for nb in cell_neighbors(c):
+                if nb not in core_set:
+                    lc = label[c]
+                    border[nb] = lc if nb not in border else min(border[nb], lc)
+        rows = [(c, label[c], "core") for c in core_set] + [
+            (c, lab, "border") for c, lab in border.items()
+        ]
+        lbl = points.sparkSession.createDataFrame(
+            rows or [], "cell LONG, cluster_id LONG, kind STRING"
         )
-    else:
-        from .dedup import dedup_clusters
-
-        cc = dedup_clusters(edges, "cell_a", "cell_b")
-        labels = (
-            core.join(cc, core.cell == cc.doc_id, "left")
-            .select("cell", F.coalesce("canonical_id", F.col("cell")).alias("cluster_id"))
+        return pts.join(F.broadcast(lbl), pts._cell == lbl.cell, "left").select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.lit(-1).cast("long")).alias("cluster_id"),
+            F.coalesce("kind", F.lit("noise")).alias("kind"),
         )
 
+    # distributed fallback: pointer-jumping CC over the cell adjacency
+    from .dedup import dedup_clusters
+
+    nbr = core.select(
+        F.col("cell").alias("cell_a"),
+        F.explode(_neighbor_keys(F.col("cell"), res, _OFFS8)).alias("cell_b"),
+    )
+    edges = nbr.join(
+        core.select(F.col("cell").alias("cell_b")), "cell_b"
+    ).select("cell_a", "cell_b")
+    cc = dedup_clusters(edges, "cell_a", "cell_b")
+    labels = (
+        core.join(cc, core.cell == cc.doc_id, "left")
+        .select("cell", F.coalesce("canonical_id", F.col("cell")).alias("cluster_id"))
+    )
     core_pts = pts.join(F.broadcast(labels), pts._cell == labels.cell).select(
         F.col(id_col), "cluster_id", F.lit("core").alias("kind")
     )
     noncore = pts.join(F.broadcast(labels), pts._cell == labels.cell, "left_anti")
-    border = (
+    border_pts = (
         noncore.select(
             F.col(id_col),
             F.explode(_neighbor_keys(F.col("_cell"), res, _OFFS8)).alias("nk"),
@@ -159,10 +181,10 @@ def grid_dbscan(
         .select(F.col(id_col), "cluster_id", F.lit("border").alias("kind"))
     )
     noise = (
-        noncore.join(border.select(id_col), id_col, "left_anti")
+        noncore.join(border_pts.select(id_col), id_col, "left_anti")
         .select(F.col(id_col), F.lit(-1).cast("long").alias("cluster_id"), F.lit("noise").alias("kind"))
     )
-    return core_pts.unionByName(border).unionByName(noise)
+    return core_pts.unionByName(border_pts).unionByName(noise)
 
 
 def grid_dbscan_sql(

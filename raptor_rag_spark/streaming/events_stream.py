@@ -264,10 +264,13 @@ def stream_late_drop(
     d1 = lo + span // 3
     d2 = lo + (2 * span) // 3
     d3 = lo + (5 * span) // 6  # latest-third split; d3 − d2 = span/6
-    if span // 6 <= 2 * delay_s:
+    # a middle row's hour window can end as late as d2 + 3600; it is only
+    # filtered when that end sits below the batch-3 late-event watermark
+    # (≈ d3 − delay), so the split gap must exceed delay + window size
+    if span // 6 <= delay_s + 3600:
         raise ValueError(
             f"event span {span}s too short for delay {delay_s}s: the middle "
-            "third would not be below the watermark when it arrives"
+            "third's windows would not be below the watermark when they arrive"
         )
     src = tempfile.mkdtemp(prefix="stream_late_src_")
     batches = [

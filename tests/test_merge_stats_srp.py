@@ -170,6 +170,19 @@ def test_cms_one_sided_error(spark):
     assert out["alpha"]["est"] == 50
 
 
+def test_cms_estimate_absent_item_is_zero(spark):
+    """An item that never entered the sketch must estimate 0 (min over
+    counters including empty buckets), not vanish or over-report."""
+    from raptor_rag_spark.operators.sketches import cms_estimate, cms_table
+
+    data = spark.createDataFrame([("alpha",)] * 5 + [("beta",)] * 2, "v STRING")
+    table = cms_table(data, "v")
+    items = spark.createDataFrame([("alpha",), ("never-seen-term",)], "v STRING")
+    out = {r["item"]: r["est"] for r in cms_estimate(table, items).collect()}
+    assert out["alpha"] >= 5
+    assert out["never-seen-term"] == 0
+
+
 def test_srp_pairs_finds_neardups(spark):
     import numpy as np
 
