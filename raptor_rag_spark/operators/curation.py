@@ -144,14 +144,18 @@ def repetition_signals(pages: DataFrame) -> DataFrame:
         F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams")
     )
     frac = lambda n, d: F.col(n).cast("double") / F.col(d).cast("double")  # noqa: E731
+    # LEFT join: a doc with < 2 word tokens has no bigrams, but it still has
+    # line-duplication signals — an inner join would silently exempt exactly
+    # the degenerate/spam docs from the quality gate; bigram repetition
+    # defaults to 0.0 (no evidence)
     return (
-        line_stats.join(bigram_stats, "url")
+        line_stats.join(bigram_stats, "url", "left")
         .select(
             "url",
             "n_lines",
             frac("dup_lines", "n_lines").alias("dup_line_frac"),
             frac("dup_chars", "tot_chars").alias("dup_char_frac"),
-            frac("top_bigram", "n_bigrams").alias("top_bigram_frac"),
+            F.coalesce(frac("top_bigram", "n_bigrams"), F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
 
@@ -183,8 +187,8 @@ bigram_stats AS (
 SELECT l.url, l.n_lines,
        CAST(l.dup_lines AS DOUBLE) / CAST(l.n_lines AS DOUBLE) AS dup_line_frac,
        CAST(l.dup_chars AS DOUBLE) / CAST(l.tot_chars AS DOUBLE) AS dup_char_frac,
-       CAST(b.top_bigram AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE) AS top_bigram_frac
-FROM line_stats l JOIN bigram_stats b USING (url)
+       coalesce(CAST(b.top_bigram AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
+FROM line_stats l LEFT JOIN bigram_stats b USING (url)
 """
 
 
@@ -299,7 +303,7 @@ def extract_links_sql(pages_sql: str) -> str:
     return f"""
 WITH hrefs AS (
   SELECT regexp_extract(url, '{URL_RE}', 2) AS src_host,
-         unnest(regexp_extract_all(decode(html), 'href="([^"]+)"', 1)) AS dst_url
+         unnest(regexp_extract_all(decode(html), '{HREF_RE}', 1)) AS dst_url
   FROM ({pages_sql})
 )
 SELECT src_host, regexp_extract(dst_url, '{URL_RE}', 2) AS dst_host,

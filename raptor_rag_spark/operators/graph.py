@@ -84,12 +84,19 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5) -> DataFra
     Sums in exact DECIMAL; hosts with no in-links keep the (1−d)/N floor
     via coalesce(·, 0.0) (adding d·0.0 is IEEE-exact)."""
     dec = "decimal(28,15)"
+    # materialize the (host-cardinality, metadata-scale) graph ONCE: every
+    # iteration below references base and edges, and Catalyst does not
+    # deduplicate repeated subplans — without the checkpoint the upstream
+    # parse + host groupBy would re-execute once per round (K+1 corpus scans
+    # for host_pagerank). ranks is checkpointed per round for the same
+    # reason: the broadcast side would otherwise re-evaluate rounds 1..k−1.
     n_hosts = nodes.agg(F.count("*").alias("n_hosts"))
     base = nodes.select("host_id").crossJoin(F.broadcast(n_hosts)).select(
         "host_id",
         (F.lit(BASE_NUM) / F.col("n_hosts").cast("double")).alias("base"),
         (F.lit(1.0) / F.col("n_hosts").cast("double")).alias("rank"),
-    )
+    ).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     ranks = base.select("host_id", "rank")
     for _ in range(iterations):
         contrib = (
@@ -114,6 +121,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 5) -> DataFra
                     + F.lit(DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks
 

@@ -46,10 +46,11 @@ def merge_upsert(
         *[F.col(c).alias(f"_u_{c}") for c in value_cols],
     )
     j = b.join(u, keys, "full_outer")
-    differs = None
+    # key-only merge (no value columns): matched rows are never "update"
+    differs = F.lit(False)
     for c in value_cols:
         d = ~F.col(f"_u_{c}").eqNullSafe(F.col(f"_b_{c}"))
-        differs = d if differs is None else (differs | d)
+        differs = differs | d
     action = (
         F.when(F.col("_in_base").isNull(), F.lit("insert"))
         .when(F.col("_in_upd").isNull(), F.lit("keep"))
@@ -78,7 +79,7 @@ def merge_upsert_sql(
     keys = ", ".join(key_cols)
     differs = " OR ".join(
         f"NOT (u._u_{c} IS NOT DISTINCT FROM b._b_{c})" for c in value_cols
-    )
+    ) or "FALSE"  # key-only merge: matched rows are never "update"
     finals = ", ".join(
         f"CASE WHEN u._in_upd IS NOT NULL THEN u._u_{c} ELSE b._b_{c} END AS {c}"
         for c in value_cols
@@ -86,10 +87,11 @@ def merge_upsert_sql(
     b_cols = ", ".join([keys, "1 AS _in_base"] + [f"{c} AS _b_{c}" for c in value_cols])
     u_cols = ", ".join([keys, "1 AS _in_upd"] + [f"{c} AS _u_{c}" for c in value_cols])
     using = ", ".join(key_cols)
+    select_bits = ", ".join(x for x in (using, finals) if x)
     return f"""
 WITH b AS (SELECT {b_cols} FROM ({base_sql})),
 u AS (SELECT {u_cols} FROM ({updates_sql}))
-SELECT {using}, {finals},
+SELECT {select_bits},
        CASE WHEN b._in_base IS NULL THEN 'insert'
             WHEN u._in_upd IS NULL THEN 'keep'
             WHEN {differs} THEN 'update'

@@ -77,8 +77,11 @@ def doc_top_terms(
         )
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     idf_arg = F.col("n_docs") / F.col("df").cast("double")
+    # no broadcast hint on dfreq: it is vocabulary-sized and needed for every
+    # posting, so let AQE pick (auto-broadcast when small, shuffle join when
+    # the vocab outgrows the threshold) instead of forcing a driver collect
     scored = (
-        postings.join(F.broadcast(dfreq), "term")
+        postings.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .withColumn("idf_arg", idf_arg)
         .withColumn(
@@ -175,13 +178,18 @@ def bm25_rank(
     qterms = queries.select(
         "query_id", F.explode(G.words_col(F.col("qtext"))).alias("term")
     ).distinct()
+    # df only for query terms: the full dfreq is corpus-vocabulary-sized
+    # (hundreds of millions of rows on a web crawl) — broadcasting it whole
+    # would OOM the driver; semi-joined to the tiny query-term set it is
+    # bounded by query length
+    dfreq_q = dfreq.join(F.broadcast(qterms.select("term").distinct()), "term")
 
     idf_arg = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)
     ) + F.lit(1.0)
     matched = (
         postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(dfreq_q), "term")
         .join(F.broadcast(stats))
         .join(dl, "doc_id")
         .withColumn("tfd", F.col("tf").cast("double"))

@@ -28,10 +28,14 @@ def group_quantiles(
     value_col: str,
     qs: Sequence[int] = (50, 90, 99),
 ) -> DataFrame:
-    """(group, n, v_min, v_max, p<q>…): exact per-group quantiles."""
+    """(group, n, v_min, v_max, p<q>…): exact per-group quantiles.
+
+    NULL values are excluded up front: Spark windows order NULLS FIRST while
+    DuckDB defaults to NULLS LAST, so leaving them in would shift _rn and
+    desync the twins (and quantiles over NULLs are meaningless anyway)."""
     w = Window.partitionBy(group_col).orderBy(value_col)
     cw = Window.partitionBy(group_col)
-    r = df.select(group_col, value_col).withColumn(
+    r = df.select(group_col, value_col).where(F.col(value_col).isNotNull()).withColumn(
         "_rn", F.row_number().over(w)
     ).withColumn("_n", F.count("*").over(cw))
     picks = [
@@ -68,7 +72,7 @@ WITH t AS (
   SELECT {group_col}, {value_col},
          row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) AS _rn,
          count(*) OVER (PARTITION BY {group_col}) AS _n
-  FROM ({src_sql}))
+  FROM ({src_sql}) WHERE {value_col} IS NOT NULL)
 SELECT {group_col}, CAST(count(*) AS BIGINT) AS n,
        min({value_col}) AS v_min, max({value_col}) AS v_max,
        {picks}

@@ -170,6 +170,50 @@ def test_cms_one_sided_error(spark):
     assert out["alpha"]["est"] == 50
 
 
+def test_merge_upsert_key_only(spark):
+    """Key-only presence merge (no value columns): matched rows are
+    'unchanged', never 'update'; the SQL twin parses too."""
+    import duckdb
+
+    from raptor_rag_spark.operators.merge import merge_upsert, merge_upsert_sql
+
+    base = spark.createDataFrame([(1,), (2,)], "k LONG")
+    upd = spark.createDataFrame([(2,), (3,)], "k LONG")
+    out = {r["k"]: r["action"] for r in merge_upsert(base, upd, ["k"], []).collect()}
+    assert out == {1: "keep", 2: "unchanged", 3: "insert"}
+    con = duckdb.connect()
+    sql = merge_upsert_sql("SELECT 1 AS k UNION ALL SELECT 2", "SELECT 2 AS k UNION ALL SELECT 3", ["k"], [])
+    rows = dict(con.execute(sql).fetchall())
+    assert rows == {1: "keep", 2: "unchanged", 3: "insert"}
+
+
+def test_group_quantiles_ignores_nulls(spark):
+    """NULL values must not shift ranks (Spark orders NULLS FIRST, DuckDB
+    NULLS LAST — the twins only agree if NULLs are excluded)."""
+    from raptor_rag_spark.operators.stats import group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1), ("g", 2), ("g", 3)], "grp STRING, v INT"
+    )
+    r = group_quantiles(df, "grp", "v", qs=(50,)).collect()[0]
+    assert r["n"] == 3 and r["p50"] == 2 and r["v_min"] == 1
+
+
+def test_repetition_signals_covers_tokenless_docs(spark):
+    """A doc with no word tokens (pure punctuation spam) still gets its
+    line-duplication signal instead of being dropped by the bigram join."""
+    from raptor_rag_spark.operators.curation import repetition_signals
+
+    pages = spark.createDataFrame(
+        [("u1", "!!!\n!!!\n!!!"), ("u2", "alpha beta gamma\ndelta epsilon zeta")],
+        "url STRING, text STRING",
+    )
+    out = {r["url"]: r for r in repetition_signals(pages).collect()}
+    assert out["u1"]["dup_line_frac"] == 1.0
+    assert out["u1"]["top_bigram_frac"] == 0.0
+    assert out["u2"]["dup_line_frac"] == 0.0
+
+
 def test_cms_estimate_absent_item_is_zero(spark):
     """An item that never entered the sketch must estimate 0 (min over
     counters including empty buckets), not vanish or over-report."""
