@@ -312,3 +312,90 @@ FROM hrefs
 WHERE regexp_extract(dst_url, '{URL_RE}', 2) <> ''
 GROUP BY src_host, dst_host
 """
+
+# --------------------------------------------------- per-host boilerplate
+
+
+def host_boilerplate(
+    pages: DataFrame, min_pages: int = 2, min_frac_pct: int = 50
+) -> DataFrame:
+    """(url, host, n_lines, n_kept, clean_text): per-host boilerplate strip.
+
+    A line is boilerplate when it appears on ≥ ``min_frac_pct``% of its OWN
+    host's pages (and on ≥ ``min_pages`` of them) — the CCNet trick that
+    catches a site's nav bar / footer without a global frequency table:
+    a line shared by 3 pages out of 10^12 globally is prose, the same line
+    on 80% of one host's pages is chrome. Complements :func:`line_dedup`
+    (global df cutoff). Unlike line_dedup, every input document stays in the
+    output — a fully-boilerplate page surfaces as ``n_kept=0, clean_text=''``
+    (the keep/drop decision belongs to the caller's quality gate).
+
+    The threshold is integer arithmetic (``df*100 >= pct*pages``) so the
+    DuckDB twin is bit-exact with no float rounding.
+
+    Scale (100 TB): the boilerplate key set is (host, md5-hash) — hosts ×
+    frequent-lines-per-host, metadata-scale — so the data path is ONE
+    explode scan flag-joined (broadcast LEFT) against that set; line counts
+    and the cleaned text come out of the same groupBy, no second corpus
+    scan. All shuffles key on (host, 32-byte hash) or url, never raw line
+    text, and every aggregate is map-side combinable."""
+    lines = pages.select(
+        "url",
+        F.regexp_extract(F.col("url"), URL_RE, 2).alias("host"),
+        F.posexplode(F.split(F.col("text"), NL)).alias("pos", "line"),
+    )
+    host_pages = pages.select(
+        F.regexp_extract(F.col("url"), URL_RE, 2).alias("host"), "url"
+    ).distinct().groupBy("host").agg(F.count("*").alias("host_pages"))
+    dfreq = (
+        lines.select("host", "url", F.md5("line").alias("h"))
+        .distinct()
+        .groupBy("host", "h")
+        .agg(F.count("*").alias("line_df"))
+    )
+    boiler = dfreq.join(host_pages, "host").where(
+        (F.col("line_df") >= min_pages)
+        & (F.col("line_df") * 100 >= F.lit(min_frac_pct) * F.col("host_pages"))
+    ).select("host", "h", F.lit(True).alias("is_boiler"))
+    flagged = lines.withColumn("h", F.md5("line")).join(
+        F.broadcast(boiler), ["host", "h"], "left"
+    )
+    keep = F.col("is_boiler").isNull()
+    return flagged.groupBy("url", "host").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.concat_ws(
+            NL,
+            F.transform(
+                F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "line")))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    ).select("url", "host", "n_lines", "n_kept", "clean_text")
+
+
+def host_boilerplate_sql(pages_sql: str, min_pages: int = 2, min_frac_pct: int = 50) -> str:
+    """DuckDB twin of :func:`host_boilerplate`."""
+    return f"""
+WITH lines AS (
+  SELECT url, regexp_extract(url, '{URL_RE}', 2) AS host,
+         CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos, unnest(ls) AS line
+  FROM (SELECT url, string_split(text, chr(10)) AS ls FROM ({pages_sql}))
+),
+host_pages AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS host_pages
+  FROM (SELECT DISTINCT regexp_extract(url, '{URL_RE}', 2) AS host, url
+        FROM ({pages_sql})) GROUP BY host),
+dfreq AS (
+  SELECT host, h, CAST(count(*) AS BIGINT) AS line_df
+  FROM (SELECT DISTINCT host, url, md5(line) AS h FROM lines) GROUP BY host, h),
+boiler AS (
+  SELECT d.host, d.h FROM dfreq d JOIN host_pages p USING (host)
+  WHERE d.line_df >= {min_pages} AND d.line_df * 100 >= {min_frac_pct} * p.host_pages)
+SELECT l.url, l.host, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE b.h IS NULL) AS BIGINT) AS n_kept,
+       coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                FILTER (WHERE b.h IS NULL), '') AS clean_text
+FROM lines l LEFT JOIN boiler b ON b.host = l.host AND b.h = md5(l.line)
+GROUP BY l.url, l.host
+"""

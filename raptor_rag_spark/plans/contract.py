@@ -2102,10 +2102,20 @@ def q_link_graph(spark, sf_dir):
     return extract_links(_pages(spark))
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Per-host boilerplate strip: a line is chrome when it appears on ≥50%
+    (and ≥2) of its own host's pages — catches per-site nav/footer without a
+    global df table; integer-threshold so the twin is bit-exact."""
+    from ..operators.curation import host_boilerplate
+
+    return host_boilerplate(_pages(spark), min_pages=2, min_frac_pct=50)
+
+
 def _sql_curation() -> dict[str, str]:
     from ..operators.curation import (
         canonical_dedup_sql,
         extract_links_sql,
+        host_boilerplate_sql,
         line_dedup_sql,
         pii_scrub_sql,
         repetition_signals_sql,
@@ -2113,6 +2123,7 @@ def _sql_curation() -> dict[str, str]:
 
     return {
         "para_dedup": line_dedup_sql(_PAGES_SQL, max_df=1),
+        "host_boilerplate": host_boilerplate_sql(_PAGES_SQL, min_pages=2, min_frac_pct=50),
         "doc_repetition": repetition_signals_sql(_PAGES_SQL),
         "pii_scrub": pii_scrub_sql(_PAGES_SQL),
         "url_canon": canonical_dedup_sql(_PAGES_SQL),
@@ -2765,6 +2776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     # corpus curation / IR / vector geometry / stream enrichment
     "para_dedup": q_para_dedup,
+    "host_boilerplate": q_host_boilerplate,
     "doc_repetition": q_doc_repetition,
     "pii_scrub": q_pii_scrub,
     "url_canon": q_url_canon,

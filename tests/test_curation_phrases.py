@@ -185,3 +185,61 @@ def test_cell_extremes(spark):
     assert sum(r["n_dirs"] for r in out.values()) == 8
     # +x direction (dir 0) tie between 2 and 3 breaks to vec_id 2
     assert out[2]["first_dir"] == 0
+
+
+def test_host_boilerplate_per_host_strip(spark):
+    """Per-host chrome strip: a footer on ≥50% of a host's pages is dropped
+    on that host only; the same text on a single page of another host stays.
+    Fully-boilerplate pages stay in the output with n_kept=0."""
+    from raptor_rag_spark.operators.curation import host_boilerplate
+
+    rows = [
+        ("http://a.example/p1", "footer of site a\nreal prose one"),
+        ("http://a.example/p2", "footer of site a\nreal prose two"),
+        ("http://a.example/p3", "footer of site a"),
+        # same footer text, but b.example has it on only 1 of its 2 pages
+        ("http://b.example/p1", "footer of site a\nb prose"),
+        ("http://b.example/p2", "other b prose"),
+    ]
+    pages = spark.createDataFrame(rows, "url STRING, text STRING")
+    out = {r["url"]: r for r in host_boilerplate(pages, min_pages=2).collect()}
+    assert len(out) == 5  # every page survives
+    assert out["http://a.example/p1"]["clean_text"] == "real prose one"
+    assert out["http://a.example/p2"]["n_kept"] == 1
+    # fully-boilerplate page: kept with empty text, not dropped
+    assert out["http://a.example/p3"]["n_kept"] == 0
+    assert out["http://a.example/p3"]["clean_text"] == ""
+    # per-host isolation: b.example keeps the line (1 of 2 pages < 50%... but
+    # 1*100 >= 50*2 is true — so tighten: min_pages=2 is what saves it)
+    assert out["http://b.example/p1"]["clean_text"] == "footer of site a\nb prose"
+    assert out["http://b.example/p2"]["n_kept"] == 1
+
+
+def test_host_boilerplate_sql_twin(spark):
+    """The DuckDB twin must agree row-for-row on a handcrafted corpus."""
+    import duckdb
+
+    from raptor_rag_spark.operators.curation import host_boilerplate, host_boilerplate_sql
+
+    rows = [
+        ("http://a.example/p1", "nav\nalpha"),
+        ("http://a.example/p2", "nav\nbeta"),
+        ("http://c.example/only", "nav\nsolo"),
+    ]
+    pages = spark.createDataFrame(rows, "url STRING, text STRING")
+    got = {
+        (r["url"],): (r["host"], r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in host_boilerplate(pages, min_pages=2).collect()
+    }
+    src = " UNION ALL ".join(
+        f"SELECT '{u}' AS url, '{t}' AS text".replace("\n", "' || chr(10) || '")
+        for u, t in rows
+    )
+    con = duckdb.connect()
+    want = {
+        (r[0],): (r[1], r[2], r[3], r[4])
+        for r in con.execute(host_boilerplate_sql(src, min_pages=2)).fetchall()
+    }
+    assert got == want
+    assert got[("http://a.example/p1",)] == ("a.example", 2, 1, "alpha")
+    assert got[("http://c.example/only",)] == ("c.example", 2, 2, "nav\nsolo")
