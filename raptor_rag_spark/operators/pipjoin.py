@@ -368,3 +368,99 @@ def polygon_cover(
     return cand.mapInPandas(verify, out_schema).select(
         F.col("poly_id").alias(poly_id_col), cover.alias("cover_id"), "ix", "iy"
     )
+
+
+def bbox_overlay_join(
+    a: DataFrame, b: DataFrame, res: int = 4, id_col: str = "box_id"
+) -> DataFrame:
+    """Rectangle overlay join (id_a, id_b, inter_area, iou): every pair of
+    boxes from ``a`` × ``b`` with strictly positive intersection area — the
+    vector-overlay primitive behind polygon intersection layers and IoU
+    matching (object dedup across detection sets). Boxes: (box_id, x0, y0,
+    x1, y1) in unit space.
+
+    Plan (the PBSM "reference point" method): each box explodes to the grid
+    cells at ``res`` its bbox covers (two integer sequences, pure
+    expressions); candidates equi-join on the packed cell key; a pair is
+    emitted ONLY in the cell containing the intersection's min corner —
+    exactly one cell per overlapping pair, so there is NO dedup shuffle and
+    the join stays exact. At 100 TB the only shuffle is the cell equi-join;
+    fan-out per box is its bbox cover at ``res`` (data-independent), hot
+    cells are AQE-split, and no box ever meets boxes outside its cover.
+
+    inter/union/IoU are plain IEEE min/max/multiply — the DuckDB oracle is a
+    quadratic join over the same arithmetic, so a hash match proves the
+    pruning misses nothing and the reference-point dedup emits exactly once.
+    """
+    n = 1 << res
+
+    def cover(df: DataFrame, side: str) -> DataFrame:
+        c = lambda name: F.col(f"{side}{name}")  # noqa: E731
+        clamp = lambda v: F.greatest(F.lit(0), F.least(F.lit(n - 1), v))  # noqa: E731
+        s = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col("x0").alias(f"{side}x0"),
+            F.col("y0").alias(f"{side}y0"),
+            F.col("x1").alias(f"{side}x1"),
+            F.col("y1").alias(f"{side}y1"),
+        )
+        return (
+            s.withColumn(
+                "cix",
+                F.explode(
+                    F.sequence(
+                        clamp(F.floor(c("x0") * n).cast("int")),
+                        clamp(F.floor(c("x1") * n).cast("int")),
+                    )
+                ),
+            )
+            .withColumn(
+                "ciy",
+                F.explode(
+                    F.sequence(
+                        clamp(F.floor(c("y0") * n).cast("int")),
+                        clamp(F.floor(c("y1") * n).cast("int")),
+                    )
+                ),
+            )
+            .withColumn("ckey", F.col("cix") * n + F.col("ciy"))
+            .drop("cix", "ciy")
+        )
+
+    joined = cover(a, "a").join(cover(b, "b"), "ckey")
+    mx = F.greatest("ax0", "bx0")
+    my = F.greatest("ay0", "by0")
+    iw = F.least("ax1", "bx1") - mx
+    ih = F.least("ay1", "by1") - my
+    clamp = lambda v: F.greatest(F.lit(0), F.least(F.lit(n - 1), v))  # noqa: E731
+    ref_key = clamp(F.floor(mx * n).cast("int")) * n + clamp(F.floor(my * n).cast("int"))
+    inter = iw * ih
+    area_a = (F.col("ax1") - F.col("ax0")) * (F.col("ay1") - F.col("ay0"))
+    area_b = (F.col("bx1") - F.col("bx0")) * (F.col("by1") - F.col("by0"))
+    return (
+        joined.where((iw > 0) & (ih > 0) & (F.col("ckey") == ref_key))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter_area"),
+            (inter / (area_a + area_b - inter)).alias("iou"),
+        )
+    )
+
+
+def bbox_overlay_join_sql(a_sql: str, b_sql: str, id_col: str = "box_id") -> str:
+    """DuckDB twin of :func:`bbox_overlay_join`: quadratic overlap join over
+    the identical IEEE arithmetic (no pruning — the oracle's whole point)."""
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+         * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS inter_area,
+       ((least(a.x1, b.x1) - greatest(a.x0, b.x0))
+          * (least(a.y1, b.y1) - greatest(a.y0, b.y0)))
+         / ((a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0)
+            - (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+              * (least(a.y1, b.y1) - greatest(a.y0, b.y0))) AS iou
+FROM ({a_sql}) a JOIN ({b_sql}) b
+  ON least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+ AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+"""

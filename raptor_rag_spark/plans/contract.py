@@ -654,6 +654,56 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {d!r} * {d!r}
 """
 
 
+def _overlay_boxes(spark, sf_dir, parity: int, res: int):
+    """Per-cell point-extent boxes from one vec_id parity — a deterministic
+    two-layer box source (coarse even-side boxes at res 2 overlay several
+    fine odd-side boxes at res 3)."""
+    n = 1 << res
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.where(F.col("vec_id") % 2 == parity).select(x.alias("x"), y.alias("y"))
+    key = (
+        F.floor(F.col("x") * n).cast("long") * n + F.floor(F.col("y") * n).cast("long")
+    ).alias("box_id")
+    return pts.select(key, "x", "y").groupBy("box_id").agg(
+        F.min("x").alias("x0"),
+        F.min("y").alias("y0"),
+        F.max("x").alias("x1"),
+        F.max("y").alias("y1"),
+    )
+
+
+def q_bbox_overlay(spark, sf_dir):
+    """Vector overlay (IoU) join: coarse even-parity extent boxes × fine
+    odd-parity extent boxes, every strictly-overlapping pair with
+    intersection area + IoU. Grid-bucketed candidates with reference-point
+    dedup (one emit per pair, no distinct); the oracle is a QUADRATIC
+    overlap join, so a missed or double-emitted pair breaks the hash."""
+    from ..operators.pipjoin import bbox_overlay_join
+
+    a = _overlay_boxes(spark, sf_dir, parity=0, res=2)
+    b = _overlay_boxes(spark, sf_dir, parity=1, res=3)
+    return bbox_overlay_join(a, b, res=4)
+
+
+def _sql_overlay_boxes(parity: int, res: int) -> str:
+    n = 1 << res
+    x, y = G.xy_sql("embedding", DIM)
+    return f"""
+SELECT CAST(floor(x * {n}) AS BIGINT) * {n} + CAST(floor(y * {n}) AS BIGINT) AS box_id,
+       min(x) AS x0, min(y) AS y0, max(x) AS x1, max(y) AS y1
+FROM (SELECT {x} AS x, {y} AS y FROM embeddings WHERE vec_id % 2 = {parity})
+GROUP BY 1"""
+
+
+def _sql_bbox_overlay() -> str:
+    from ..operators.pipjoin import bbox_overlay_join_sql
+
+    return bbox_overlay_join_sql(
+        _sql_overlay_boxes(parity=0, res=2), _sql_overlay_boxes(parity=1, res=3)
+    )
+
+
 def q_emb_tile_rollup(spark, sf_dir):
     """Per-cell raster-band rollup (A5 shape) with exact decimal centroids."""
     e = ld(spark, sf_dir, "embeddings")
@@ -2717,6 +2767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial / similarity
     "emb_cells": q_emb_cells,
     "emb_dwithin": q_emb_dwithin,
+    "bbox_overlay": q_bbox_overlay,
     "emb_tile_rollup": q_emb_tile_rollup,
     "emb_topk": q_emb_topk,
     "emb_topk_l1": _q_emb_topk_metric("L1"),
@@ -2828,6 +2879,7 @@ ORACLES: dict[str, str] = {
     "curate_corpus": _sql_curate_corpus(),
     "emb_cells": _sql_emb_cells(),
     "emb_dwithin": _sql_emb_dwithin(),
+    "bbox_overlay": _sql_bbox_overlay(),
     "emb_tile_rollup": _sql_emb_tile_rollup(),
     "emb_topk": _sql_emb_topk(),
     "emb_topk_l1": _sql_emb_topk_metric("L1"),

@@ -163,3 +163,41 @@ def test_stream_stream_join_equals_batch(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bbox_overlay_join_exact(spark):
+    """Overlay join: overlapping pairs appear exactly once (reference-point
+    dedup across multi-cell covers), touching boxes are excluded, and the
+    contained-box IoU is the area ratio."""
+    import duckdb
+
+    from raptor_rag_spark.operators.pipjoin import bbox_overlay_join, bbox_overlay_join_sql
+
+    # a1 spans many res-4 cells and overlaps both b boxes; a2 only touches b2
+    a_rows = [(1, 0.05, 0.05, 0.8, 0.6), (2, 0.8, 0.6, 0.9, 0.7)]
+    b_rows = [(10, 0.1, 0.1, 0.2, 0.2), (20, 0.5, 0.5, 0.8, 0.6)]
+    schema = "box_id LONG, x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    out = {(r["id_a"], r["id_b"]): r for r in bbox_overlay_join(a, b, res=4).collect()}
+    assert set(out) == {(1, 10), (1, 20)}  # (2,20) touches only → excluded
+    # b=10 is fully inside a=1 → inter = area(b), iou = area(b)/area(a)
+    r = out[(1, 10)]
+    area_b = 0.1 * 0.1
+    area_a = 0.75 * 0.55
+    assert abs(r["inter_area"] - area_b) < 1e-12
+    assert abs(r["iou"] - area_b / area_a) < 1e-12
+
+    # twin agreement on the same rows
+    mk = lambda rows: " UNION ALL ".join(  # noqa: E731
+        f"SELECT {i} AS box_id, {x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1"
+        for i, x0, y0, x1, y1 in rows
+    )
+    got = sorted((r["id_a"], r["id_b"], round(r["inter_area"], 12)) for r in out.values())
+    want = sorted(
+        (ia, ib, round(v, 12))
+        for ia, ib, v, _ in duckdb.connect()
+        .execute(bbox_overlay_join_sql(mk(a_rows), mk(b_rows)))
+        .fetchall()
+    )
+    assert got == want
