@@ -19,10 +19,12 @@ iterative algorithms); per-level ``count()`` is the only driver action.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 import os
 
 from ..config import ClusterTreeConfig
+from ..functions import sqlgen as G
 from ..kernels.embedder import DEFAULT_DIM, HashNgramEmbeddingModel
 from ..operators.core import leaf_nodes
 from ..operators.rollup import build_parent_nodes
@@ -153,3 +155,87 @@ def build_tree(
 
 def load_tree(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     return TreeCheckpoint(checkpoint_dir).read_all(spark)
+
+
+def update_tree(
+    tree: DataFrame,
+    new_docs: DataFrame,
+    config: ClusterTreeConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental tree maintenance: fold ``new_docs`` into an existing tree
+    recomputing ONLY the dirty tiles — bit-identical to a full rebuild over
+    the union corpus (the invariant the test suite asserts).
+
+    No reference analogue (add_documents is rebuild-only,
+    retrieval_augmentation.py:170-178); this is the scale surface an engine
+    needs when 100 TB is already built and today's crawl adds 0.1%: at each
+    level only cells containing new/changed children re-aggregate, every
+    untouched node passes through with a broadcast anti-join (no shuffle).
+    Dirtiness propagates geometrically — dirty(k+1) = parent(dirty(k)) — so
+    recomputed work per level is O(new data), not O(corpus). All parent
+    node ids, salts and summaries are deterministic functions of a cell's
+    own members, which is what makes touched-cell recompute == full rebuild.
+
+    The dirty-cell set is one DISTINCT over the new leaves (metadata-scale:
+    bounded by cells, not documents) collected per level for a broadcast
+    ``isin`` — same driver-side level loop the builder uses."""
+    cfg = config if config is not None else ClusterTreeConfig()
+    models = _models_arg(cfg)
+
+    new_leaves = leaf_nodes(
+        new_docs,
+        id_col,
+        text_col,
+        cfg.max_tokens,
+        cfg.max_resolution,
+        models=models,
+        cluster_model=cfg.cluster_embedding_model,
+    )
+    current = (
+        tree.filter(F.col("level") == 0).unionByName(new_leaves).cache()
+    )
+    levels = [current]
+    dirty = [
+        r["c"]
+        for r in new_leaves.select(
+            G.cell_parent_col(F.col("cell_id"), 1).alias("c")
+        ).distinct().collect()
+    ]
+
+    for level in range(1, cfg.num_layers + 1):
+        n_current = current.count()
+        if n_current <= cfg.reduction_dimension + 1:
+            break
+        res = cfg.max_resolution - (level - 1)
+        if res - 1 < 0:
+            break
+        parent_cell = G.cell_parent_col(F.col("cell_id"), 1)
+        affected = current.where(parent_cell.isin(dirty))
+        recomputed = build_parent_nodes(
+            affected,
+            next_level=level,
+            summarization_length=cfg.summarization_length,
+            max_length_in_cluster=cfg.max_length_in_cluster,
+            models=models,
+            cluster_model=cfg.cluster_embedding_model,
+        )
+        kept = tree.filter(
+            (F.col("level") == level) & ~F.col("cell_id").isin(dirty)
+        )
+        current = kept.unionByName(recomputed).cache()
+        levels.append(current)
+        # every parent of a dirty cell must re-aggregate at the next level
+        dirty = sorted({_parent_cell_py(c) for c in dirty})
+
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _parent_cell_py(cell: int) -> int:
+    from ..kernels.grid import cell_parent
+
+    return int(cell_parent(cell, 1))

@@ -186,3 +186,67 @@ def test_metrics_table_sink_and_resume(spark, docs, tmp_path_factory):
     pending = spark.createDataFrame([(k,) for k in ["0", "1", "99"]], "level string")
     left = mt.resume_filter(pending, spark, "tree_level", "level").collect()
     assert [r["level"] for r in left] == ["99"]
+
+
+def test_update_tree_matches_full_rebuild(spark):
+    """Incremental dirty-tile update must be node-for-node identical to a
+    full rebuild over the union corpus — ids, cells, levels, texts, children
+    and embeddings."""
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.plans.build_tree import build_tree, update_tree
+
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=6)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id < 30")
+    extra = docs.filter("doc_id >= 30 AND doc_id < 40")
+
+    def sig(tree):
+        rows = tree.select(
+            "node_id",
+            "level",
+            "cell_id",
+            "text",
+            "token_count",
+            F.array_sort("children").alias("ch"),
+            F.round(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v), 6).alias("es"),
+        ).collect()
+        return sorted(
+            (r["node_id"], r["level"], r["cell_id"], r["text"], r["token_count"],
+             tuple(r["ch"]), r["es"])
+            for r in rows
+        )
+
+    full = build_tree(docs.filter("doc_id < 40"), cfg)
+    updated = update_tree(build_tree(base, cfg), extra, cfg)
+    assert sig(updated) == sig(full)
+
+
+def test_update_tree_touches_only_dirty_cells(spark):
+    """A single new document must leave every node outside its dirty-cell
+    cone byte-identical (same node_id set per untouched cell)."""
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.kernels.grid import cell_parent
+    from raptor_rag_spark.plans.build_tree import build_tree, update_tree
+    from raptor_rag_spark.operators.core import leaf_nodes
+
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=6)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base_tree = build_tree(docs.filter("doc_id < 30"), cfg).cache()
+    extra = docs.filter("doc_id = 31")
+
+    new_cells = {
+        int(cell_parent(r["cell_id"], 1))
+        for r in leaf_nodes(extra, max_tokens=64, res=6).select("cell_id").collect()
+    }
+    updated = update_tree(base_tree, extra, cfg).cache()
+    before = {
+        (r["level"], r["cell_id"]): r["node_id"]
+        for r in base_tree.filter("level = 1").collect()
+    }
+    after = {
+        (r["level"], r["cell_id"]): r["node_id"]
+        for r in updated.filter("level = 1").collect()
+    }
+    for key, nid in before.items():
+        if key[1] not in new_cells:
+            assert after[key] == nid  # untouched level-1 cells are identical
