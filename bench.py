@@ -78,6 +78,19 @@ def main() -> None:
     timed("tree_build", _build)
     tree = state["tree"]
 
+    # incremental maintenance: fold a 1% crawl delta into the built tree by
+    # recomputing only the dirty-cell cone (plans/build_tree.py:update_tree)
+    def _incr():
+        from raptor_rag_spark.plans.build_tree import update_tree
+
+        cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=MAX_RES)
+        delta = docs.limit(max(n_docs // 100, 50)).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        state["n_updated"] = update_tree(tree, delta, cfg).count()
+
+    timed("incremental_update", _incr)
+
     qdf = spark.createDataFrame(
         [(i, t) for i, t in enumerate(QUERY_TEXTS * 4)], "query_id long, qtext string"
     ).withColumn("query_id", F.monotonically_increasing_id())

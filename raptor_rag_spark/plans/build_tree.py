@@ -197,6 +197,10 @@ def update_tree(
         tree.filter(F.col("level") == 0).unionByName(new_leaves).cache()
     )
     levels = [current]
+    # if the base tree stopped shallower than the union build will (the
+    # count-based stop rule is monotone in corpus size), every level beyond
+    # base_max has no kept nodes — the whole level is dirty
+    base_max = tree.agg(F.max("level")).collect()[0][0] or 0
     dirty = [
         r["c"]
         for r in new_leaves.select(
@@ -212,7 +216,9 @@ def update_tree(
         if res - 1 < 0:
             break
         parent_cell = G.cell_parent_col(F.col("cell_id"), 1)
-        affected = current.where(parent_cell.isin(dirty))
+        affected = (
+            current if level > base_max else current.where(parent_cell.isin(dirty))
+        )
         recomputed = build_parent_nodes(
             affected,
             next_level=level,
@@ -221,10 +227,13 @@ def update_tree(
             models=models,
             cluster_model=cfg.cluster_embedding_model,
         )
-        kept = tree.filter(
-            (F.col("level") == level) & ~F.col("cell_id").isin(dirty)
-        )
-        current = kept.unionByName(recomputed).cache()
+        if level > base_max:
+            current = recomputed.cache()
+        else:
+            kept = tree.filter(
+                (F.col("level") == level) & ~F.col("cell_id").isin(dirty)
+            )
+            current = kept.unionByName(recomputed).cache()
         levels.append(current)
         # every parent of a dirty cell must re-aggregate at the next level
         dirty = sorted({_parent_cell_py(c) for c in dirty})

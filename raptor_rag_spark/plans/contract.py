@@ -1874,6 +1874,43 @@ FROM kids GROUP BY level, cell_id
 """
 
 
+def q_tree_incremental(spark, sf_dir):
+    """Incremental dirty-tile maintenance (plans/build_tree.py:update_tree):
+    build a tree over 6/7 of the corpus, fold the remaining 1/7 in, and
+    return every node of the updated tree. The oracle is the FULL-rebuild
+    dump over the whole corpus (same config), so a hash match proves the
+    incremental path — which re-aggregates only the dirty-cell cone of the
+    new documents — is node-for-node identical to a rebuild over the union.
+    No reference analogue (add_documents is rebuild-only,
+    retrieval_augmentation.py:170-178); this is the O(new-data) maintenance
+    surface a 100-TB corpus needs for a daily crawl delta."""
+    from ..config import ClusterTreeConfig
+    from .build_tree import build_tree, update_tree
+
+    _tree(spark, sf_dir)  # materialize the full-rebuild dump the oracle reads
+    docs = ld(spark, sf_dir, "documents")
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=8)
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    extra = docs.where(F.col("doc_id") % 7 == 0)
+    updated = update_tree(build_tree(base, cfg), extra, cfg)
+    return updated.select(
+        "node_id",
+        "level",
+        "cell_id",
+        "token_count",
+        "n_leaves",
+        F.size("children").alias("n_children"),
+        "text",
+    )
+
+
+SQL_TREE_INCREMENTAL = f"""
+SELECT node_id, level, cell_id, token_count, n_leaves,
+       CAST(len(children) AS INTEGER) AS n_children, text
+FROM {_NODES_PQ}
+"""
+
+
 def q_tree_collapsed_knn(spark, sf_dir):
     """Collapsed-tree retrieval (J1+W1, reference tree_retriever.py:127-151)."""
     return collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=10, max_tokens=3500)
@@ -2810,6 +2847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_tile_vectorize": q_tree_tile_vectorize,
     "viewport_tiles": q_viewport_tiles,
     "drill_down": q_drill_down,
+    "tree_incremental": q_tree_incremental,
     "tree_collapsed_knn": q_tree_collapsed_knn,
     "tree_cell_knn": q_tree_cell_knn,
     "cell_knn_recall": q_cell_knn_recall,
@@ -2921,6 +2959,7 @@ ORACLES: dict[str, str] = {
     "tree_tile_vectorize": SQL_TREE_TILE_VECTORIZE,
     "viewport_tiles": SQL_VIEWPORT_TILES,
     "drill_down": SQL_DRILL_DOWN,
+    "tree_incremental": SQL_TREE_INCREMENTAL,
     "tree_collapsed_knn": _sql_collapsed_knn(10, 3500),
     "tree_flat_knn": _sql_collapsed_knn(5, 3500, "WHERE n.level = 0"),
     "tree_cell_knn": _sql_cell_knn(10, 3500),

@@ -250,3 +250,36 @@ def test_update_tree_touches_only_dirty_cells(spark):
     for key, nid in before.items():
         if key[1] not in new_cells:
             assert after[key] == nid  # untouched level-1 cells are identical
+
+
+def test_update_tree_deepens_shallow_base(spark):
+    """When the base corpus is so small its tree stopped at a shallow level,
+    folding in a larger batch must still produce the full-depth union tree
+    (every level beyond the base's max is recomputed whole)."""
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.plans.build_tree import build_tree, update_tree
+
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=6)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id < 3")
+    extra = docs.filter("doc_id >= 3 AND doc_id < 40")
+
+    base_tree = build_tree(base, cfg)
+    full = build_tree(docs.filter("doc_id < 40"), cfg)
+    updated = update_tree(base_tree, extra, cfg)
+
+    assert base_tree.agg(F.max("level")).collect()[0][0] < \
+        full.agg(F.max("level")).collect()[0][0]
+
+    def sig(tree):
+        rows = tree.select(
+            "node_id", "level", "cell_id", "text", "token_count",
+            F.array_sort("children").alias("ch"),
+        ).collect()
+        return sorted(
+            (r["node_id"], r["level"], r["cell_id"], r["text"],
+             r["token_count"], tuple(r["ch"]))
+            for r in rows
+        )
+
+    assert sig(updated) == sig(full)
