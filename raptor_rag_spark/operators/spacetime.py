@@ -1,0 +1,183 @@
+"""Space-time analytics: emerging-hotspot classification over a space-time
+cube (cell × period event counts, Mann-Kendall trend per cell).
+
+The classic GIS "emerging hot spot analysis" shape: bucket events into a
+space-time cube (grid cell × time period), then score each cell's count
+series with the Mann-Kendall S statistic and classify it as ``new``,
+``intensifying``, ``diminishing`` or ``persistent``. The reference has no
+temporal surface at all (its tree is built once from a static corpus); this
+is the monitoring operator a continuously-crawled 100-TB corpus needs —
+which regions of embedding space are heating up crawl over crawl.
+
+Scale shape: ONE groupBy(cell, period) over the events (map-side combine),
+after which everything runs on the cube — |cells| × |periods| rows, metadata
+scale at any corpus size. The Mann-Kendall pair sum is a self-join of the
+cube on cell (periods² per cell, bounded by the study window, never by data
+volume). No UDF, no collect; every expression has a DuckDB twin so the
+operator carries an exact oracle.
+
+Mann-Kendall variant: no tie correction (VAR = n(n-1)(2n+5)/18), continuity
+corrected z = (S - sign(S)) / sqrt(VAR) — the standard textbook form; both
+engines evaluate the identical double arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+
+Z_HOT = 1.96  # two-sided 95%
+
+
+def emerging_hotspots(
+    events_xy: DataFrame,
+    res: int,
+    period_s: int = 86400,
+    z_hot: float = Z_HOT,
+) -> DataFrame:
+    """events_xy: (x, y, ts) event points on the unit square.
+
+    Returns one row per cell that ever saw an event:
+    (cell_id, n_periods, total, s_stat, z, category).
+
+    ``n_periods`` spans the GLOBAL study window (min..max period over the
+    whole input) so silent periods count as zeros — a cell that burst in the
+    last period scores ``new``, not ``persistent``.
+    """
+    pts = events_xy.select(
+        G.cell_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+        F.floor(F.unix_timestamp("ts") / F.lit(period_s)).alias("period"),
+    )
+    # the only corpus-sized job: cube = cell × period counts
+    cube = pts.groupBy("cell_id", "period").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    # global study window (broadcast 1-row aggregate), zero-filled per cell
+    window = cube.agg(
+        F.min("period").alias("p0"), F.max("period").alias("p1")
+    )
+    grid = (
+        cube.select("cell_id")
+        .distinct()
+        .crossJoin(F.broadcast(window))
+        .select(
+            "cell_id",
+            F.explode(F.sequence(F.col("p0"), F.col("p1"))).alias("period"),
+        )
+    )
+    filled = (
+        grid.join(cube, ["cell_id", "period"], "left")
+        .select("cell_id", "period", F.coalesce("n", F.lit(0)).alias("n"))
+        .alias("a")
+    )
+
+    # Mann-Kendall pair sum: self-join on cell, earlier period vs later
+    b = filled.alias("b")
+    pairs = filled.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.period") < F.col("b.period")),
+    ).select(
+        F.col("a.cell_id").alias("cell_id"),
+        F.signum((F.col("b.n") - F.col("a.n")).cast("double")).alias("sgn"),
+    )
+    mk = pairs.groupBy("cell_id").agg(F.sum("sgn").cast("long").alias("s_stat"))
+
+    totals = filled.groupBy("cell_id").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.max(F.when(F.col("n") > 0, F.col("period"))).alias("last_active"),
+        F.min(F.when(F.col("n") > 0, F.col("period"))).alias("first_active"),
+        F.max("period").alias("p_end"),
+    )
+
+    np_ = F.col("n_periods").cast("double")
+    var = np_ * (np_ - 1.0) * (2.0 * np_ + 5.0) / 18.0
+    z = F.when(F.col("s_stat") != 0,
+               (F.col("s_stat") - F.signum(F.col("s_stat").cast("double")))
+               / F.sqrt(var)).otherwise(F.lit(0.0))
+
+    out = totals.join(mk, "cell_id").withColumn("z", z)
+    # ``new`` = first-ever activity in the final period; a one-period burst
+    # can't reach Mann-Kendall significance, so recency, not z, defines it
+    category = (
+        F.when(F.col("first_active") == F.col("p_end"), F.lit("new"))
+        .when(F.col("z") > z_hot, F.lit("intensifying"))
+        .when(F.col("z") < -z_hot, F.lit("diminishing"))
+        .otherwise(F.lit("persistent"))
+    )
+    return out.select(
+        "cell_id",
+        "n_periods",
+        "total",
+        "s_stat",
+        F.round("z", 6).alias("z"),
+        category.alias("category"),
+    )
+
+
+def emerging_hotspots_sql(
+    events_xy_sql: str,
+    res: int,
+    period_s: int = 86400,
+    z_hot: float = Z_HOT,
+) -> str:
+    """DuckDB twin of :func:`emerging_hotspots`; ``events_xy_sql`` must
+    select (x, y, ts)."""
+    cell = G.cell_sql("x", "y", res)
+    return f"""
+WITH ev AS (
+  SELECT {cell} AS cell_id,
+         CAST(floor(epoch(ts) / {period_s}) AS BIGINT) AS period
+  FROM ({events_xy_sql})
+),
+cube AS (
+  SELECT cell_id, period, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+win AS (SELECT min(period) AS p0, max(period) AS p1 FROM cube),
+grid AS (
+  SELECT c.cell_id, p.period
+  FROM (SELECT DISTINCT cell_id FROM cube) c,
+       (SELECT unnest(range(p0, p1 + 1)) AS period FROM win) p
+),
+filled AS (
+  SELECT g.cell_id, g.period, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN cube c USING (cell_id, period)
+),
+mk AS (
+  SELECT a.cell_id,
+         CAST(sum(sign(CAST(b.n - a.n AS DOUBLE))) AS BIGINT) AS s_stat
+  FROM filled a JOIN filled b
+    ON a.cell_id = b.cell_id AND a.period < b.period
+  GROUP BY 1
+),
+totals AS (
+  SELECT cell_id,
+         CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_periods,
+         max(CASE WHEN n > 0 THEN period END) AS last_active,
+         min(CASE WHEN n > 0 THEN period END) AS first_active,
+         max(period) AS p_end
+  FROM filled GROUP BY 1
+),
+scored AS (
+  SELECT t.cell_id, t.n_periods, t.total, m.s_stat,
+         t.first_active, t.p_end,
+         CASE WHEN m.s_stat != 0 THEN
+           (m.s_stat - sign(CAST(m.s_stat AS DOUBLE)))
+           / sqrt(CAST(t.n_periods AS DOUBLE) * (CAST(t.n_periods AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(t.n_periods AS DOUBLE) + 5.0) / 18.0)
+         ELSE 0.0 END AS z
+  FROM totals t JOIN mk m USING (cell_id)
+)
+SELECT cell_id, n_periods, total, s_stat, round(z, 6) AS z,
+       CASE WHEN first_active = p_end THEN 'new'
+            WHEN z > {z_hot} THEN 'intensifying'
+            WHEN z < -{z_hot} THEN 'diminishing'
+            ELSE 'persistent' END AS category
+FROM scored
+"""

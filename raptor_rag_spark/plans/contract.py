@@ -2752,6 +2752,37 @@ def _sql_kde_moran() -> str:
     )
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Space-time cube + Mann-Kendall emerging-hotspot classification
+    (operators/spacetime.py): events placed at their user's embedding-plane
+    location (broadcast location join), day periods, res-3 cells. The
+    monitoring surface for a continuously-crawled corpus — which regions of
+    embedding space are heating up crawl over crawl."""
+    from ..operators.spacetime import emerging_hotspots
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x"), y.alias("y"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    pts = ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select("x", "y", "ts")
+    return emerging_hotspots(pts, res=3, period_s=86400)
+
+
+def _sql_emerging_hotspots() -> str:
+    from ..operators.spacetime import emerging_hotspots_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    ev_xy = f"""
+SELECT l.x, l.y, e.ts FROM events e
+JOIN (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings) l
+  ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id
+"""
+    return emerging_hotspots_sql(ev_xy, res=3, period_s=86400)
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -2862,6 +2893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_compact": q_cell_compact,
     "poly_cover": q_poly_cover,
     "kde_moran": q_kde_moran,
+    "emerging_hotspots": q_emerging_hotspots,
     "host_pagerank": q_host_pagerank,
     # corpus curation / IR / vector geometry / stream enrichment
     "para_dedup": q_para_dedup,
@@ -2973,6 +3005,7 @@ ORACLES: dict[str, str] = {
     "cell_compact": _sql_cell_compact(),
     "poly_cover": _sql_poly_cover(),
     "kde_moran": _sql_kde_moran(),
+    "emerging_hotspots": _sql_emerging_hotspots(),
     "host_pagerank": _sql_host_pagerank(),
     "phrase_search": _sql_phrase_search(),
     "cell_extremes": _sql_cell_extremes(),
