@@ -399,3 +399,95 @@ SELECT l.url, l.host, CAST(count(*) AS BIGINT) AS n_lines,
 FROM lines l LEFT JOIN boiler b ON b.host = l.host AND b.h = md5(l.line)
 GROUP BY l.url, l.host
 """
+
+
+# ---------------------------------------------------------------- decontamination
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "qtext",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing a
+    word ``n``-gram with the benchmark set (the GPT-3/PaLM-style 13-gram
+    collision sweep run before any eval number is trusted).
+
+    Returns one row per training doc: (id_col, n_grams, n_hits,
+    contaminated). ``n_grams`` counts the doc's distinct n-grams; ``n_hits``
+    how many of them appear anywhere in the benchmark set. Benchmark items
+    shorter than ``n`` words fall back to their whole token string (the
+    shingles short-text rule), so tiny prompts still decontaminate.
+
+    Scale shape: the benchmark gram set is tiny next to the corpus →
+    broadcast; grams are hash63-compressed to fixed-width longs before the
+    join so the map-side explode never carries 80-byte strings into the
+    aggregate; the only corpus-sized shuffle is the per-doc groupBy with
+    map-side combine. No reference analogue (SURVEY §2.1 corpus tooling).
+    """
+    grams = F.array_distinct(G.shingles_col(F.col(text_col), n))
+    tg = train.select(
+        id_col, F.explode(grams).alias("gram")
+    ).select(id_col, G.hash63_col(F.col("gram")).alias("g"))
+    bg = (
+        bench.select(
+            F.explode(
+                F.array_distinct(G.shingles_col(F.col(bench_text_col), n))
+            ).alias("gram")
+        )
+        .select(G.hash63_col(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    hits = (
+        tg.join(F.broadcast(bg), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+    base = train.select(id_col, F.size(grams).cast("long").alias("n_grams"))
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    train_sql: str,
+    bench_sql: str,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "qtext",
+) -> str:
+    """DuckDB twin of :func:`decontaminate`."""
+    tsh = G.shingles_sql(text_col, n)
+    bsh = G.shingles_sql(bench_text_col, n)
+    g = G.hash63_sql("gram")
+    return f"""
+WITH tg AS (
+  SELECT {id_col}, {g} AS g
+  FROM (SELECT {id_col}, unnest(list_distinct({tsh})) AS gram FROM ({train_sql}))
+),
+bg AS (
+  SELECT DISTINCT {g} AS g
+  FROM (SELECT unnest(list_distinct({bsh})) AS gram FROM ({bench_sql}))
+),
+hits AS (
+  SELECT {id_col}, CAST(count(DISTINCT g) AS BIGINT) AS n_hits
+  FROM tg JOIN bg USING (g) GROUP BY 1
+),
+base AS (
+  SELECT {id_col}, CAST(len(list_distinct({tsh})) AS BIGINT) AS n_grams
+  FROM ({train_sql})
+)
+SELECT b.{id_col}, b.n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM base b LEFT JOIN hits h USING ({id_col})
+"""

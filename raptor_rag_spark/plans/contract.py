@@ -2752,6 +2752,32 @@ def _sql_kde_moran() -> str:
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py:decontaminate):
+    every 83rd document donates a 240-char excerpt as a synthetic benchmark
+    prompt; the sweep flags every training doc sharing a word 13-gram with
+    that set (the donors by construction, plus any boilerplate twins)."""
+    from ..operators.curation import decontaminate
+
+    docs = ld(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 83 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 20, 240).alias("qtext"),
+    )
+    return decontaminate(docs.select("doc_id", "text"), bench, n=13)
+
+
+def _sql_decontaminate() -> str:
+    from ..operators.curation import decontaminate_sql
+
+    return decontaminate_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id AS bench_id, substr(text, 20, 240) AS qtext "
+        "FROM documents WHERE doc_id % 83 = 0",
+        n=13,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Space-time cube + Mann-Kendall emerging-hotspot classification
     (operators/spacetime.py): events placed at their user's embedding-plane
@@ -2893,6 +2919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_compact": q_cell_compact,
     "poly_cover": q_poly_cover,
     "kde_moran": q_kde_moran,
+    "decontaminate": q_decontaminate,
     "emerging_hotspots": q_emerging_hotspots,
     "host_pagerank": q_host_pagerank,
     # corpus curation / IR / vector geometry / stream enrichment
@@ -3005,6 +3032,7 @@ ORACLES: dict[str, str] = {
     "cell_compact": _sql_cell_compact(),
     "poly_cover": _sql_poly_cover(),
     "kde_moran": _sql_kde_moran(),
+    "decontaminate": _sql_decontaminate(),
     "emerging_hotspots": _sql_emerging_hotspots(),
     "host_pagerank": _sql_host_pagerank(),
     "phrase_search": _sql_phrase_search(),

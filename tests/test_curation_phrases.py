@@ -243,3 +243,37 @@ def test_host_boilerplate_sql_twin(spark):
     assert got == want
     assert got[("http://a.example/p1",)] == ("a.example", 2, 1, "alpha")
     assert got[("http://c.example/only",)] == ("c.example", 2, 2, "nav\nsolo")
+
+
+def test_decontaminate(spark):
+    from raptor_rag_spark.operators.curation import decontaminate, decontaminate_sql
+    import duckdb
+
+    leak = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    train_rows = [
+        (1, "intro words here " + leak + " trailing content of the page"),
+        (2, "a completely unrelated document about spark shuffle partitions and "
+            "adaptive query execution with enough words to form many grams"),
+        (3, "tiny doc"),
+    ]
+    bench_rows = [(10, leak), (11, "short prompt")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, qtext string")
+
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=13).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_grams"] == 1  # short-text fallback
+
+    mk = lambda rows, a, b: " UNION ALL ".join(  # noqa: E731
+        f"SELECT {i} AS {a}, '{t}' AS {b}" for i, t in rows
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(decontaminate_sql(mk(train_rows, "doc_id", "text"),
+                                   mk(bench_rows, "bench_id", "qtext"), n=13))
+        .fetchall()
+    )
+    got = sorted(tuple(r) for r in decontaminate(train, bench, n=13).collect())
+    assert got == want
