@@ -2752,6 +2752,28 @@ def _sql_kde_moran() -> str:
     )
 
 
+def q_kmeans_xy(spark, sf_dir):
+    """Deterministic distributed k-means (operators/kmeans.py): 8-centroid
+    Lloyd codebook over the embedding plane, 3 iterations. Assignment is a
+    pure map over a broadcast centroid array (zero point shuffles); the
+    oracle unrolls the identical dataflow into CTEs."""
+    from ..operators.kmeans import kmeans_xy
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select("vec_id", x.alias("x"), y.alias("y"))
+    return kmeans_xy(pts, k=8, iters=3)
+
+
+def _sql_kmeans_xy() -> str:
+    from ..operators.kmeans import kmeans_xy_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return kmeans_xy_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", k=8, iters=3
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/curation.py:decontaminate):
     every 83rd document donates a 240-char excerpt as a synthetic benchmark
@@ -2919,6 +2941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_compact": q_cell_compact,
     "poly_cover": q_poly_cover,
     "kde_moran": q_kde_moran,
+    "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
     "emerging_hotspots": q_emerging_hotspots,
     "host_pagerank": q_host_pagerank,
@@ -3032,6 +3055,7 @@ ORACLES: dict[str, str] = {
     "cell_compact": _sql_cell_compact(),
     "poly_cover": _sql_poly_cover(),
     "kde_moran": _sql_kde_moran(),
+    "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
     "emerging_hotspots": _sql_emerging_hotspots(),
     "host_pagerank": _sql_host_pagerank(),
