@@ -464,3 +464,20 @@ FROM ({a_sql}) a JOIN ({b_sql}) b
   ON least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
  AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
 """
+
+
+def pip_anti_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    prune_res: int = 4,
+    id_col: str = "node_id",
+    poly_id_col: str = "cell_id",
+) -> DataFrame:
+    """Spatial anti-join: points contained by NO polygon — the coverage-gap
+    query (crawl regions no curated tile claims). Same pruned+verified PIP
+    dataflow as :func:`pip_join`, then one left_anti against the matched-id
+    set; the anti side shuffles on the fixed-width id only."""
+    matched = pip_join(points, polygons, prune_res, id_col, poly_id_col).select(
+        id_col
+    )
+    return points.join(matched, id_col, "left_anti").select(id_col, "x", "y")

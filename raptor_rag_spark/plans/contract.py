@@ -934,6 +934,28 @@ WITH pts AS (SELECT vec_id AS node_id, {x} AS x, {y} AS y FROM embeddings)
 """
 
 
+def q_pip_anti_join(spark, sf_dir):
+    """Spatial anti-join (operators/pipjoin.py:pip_anti_join): points inside
+    NO reference polygon — the coverage-gap complement of pip_join."""
+    from ..operators.pipjoin import pip_anti_join
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("node_id"), x.alias("x"), y.alias("y"))
+    polys = spark.createDataFrame(PIP_POLYS, "cell_id long, ring array<array<double>>")
+    return pip_anti_join(pts, polys)
+
+
+def _sql_pip_anti_join() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    return f"""
+WITH pts AS (SELECT vec_id AS node_id, {x} AS x, {y} AS y FROM embeddings),
+hits AS ({_sql_pip_join()})
+SELECT node_id, x, y FROM pts
+WHERE node_id NOT IN (SELECT node_id FROM hits)
+"""
+
+
 def q_binary_features(spark, sf_dir):
     """Multimodal plumbing with an exact oracle: opaque binary column + typed
     metadata (byte length, digest) — the Spark-side schema/UDF shape for
@@ -2752,6 +2774,30 @@ def _sql_kde_moran() -> str:
     )
 
 
+RIPLEY_RADII = [0.01, 0.02, 0.05, 0.1]
+
+
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K/L point-pattern statistic (operators/stats.py:ripley_k)
+    over the projected embedding plane at four radii — clustered vs
+    dispersed at each scale. One grid-pruned DWithin join at max radius."""
+    from ..operators.stats import ripley_k
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select("vec_id", x.alias("x"), y.alias("y"))
+    return ripley_k(pts, RIPLEY_RADII)
+
+
+def _sql_ripley_k() -> str:
+    from ..operators.stats import ripley_k_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return ripley_k_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", RIPLEY_RADII
+    )
+
+
 def q_kmeans_xy(spark, sf_dir):
     """Deterministic distributed k-means (operators/kmeans.py): 8-centroid
     Lloyd codebook over the embedding plane, 3 iterations. Assignment is a
@@ -2893,6 +2939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_knn": q_grid_knn,
     "soft_assign": q_soft_assign,
     "pip_join": q_pip_join,
+    "pip_anti_join": q_pip_anti_join,
     "binary_features": q_binary_features,
     # rerank / metrics / streaming / clustering
     "rerank_docs": q_rerank_docs,
@@ -2941,6 +2988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_compact": q_cell_compact,
     "poly_cover": q_poly_cover,
     "kde_moran": q_kde_moran,
+    "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
     "emerging_hotspots": q_emerging_hotspots,
@@ -3009,6 +3057,7 @@ ORACLES: dict[str, str] = {
     "grid_knn": _sql_grid_knn(),
     "soft_assign": _sql_soft_assign(),
     "pip_join": _sql_pip_join(),
+    "pip_anti_join": _sql_pip_anti_join(),
     "binary_features": SQL_BINARY,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "rerank_docs": _sql_rerank(),
@@ -3055,6 +3104,7 @@ ORACLES: dict[str, str] = {
     "cell_compact": _sql_cell_compact(),
     "poly_cover": _sql_poly_cover(),
     "kde_moran": _sql_kde_moran(),
+    "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
     "emerging_hotspots": _sql_emerging_hotspots(),

@@ -62,3 +62,36 @@ def test_emerging_hotspot_twin(spark):
         emerging_hotspots_sql(vals, res=2)
     ).fetchall())
     assert got == want
+
+
+def test_ripley_k_semantics(spark):
+    """A tight cluster scores l_minus_r > 0 at small radii; a regular grid
+    of the same size scores below the clustered value."""
+    from raptor_rag_spark.operators.stats import ripley_k
+
+    cluster = [(i, 0.5 + 0.001 * (i % 5), 0.5 + 0.001 * (i // 5)) for i in range(25)]
+    grid = [(i, 0.1 + 0.16 * (i % 5), 0.1 + 0.16 * (i // 5)) for i in range(25)]
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, x double, y double")  # noqa: E731
+
+    kc = {r["r"]: r for r in ripley_k(mk(cluster), [0.05]).collect()}
+    kg = {r["r"]: r for r in ripley_k(mk(grid), [0.05]).collect()}
+    assert kc[0.05]["l_minus_r"] > 0          # clustered
+    assert kg[0.05]["n_pairs"] == 0           # grid spacing 0.16 > 0.05
+    assert kc[0.05]["n_pairs"] == 25 * 24 // 2  # all pairs within radius
+
+
+def test_ripley_k_twin(spark):
+    from raptor_rag_spark.operators.stats import ripley_k, ripley_k_sql
+    import duckdb
+
+    rows = [(i, (i * 37 % 101) / 101.0, (i * 53 % 97) / 97.0) for i in range(60)]
+    pts = spark.createDataFrame(rows, "vec_id long, x double, y double")
+    radii = [0.02, 0.07, 0.15]
+    got = sorted(tuple(r) for r in ripley_k(pts, radii).collect())
+    vals = " UNION ALL ".join(
+        f"SELECT {i} AS vec_id, {x!r} AS x, {y!r} AS y" for i, x, y in rows
+    )
+    want = sorted(
+        tuple(r) for r in duckdb.connect().execute(ripley_k_sql(vals, radii)).fetchall()
+    )
+    assert got == want
