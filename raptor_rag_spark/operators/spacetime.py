@@ -181,3 +181,98 @@ SELECT cell_id, n_periods, total, s_stat, round(z, 6) AS z,
             ELSE 'persistent' END AS category
 FROM scored
 """
+
+
+# ---------------------------------------------------------------- trajectories
+
+DEC = "DECIMAL(28,15)"
+
+
+def trajectory_stats(events_xy: DataFrame, id_col: str = "user_id") -> DataFrame:
+    """Per-entity movement statistics over a timestamped point stream:
+    (id, n_points, path_len, net_disp, straightness, mean_step).
+
+    Input: (id_col, event_id, ts, x, y). Ordering inside a trajectory is
+    (ts, event_id) — event_id breaks equal timestamps deterministically.
+    ``path_len`` sums the segment lengths, ``net_disp`` is first→last,
+    ``straightness`` = net/path ∈ [0,1] (1.0 for a single point or a
+    perfectly straight run) — the loiter-vs-transit classifier of movement
+    analytics, recast here over session activity in embedding space.
+
+    Scale shape: ONE shuffle — the window partitionBy(id). Segment lengths
+    are cast to DECIMAL(28,15) before summing so the per-trajectory total is
+    order-independent and engine-exact (double accumulation order would
+    differ); the struct-ordered min/max pick first/last points without a
+    second sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("ts", "event_id")
+    seg = F.sqrt(
+        (F.col("x") - F.lag("x").over(w)) * (F.col("x") - F.lag("x").over(w))
+        + (F.col("y") - F.lag("y").over(w)) * (F.col("y") - F.lag("y").over(w))
+    )
+    pt = F.struct("ts", "event_id", "x", "y")
+    stepped = events_xy.select(
+        id_col, "x", "y", pt.alias("pt"), seg.cast(DEC).alias("seg")
+    )
+    agg = stepped.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("seg").cast("double").alias("path_len"),
+        F.min("pt").alias("p0"),
+        F.max("pt").alias("p1"),
+    )
+    net = F.sqrt(
+        (F.col("p1.x") - F.col("p0.x")) * (F.col("p1.x") - F.col("p0.x"))
+        + (F.col("p1.y") - F.col("p0.y")) * (F.col("p1.y") - F.col("p0.y"))
+    )
+    path = F.coalesce(F.col("path_len"), F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_points",
+        F.round(path, 6).alias("path_len"),
+        F.round(net, 6).alias("net_disp"),
+        F.round(
+            F.when(path > 0.0, net / path).otherwise(F.lit(1.0)), 6
+        ).alias("straightness"),
+        F.round(
+            F.when(F.col("n_points") > 1, path / (F.col("n_points") - 1.0))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_step"),
+    )
+
+
+def trajectory_stats_sql(events_xy_sql: str, id_col: str = "user_id") -> str:
+    """DuckDB twin of :func:`trajectory_stats`."""
+    return f"""
+WITH ev AS ({events_xy_sql}),
+stepped AS (
+  SELECT {id_col}, x, y, ts, event_id,
+         CAST(sqrt(
+           (x - lag(x) OVER w) * (x - lag(x) OVER w)
+           + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+         ) AS {DEC}) AS seg
+  FROM ev
+  WINDOW w AS (PARTITION BY {id_col} ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT {id_col},
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(seg) AS DOUBLE) AS path_len,
+         min(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p0,
+         max(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p1
+  FROM stepped GROUP BY 1
+),
+scored AS (
+  SELECT {id_col}, n_points,
+         coalesce(path_len, 0.0) AS path,
+         sqrt((p1.x - p0.x) * (p1.x - p0.x) + (p1.y - p0.y) * (p1.y - p0.y)) AS net
+  FROM agg
+)
+SELECT {id_col}, n_points, round(path, 6) AS path_len, round(net, 6) AS net_disp,
+       round(CASE WHEN path > 0.0 THEN net / path ELSE 1.0 END, 6) AS straightness,
+       round(CASE WHEN n_points > 1 THEN path / (n_points - 1.0) ELSE 0.0 END, 6)
+         AS mean_step
+FROM scored
+"""

@@ -2877,6 +2877,47 @@ JOIN (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings) l
     return emerging_hotspots_sql(ev_xy, res=3, period_s=86400)
 
 
+def q_trajectories(spark, sf_dir):
+    """Per-user trajectory statistics (operators/spacetime.py:
+    trajectory_stats): each event sits at its user's embedding-plane
+    location plus a deterministic per-event jitter, ordered by (ts,
+    event_id) — path length / net displacement / straightness per user."""
+    from ..operators.spacetime import trajectory_stats
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    return trajectory_stats(pts)
+
+
+def _sql_trajectories() -> str:
+    from ..operators.spacetime import trajectory_stats_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    ev_xy = f"""
+SELECT e.user_id, e.event_id, e.ts,
+       greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+       greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+FROM events e
+JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+  ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id
+"""
+    return trajectory_stats_sql(ev_xy)
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -2992,6 +3033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
     "emerging_hotspots": q_emerging_hotspots,
+    "trajectories": q_trajectories,
     "host_pagerank": q_host_pagerank,
     # corpus curation / IR / vector geometry / stream enrichment
     "para_dedup": q_para_dedup,
@@ -3108,6 +3150,7 @@ ORACLES: dict[str, str] = {
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
     "emerging_hotspots": _sql_emerging_hotspots(),
+    "trajectories": _sql_trajectories(),
     "host_pagerank": _sql_host_pagerank(),
     "phrase_search": _sql_phrase_search(),
     "cell_extremes": _sql_cell_extremes(),

@@ -95,3 +95,51 @@ def test_ripley_k_twin(spark):
         tuple(r) for r in duckdb.connect().execute(ripley_k_sql(vals, radii)).fetchall()
     )
     assert got == want
+
+
+def test_trajectory_stats(spark):
+    from raptor_rag_spark.operators.spacetime import (
+        trajectory_stats,
+        trajectory_stats_sql,
+    )
+    import duckdb
+
+    rows = [
+        # user 1: straight line east, 3 unit steps of 0.1
+        (1, 1, "2024-01-01 00:00:00", 0.1, 0.5),
+        (1, 2, "2024-01-01 01:00:00", 0.2, 0.5),
+        (1, 3, "2024-01-01 02:00:00", 0.3, 0.5),
+        (1, 4, "2024-01-01 03:00:00", 0.4, 0.5),
+        # user 2: out and back (net 0)
+        (2, 5, "2024-01-01 00:00:00", 0.5, 0.5),
+        (2, 6, "2024-01-01 01:00:00", 0.5, 0.9),
+        (2, 7, "2024-01-01 02:00:00", 0.5, 0.5),
+        # user 3: single point
+        (3, 8, "2024-01-01 00:00:00", 0.7, 0.7),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, x double, y double"
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"), "x", "y")
+    out = {r["user_id"]: r for r in trajectory_stats(df).collect()}
+
+    assert abs(out[1]["path_len"] - 0.3) < 1e-9
+    assert abs(out[1]["straightness"] - 1.0) < 1e-9
+    assert abs(out[1]["mean_step"] - 0.1) < 1e-9
+    assert abs(out[2]["path_len"] - 0.8) < 1e-9
+    assert out[2]["net_disp"] == 0.0 and out[2]["straightness"] == 0.0
+    assert out[3]["n_points"] == 1 and out[3]["path_len"] == 0.0
+    assert out[3]["straightness"] == 1.0
+
+    vals = " UNION ALL ".join(
+        f"SELECT {u} AS user_id, {e} AS event_id, TIMESTAMP '{t}' AS ts, "
+        f"{x!r} AS x, {y!r} AS y"
+        for u, e, t, x, y in rows
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect().execute(trajectory_stats_sql(vals)).fetchall()
+    )
+    got = sorted(tuple(r) for r in trajectory_stats(df).collect())
+    assert got == want
