@@ -596,3 +596,154 @@ SELECT {cell} AS cell_id, tix AS ix, tiy AS iy, w_sum, k_cells,
          AS gi_z
 FROM w CROSS JOIN stats
 """
+
+
+# ---------------------------------------------------------------- terrain
+
+def terrain_surface(
+    raster: DataFrame,
+    res: int,
+    value_col: str = "density",
+) -> DataFrame:
+    """Raster terrain derivatives (Horn's method, the ArcGIS slope stencil):
+    per populated cell the gradient (gx, gy), the slope TANGENT
+    sqrt(gx²+gy²) (rise/run — the angle is a monotone transform left to the
+    client; atan/atan2 libm results differ between engines so angles can't
+    be twin-exact) and an analytic hillshade from the standard NW light
+    (azimuth 315°, altitude 45°) — computed as a dot product with the unit
+    normal, sqrt-only arithmetic, so the DuckDB twin hash-matches.
+
+    Missing neighbors read as elevation 0 (the dense-zero convention — a
+    density raster is implicitly 0 where no mass landed). Scatter shape:
+    each populated cell mails its weighted value to its 8 neighbors, one
+    groupBy sums the stencil with exact DECIMAL accumulation, and an inner
+    join back to the raster keeps populated targets only. Metadata-scale at
+    any corpus size (bounded by 4^res, not by rows)."""
+    import math
+
+    cs = 1.0 / (1 << res)  # cell size (exact power of two)
+    n = 1 << res
+    alt = math.radians(45.0)
+    az = math.radians(315.0)
+    lx, ly, lz = (
+        math.cos(alt) * math.sin(az),
+        math.cos(alt) * math.cos(az),
+        math.sin(alt),
+    )
+
+    # (ox, oy) = source offset relative to target; Horn weights
+    contribs = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            wx = ox * (1 if abs(oy) == 1 else 2)
+            wy = oy * (1 if abs(ox) == 1 else 2)
+            contribs.append((ox, oy, wx, wy))
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ox).alias("ox"),
+                    F.lit(oy).alias("oy"),
+                    F.lit(wx).alias("wx"),
+                    F.lit(wy).alias("wy"),
+                )
+                for ox, oy, wx, wy in contribs
+            ]
+        )
+    )
+    nb = (
+        raster.select("ix", "iy", F.col(value_col).alias("v"))
+        .select("ix", "iy", "v", off.alias("o"))
+        .select(
+            (F.col("ix") - F.col("o.ox")).alias("tix"),
+            (F.col("iy") - F.col("o.oy")).alias("tiy"),
+            (F.col("v") * F.col("o.wx")).cast("decimal(28,15)").alias("cx"),
+            (F.col("v") * F.col("o.wy")).cast("decimal(28,15)").alias("cy"),
+        )
+        .where(
+            (F.col("tix") >= 0)
+            & (F.col("tix") <= n - 1)
+            & (F.col("tiy") >= 0)
+            & (F.col("tiy") <= n - 1)
+        )
+    )
+    sums = nb.groupBy("tix", "tiy").agg(
+        (F.sum("cx").cast("double") / F.lit(8.0 * cs)).alias("gx"),
+        (F.sum("cy").cast("double") / F.lit(8.0 * cs)).alias("gy"),
+    )
+    base = raster.select(F.col("ix").alias("tix"), F.col("iy").alias("tiy"))
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("tix"), COORD_BITS))
+        .bitwiseOR(F.col("tiy"))
+    )
+    g2 = F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")
+    shade = (
+        F.lit(lx) * -F.col("gx") + F.lit(ly) * -F.col("gy") + F.lit(lz)
+    ) / F.sqrt(g2 + 1.0)
+    return (
+        sums.join(base, ["tix", "tiy"])
+        .select(
+            cell.alias("cell_id"),
+            F.col("tix").alias("ix"),
+            F.col("tiy").alias("iy"),
+            F.round("gx", 6).alias("gx"),
+            F.round("gy", 6).alias("gy"),
+            F.round(F.sqrt(g2), 6).alias("tan_slope"),
+            F.round(shade, 6).alias("hillshade"),
+        )
+    )
+
+
+def terrain_surface_sql(raster_sql: str, res: int, value_col: str = "density") -> str:
+    """DuckDB twin of :func:`terrain_surface`."""
+    import math
+
+    cs = 1.0 / (1 << res)
+    n = 1 << res
+    alt = math.radians(45.0)
+    az = math.radians(315.0)
+    lx, ly, lz = (
+        math.cos(alt) * math.sin(az),
+        math.cos(alt) * math.cos(az),
+        math.sin(alt),
+    )
+    vals = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            wx = ox * (1 if abs(oy) == 1 else 2)
+            wy = oy * (1 if abs(ox) == 1 else 2)
+            vals.append(f"({ox}, {oy}, {wx}, {wy})")
+    offs = ", ".join(vals)
+    cell = (
+        f"(({res}::BIGINT << {RES_SHIFT}) | (CAST(tix AS BIGINT) << {COORD_BITS}) "
+        "| CAST(tiy AS BIGINT))"
+    )
+    return f"""
+WITH r AS ({raster_sql}),
+o(ox, oy, wx, wy) AS (VALUES {offs}),
+nb AS (
+  SELECT r.ix - o.ox AS tix, r.iy - o.oy AS tiy,
+         CAST(r.{value_col} * o.wx AS DECIMAL(28,15)) AS cx,
+         CAST(r.{value_col} * o.wy AS DECIMAL(28,15)) AS cy
+  FROM r, o
+  WHERE r.ix - o.ox >= 0 AND r.ix - o.ox <= {n - 1}
+    AND r.iy - o.oy >= 0 AND r.iy - o.oy <= {n - 1}
+),
+sums AS (
+  SELECT tix, tiy,
+         CAST(sum(cx) AS DOUBLE) / {8.0 * cs!r} AS gx,
+         CAST(sum(cy) AS DOUBLE) / {8.0 * cs!r} AS gy
+  FROM nb GROUP BY 1, 2
+)
+SELECT {cell} AS cell_id, tix AS ix, tiy AS iy,
+       round(gx, 6) AS gx, round(gy, 6) AS gy,
+       round(sqrt(gx * gx + gy * gy), 6) AS tan_slope,
+       round(({lx!r} * -gx + {ly!r} * -gy + {lz!r}) / sqrt(gx * gx + gy * gy + 1.0), 6)
+         AS hillshade
+FROM sums JOIN r ON r.ix = sums.tix AND r.iy = sums.tiy
+"""

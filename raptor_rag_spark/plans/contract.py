@@ -2918,6 +2918,29 @@ JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
     return trajectory_stats_sql(ev_xy)
 
 
+def q_kde_terrain(spark, sf_dir):
+    """Terrain derivatives over the KDE density raster
+    (operators/heatmap.py:terrain_surface): Horn-stencil gradient, slope
+    tangent, and analytic NW hillshade — the raster-analysis tail of the
+    heatmap stack (heatmap → focal → moran/getis → terrain)."""
+    from ..operators.heatmap import kde_heatmap, terrain_surface
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(
+        e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW
+    )
+    return terrain_surface(raster, res=KDE_RES)
+
+
+def _sql_kde_terrain() -> str:
+    from ..operators.heatmap import terrain_surface_sql
+
+    return terrain_surface_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -3029,6 +3052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_compact": q_cell_compact,
     "poly_cover": q_poly_cover,
     "kde_moran": q_kde_moran,
+    "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
@@ -3146,6 +3170,7 @@ ORACLES: dict[str, str] = {
     "cell_compact": _sql_cell_compact(),
     "poly_cover": _sql_poly_cover(),
     "kde_moran": _sql_kde_moran(),
+    "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),

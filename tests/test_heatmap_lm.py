@@ -188,3 +188,39 @@ def test_stream_dedup_equals_batch(spark, tmp_path):
     assert got == batch
     # normalization folds case/whitespace: 'alpha beta' == 'ALPHA BETA ' → 2 groups
     assert len(got) == 2
+
+
+def test_terrain_surface_plane(spark):
+    """An inclined plane z = 2x has gx = 2, gy = 0 (interior cells), slope
+    tangent 2, and the NW hillshade matches the closed form."""
+    import math
+    from raptor_rag_spark.operators.heatmap import terrain_surface, terrain_surface_sql
+    import duckdb
+
+    res, n = 3, 8
+    cs = 1.0 / 8
+    rows = [(ix, iy, 2.0 * (ix + 0.5) * cs) for ix in range(n) for iy in range(n)]
+    raster = spark.createDataFrame(rows, "ix long, iy long, density double")
+    out = {(r["ix"], r["iy"]): r for r in terrain_surface(raster, res=res).collect()}
+
+    interior = out[(4, 4)]
+    assert abs(interior["gx"] - 2.0) < 1e-9
+    assert abs(interior["gy"] - 0.0) < 1e-9
+    assert abs(interior["tan_slope"] - 2.0) < 1e-9
+    lx, ly, lz = (
+        math.cos(math.radians(45)) * math.sin(math.radians(315)),
+        math.cos(math.radians(45)) * math.cos(math.radians(315)),
+        math.sin(math.radians(45)),
+    )
+    want_shade = (lx * -2.0 + lz) / math.sqrt(5.0)
+    assert abs(interior["hillshade"] - want_shade) < 1e-6
+
+    vals = " UNION ALL ".join(
+        f"SELECT {ix} AS ix, {iy} AS iy, {v!r} AS density" for ix, iy, v in rows
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect().execute(terrain_surface_sql(vals, res=res)).fetchall()
+    )
+    got = sorted(tuple(r) for r in terrain_surface(raster, res=res).collect())
+    assert got == want
