@@ -196,3 +196,39 @@ SELECT {id_expr}, n_tokens, h, (o.off + c.cum_in) AS global_cum,
        CAST((o.off + c.cum_in - n_tokens) // {token_budget} AS BIGINT) AS shard_id
 FROM c JOIN o USING (pb)
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: "F.Column | str",
+    id_col: str = "doc_id",
+    salt: str = "ws",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    equal to its weight ∈ [0,1] — the quality-weighted data-mixing pass of a
+    training pipeline (CCNet/quality-classifier resampling), with zero RNG:
+    a row survives iff hash63(id:salt) % scale < floor(weight · scale), so
+    the decision is reproducible at any parallelism and re-runs keep the
+    SAME documents (stable under incremental reprocessing). Pure map, no
+    shuffle; hash-exact DuckDB twin via :func:`weighted_sample_sql`."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wc = F.greatest(F.least(w, F.lit(1.0)), F.lit(0.0))
+    h = G.hash63_col(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return df.where((h % scale) < F.floor(wc * scale))
+
+
+def weighted_sample_sql(
+    src_sql: str,
+    weight_expr: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (selects every source column)."""
+    h = G.hash63_sql(f"CAST({id_col} AS VARCHAR) || '{':' + salt}'")
+    w = f"greatest(least({weight_expr}, 1.0), 0.0)"
+    return f"""
+SELECT * FROM ({src_sql})
+WHERE ({h} % {scale}) < floor({w} * {scale})
+"""

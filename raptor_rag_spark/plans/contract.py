@@ -1199,6 +1199,30 @@ def q_doc_split(spark, sf_dir):
     return hash_split(ld(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic importance sampling (operators/sampling.py:
+    weighted_sample): keep each document with probability = its quality
+    score — the RNG-free quality-weighted mixing pass. Pure map, no
+    shuffle; survivors identical at any parallelism."""
+    from ..operators.sampling import weighted_sample
+
+    docs = ld(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(G.quality_score_cols(F.col("text")), 6).alias("quality")
+    )
+    return weighted_sample(scored, "quality")
+
+
+def _sql_weighted_sample() -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    src = (
+        f"SELECT doc_id, round({G.quality_score_sql('text')}, 6) AS quality "
+        "FROM documents"
+    )
+    return weighted_sample_sql(src, "quality")
+
+
 def q_doc_sample(spark, sf_dir):
     """Per-language stratified downsampling via integer-percent hash quotas
     (keeps doc_id + stratum so the assignment itself is checked)."""
@@ -3018,6 +3042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "doc_split": q_doc_split,
     "doc_sample": q_doc_sample,
+    "weighted_sample": q_weighted_sample,
     "corpus_shards": q_corpus_shards,
     "collocations": q_collocations,
     "kde_hotspots": q_kde_hotspots,
@@ -3138,6 +3163,7 @@ ORACLES: dict[str, str] = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "doc_split": _sql_doc_split(),
     "doc_sample": _sql_doc_sample(),
+    "weighted_sample": _sql_weighted_sample(),
     "corpus_shards": _sql_corpus_shards(),
     "collocations": _sql_collocations(),
     "kde_hotspots": _sql_kde_hotspots(),

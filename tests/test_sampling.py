@@ -68,3 +68,34 @@ def test_corpus_shards_equals_naive_prefix_sum(spark):
     sids = [r["shard_id"] for r in rows_sorted]
     assert sids == sorted(sids)
     assert set(sids) == set(range(max(sids) + 1))
+
+
+def test_weighted_sample(spark):
+    """Weight 1 keeps everything, weight 0 keeps nothing, a mid weight keeps
+    roughly that fraction, and the decision is reproducible."""
+    from raptor_rag_spark.operators.sampling import weighted_sample, weighted_sample_sql
+    import duckdb
+    from pyspark.sql import functions as F
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    assert weighted_sample(docs.withColumn("w", F.lit(1.0)), "w").count() == 2000
+    assert weighted_sample(docs.withColumn("w", F.lit(0.0)), "w").count() == 0
+    kept = weighted_sample(docs.withColumn("w", F.lit(0.3)), "w")
+    n = kept.count()
+    assert 450 < n < 750  # ≈600 expected
+    # reproducible: same survivors on a re-run with different partitioning
+    again = weighted_sample(
+        docs.repartition(7).withColumn("w", F.lit(0.3)), "w"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # twin agreement
+    want = sorted(
+        r[0]
+        for r in duckdb.connect()
+        .execute(weighted_sample_sql(
+            "SELECT unnest(range(2000)) AS doc_id, 0.3 AS w", "w"))
+        .fetchall()
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == want
