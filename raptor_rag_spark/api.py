@@ -73,6 +73,27 @@ class RetrievalAugmentation:
             docs, self.config, checkpoint_dir, id_col=id_col, text_col=text_col
         ).cache()
 
+    def update_documents(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Fold new documents into the EXISTING tree by incremental
+        dirty-tile recompute (plans/build_tree.py:update_tree) — node-for-
+        node identical to rebuilding over the union corpus, at O(new data)
+        cost. The reference's add_documents is rebuild-only
+        (retrieval_augmentation.py:170-178); this is the engine's scale
+        surface for daily crawl deltas."""
+        if self.tree is None:
+            self.add_documents(docs, id_col=id_col, text_col=text_col)
+            return
+        from .plans.build_tree import update_tree
+
+        self.tree = update_tree(
+            self.tree, docs, self.config, id_col=id_col, text_col=text_col
+        ).cache()
+
     # --------------------------------------------------------------- retrieve
     def _context_model(self) -> tuple[str | None, object]:
         """(node-side map key or None, query-side embedding model).

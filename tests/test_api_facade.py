@@ -171,3 +171,28 @@ def test_meteor_kernel_values():
     assert round(meteor("a b c", "a b c"), 6) == round(1 - 0.5 * (1 / 3) ** 3, 6)
     assert meteor("b a", "a b") == 0.5  # full match, 2 chunks
     assert meteor("x y", "a b") == 0.0 and meteor("", "a") == 0.0
+
+
+def test_update_documents_matches_rebuild(spark):
+    """RetrievalAugmentation.update_documents folds a delta in incrementally
+    and retrieval over the updated tree equals retrieval over a fresh build
+    of the union corpus."""
+    from raptor_rag_spark.api import RetrievalAugmentation
+    from raptor_rag_spark.config import ClusterTreeConfig
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=6)
+
+    ra_inc = RetrievalAugmentation(spark, cfg)
+    ra_inc.add_documents(docs.filter("doc_id < 30"))
+    ra_inc.update_documents(docs.filter("doc_id >= 30 AND doc_id < 40"))
+
+    ra_full = RetrievalAugmentation(spark, cfg)
+    ra_full.add_documents(docs.filter("doc_id < 40"))
+
+    q = "what does the corpus say about shuffle partitions"
+    assert ra_inc.retrieve(q, top_k=5) == ra_full.retrieve(q, top_k=5)
+    # empty-tree fallback builds instead of raising
+    ra_new = RetrievalAugmentation(spark, cfg)
+    ra_new.update_documents(docs.filter("doc_id < 5"))
+    assert ra_new.tree is not None
