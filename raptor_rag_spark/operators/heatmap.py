@@ -598,6 +598,227 @@ FROM w CROSS JOIN stats
 """
 
 
+# ------------------------------------------------------------ local Geary C
+
+
+def local_geary(raster: DataFrame, res: int, value_col: str = "density") -> DataFrame:
+    """(cell_id, ix, iy, z, n_nb, geary_c): local Geary's C spatial
+    autocorrelation per populated raster cell — the LISA statistic that
+    complements local Moran's I (kde_moran): Moran measures covariance with
+    the neighborhood, Geary measures squared DIFFERENCE, so it flags edges
+    and local heterogeneity that Moran's product form smooths over
+    (Anselin 1995, §4). For cell i with deviation z_i = v_i − μ over the
+    populated 8-neighborhood:
+
+        c_i = mean((z_i − z_j)² over populated neighbors j) / m2,  m2 = Σz²/n
+
+    Small c_i = locally homogeneous (cluster interior); large = an edge or
+    outlier. Sparse convention as local_moran: only populated cells carry a
+    value, cells with no populated neighbor are dropped.
+
+    Plan shape (identical to local_moran, so it inherits the 100-TB
+    argument): two metadata-scale global aggregates broadcast back via
+    crossJoin, ONE bounded 8-neighbor fan-out, ONE groupBy on ≤4^res cells.
+    The (z_i − z_j)² pairs are formed by mailing each source's z to its
+    neighbors and joining the target's own z back at the groupBy — cross-row
+    sums in exact DECIMAL so the DuckDB twin hash-matches."""
+    n = 1 << res
+    base = raster.select("ix", "iy", F.col(value_col).cast("double").alias("v"))
+    g1 = base.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("v").cast("decimal(28,15)")).cast("double").alias("sv"),
+    )
+    withz = (
+        base.crossJoin(F.broadcast(g1))
+        .withColumn("z", F.col("v") - F.col("sv") / F.col("n_cells").cast("double"))
+        .select("ix", "iy", "z", "n_cells")
+    )
+    g2 = withz.agg(
+        F.sum((F.col("z") * F.col("z")).cast("decimal(28,15)")).cast("double").alias("szz"),
+        F.max("n_cells").alias("nc"),
+    ).select((F.col("szz") / F.col("nc").cast("double")).alias("m2"))
+    nb = (
+        withz.select("ix", "iy", "z")
+        .select("ix", "iy", "z", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"))
+        .select("ix", "iy", "z", "dx", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"))
+        .where(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("ix") + F.col("dx")).alias("tix"),
+            (F.col("iy") + F.col("dy")).alias("tiy"),
+            F.col("z").alias("zj"),
+        )
+        .where((F.col("tix") >= 0) & (F.col("tix") <= n - 1) & (F.col("tiy") >= 0) & (F.col("tiy") <= n - 1))
+    )
+    diff = (
+        withz.select(F.col("ix").alias("tix"), F.col("iy").alias("tiy"), F.col("z").alias("zi"))
+        .join(nb, ["tix", "tiy"])
+        .groupBy("tix", "tiy")
+        .agg(
+            F.count("*").alias("n_nb"),
+            F.max("zi").alias("z"),  # zi is constant within the group
+            (
+                F.sum(((F.col("zi") - F.col("zj")) * (F.col("zi") - F.col("zj"))).cast("decimal(28,15)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_sq_diff"),
+        )
+    )
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("tix"), COORD_BITS))
+        .bitwiseOR(F.col("tiy"))
+    )
+    return diff.crossJoin(F.broadcast(g2)).select(
+        cell.alias("cell_id"),
+        F.col("tix").alias("ix"),
+        F.col("tiy").alias("iy"),
+        "z",
+        "n_nb",
+        (F.col("mean_sq_diff") / F.col("m2")).alias("geary_c"),
+    )
+
+
+def local_geary_sql(raster_sql: str, res: int, value_col: str = "density") -> str:
+    """DuckDB twin of :func:`local_geary`. ``raster_sql`` selects ix, iy and
+    ``value_col``."""
+    n = 1 << res
+    cell = f"(({res}::BIGINT << {RES_SHIFT}) | (tix << {COORD_BITS}) | tiy)"
+    return f"""
+WITH base AS (SELECT ix, iy, CAST({value_col} AS DOUBLE) AS v FROM ({raster_sql})),
+g1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(CAST(v AS DECIMAL(28,15))) AS DOUBLE) AS sv FROM base),
+withz AS (SELECT ix, iy, (v - sv / CAST(n_cells AS DOUBLE)) AS z, n_cells
+          FROM base CROSS JOIN g1),
+g2 AS (SELECT (CAST(sum(CAST(z * z AS DECIMAL(28,15))) AS DOUBLE)
+               / CAST(max(n_cells) AS DOUBLE)) AS m2 FROM withz),
+nx AS (SELECT ix, iy, z, unnest(generate_series(-1, 1)) AS dx FROM withz),
+ny AS (SELECT ix, iy, z, dx, unnest(generate_series(-1, 1)) AS dy FROM nx),
+nb AS (SELECT (ix + dx) AS tix, (iy + dy) AS tiy, z AS zj FROM ny
+       WHERE NOT (dx = 0 AND dy = 0)
+         AND ix + dx >= 0 AND ix + dx <= {n - 1}
+         AND iy + dy >= 0 AND iy + dy <= {n - 1}),
+diff AS (
+  SELECT tix, tiy, CAST(count(*) AS BIGINT) AS n_nb, max(zi) AS z,
+         CAST(sum(CAST((zi - zj) * (zi - zj) AS DECIMAL(28,15))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_sq_diff
+  FROM (SELECT ix AS tix, iy AS tiy, z AS zi FROM withz) me
+  JOIN nb USING (tix, tiy)
+  GROUP BY tix, tiy)
+SELECT {cell} AS cell_id, tix AS ix, tiy AS iy, z, n_nb,
+       (mean_sq_diff / m2) AS geary_c
+FROM diff CROSS JOIN g2
+"""
+
+
+# ------------------------------------------------------------ semivariogram
+
+
+def semivariogram(
+    raster: DataFrame,
+    res: int,
+    max_lag_cells: int = 4,
+    value_col: str = "density",
+) -> DataFrame:
+    """(d2_cells, lag_dist, n_pairs, gamma): the empirical semivariogram of a
+    raster — the spatial-structure summary kriging and variography start
+    from: γ(h) = mean((v_i − v_j)²)/2 over cell pairs at separation h.
+
+    Lags are EXACT integer squared cell offsets (d2_cells = dx²+dy², 0 <
+    d2 ≤ max_lag²) rather than float distance bins, so the bin key is pure
+    integer arithmetic — no float binning to drift between engines —
+    and lag_dist = sqrt(d2)·cell_size is derived per bin afterwards. Each
+    unordered pair contributes twice (both directions), which cancels in the
+    mean — the standard trick that keeps the fan-out join symmetric.
+
+    Plan shape: each populated cell mails (z, target) to the O(max_lag²)
+    offsets of its disc (a compile-time literal array — bounded fan-out, no
+    self-join on data keys), one inner join back to the raster picks up the
+    populated targets, ONE groupBy on ≤ max_lag² lag keys aggregates with
+    exact DECIMAL sums. Output is O(max_lag²) rows regardless of corpus
+    size; the shuffle carries (lag, partial) pairs only."""
+    n = 1 << res
+    s = 1.0 / float(n)
+    offsets = [
+        (dx, dy)
+        for dx in range(-max_lag_cells, max_lag_cells + 1)
+        for dy in range(-max_lag_cells, max_lag_cells + 1)
+        if (dx or dy) and dx * dx + dy * dy <= max_lag_cells * max_lag_cells
+    ]
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offsets
+            ]
+        )
+    )
+    base = raster.select("ix", "iy", F.col(value_col).cast("double").alias("v"))
+    nb = (
+        base.select("ix", "iy", "v", off.alias("o"))
+        .select(
+            (F.col("ix") + F.col("o.dx")).alias("tix"),
+            (F.col("iy") + F.col("o.dy")).alias("tiy"),
+            (F.col("o.dx") * F.col("o.dx") + F.col("o.dy") * F.col("o.dy")).cast("long").alias("d2_cells"),
+            F.col("v").alias("vi"),
+        )
+        .where((F.col("tix") >= 0) & (F.col("tix") <= n - 1) & (F.col("tiy") >= 0) & (F.col("tiy") <= n - 1))
+    )
+    return (
+        nb.join(
+            base.select(F.col("ix").alias("tix"), F.col("iy").alias("tiy"), F.col("v").alias("vj")),
+            ["tix", "tiy"],
+        )
+        .groupBy("d2_cells")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.sum(((F.col("vi") - F.col("vj")) * (F.col("vi") - F.col("vj"))).cast("decimal(28,15)")).cast("double")
+                / (F.lit(2.0) * F.count("*").cast("double"))
+            ).alias("gamma"),
+        )
+        .select(
+            "d2_cells",
+            (F.sqrt(F.col("d2_cells").cast("double")) * F.lit(s)).alias("lag_dist"),
+            "n_pairs",
+            "gamma",
+        )
+    )
+
+
+def semivariogram_sql(
+    raster_sql: str, res: int, max_lag_cells: int = 4, value_col: str = "density"
+) -> str:
+    """DuckDB twin of :func:`semivariogram`. ``raster_sql`` selects ix, iy
+    and ``value_col``."""
+    n = 1 << res
+    s = 1.0 / float(n)
+    offsets = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-max_lag_cells, max_lag_cells + 1)
+        for dy in range(-max_lag_cells, max_lag_cells + 1)
+        if (dx or dy) and dx * dx + dy * dy <= max_lag_cells * max_lag_cells
+    )
+    return f"""
+WITH base AS (SELECT ix, iy, CAST({value_col} AS DOUBLE) AS v FROM ({raster_sql})),
+o(dx, dy) AS (VALUES {offsets}),
+nb AS (
+  SELECT base.ix + o.dx AS tix, base.iy + o.dy AS tiy,
+         CAST(o.dx * o.dx + o.dy * o.dy AS BIGINT) AS d2_cells,
+         base.v AS vi
+  FROM base, o
+  WHERE base.ix + o.dx >= 0 AND base.ix + o.dx <= {n - 1}
+    AND base.iy + o.dy >= 0 AND base.iy + o.dy <= {n - 1}),
+paired AS (
+  SELECT nb.d2_cells, nb.vi, t.v AS vj
+  FROM nb JOIN base t ON t.ix = nb.tix AND t.iy = nb.tiy)
+SELECT d2_cells,
+       (sqrt(CAST(d2_cells AS DOUBLE)) * {s!r}) AS lag_dist,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST((vi - vj) * (vi - vj) AS DECIMAL(28,15))) AS DOUBLE)
+         / (2.0 * CAST(count(*) AS DOUBLE)) AS gamma
+FROM paired GROUP BY d2_cells
+"""
+
+
 # ---------------------------------------------------------------- terrain
 
 def terrain_surface(

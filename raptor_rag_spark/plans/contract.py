@@ -2798,6 +2798,46 @@ def _sql_kde_moran() -> str:
     )
 
 
+def q_kde_geary(spark, sf_dir):
+    """Local Geary's C (LISA edge/heterogeneity statistic) over the KDE
+    raster — the squared-difference complement of kde_moran: Moran flags
+    clusters, Geary flags edges and local outliers."""
+    from ..operators.heatmap import kde_heatmap, local_geary
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return local_geary(raster, res=KDE_RES)
+
+
+def _sql_kde_geary() -> str:
+    from ..operators.heatmap import local_geary_sql
+
+    return local_geary_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram of the KDE raster at integer squared-cell
+    lags (the variography input kriging fits a model to). Bounded disc
+    fan-out + one groupBy on ≤max_lag² lag keys."""
+    from ..operators.heatmap import kde_heatmap, semivariogram
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return semivariogram(raster, res=KDE_RES, max_lag_cells=4)
+
+
+def _sql_semivariogram() -> str:
+    from ..operators.heatmap import semivariogram_sql
+
+    return semivariogram_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES, max_lag_cells=4
+    )
+
+
 RIPLEY_RADII = [0.01, 0.02, 0.05, 0.1]
 
 
@@ -3077,6 +3117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_compact": q_cell_compact,
     "poly_cover": q_poly_cover,
     "kde_moran": q_kde_moran,
+    "kde_geary": q_kde_geary,
+    "semivariogram": q_semivariogram,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3196,6 +3238,8 @@ ORACLES: dict[str, str] = {
     "cell_compact": _sql_cell_compact(),
     "poly_cover": _sql_poly_cover(),
     "kde_moran": _sql_kde_moran(),
+    "kde_geary": _sql_kde_geary(),
+    "semivariogram": _sql_semivariogram(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),

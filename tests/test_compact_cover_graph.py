@@ -173,3 +173,76 @@ def test_host_pagerank_matches_dense_reference(spark):
         assert got[h][1] == pytest.approx(ref_rank[h], rel=1e-12)
     # probability mass is conserved (no dangling nodes by construction)
     assert sum(v for _, v in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def _ref_geary(vals: dict[tuple[int, int], float], n: int):
+    mu = sum(vals.values()) / len(vals)
+    z = {k: v - mu for k, v in vals.items()}
+    m2 = sum(x * x for x in z.values()) / len(vals)
+    out = {}
+    for (ix, iy), zi in z.items():
+        nbs = [
+            z[(ix + dx, iy + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+            and 0 <= ix + dx < n
+            and 0 <= iy + dy < n
+            and (ix + dx, iy + dy) in z
+        ]
+        if nbs:
+            msd = sum((zi - zj) ** 2 for zj in nbs) / len(nbs)
+            out[(ix, iy)] = (len(nbs), msd / m2)
+    return out
+
+
+def test_local_geary_matches_reference(spark):
+    from raptor_rag_spark.operators.heatmap import local_geary
+
+    rng = np.random.default_rng(11)
+    res = 3
+    n = 1 << res
+    cells = {(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2))}
+    vals = {c: float(rng.uniform(0.1, 9.0)) for c in cells}
+    df = spark.createDataFrame(
+        [(a, b, v) for (a, b), v in vals.items()], "ix long, iy long, density double"
+    )
+    got = {
+        (r["ix"], r["iy"]): (r["n_nb"], r["geary_c"])
+        for r in local_geary(df, res).collect()
+    }
+    ref = _ref_geary(vals, n)
+    assert set(got) == set(ref)
+    for k, (nn, gc) in ref.items():
+        assert got[k][0] == nn
+        assert got[k][1] == pytest.approx(gc, rel=1e-9)
+    # Geary is non-negative by construction
+    assert all(v[1] >= 0.0 for v in got.values())
+
+
+def test_semivariogram_matches_reference(spark):
+    from raptor_rag_spark.operators.heatmap import semivariogram
+
+    rng = np.random.default_rng(17)
+    res, max_lag = 3, 3
+    n = 1 << res
+    cells = {(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2))}
+    vals = {c: float(rng.uniform(0.1, 9.0)) for c in cells}
+    df = spark.createDataFrame(
+        [(a, b, v) for (a, b), v in vals.items()], "ix long, iy long, density double"
+    )
+    got = {r["d2_cells"]: r for r in semivariogram(df, res, max_lag_cells=max_lag).collect()}
+
+    # dense pair loop reference (ordered pairs, /2 in gamma)
+    ref: dict[int, list[float]] = {}
+    for (ax, ay), va in vals.items():
+        for (bx, by), vb in vals.items():
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            if 0 < d2 <= max_lag * max_lag:
+                ref.setdefault(d2, []).append((va - vb) ** 2)
+    assert set(got) == set(ref)
+    for d2, sq in ref.items():
+        r = got[d2]
+        assert r["n_pairs"] == len(sq)
+        assert r["gamma"] == pytest.approx(sum(sq) / (2 * len(sq)), rel=1e-9)
+        assert r["lag_dist"] == pytest.approx((d2 ** 0.5) / n, rel=1e-12)
