@@ -245,3 +245,98 @@ WITH {', '.join(ctes)}
 SELECT n.host, n.out_deg, r.rank
 FROM nid n JOIN r{iterations} r ON n.host_id = r.host_id
 """
+
+
+def triangle_count(links: DataFrame) -> DataFrame:
+    """(host, deg, triangles): per-host triangle participation over the REAL
+    extracted link graph (curation.extract_links), treating links as
+    undirected simple edges (self-loops and parallel edges collapse) — the
+    clustering-structure signal crawl curation uses to separate organic link
+    neighborhoods (triangle-rich) from spam farms and link rings
+    (star-shaped, triangle-poor).
+
+    Scale shape — the standard degree-ordered wedge join: each undirected
+    edge is oriented from the lower (deg, host) endpoint to the higher, which
+    bounds every vertex's out-degree by O(sqrt(m)) on real graphs, so the
+    wedge self-join is near-linear instead of sum-of-squares-of-degrees; the
+    closing edge check is one more equi-join. Dense ids come from a window
+    rank over the metadata-scale host table (same tradeoff as link_pagerank).
+    Each triangle is found exactly once (at its ≺-minimal vertex) and then
+    credited to all 3 corners by an explode + groupBy."""
+    und = (
+        links.where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionByName(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("deg"))
+    )
+    w = Window.orderBy("deg", "host")
+    nodes = deg.withColumn("rid", (F.row_number().over(w) - 1).cast("long"))
+    rid_a = nodes.select(F.col("host").alias("a"), F.col("rid").alias("ra"))
+    rid_b = nodes.select(F.col("host").alias("b"), F.col("rid").alias("rb"))
+    oriented = (
+        und.join(F.broadcast(rid_a), "a")
+        .join(F.broadcast(rid_b), "b")
+        .select(
+            F.least("ra", "rb").alias("u"),
+            F.greatest("ra", "rb").alias("v"),
+        )
+    )
+    e1 = oriented.select(F.col("u").alias("tu"), F.col("v").alias("tv"))
+    e2 = oriented.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    wedges = e1.join(e2, "tu").where(F.col("tv") < F.col("tw"))
+    closing = oriented.select(F.col("u").alias("tv"), F.col("v").alias("tw"))
+    tris = wedges.join(closing, ["tv", "tw"])
+    corner = (
+        tris.select(F.explode(F.array("tu", "tv", "tw")).alias("rid"))
+        .groupBy("rid")
+        .agg(F.count("*").alias("tri"))
+    )
+    return (
+        nodes.join(corner, "rid", "left")
+        .select("host", "deg", F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("triangles"))
+    )
+
+
+def triangle_count_sql(links_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_count`. ``links_sql`` must yield
+    (src_host, dst_host, n_links)."""
+    return f"""
+WITH und AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b
+  FROM ({links_sql}) WHERE src_host <> dst_host),
+deg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b AS host FROM und)
+  GROUP BY host),
+nodes AS (
+  SELECT host, deg, CAST(row_number() OVER (ORDER BY deg, host) - 1 AS BIGINT) AS rid
+  FROM deg),
+oriented AS (
+  SELECT least(na.rid, nb.rid) AS u, greatest(na.rid, nb.rid) AS v
+  FROM und
+  JOIN nodes na ON und.a = na.host
+  JOIN nodes nb ON und.b = nb.host),
+wedges AS (
+  SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+  WHERE e1.v < e2.v),
+tris AS (
+  SELECT w.tu, w.tv, w.tw FROM wedges w
+  JOIN oriented c ON c.u = w.tv AND c.v = w.tw),
+corner AS (
+  SELECT rid, CAST(count(*) AS BIGINT) AS tri FROM (
+    SELECT tu AS rid FROM tris
+    UNION ALL SELECT tv AS rid FROM tris
+    UNION ALL SELECT tw AS rid FROM tris)
+  GROUP BY rid)
+SELECT n.host, n.deg, CAST(coalesce(c.tri, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN corner c ON n.rid = c.rid
+"""

@@ -819,6 +819,78 @@ FROM paired GROUP BY d2_cells
 """
 
 
+def variogram_fit(vgram: DataFrame) -> DataFrame:
+    """(n_lags, nugget, slope, r2): weighted least-squares fit of the LINEAR
+    variogram model γ(h) = nugget + slope·h to the empirical semivariogram
+    (:func:`semivariogram` output), weighted by pair counts — the
+    variography step that turns the empirical cloud into the model kriging
+    consumes, and a one-number spatial-structure summary (slope ≈ 0 means no
+    spatial correlation structure).
+
+    ONE global aggregate over the ≤max_lag² lag rows (exact DECIMAL partial
+    sums, so the fold order can't drift between engines), closed-form 2-param
+    WLS in the final projection — driver never sees data."""
+    dec = "decimal(28,15)"
+    w = F.col("n_pairs").cast("double")
+    x = F.col("lag_dist")
+    y = F.col("gamma")
+    sums = vgram.agg(
+        F.count("*").alias("n_lags"),
+        F.sum(w.cast(dec)).cast("double").alias("sw"),
+        F.sum((w * x).cast(dec)).cast("double").alias("swx"),
+        F.sum((w * y).cast(dec)).cast("double").alias("swy"),
+        F.sum((w * x * y).cast(dec)).cast("double").alias("swxy"),
+        F.sum((w * x * x).cast(dec)).cast("double").alias("swxx"),
+        F.sum((w * y * y).cast(dec)).cast("double").alias("swyy"),
+    )
+    slope = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / (
+        F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    )
+    out = sums.select("n_lags", "sw", "swx", "swy", "swxy", "swxx", "swyy", slope.alias("slope"))
+    nugget = (F.col("swy") - F.col("slope") * F.col("swx")) / F.col("sw")
+    out = out.withColumn("nugget", nugget)
+    ss_tot = F.col("swyy") - F.col("swy") * F.col("swy") / F.col("sw")
+    ss_res = (
+        F.col("swyy")
+        + F.col("nugget") * F.col("nugget") * F.col("sw")
+        + F.col("slope") * F.col("slope") * F.col("swxx")
+        + F.lit(2.0) * F.col("nugget") * F.col("slope") * F.col("swx")
+        - F.lit(2.0) * F.col("nugget") * F.col("swy")
+        - F.lit(2.0) * F.col("slope") * F.col("swxy")
+    )
+    return out.select(
+        "n_lags", "nugget", "slope", (F.lit(1.0) - ss_res / ss_tot).alias("r2")
+    )
+
+
+def variogram_fit_sql(vgram_sql: str) -> str:
+    """DuckDB twin of :func:`variogram_fit`. ``vgram_sql`` yields
+    (lag_dist, n_pairs, gamma)."""
+    dec = "DECIMAL(28,15)"
+    return f"""
+WITH v AS (SELECT CAST(n_pairs AS DOUBLE) AS w, lag_dist AS x, gamma AS y FROM ({vgram_sql})),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lags,
+         CAST(sum(CAST(w AS {dec})) AS DOUBLE) AS sw,
+         CAST(sum(CAST(w * x AS {dec})) AS DOUBLE) AS swx,
+         CAST(sum(CAST(w * y AS {dec})) AS DOUBLE) AS swy,
+         CAST(sum(CAST(w * x * y AS {dec})) AS DOUBLE) AS swxy,
+         CAST(sum(CAST(w * x * x AS {dec})) AS DOUBLE) AS swxx,
+         CAST(sum(CAST(w * y * y AS {dec})) AS DOUBLE) AS swyy
+  FROM v),
+fit AS (
+  SELECT *, (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS slope FROM sums),
+fit2 AS (
+  SELECT *, (swy - slope * swx) / sw AS nugget FROM fit)
+SELECT n_lags, nugget, slope,
+       (1.0 - (swyy + nugget * nugget * sw + slope * slope * swxx
+               + 2.0 * nugget * slope * swx - 2.0 * nugget * swy
+               - 2.0 * slope * swxy)
+            / (swyy - swy * swy / sw)) AS r2
+FROM fit2
+"""
+
+
 # ---------------------------------------------------------------- terrain
 
 def terrain_surface(

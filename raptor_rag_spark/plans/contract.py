@@ -2838,6 +2838,111 @@ def _sql_semivariogram() -> str:
     )
 
 
+def q_variogram_fit(spark, sf_dir):
+    """Linear variogram-model WLS fit (nugget, slope, r2) to the empirical
+    semivariogram — the variography step kriging consumes; one global
+    DECIMAL-exact aggregate + closed-form 2-param solve."""
+    from ..operators.heatmap import kde_heatmap, semivariogram, variogram_fit
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return variogram_fit(semivariogram(raster, res=KDE_RES, max_lag_cells=4))
+
+
+def _sql_variogram_fit() -> str:
+    from ..operators.heatmap import variogram_fit_sql
+
+    return variogram_fit_sql(_sql_semivariogram())
+
+
+def q_region_boundary(spark, sf_dir):
+    """Raster→vector outline extraction: the exact marching-squares edge set
+    of the KDE hotspot region (density ≥ threshold) as unit-cell segments —
+    one 4-neighbor fan-out + one anti-join on the metadata-scale raster."""
+    from ..operators.heatmap import kde_heatmap
+    from ..operators.vectorize import region_boundary
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return region_boundary(raster, res=KDE_RES, threshold=KDE_HOT_T)
+
+
+def _sql_region_boundary() -> str:
+    from ..operators.vectorize import region_boundary_sql
+
+    return region_boundary_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})",
+        res=KDE_RES,
+        threshold=KDE_HOT_T,
+    )
+
+
+def q_distance_transform(spark, sf_dir):
+    """Isochrone field: 8-connected BFS distance (in cells) from every
+    populated KDE cell to the nearest hotspot cell, walking populated cells
+    only — multi-source BFS with one bounded fan-out + anti-join per round
+    (driver sees one count per round); DuckDB twin is a depth-capped
+    recursive CTE."""
+    from ..operators.heatmap import kde_heatmap
+    from ..operators.vectorize import distance_transform
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return distance_transform(raster, res=KDE_RES, threshold=KDE_HOT_T, max_dist=8)
+
+
+def _sql_distance_transform() -> str:
+    from ..operators.vectorize import distance_transform_sql
+
+    return distance_transform_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})",
+        res=KDE_RES,
+        threshold=KDE_HOT_T,
+        max_dist=8,
+    )
+
+
+def q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve file-layout assignment — the better-locality sibling of
+    zorder_layout (connected curve segments per bucket, no Z-seam jumps),
+    as a linearly-unrolled rotate-and-accumulate column chain."""
+    from ..operators.layout import hilbert_layout
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return hilbert_layout(e.select("vec_id", x.alias("x"), y.alias("y")), res=6, bucket_bits=4)
+
+
+def _sql_hilbert_layout() -> str:
+    from ..operators.layout import hilbert_layout_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return hilbert_layout_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=6, bucket_bits=4
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-host triangle participation over the real extracted link graph —
+    degree-ordered wedge join (out-degree bounded by orienting each edge
+    low→high in the (deg, host) order), closing-edge equi-join, one
+    explode+groupBy to credit corners."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import triangle_count
+
+    return triangle_count(extract_links(_pages(spark)))
+
+
+def _sql_triangle_count() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import triangle_count_sql
+
+    return triangle_count_sql(extract_links_sql(_PAGES_SQL))
+
+
 RIPLEY_RADII = [0.01, 0.02, 0.05, 0.1]
 
 
@@ -3119,6 +3224,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kde_moran": q_kde_moran,
     "kde_geary": q_kde_geary,
     "semivariogram": q_semivariogram,
+    "variogram_fit": q_variogram_fit,
+    "region_boundary": q_region_boundary,
+    "distance_transform": q_distance_transform,
+    "hilbert_layout": q_hilbert_layout,
+    "triangle_count": q_triangle_count,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3240,6 +3350,11 @@ ORACLES: dict[str, str] = {
     "kde_moran": _sql_kde_moran(),
     "kde_geary": _sql_kde_geary(),
     "semivariogram": _sql_semivariogram(),
+    "variogram_fit": _sql_variogram_fit(),
+    "region_boundary": _sql_region_boundary(),
+    "distance_transform": _sql_distance_transform(),
+    "hilbert_layout": _sql_hilbert_layout(),
+    "triangle_count": _sql_triangle_count(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
