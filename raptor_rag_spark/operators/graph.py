@@ -340,3 +340,82 @@ corner AS (
 SELECT n.host, n.deg, CAST(coalesce(c.tri, 0) AS BIGINT) AS triangles
 FROM nodes n LEFT JOIN corner c ON n.rid = c.rid
 """
+
+
+def kcore(links: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
+    """(host, deg): hosts surviving ``rounds`` rounds of k-core peeling of
+    the undirected link graph (repeatedly delete every vertex with degree
+    < k), with their degree INSIDE the core — the density skeleton crawl
+    curation uses to find the tightly-linked center of the web graph (spam
+    farms and orphan hosts peel off in the first rounds).
+
+    Peeling is a FIXED number of rounds on both engines (the DuckDB twin
+    unrolls them as chained CTEs, exactly like pagerank's power iterations);
+    ``rounds`` bounds the peel depth the same way max_dist bounds the BFS
+    distance transform — once a round deletes nothing the remaining rounds
+    are no-ops, so any rounds ≥ the true peel depth gives the exact k-core.
+    Each round is one groupBy(degree) + one semi-join of the edge list
+    against the survivor set — edge-list-linear, no collect."""
+    und = (
+        links.where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = und
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("a").alias("host"))
+            .unionByName(edges.select(F.col("b").alias("host")))
+            .groupBy("host")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("host")
+        edges = (
+            edges.join(keep.withColumnRenamed("host", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("host", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if edges.isEmpty():
+            break
+    final = (
+        edges.select(F.col("a").alias("host"))
+        .unionByName(edges.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return final.where(F.col("deg") >= k)
+
+
+def kcore_sql(links_sql: str, k: int = 2, rounds: int = 8) -> str:
+    """DuckDB twin of :func:`kcore`: the same fixed peel rounds as chained
+    CTEs."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b
+  FROM ({links_sql}) WHERE src_host <> dst_host)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT host FROM (
+    SELECT host, count(*) AS deg FROM (
+      SELECT a AS host FROM {p} UNION ALL SELECT b AS host FROM {p}) GROUP BY host)
+  WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT a, b FROM {p}
+  WHERE a IN (SELECT host FROM k{r}) AND b IN (SELECT host FROM k{r}))"""
+        )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS host FROM e{rounds} UNION ALL SELECT b AS host FROM e{rounds})
+GROUP BY host HAVING count(*) >= {k}
+"""

@@ -233,3 +233,93 @@ def curate_corpus(
     return out.filter(
         F.col("lang_guess").isin(*langs) & (F.col("quality") >= F.lit(min_quality))
     )
+
+
+def bigram_lm_scores(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob, ppl): per-doc mean log-likelihood and
+    perplexity under the corpus's own add-α smoothed BIGRAM model — the
+    CCNet-style LM quality gate one order up from :func:`lm_scores` (a doc of
+    common words in impossible order now scores badly too):
+
+        P(b | a) = (c(a,b) + α) / (c_ctx(a) + α·V)
+
+    where c(a,b) = corpus bigram count, c_ctx(a) = times a occurs as a left
+    context, V = vocab size. avg_logprob = Σ tf_ab·ln P(b|a) / n_bigrams,
+    ppl = exp(−avg_logprob). Docs with <2 tokens carry no bigrams and drop.
+
+    Scale shape mirrors lm_scores one order up: bigrams come from zipping
+    each token array with its tail (NO positional self-join on the data
+    path), per-doc and corpus counts are two map-side-combined groupBys, the
+    model join is bigram-keyed (AQE broadcasts a small model), cross-row
+    sums in exact DECIMAL, ln/exp are the sqlgen twins — hash-exact."""
+    words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
+    pairs = words.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))).alias("a"),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    doc_tf = pairs.groupBy("doc_id", "a", "b").agg(F.count("*").alias("tf"))
+    big = doc_tf.groupBy("a", "b").agg(F.sum("tf").alias("c_ab"))
+    ctx = big.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = words.select(F.explode("ws").alias("w")).agg(
+        F.count_distinct("w").cast("long").alias("v")
+    )
+    lp = G.ln_col(
+        (F.col("c_ab").cast("double") + F.lit(float(alpha)))
+        / (F.col("c_a").cast("double") + F.lit(float(alpha)) * F.col("v").cast("double"))
+    )
+    per_doc = (
+        doc_tf.join(big, ["a", "b"])
+        .join(ctx, "a")
+        .join(F.broadcast(vocab))
+        .withColumn("contrib", F.col("tf").cast("double") * lp)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("s"),
+        )
+    )
+    avg = F.col("s") / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        G.exp_col(-avg).alias("ppl"),
+    )
+
+
+def bigram_lm_scores_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents", alpha: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores` (positional self-join bigrams
+    — identical pair multiset to the Spark zip)."""
+    ws = G.words_sql("text")
+    p = (
+        f"((CAST(c_ab AS DOUBLE) + {float(alpha)!r}) / "
+        f"(CAST(c_a AS DOUBLE) + {float(alpha)!r} * CAST(v AS DOUBLE)))"
+    )
+    return f"""
+WITH words AS (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+t AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+doc_tf AS (
+  SELECT a.doc_id, a.w AS a, b.w AS b, CAST(count(*) AS BIGINT) AS tf
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id, a.w, b.w),
+big AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS c_ab FROM doc_tf GROUP BY a, b),
+ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY a),
+vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t),
+m AS MATERIALIZED (
+  SELECT d.doc_id, CAST(d.tf AS DOUBLE) AS tfd, d.tf, {p} AS p
+  FROM doc_tf d JOIN big USING (a, b) JOIN ctx USING (a) CROSS JOIN vocab),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(tfd * {G.ln_sql('p')} AS DECIMAL(28,15))) AS DOUBLE) AS s
+  FROM m GROUP BY doc_id)
+SELECT doc_id, n_bigrams, (s / CAST(n_bigrams AS DOUBLE)) AS avg_logprob,
+       {G.exp_sql('(-(s / CAST(n_bigrams AS DOUBLE)))')} AS ppl
+FROM agg
+"""

@@ -2943,6 +2943,75 @@ def _sql_triangle_count() -> str:
     return triangle_count_sql(extract_links_sql(_PAGES_SQL))
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Per-doc perplexity under the corpus's own add-α bigram LM (the
+    CCNet-style quality gate one order above the unigram lm_scores) —
+    zip-with-tail bigrams, two map-side-combined count aggregates, a
+    bigram-keyed model join, DECIMAL-exact per-doc sums, sqlgen ln/exp."""
+    from ..operators.textops import bigram_lm_scores
+
+    return bigram_lm_scores(ld(spark, sf_dir, "documents"), alpha=0.5)
+
+
+def _sql_bigram_lm() -> str:
+    from ..operators.textops import bigram_lm_scores_sql
+
+    return bigram_lm_scores_sql(alpha=0.5)
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Strictly-ordered 3-step funnel (view → click → purchase within 7
+    days of the first view) over the events stream — one scan, one
+    per-user min-per-step aggregate, no window over raw events."""
+    from ..operators.funnel import funnel
+
+    return funnel(ld(spark, sf_dir, "events"), FUNNEL_STEPS, window_s=7 * 24 * 3600)
+
+
+def _sql_funnel() -> str:
+    from ..operators.funnel import funnel_sql
+
+    return funnel_sql(
+        "SELECT user_id, event_type, ts FROM events", FUNNEL_STEPS, window_s=7 * 24 * 3600
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix (first-seen epoch-week × week offset)
+    over events — per-user first-week aggregate, one join back, one
+    groupBy on metadata-cardinality keys."""
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(ld(spark, sf_dir, "events"))
+
+
+def _sql_cohort_retention() -> str:
+    from ..operators.funnel import cohort_retention_sql
+
+    return cohort_retention_sql("SELECT user_id, ts FROM events")
+
+
+def q_kcore(spark, sf_dir):
+    """2-core of the real extracted link graph after fixed peel rounds
+    (degree-<k vertices deleted repeatedly) — the dense-skeleton filter;
+    each round is one degree groupBy + two semi-joins, unrolled identically
+    as chained CTEs in the DuckDB twin."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import kcore
+
+    return kcore(extract_links(_pages(spark)), k=2, rounds=8)
+
+
+def _sql_kcore() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import kcore_sql
+
+    return kcore_sql(extract_links_sql(_PAGES_SQL), k=2, rounds=8)
+
+
 RIPLEY_RADII = [0.01, 0.02, 0.05, 0.1]
 
 
@@ -3229,6 +3298,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distance_transform": q_distance_transform,
     "hilbert_layout": q_hilbert_layout,
     "triangle_count": q_triangle_count,
+    "bigram_lm": q_bigram_lm,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "kcore": q_kcore,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3355,6 +3428,10 @@ ORACLES: dict[str, str] = {
     "distance_transform": _sql_distance_transform(),
     "hilbert_layout": _sql_hilbert_layout(),
     "triangle_count": _sql_triangle_count(),
+    "bigram_lm": _sql_bigram_lm(),
+    "funnel": _sql_funnel(),
+    "cohort_retention": _sql_cohort_retention(),
+    "kcore": _sql_kcore(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
