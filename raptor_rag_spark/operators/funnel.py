@@ -173,3 +173,51 @@ SELECT c.cohort_week, c.week_offset, c.users,
        (CAST(c.users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)) AS retention
 FROM cell c JOIN size s USING (cohort_week)
 """
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(prev_type, event_type, n, p): the first-order Markov transition
+    matrix of the event stream — for each user's time-ordered sequence,
+    count consecutive (prev → next) type pairs and normalize per source
+    state. The path-analysis primitive behind "what do users do after an
+    error" and sequence-anomaly scoring.
+
+    One window (partitioned BY USER, so the sort is per-user-partition, not
+    global), one groupBy on the ≤|types|² pair space with map-side combine.
+    Ties inside a user at the same timestamp are broken by event_id — the
+    same total order both engines use, so counts are identical."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_tot"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_tot").cast("double")).alias("p"),
+    )
+
+
+def event_transitions_sql(events_sql: str) -> str:
+    """DuckDB twin of :func:`event_transitions`. ``events_sql`` yields
+    (user_id, event_id, ts, event_type)."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM ({events_sql})),
+pairs AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_tot FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.event_type, p.n,
+       (CAST(p.n AS DOUBLE) / CAST(t.row_tot AS DOUBLE)) AS p
+FROM pairs p JOIN tot t USING (prev_type)
+"""

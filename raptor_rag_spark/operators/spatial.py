@@ -224,3 +224,72 @@ noise AS (
   FROM noncore WHERE {id_col} NOT IN (SELECT {id_col} FROM border))
 SELECT * FROM core_pts UNION ALL SELECT * FROM border UNION ALL SELECT * FROM noise
 """
+
+
+def skyline(
+    points: DataFrame,
+    res: int = 6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, x, y): the EXACT Pareto frontier (skyline) of the point set under
+    minimize-both dominance — p dominates q when p.x ≤ q.x ∧ p.y ≤ q.y with
+    at least one strict; the skyline is every non-dominated point (exact
+    duplicates of a frontier point all survive, the standard convention).
+    The multi-criteria "best tradeoff" selector — e.g. documents Pareto-
+    optimal in (perplexity, 1/length) for curation triage.
+
+    Scale shape — grid-pruned, NOT a raw quadratic self-join: a res-grid
+    cell is wholly dominated when any nonempty cell sits strictly
+    south-west of it (every point there beats every point here in both
+    dims, by the cell-corner bound), so the candidate set collapses to the
+    points inside the nonempty-cell STAIRCASE — O(grid width · cell
+    density), independent of corpus size. Cell dominance is a
+    metadata-scale anti-join (≤4^res rows); only the surviving sliver pays
+    the exact pairwise dominance check (a broadcast-sized non-equi
+    anti-join). Pruning never changes the answer: dropped cells contain
+    dominated points only."""
+    n = 1 << res
+    cx = F.greatest(
+        F.least(F.floor(F.col("x") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    cy = F.greatest(
+        F.least(F.floor(F.col("y") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    pts = points.select(id_col, "x", "y", cx.alias("cx"), cy.alias("cy"))
+    cells = pts.select("cx", "cy").distinct()
+    dominators = cells.select(F.col("cx").alias("dx"), F.col("cy").alias("dy"))
+    live = cells.join(
+        F.broadcast(dominators),
+        (F.col("dx") < F.col("cx")) & (F.col("dy") < F.col("cy")),
+        "left_anti",
+    )
+    cand = pts.join(F.broadcast(live), ["cx", "cy"]).select(id_col, "x", "y")
+    other = cand.select(
+        F.col("x").alias("ox"), F.col("y").alias("oy"), F.col(id_col).alias("oid")
+    )
+    dominated = (
+        (F.col("ox") <= F.col("x"))
+        & (F.col("oy") <= F.col("y"))
+        & ((F.col("ox") < F.col("x")) | (F.col("oy") < F.col("y")))
+    )
+    return cand.join(F.broadcast(other), dominated, "left_anti").select(id_col, "x", "y")
+
+
+def skyline_sql(points_sql: str, res: int = 6, id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`skyline`. ``points_sql`` yields
+    (``id_col``, x, y)."""
+    n = 1 << res
+    cx = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    cy = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    return f"""
+WITH pts AS (SELECT {id_col}, x, y, {cx} AS cx, {cy} AS cy FROM ({points_sql})),
+cells AS (SELECT DISTINCT cx, cy FROM pts),
+live AS (
+  SELECT c.cx, c.cy FROM cells c
+  WHERE NOT EXISTS (SELECT 1 FROM cells d WHERE d.cx < c.cx AND d.cy < c.cy)),
+cand AS (SELECT p.{id_col}, p.x, p.y FROM pts p JOIN live USING (cx, cy))
+SELECT {id_col}, x, y FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand o
+  WHERE o.x <= c.x AND o.y <= c.y AND (o.x < c.x OR o.y < c.y))
+"""

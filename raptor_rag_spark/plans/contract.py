@@ -3012,6 +3012,40 @@ def _sql_kcore() -> str:
     return kcore_sql(extract_links_sql(_PAGES_SQL), k=2, rounds=8)
 
 
+def q_skyline(spark, sf_dir):
+    """Exact Pareto frontier (minimize x and y) of the embedding plane with
+    grid pruning: cell-level dominance collapses candidates to the nonempty-
+    cell staircase (metadata-scale anti-join) before the exact pairwise
+    check — corpus-size-independent candidate set, exact result."""
+    from ..operators.spatial import skyline
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return skyline(e.select("vec_id", x.alias("x"), y.alias("y")), res=6)
+
+
+def _sql_skyline() -> str:
+    from ..operators.spatial import skyline_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return skyline_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=6)
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream (per-user
+    time-ordered lag pairs → per-source-state normalized probabilities) —
+    user-partitioned window, pair-space groupBy."""
+    from ..operators.funnel import event_transitions
+
+    return event_transitions(ld(spark, sf_dir, "events"))
+
+
+def _sql_event_transitions() -> str:
+    from ..operators.funnel import event_transitions_sql
+
+    return event_transitions_sql("SELECT user_id, event_id, ts, event_type FROM events")
+
+
 RIPLEY_RADII = [0.01, 0.02, 0.05, 0.1]
 
 
@@ -3302,6 +3336,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "kcore": q_kcore,
+    "skyline": q_skyline,
+    "event_transitions": q_event_transitions,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3432,6 +3468,8 @@ ORACLES: dict[str, str] = {
     "funnel": _sql_funnel(),
     "cohort_retention": _sql_cohort_retention(),
     "kcore": _sql_kcore(),
+    "skyline": _sql_skyline(),
+    "event_transitions": _sql_event_transitions(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
