@@ -293,3 +293,135 @@ WHERE NOT EXISTS (
   SELECT 1 FROM cand o
   WHERE o.x <= c.x AND o.y <= c.y AND (o.x < c.x OR o.y < c.y))
 """
+
+
+def segment_intersections(
+    segs: DataFrame,
+    res: int = 4,
+) -> DataFrame:
+    """(seg_a, seg_b, px, py): all PROPER crossings between segments of
+    different trajectories — the ST_Intersects(line, line) join. Input:
+    (seg_id, traj_id, ax, ay, bx, by) with coordinates in [0, 1].
+
+    A proper crossing is a strict double-straddle: orient(a,b,c)·orient(a,b,d)
+    < 0 AND orient(c,d,a)·orient(c,d,b) < 0 (touching endpoints and collinear
+    overlaps are excluded — the deterministic, degeneracy-free predicate).
+    The crossing point comes from the standard parametric solve; all of it
+    is plain double arithmetic evaluated in one pinned order on both engines.
+
+    Scale shape: each segment is mailed to the res-grid cells of its
+    BOUNDING BOX (a bounded fan-out — short segments touch O(1) cells; the
+    grid res should match typical segment length), candidates pair up via
+    ONE cell equi-join with seg_a < seg_b ordering, duplicates from shared
+    cells collapse with a DISTINCT on the pair key, and only candidates pay
+    the O(1) exact test. The same candidate shape as the DWithin self-join;
+    hot cells are AQE-skew-split."""
+    n = 1 << res
+    lo = lambda c: F.greatest(F.least(F.floor(c * n).cast("long"), F.lit(n - 1)), F.lit(0))  # noqa: E731
+    s = segs.select(
+        "seg_id",
+        "traj_id",
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        lo(F.least("ax", "bx")).alias("cx0"),
+        lo(F.greatest("ax", "bx")).alias("cx1"),
+        lo(F.least("ay", "by")).alias("cy0"),
+        lo(F.greatest("ay", "by")).alias("cy1"),
+    )
+    cells = s.select(
+        "seg_id",
+        "traj_id",
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        F.explode(F.sequence("cx0", "cx1")).alias("cx"),
+        F.col("cy0"),
+        F.col("cy1"),
+    ).select(
+        "seg_id", "traj_id", "ax", "ay", "bx", "by", "cx",
+        F.explode(F.sequence("cy0", "cy1")).alias("cy"),
+    )
+    a = cells.select(
+        F.col("seg_id").alias("seg_a"), F.col("traj_id").alias("ta"),
+        F.col("ax").alias("x1"), F.col("ay").alias("y1"),
+        F.col("bx").alias("x2"), F.col("by").alias("y2"),
+        "cx", "cy",
+    )
+    b = cells.select(
+        F.col("seg_id").alias("seg_b"), F.col("traj_id").alias("tb"),
+        F.col("ax").alias("x3"), F.col("ay").alias("y3"),
+        F.col("bx").alias("x4"), F.col("by").alias("y4"),
+        "cx", "cy",
+    )
+    cand = (
+        a.join(b, ["cx", "cy"])
+        .where((F.col("seg_a") < F.col("seg_b")) & (F.col("ta") != F.col("tb")))
+        .drop("cx", "cy")
+        .distinct()
+    )
+    d1 = (F.col("x2") - F.col("x1")) * (F.col("y3") - F.col("y1")) - (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("x3") - F.col("x1"))
+    d2 = (F.col("x2") - F.col("x1")) * (F.col("y4") - F.col("y1")) - (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("x4") - F.col("x1"))
+    d3 = (F.col("x4") - F.col("x3")) * (F.col("y1") - F.col("y3")) - (
+        F.col("y4") - F.col("y3")
+    ) * (F.col("x1") - F.col("x3"))
+    d4 = (F.col("x4") - F.col("x3")) * (F.col("y2") - F.col("y3")) - (
+        F.col("y4") - F.col("y3")
+    ) * (F.col("x2") - F.col("x3"))
+    hit = cand.where((d1 * d2 < 0) & (d3 * d4 < 0))
+    t = d3 / (
+        (F.col("x4") - F.col("x3")) * (F.col("y2") - F.col("y1"))
+        - (F.col("y4") - F.col("y3")) * (F.col("x2") - F.col("x1"))
+    )
+    return hit.select(
+        "seg_a",
+        "seg_b",
+        F.round(F.col("x1") + t * (F.col("x2") - F.col("x1")), 6).alias("px"),
+        F.round(F.col("y1") + t * (F.col("y2") - F.col("y1")), 6).alias("py"),
+    )
+
+
+def segment_intersections_sql(segs_sql: str, res: int = 4) -> str:
+    """DuckDB twin of :func:`segment_intersections`. ``segs_sql`` yields
+    (seg_id, traj_id, ax, ay, bx, by)."""
+    n = 1 << res
+    lo = lambda e: f"greatest(least(floor(({e}) * {n})::BIGINT, {n - 1}), 0)"  # noqa: E731
+    return f"""
+WITH s AS (
+  SELECT seg_id, traj_id, ax, ay, bx, by,
+         {lo('least(ax, bx)')} AS cx0, {lo('greatest(ax, bx)')} AS cx1,
+         {lo('least(ay, by)')} AS cy0, {lo('greatest(ay, by)')} AS cy1
+  FROM ({segs_sql})),
+cells AS (
+  SELECT seg_id, traj_id, ax, ay, bx, by,
+         unnest(generate_series(cx0, cx1)) AS cx, cy0, cy1
+  FROM s),
+cells2 AS (
+  SELECT seg_id, traj_id, ax, ay, bx, by, cx,
+         unnest(generate_series(cy0, cy1)) AS cy
+  FROM cells),
+cand AS (
+  SELECT DISTINCT
+         a.seg_id AS seg_a, b.seg_id AS seg_b,
+         a.ax AS x1, a.ay AS y1, a.bx AS x2, a.by AS y2,
+         b.ax AS x3, b.ay AS y3, b.bx AS x4, b.by AS y4
+  FROM cells2 a JOIN cells2 b USING (cx, cy)
+  WHERE a.seg_id < b.seg_id AND a.traj_id <> b.traj_id),
+t AS (
+  SELECT *,
+         ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) AS d1,
+         ((x2 - x1) * (y4 - y1) - (y2 - y1) * (x4 - x1)) AS d2,
+         ((x4 - x3) * (y1 - y3) - (y4 - y3) * (x1 - x3)) AS d3,
+         ((x4 - x3) * (y2 - y3) - (y4 - y3) * (x2 - x3)) AS d4
+  FROM cand)
+SELECT seg_a, seg_b,
+       round(x1 + (d3 / ((x4 - x3) * (y2 - y1) - (y4 - y3) * (x2 - x1))) * (x2 - x1), 6) AS px,
+       round(y1 + (d3 / ((x4 - x3) * (y2 - y1) - (y4 - y3) * (x2 - x1))) * (y2 - y1), 6) AS py
+FROM t WHERE d1 * d2 < 0 AND d3 * d4 < 0
+"""

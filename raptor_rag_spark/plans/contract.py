@@ -3190,6 +3190,68 @@ JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
     return trajectory_stats_sql(ev_xy)
 
 
+def q_seg_intersect(spark, sf_dir):
+    """Trajectory-crossing detection: ST_Intersects(line, line) as a
+    cell-bucketed candidate join + exact double-straddle orientation test
+    (operators/spatial.py: segment_intersections). Segments are the
+    consecutive steps of the per-user embedding-plane trajectories."""
+    from pyspark.sql import Window
+
+    from ..operators.spatial import segment_intersections
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = (
+        pts.select(
+            F.col("event_id").alias("seg_id"),
+            F.col("user_id").alias("traj_id"),
+            F.lag("x").over(w).alias("ax"),
+            F.lag("y").over(w).alias("ay"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+        )
+        .where(F.col("ax").isNotNull())
+    )
+    return segment_intersections(segs, res=4)
+
+
+def _sql_seg_intersect() -> str:
+    from ..operators.spatial import segment_intersections_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    segs = f"""
+SELECT seg_id, traj_id, ax, ay, bx, by FROM (
+  SELECT event_id AS seg_id, user_id AS traj_id,
+         lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ax,
+         lag(y) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ay,
+         x AS bx, y AS by
+  FROM (
+    SELECT e.user_id, e.event_id, e.ts,
+           greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+           greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+    FROM events e
+    JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+      ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id))
+WHERE ax IS NOT NULL
+"""
+    return segment_intersections_sql(segs, res=4)
+
+
 def q_kde_terrain(spark, sf_dir):
     """Terrain derivatives over the KDE density raster
     (operators/heatmap.py:terrain_surface): Horn-stencil gradient, slope
@@ -3338,6 +3400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "skyline": q_skyline,
     "event_transitions": q_event_transitions,
+    "seg_intersect": q_seg_intersect,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3470,6 +3533,7 @@ ORACLES: dict[str, str] = {
     "kcore": _sql_kcore(),
     "skyline": _sql_skyline(),
     "event_transitions": _sql_event_transitions(),
+    "seg_intersect": _sql_seg_intersect(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),

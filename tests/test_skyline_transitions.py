@@ -82,3 +82,58 @@ def test_event_transitions_matches_handrolled(spark):
     # probabilities sum to 1 per source state
     for a in tot:
         assert sum(p for (s, _), (_, p) in got.items() if s == a) == pytest.approx(1.0)
+
+
+def _seg_cross(s1, s2):
+    (x1, y1, x2, y2), (x3, y3, x4, y4) = s1, s2
+    d1 = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+    d2 = (x2 - x1) * (y4 - y1) - (y2 - y1) * (x4 - x1)
+    d3 = (x4 - x3) * (y1 - y3) - (y4 - y3) * (x1 - x3)
+    d4 = (x4 - x3) * (y2 - y3) - (y4 - y3) * (x2 - x3)
+    if d1 * d2 < 0 and d3 * d4 < 0:
+        t = d3 / ((x4 - x3) * (y2 - y1) - (y4 - y3) * (x2 - x1))
+        return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+    return None
+
+
+def test_segment_intersections_match_bruteforce(spark):
+    from raptor_rag_spark.operators.spatial import segment_intersections
+
+    rng = np.random.default_rng(31)
+    segs = []
+    for i in range(120):
+        ax, ay = rng.uniform(0, 0.9, 2)
+        bx, by = ax + rng.uniform(-0.15, 0.15), ay + rng.uniform(-0.15, 0.15)
+        segs.append((i, i % 7, float(ax), float(ay), float(min(max(bx, 0), 1)), float(min(max(by, 0), 1))))
+    df = spark.createDataFrame(segs, "seg_id long, traj_id long, ax double, ay double, bx double, by double")
+    exp = {}
+    for i, (ia, ta, *c1) in enumerate(segs):
+        for ib, tb, *c2 in segs[i + 1:]:
+            if ta == tb:
+                continue
+            p = _seg_cross(tuple(c1), tuple(c2))
+            if p is not None:
+                exp[(ia, ib)] = p
+    got = {(r["seg_a"], r["seg_b"]): (r["px"], r["py"]) for r in segment_intersections(df, res=4).collect()}
+    assert set(got) == set(exp)
+    for k, (px, py) in exp.items():
+        assert got[k][0] == pytest.approx(px, abs=1.1e-6)
+        assert got[k][1] == pytest.approx(py, abs=1.1e-6)
+    assert len(exp) > 20  # the scene actually has crossings
+
+
+def test_segment_touching_endpoints_excluded(spark):
+    from raptor_rag_spark.operators.spatial import segment_intersections
+
+    segs = [
+        (0, 0, 0.1, 0.1, 0.5, 0.5),
+        (1, 1, 0.5, 0.5, 0.9, 0.1),   # shares an endpoint → NOT proper
+        (2, 2, 0.1, 0.5, 0.5, 0.1),   # crosses seg 0 properly
+        (3, 0, 0.3, 0.1, 0.3, 0.6),   # same traj as 0 → excluded even if crossing
+    ]
+    df = spark.createDataFrame(segs, "seg_id long, traj_id long, ax double, ay double, bx double, by double")
+    got = {(r["seg_a"], r["seg_b"]) for r in segment_intersections(df, res=3).collect()}
+    assert (0, 1) not in got
+    assert (0, 2) in got
+    assert (0, 3) not in got
+    assert (2, 3) in got  # different trajs, proper crossing
