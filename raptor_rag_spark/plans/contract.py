@@ -3252,6 +3252,26 @@ WHERE ax IS NOT NULL
     return segment_intersections_sql(segs, res=4)
 
 
+def q_tile_hulls(spark, sf_dir):
+    """Per-tile convex hulls of the embedding plane (vector silhouette per
+    coarse tile): exact-dedup → Akl–Toussaint prune (struct-ordered extreme
+    aggregate) → monotone-chain hull per tile via applyInPandas. The DuckDB
+    twin recomputes the same edge set with the independent O(m³)
+    all-points-right pair test."""
+    from ..operators.hull import tile_hulls
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return tile_hulls(e.select("vec_id", x.alias("x"), y.alias("y")), res=2)
+
+
+def _sql_tile_hulls() -> str:
+    from ..operators.hull import tile_hulls_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return tile_hulls_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=2)
+
+
 def q_kde_terrain(spark, sf_dir):
     """Terrain derivatives over the KDE density raster
     (operators/heatmap.py:terrain_surface): Horn-stencil gradient, slope
@@ -3401,6 +3421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline": q_skyline,
     "event_transitions": q_event_transitions,
     "seg_intersect": q_seg_intersect,
+    "tile_hulls": q_tile_hulls,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3534,6 +3555,7 @@ ORACLES: dict[str, str] = {
     "skyline": _sql_skyline(),
     "event_transitions": _sql_event_transitions(),
     "seg_intersect": _sql_seg_intersect(),
+    "tile_hulls": _sql_tile_hulls(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
