@@ -338,6 +338,72 @@ def main() -> None:
         ).count(),
     )
 
+    # Hilbert-curve lakehouse layout (locality-tighter sibling of Z-order)
+    from raptor_rag_spark.operators.layout import hilbert_layout
+
+    timed(
+        "hilbert_layout",
+        lambda: hilbert_layout(
+            pts.select(F.col("node_id").alias("vec_id"), "x", "y"), res=6, bucket_bits=4
+        ).count(),
+    )
+
+    # raster→vector: hotspot outline extraction + BFS distance transform
+    from raptor_rag_spark.operators.vectorize import distance_transform, region_boundary
+
+    def _vectorize():
+        raster = kde_heatmap(
+            embs.select(x.alias("x"), y.alias("y")), res=6, bandwidth=0.03
+        ).localCheckpoint(eager=True)
+        region_boundary(raster, res=6, threshold=1.5).count()
+        distance_transform(raster, res=6, threshold=1.5, max_dist=8).count()
+
+    timed("vectorize_raster", _vectorize)
+
+    # per-tile convex hulls (prune + monotone-chain kernel per tile)
+    from raptor_rag_spark.operators.hull import tile_hulls
+
+    timed(
+        "tile_hulls",
+        lambda: tile_hulls(
+            pts.select(F.col("node_id").alias("vec_id"), "x", "y"), res=3
+        ).count(),
+    )
+
+    # grid-pruned exact Pareto skyline
+    from raptor_rag_spark.operators.spatial import skyline
+
+    timed(
+        "skyline",
+        lambda: skyline(
+            pts.select(F.col("node_id").alias("vec_id"), "x", "y"), res=6
+        ).count(),
+    )
+
+    # graph analytics over the real link graph: triangles + 2-core
+    from raptor_rag_spark.operators.graph import kcore, triangle_count
+
+    timed("triangle_count", lambda: triangle_count(extract_links(pages)).count())
+    timed("kcore", lambda: kcore(extract_links(pages), k=2, rounds=8).count())
+
+    # bigram-LM perplexity quality gate
+    from raptor_rag_spark.operators.textops import bigram_lm_scores
+
+    timed("bigram_lm", lambda: bigram_lm_scores(docs.select("doc_id", "text")).count())
+
+    # event-sequence analytics: funnel + Markov transitions + cohorts
+    from raptor_rag_spark.operators.funnel import cohort_retention, event_transitions, funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus).cache()
+    events.count()
+
+    def _events():
+        funnel(events, ["view", "click", "purchase"], window_s=7 * 24 * 3600).count()
+        event_transitions(events).count()
+        cohort_retention(events).count()
+
+    timed("event_analytics", _events)
+
     # 7. text analysis sweep
     def _text():
         T.token_counts(docs).agg(F.sum("n_tokens")).collect()
