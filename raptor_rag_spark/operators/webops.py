@@ -77,3 +77,164 @@ def host_quality_filter(
     return kept.select(
         "url", "host", "lang", "n_tokens", F.col("avg_tokens").alias("host_avg_tokens")
     )
+
+
+def snapshot_b(pages: DataFrame) -> DataFrame:
+    """Deterministic 'next crawl' snapshot derived from the pages table —
+    the second input :func:`crawl_diff` needs, synthesized as a pure
+    dataflow (both engines rebuild the identical snapshot from the same
+    bits): bucket = hash63(url) mod 10; bucket 0 pages vanish (removed),
+    bucket 1 pages get their text edited (changed), bucket 2 pages ALSO
+    appear under a new '#v2' url (added); everything else recrawls
+    unchanged."""
+    bucket = F.pmod(G.hash63_col(F.col("url")), F.lit(10))
+    base = pages.select("url", "text", bucket.alias("b"))
+    survived = base.where(F.col("b") != 0).select(
+        "url",
+        F.when(F.col("b") == 1, F.concat(F.col("text"), F.lit("\nupdated.")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.where(F.col("b") == 2).select(
+        F.concat(F.col("url"), F.lit("#v2")).alias("url"), "text"
+    )
+    return survived.unionByName(added)
+
+
+def snapshot_b_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`snapshot_b`."""
+    h = G.hash63_sql("url")
+    return f"""
+WITH base AS (SELECT url, text, ({h}) % 10 AS b FROM ({pages_sql}))
+SELECT url, CASE WHEN b = 1 THEN text || CHR(10) || 'updated.' ELSE text END AS text
+FROM base WHERE b <> 0
+UNION ALL
+SELECT url || '#v2' AS url, text FROM base WHERE b = 2
+"""
+
+
+def crawl_diff(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """(host, added, removed, changed, unchanged): per-host diff of two
+    crawl snapshots — the recrawl-scheduling signal (hosts with high churn
+    get recrawled sooner; dead hosts get dropped from the frontier).
+
+    ONE full-outer join on url (the natural shuffle key, no skew — urls are
+    unique) comparing md5(text), then one host-keyed rollup with map-side
+    combine. At 100 TB both sides are url-partitioned scans; the join is
+    the canonical sort-merge on a unique key."""
+    a = snap_a.select("url", F.md5("text").alias("ha"))
+    b = snap_b.select("url", F.md5("text").alias("hb"))
+    j = a.join(b, "url", "full_outer")
+    status = (
+        F.when(F.col("ha").isNull(), F.lit("added"))
+        .when(F.col("hb").isNull(), F.lit("removed"))
+        .when(F.col("ha") != F.col("hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    host = F.regexp_extract("url", URL_RE, 2)
+    per = j.select(host.alias("host"), status.alias("status"))
+    return (
+        per.groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).cast("long").alias("added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).cast("long").alias("removed"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).cast("long").alias("changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).cast("long").alias("unchanged"),
+        )
+    )
+
+
+def crawl_diff_sql(snap_a_sql: str, snap_b_sql: str) -> str:
+    """DuckDB twin of :func:`crawl_diff`."""
+    return f"""
+WITH a AS (SELECT url, md5(text) AS ha FROM ({snap_a_sql})),
+b AS (SELECT url, md5(text) AS hb FROM ({snap_b_sql})),
+j AS (SELECT coalesce(a.url, b.url) AS url, ha, hb FROM a FULL OUTER JOIN b ON a.url = b.url),
+per AS (
+  SELECT regexp_extract(url, '{URL_RE}', 2) AS host,
+         CASE WHEN ha IS NULL THEN 'added'
+              WHEN hb IS NULL THEN 'removed'
+              WHEN ha <> hb THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM j)
+SELECT host,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+FROM per GROUP BY host
+"""
+
+
+def robots_rules(pages: DataFrame) -> DataFrame:
+    """(host, prefix, allow): synthetic robots.txt rule set, a deterministic
+    dataflow over the crawl's own host list (both engines rebuild the same
+    rules): every host allows '/'; hosts with hash63(host)%4 == 0 disallow
+    '/p/' but re-allow '/p/1' — the longest-prefix-wins case robots
+    semantics require."""
+    hosts = parse_urls(pages).select("host").distinct()
+    sel = F.pmod(G.hash63_col(F.col("host")), F.lit(4)) == 0
+    root = hosts.select("host", F.lit("/").alias("prefix"), F.lit(True).alias("allow"))
+    dis = hosts.where(sel).select(
+        "host", F.lit("/p/").alias("prefix"), F.lit(False).alias("allow")
+    )
+    re_allow = hosts.where(sel).select(
+        "host", F.lit("/p/1").alias("prefix"), F.lit(True).alias("allow")
+    )
+    return root.unionByName(dis).unionByName(re_allow)
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """(url, host, path, matched_prefix, allowed): robots.txt gate with
+    longest-prefix-wins semantics — each page matches every rule of its
+    host whose prefix starts its path; the LONGEST match decides.
+
+    Scale shape: the rule table is metadata-scale (O(hosts)), so the match
+    is a BROADCAST equi-join on host with the startswith predicate applied
+    in-join, then one struct-ordered max per url — no shuffle of the pages
+    beyond the final groupBy, which AQE coalesces."""
+    parsed = parse_urls(pages).select("url", "host", "path")
+    j = parsed.join(F.broadcast(rules), "host").where(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    pick = j.groupBy("url", "host", "path").agg(
+        F.max(F.struct(F.length("prefix").alias("l"), "allow", "prefix")).alias("m")
+    )
+    return pick.select(
+        "url", "host", "path",
+        F.col("m.prefix").alias("matched_prefix"),
+        F.col("m.allow").alias("allowed"),
+    )
+
+
+def robots_rules_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`robots_rules`."""
+    h = G.hash63_sql("host")
+    return f"""
+WITH hosts AS (SELECT DISTINCT regexp_extract(url, '{URL_RE}', 2) AS host FROM ({pages_sql}))
+SELECT host, '/' AS prefix, true AS allow FROM hosts
+UNION ALL
+SELECT host, '/p/' AS prefix, false AS allow FROM hosts WHERE ({h}) % 4 = 0
+UNION ALL
+SELECT host, '/p/1' AS prefix, true AS allow FROM hosts WHERE ({h}) % 4 = 0
+"""
+
+
+def robots_filter_sql(pages_sql: str, rules_sql: str) -> str:
+    """DuckDB twin of :func:`robots_filter`."""
+    return f"""
+WITH parsed AS (
+  SELECT url, regexp_extract(url, '{URL_RE}', 2) AS host,
+         regexp_extract(url, '{URL_RE}', 3) AS path
+  FROM ({pages_sql})),
+r AS ({rules_sql}),
+j AS (
+  SELECT p.url, p.host, p.path, r.prefix, r.allow
+  FROM parsed p JOIN r ON p.host = r.host
+  WHERE starts_with(p.path, r.prefix)),
+pick AS (
+  SELECT url, host, path,
+         max(struct_pack(l := length(prefix), allow := allow, prefix := prefix)) AS m
+  FROM j GROUP BY url, host, path)
+SELECT url, host, path, (m).prefix AS matched_prefix, (m).allow AS allowed FROM pick
+"""

@@ -3272,6 +3272,41 @@ def _sql_tile_hulls() -> str:
     return tile_hulls_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=2)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Per-host diff of two crawl snapshots (added/removed/changed/
+    unchanged page counts): snapshot B is a deterministic dataflow derived
+    from the pages dump (hash-bucketed remove/edit/add), the diff is ONE
+    full-outer join on the unique url key + one host rollup."""
+    from ..operators.webops import crawl_diff, snapshot_b
+
+    pages = _pages(spark)
+    return crawl_diff(pages.select("url", "text"), snapshot_b(pages))
+
+
+def _sql_crawl_diff() -> str:
+    from ..operators.webops import crawl_diff_sql, snapshot_b_sql
+
+    return crawl_diff_sql(
+        f"SELECT url, text FROM ({_PAGES_SQL})", snapshot_b_sql(_PAGES_SQL)
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt crawl gate with longest-prefix-wins semantics over a
+    deterministic per-host rule set — broadcast rule join + one
+    struct-ordered max per url (operators/webops.py)."""
+    from ..operators.webops import robots_filter, robots_rules
+
+    pages = _pages(spark)
+    return robots_filter(pages, robots_rules(pages))
+
+
+def _sql_robots_filter() -> str:
+    from ..operators.webops import robots_filter_sql, robots_rules_sql
+
+    return robots_filter_sql(_PAGES_SQL, robots_rules_sql(_PAGES_SQL))
+
+
 def q_kde_terrain(spark, sf_dir):
     """Terrain derivatives over the KDE density raster
     (operators/heatmap.py:terrain_surface): Horn-stencil gradient, slope
@@ -3422,6 +3457,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "seg_intersect": q_seg_intersect,
     "tile_hulls": q_tile_hulls,
+    "crawl_diff": q_crawl_diff,
+    "robots_filter": q_robots_filter,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3556,6 +3593,8 @@ ORACLES: dict[str, str] = {
     "event_transitions": _sql_event_transitions(),
     "seg_intersect": _sql_seg_intersect(),
     "tile_hulls": _sql_tile_hulls(),
+    "crawl_diff": _sql_crawl_diff(),
+    "robots_filter": _sql_robots_filter(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
