@@ -217,3 +217,127 @@ def bm25_rank(
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def tile_labels(
+    docs: DataFrame,
+    points: DataFrame,
+    res: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """(tile, term, n, lift, rank): top-k CHARACTERISTIC terms per map tile —
+    the tile-labeling pass a tile server runs so zoomed-out views carry
+    semantic captions ("what is this region about"). A term is
+    characteristic when its in-tile rate beats its corpus rate:
+
+        lift = ln( (n_tile_term / n_tile) / (n_corpus_term / n_corpus) )
+
+    Input: docs (doc_id, text) and points (doc_id, x, y) locating each doc
+    on the embedding plane.
+
+    Scale shape: ONE postings shuffle keyed (tile, term) with map-side
+    combine; corpus term counts fold out of the same postings by a second
+    metadata-scale groupBy; the per-tile top-k window partitions by tile
+    (≤4^res partitions, each |vocab|-bounded). ln is the sqlgen twin."""
+    from pyspark.sql import Window
+
+    n = 1 << res
+    cx = F.greatest(
+        F.least(F.floor(F.col("x") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    cy = F.greatest(
+        F.least(F.floor(F.col("y") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    located = docs.join(points.select("doc_id", (cx * n + cy).alias("tile")), "doc_id")
+    toks = located.select("tile", F.explode(G.words_col(F.col("text"))).alias("term"))
+    tt = toks.groupBy("tile", "term").agg(F.count("*").alias("n"))
+    tile_tot = tt.groupBy("tile").agg(F.sum("n").alias("n_tile"))
+    corpus = tt.groupBy("term").agg(F.sum("n").alias("n_term"))
+    total = corpus.agg(F.sum("n_term").alias("n_corpus"))
+    arg = (F.col("n").cast("double") / F.col("n_tile").cast("double")) / (
+        F.col("n_term").cast("double") / F.col("n_corpus").cast("double")
+    )
+    scored = (
+        tt.join(F.broadcast(tile_tot), "tile")
+        .join(corpus, "term")
+        .join(F.broadcast(total))
+        .withColumn("lift", G.ln_col(arg))
+    )
+    w = Window.partitionBy("tile").orderBy(F.desc("lift"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("tile", "term", F.col("n").cast("long").alias("n"), "lift", "rank")
+    )
+
+
+def tile_labels_sql(
+    docs_sql: str, points_sql: str, res: int = 2, top_k: int = 5
+) -> str:
+    """DuckDB twin of :func:`tile_labels`. ``points_sql`` yields
+    (doc_id, x, y)."""
+    n = 1 << res
+    ws = G.words_sql("text")
+    cx = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    cy = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    return f"""
+WITH pts AS (SELECT doc_id, ({cx} * {n} + {cy}) AS tile FROM ({points_sql})),
+located AS (SELECT p.tile, d.text FROM ({docs_sql}) d JOIN pts p USING (doc_id)),
+toks AS (SELECT tile, unnest({ws}) AS term FROM located),
+tt AS (SELECT tile, term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tile, term),
+tile_tot AS (SELECT tile, CAST(sum(n) AS BIGINT) AS n_tile FROM tt GROUP BY tile),
+corpus AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_term FROM tt GROUP BY term),
+total AS (SELECT CAST(sum(n_term) AS BIGINT) AS n_corpus FROM corpus),
+m AS MATERIALIZED (
+  SELECT t.tile, t.term, t.n,
+         ((CAST(t.n AS DOUBLE) / CAST(tt2.n_tile AS DOUBLE)) /
+          (CAST(c.n_term AS DOUBLE) / CAST(x.n_corpus AS DOUBLE))) AS arg
+  FROM tt t JOIN tile_tot tt2 USING (tile) JOIN corpus c USING (term) CROSS JOIN total x),
+s AS (SELECT tile, term, n, {G.ln_sql('arg')} AS lift FROM m)
+SELECT tile, term, n, lift, rank FROM (
+  SELECT tile, term, n, lift,
+         row_number() OVER (PARTITION BY tile ORDER BY lift DESC, term) AS rank
+  FROM s) WHERE rank <= {top_k}
+"""
+
+
+def tile_exemplars(
+    docs: DataFrame,
+    points: DataFrame,
+    res: int = 2,
+) -> DataFrame:
+    """(tile, doc_id, n_docs): one deterministic EXEMPLAR document per map
+    tile — the page a tile server shows on hover. The pick is the min
+    portable-hash of the doc id within the tile: uniformly pseudo-random
+    yet reproducible across engines, partitionings and runs (no RNG state),
+    the same min-hash-pick trick the sampling family uses. One groupBy."""
+    n = 1 << res
+    cx = F.greatest(
+        F.least(F.floor(F.col("x") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    cy = F.greatest(
+        F.least(F.floor(F.col("y") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    tiled = points.select("doc_id", (cx * n + cy).alias("tile"))
+    pick = tiled.groupBy("tile").agg(
+        F.min(F.struct(G.hash63_col(F.col("doc_id")).alias("h"), "doc_id")).alias("m"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return pick.select("tile", F.col("m.doc_id").alias("doc_id"), "n_docs")
+
+
+def tile_exemplars_sql(points_sql: str, res: int = 2) -> str:
+    """DuckDB twin of :func:`tile_exemplars`."""
+    n = 1 << res
+    h = G.hash63_sql("doc_id")
+    cx = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    cy = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    return f"""
+WITH tiled AS (SELECT doc_id, ({cx} * {n} + {cy}) AS tile FROM ({points_sql})),
+pick AS (
+  SELECT tile,
+         min(struct_pack(h := {h}, doc_id := doc_id)) AS m,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM tiled GROUP BY tile)
+SELECT tile, (m).doc_id AS doc_id, n_docs FROM pick
+"""

@@ -3307,6 +3307,52 @@ def _sql_robots_filter() -> str:
     return robots_filter_sql(_PAGES_SQL, robots_rules_sql(_PAGES_SQL))
 
 
+def q_tile_labels(spark, sf_dir):
+    """Per-tile characteristic terms (semantic tile captions) by corpus-rate
+    lift with a twin-ln score — one (tile, term) postings shuffle + a
+    per-tile top-k window (operators/ranking.py: tile_labels)."""
+    from ..operators.ranking import tile_labels
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("doc_id"), x.alias("x"), y.alias("y"))
+    return tile_labels(docs, pts, res=2, top_k=5)
+
+
+def _sql_tile_labels() -> str:
+    from ..operators.ranking import tile_labels_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return tile_labels_sql(
+        "SELECT doc_id, text FROM documents",
+        f"SELECT vec_id AS doc_id, {x} AS x, {y} AS y FROM embeddings",
+        res=2,
+        top_k=5,
+    )
+
+
+def q_tile_exemplars(spark, sf_dir):
+    """One deterministic exemplar doc per tile (min portable-hash pick —
+    reproducible pseudo-random selection, no RNG state) + tile population."""
+    from ..operators.ranking import tile_exemplars
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("doc_id"), x.alias("x"), y.alias("y"))
+    return tile_exemplars(docs, pts, res=3)
+
+
+def _sql_tile_exemplars() -> str:
+    from ..operators.ranking import tile_exemplars_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return tile_exemplars_sql(
+        f"SELECT vec_id AS doc_id, {x} AS x, {y} AS y FROM embeddings", res=3
+    )
+
+
 def q_kde_terrain(spark, sf_dir):
     """Terrain derivatives over the KDE density raster
     (operators/heatmap.py:terrain_surface): Horn-stencil gradient, slope
@@ -3459,6 +3505,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_hulls": q_tile_hulls,
     "crawl_diff": q_crawl_diff,
     "robots_filter": q_robots_filter,
+    "tile_labels": q_tile_labels,
+    "tile_exemplars": q_tile_exemplars,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3595,6 +3643,8 @@ ORACLES: dict[str, str] = {
     "tile_hulls": _sql_tile_hulls(),
     "crawl_diff": _sql_crawl_diff(),
     "robots_filter": _sql_robots_filter(),
+    "tile_labels": _sql_tile_labels(),
+    "tile_exemplars": _sql_tile_exemplars(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),

@@ -96,3 +96,58 @@ def test_robots_rules_exercise_all_shapes(spark):
     assert ("/", True) in kinds          # default allow
     assert ("/p/", False) in kinds       # disallowed subtree
     assert ("/p/1", True) in kinds       # longest-prefix re-allow
+
+
+def test_tile_labels_lift_reference(spark):
+    import math
+
+    from raptor_rag_spark.operators.ranking import tile_labels
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana"),
+            (1, "apple cherry"),
+            (2, "banana banana banana"),
+            (3, "cherry cherry apple"),
+        ],
+        "doc_id long, text string",
+    )
+    # two tiles: docs 0,1 left (x<0.5), docs 2,3 right
+    pts = spark.createDataFrame(
+        [(0, 0.1, 0.5), (1, 0.2, 0.5), (2, 0.8, 0.5), (3, 0.9, 0.5)],
+        "doc_id long, x double, y double",
+    )
+    rows = tile_labels(docs, pts, res=1, top_k=3).collect()
+    by_tile = {}
+    for r in rows:
+        by_tile.setdefault(r["tile"], {})[r["term"]] = r
+    # reference lift for 'apple' in the left tile: 3/5 vs corpus 4/11
+    left = min(by_tile)
+    exp = math.log((3 / 5) / (4 / 11))
+    assert by_tile[left]["apple"]["n"] == 3
+    assert abs(by_tile[left]["apple"]["lift"] - exp) < 1e-9
+    # ranks are 1..k, ordered by lift desc within each tile
+    for t, terms in by_tile.items():
+        ranked = sorted(terms.values(), key=lambda r: r["rank"])
+        assert [r["rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+        lifts = [r["lift"] for r in ranked]
+        assert lifts == sorted(lifts, reverse=True)
+
+
+def test_tile_exemplars_deterministic(spark):
+    from raptor_rag_spark.operators.ranking import tile_exemplars
+
+    docs = spark.createDataFrame([(i, "t") for i in range(50)], "doc_id long, text string")
+    pts = spark.createDataFrame(
+        [(i, (i % 10) / 10.0 + 0.05, (i // 10) / 5.0 + 0.05) for i in range(50)],
+        "doc_id long, x double, y double",
+    )
+    a = {(r["tile"], r["doc_id"], r["n_docs"]) for r in tile_exemplars(docs, pts, res=1).collect()}
+    b = {(r["tile"], r["doc_id"], r["n_docs"]) for r in tile_exemplars(docs, pts, res=1).collect()}
+    assert a == b and a
+    # every tile's population sums to the corpus
+    assert sum(t[2] for t in a) == 50
+    # exemplar belongs to its tile
+    loc = {i: (min(int(((i % 10) / 10.0 + 0.05) * 2), 1), min(int(((i // 10) / 5.0 + 0.05) * 2), 1)) for i in range(50)}
+    for tile, doc, _ in a:
+        assert loc[doc] == (tile // 2, tile % 2)
