@@ -179,3 +179,118 @@ WITH pts AS (SELECT {id_col}, {ix} AS ix, {iy} AS iy FROM ({points_sql})),
 keyed AS (SELECT {id_col}, ix, iy, {zkey} AS zkey FROM pts)
 SELECT {id_col}, ix, iy, zkey, (zkey >> {shift}) AS bucket FROM keyed
 """
+
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def tile_addresses(
+    points: DataFrame,
+    res: int = 6,
+    geohash_chars: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, ix, iy, zkey, quadkey, tms, geohash): every tile-addressing
+    scheme a tile server speaks, from one pass of pure JVM bit/string
+    arithmetic over the unit square:
+
+    - ``zkey``: Morton key (zorder_key_col);
+    - ``quadkey``: Bing-style base-4 zoom path, digit = xbit + 2·ybit from
+      the most significant bit — prefix truncation = zoom-out, the property
+      quadkey CDNs key caches on;
+    - ``tms``: the slippy-map ``z/x/y`` tile path at zoom ``res``;
+    - ``geohash``: base-32 interleaved-bit token of ``geohash_chars`` chars
+      over the unit square (x plays longitude-fraction, y latitude-
+      fraction) — the join key geo systems exchange.
+
+    All four are unrolled compile-time expression chains (no UDF); the
+    DuckDB twin unrolls the identical steps, so every address is
+    byte-identical across engines."""
+    n = 1 << res
+    ix = F.greatest(
+        F.least(F.floor(F.col("x") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    iy = F.greatest(
+        F.least(F.floor(F.col("y") * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0)
+    )
+    pts = points.select(id_col, "x", "y", ix.alias("ix"), iy.alias("iy"))
+    zkey = zorder_key_col(F.col("ix"), F.col("iy"), res)
+    digits = []
+    for b in range(res - 1, -1, -1):
+        d = (
+            F.shiftrightunsigned(F.col("ix"), b).bitwiseAND(F.lit(1))
+            + F.shiftrightunsigned(F.col("iy"), b).bitwiseAND(F.lit(1)) * F.lit(2)
+        )
+        digits.append(d.cast("string"))
+    quadkey = F.concat(*digits)
+    tms = F.concat_ws("/", F.lit(str(res)), F.col("ix").cast("string"), F.col("iy").cast("string"))
+    # geohash: 5*chars bits, x (lon) gets the even bit positions from MSB
+    total_bits = 5 * geohash_chars
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    gx = F.least(
+        F.floor(F.col("x") * F.lit(float(1 << lon_bits))).cast("long"), F.lit((1 << lon_bits) - 1)
+    )
+    gy = F.least(
+        F.floor(F.col("y") * F.lit(float(1 << lat_bits))).cast("long"), F.lit((1 << lat_bits) - 1)
+    )
+    inter = F.lit(0).cast("long")
+    for i in range(total_bits):  # i = 0 is the MSB of the geohash
+        if i % 2 == 0:
+            bit = F.shiftrightunsigned(gx, lon_bits - 1 - i // 2).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftrightunsigned(gy, lat_bits - 1 - i // 2).bitwiseAND(F.lit(1))
+        inter = F.shiftleft(inter, 1).bitwiseOR(bit)
+    chars = []
+    for c in range(geohash_chars):
+        g = F.shiftrightunsigned(inter, 5 * (geohash_chars - 1 - c)).bitwiseAND(F.lit(31))
+        chars.append(F.substring(F.lit(GEOHASH32), F.lit(1) + g.cast("int"), F.lit(1)))
+    geohash = F.concat(*chars)
+    return pts.select(
+        id_col, "ix", "iy",
+        zkey.alias("zkey"),
+        quadkey.alias("quadkey"),
+        tms.alias("tms"),
+        geohash.alias("geohash"),
+    )
+
+
+def tile_addresses_sql(
+    points_sql: str, res: int = 6, geohash_chars: int = 4, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`tile_addresses`."""
+    n = 1 << res
+    ixe = f"greatest(least(floor(x * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    iye = f"greatest(least(floor(y * {float(n)!r})::BIGINT, {n - 1}), 0)"
+    zkey = zorder_key_sql("ix", "iy", res)
+    digits = " || ".join(
+        f"CAST((((ix >> {b}) & 1) + ((iy >> {b}) & 1) * 2) AS VARCHAR)"
+        for b in range(res - 1, -1, -1)
+    )
+    total_bits = 5 * geohash_chars
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    gx = f"least(floor(x * {float(1 << lon_bits)!r})::BIGINT, {(1 << lon_bits) - 1})"
+    gy = f"least(floor(y * {float(1 << lat_bits)!r})::BIGINT, {(1 << lat_bits) - 1})"
+    parts = []
+    for i in range(total_bits):
+        if i % 2 == 0:
+            parts.append(f"(((gx >> {lon_bits - 1 - i // 2}) & 1) << {total_bits - 1 - i})")
+        else:
+            parts.append(f"(((gy >> {lat_bits - 1 - i // 2}) & 1) << {total_bits - 1 - i})")
+    inter = "(" + " | ".join(parts) + ")"
+    chars = " || ".join(
+        f"substr('{GEOHASH32}', 1 + CAST(((inter >> {5 * (geohash_chars - 1 - c)}) & 31) AS INT), 1)"
+        for c in range(geohash_chars)
+    )
+    return f"""
+WITH pts AS (SELECT {id_col}, x, y, {ixe} AS ix, {iye} AS iy FROM ({points_sql})),
+g AS (SELECT *, {gx} AS gx, {gy} AS gy FROM pts),
+h AS (SELECT *, {inter} AS inter FROM g)
+SELECT {id_col}, ix, iy,
+       {zkey} AS zkey,
+       ({digits}) AS quadkey,
+       ('{res}' || '/' || CAST(ix AS VARCHAR) || '/' || CAST(iy AS VARCHAR)) AS tms,
+       ({chars}) AS geohash
+FROM h
+"""

@@ -238,3 +238,48 @@ pick AS (
   FROM j GROUP BY url, host, path)
 SELECT url, host, path, (m).prefix AS matched_prefix, (m).allow AS allowed FROM pick
 """
+
+
+def crawl_frontier(pages: DataFrame, host_rank: DataFrame) -> DataFrame:
+    """(url, host, slot, rank, priority): politeness-aware crawl-frontier
+    schedule — the fetch ordering a crawler actually executes. Each host's
+    urls get sequential SLOTS (slot k = the k-th request to that host, so
+    one-request-per-host-per-round politeness is slot order by
+    construction); within a slot, higher-authority hosts (``host_rank``
+    from link PageRank) fetch first. ``priority`` is the global fetch
+    position.
+
+    Scale shape: one window partitioned BY HOST (per-host sort, no global
+    pass) for slots; the global priority is a window over the (slot, rank)
+    pair — a metadata-light sort because the frontier is emitted per slot
+    wave in practice; urls are deterministically sub-ordered by
+    portable-hash so the schedule is engine-reproducible."""
+    from pyspark.sql import Window
+
+    parsed = parse_urls(pages).select("url", "host")
+    wslot = Window.partitionBy("host").orderBy(G.hash63_col(F.col("url")), "url")
+    slotted = parsed.withColumn("slot", F.row_number().over(wslot).cast("long"))
+    j = slotted.join(F.broadcast(host_rank.select("host", "rank")), "host")
+    wp = Window.orderBy("slot", F.desc("rank"), "host", "url")
+    return j.withColumn("priority", F.row_number().over(wp).cast("long")).select(
+        "url", "host", "slot", "rank", "priority"
+    )
+
+
+def crawl_frontier_sql(pages_sql: str, host_rank_sql: str) -> str:
+    """DuckDB twin of :func:`crawl_frontier`. ``host_rank_sql`` yields
+    (host, rank)."""
+    h = G.hash63_sql("url")
+    return f"""
+WITH parsed AS (
+  SELECT url, regexp_extract(url, '{URL_RE}', 2) AS host FROM ({pages_sql})),
+slotted AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY {h}, url) AS BIGINT) AS slot
+  FROM parsed),
+j AS (SELECT s.url, s.host, s.slot, r.rank
+      FROM slotted s JOIN ({host_rank_sql}) r USING (host))
+SELECT url, host, slot, rank,
+       CAST(row_number() OVER (ORDER BY slot, rank DESC, host, url) AS BIGINT) AS priority
+FROM j
+"""

@@ -3353,6 +3353,50 @@ def _sql_tile_exemplars() -> str:
     )
 
 
+def q_tile_addresses(spark, sf_dir):
+    """All tile-addressing schemes from one pass (Morton key, Bing quadkey
+    zoom path, slippy-map z/x/y, base-32 geohash token) — unrolled JVM
+    bit/string arithmetic, byte-identical twins."""
+    from ..operators.layout import tile_addresses
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return tile_addresses(
+        e.select("vec_id", x.alias("x"), y.alias("y")), res=6, geohash_chars=4
+    )
+
+
+def _sql_tile_addresses() -> str:
+    from ..operators.layout import tile_addresses_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return tile_addresses_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=6, geohash_chars=4
+    )
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-aware crawl-frontier schedule: per-host fetch slots
+    (host-partitioned window) merged into a global priority order by
+    (slot, link-PageRank authority) — the ordering a crawler executes."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import link_pagerank
+    from ..operators.webops import crawl_frontier
+
+    pages = _pages(spark)
+    ranks = link_pagerank(extract_links(pages), iterations=5).select("host", "rank")
+    return crawl_frontier(pages, ranks)
+
+
+def _sql_crawl_frontier() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import link_pagerank_sql
+    from ..operators.webops import crawl_frontier_sql
+
+    ranks = f"SELECT host, rank FROM ({link_pagerank_sql(extract_links_sql(_PAGES_SQL), iterations=5)})"
+    return crawl_frontier_sql(_PAGES_SQL, ranks)
+
+
 def q_kde_terrain(spark, sf_dir):
     """Terrain derivatives over the KDE density raster
     (operators/heatmap.py:terrain_surface): Horn-stencil gradient, slope
@@ -3507,6 +3551,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_filter": q_robots_filter,
     "tile_labels": q_tile_labels,
     "tile_exemplars": q_tile_exemplars,
+    "tile_addresses": q_tile_addresses,
+    "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
@@ -3645,6 +3691,8 @@ ORACLES: dict[str, str] = {
     "robots_filter": _sql_robots_filter(),
     "tile_labels": _sql_tile_labels(),
     "tile_exemplars": _sql_tile_exemplars(),
+    "tile_addresses": _sql_tile_addresses(),
+    "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
