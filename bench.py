@@ -412,6 +412,38 @@ def main() -> None:
 
     timed("text_analysis", _text)
 
+    # hexagonal (H3-style) lattice: pyramid rollup over the embedding xy
+    from raptor_rag_spark.operators.hexgrid import hex_pyramid
+
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    hpts = embs.select(x.alias("x"), y.alias("y"))
+    timed("hex_pyramid", lambda: hex_pyramid(hpts, res=8, levels=4).count())
+
+    # winnowing fingerprints + MOSS match step
+    timed("winnow_matches", lambda: D.winnow_matches(docs.select("doc_id", "text")).count())
+
+    # geodesic chord distances via the twin sin/cos
+    from raptor_rag_spark.functions import trig as TR
+
+    geo_pts = embs.select(
+        "vec_id",
+        ((x - F.lit(0.5)) * F.lit(6.283185307179586)).alias("lon"),
+        ((y - F.lit(0.5)) * F.lit(3.141592653589793)).alias("lat"),
+    )
+    timed(
+        "geo_chord",
+        lambda: geo_pts.select(
+            TR.chord_dist_col(F.lit(0.7), F.lit(-2.1), F.col("lat"), F.col("lon")).alias("chord")
+        ).agg(F.sum("chord")).collect(),
+    )
+
+    # URL path pyramid + Bellman-Ford host distances over the link graph
+    from raptor_rag_spark.operators.graph import host_distances
+    from raptor_rag_spark.operators.webops import path_rollup
+
+    timed("path_rollup", lambda: path_rollup(pages).count())
+    timed("host_distances", lambda: host_distances(extract_links(pages)).count())
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

@@ -419,3 +419,73 @@ SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
   SELECT a AS host FROM e{rounds} UNION ALL SELECT b AS host FROM e{rounds})
 GROUP BY host HAVING count(*) >= {k}
 """
+
+
+def host_distances(links: DataFrame, rounds: int = 6) -> DataFrame:
+    """(host, dist): single-source weighted shortest paths over the host
+    link graph — Bellman-Ford with ``rounds`` relaxation rounds (paths up to
+    ``rounds`` hops), source = the lexicographically smallest host, edge
+    cost = 1 / n_links (heavily-linked hops are cheap, the standard
+    link-strength-to-distance transform). Unreached hosts are absent.
+
+    Exact-twin note: every candidate distance is a sum of identically-ordered
+    IEEE additions along one path, and each round takes min() over the same
+    candidate SET in both engines — min is order-insensitive, so the result
+    is bit-identical without decimal detours.
+
+    Scale shape: the frontier table is host-cardinality metadata; each round
+    is one equi-join frontier⋈edges + one map-side-combinable min-groupBy —
+    the same bounded-rounds discipline as pagerank/kcore (no driver loop
+    over data, no unbounded recursion)."""
+    edges = links.select(
+        "src_host",
+        "dst_host",
+        (F.lit(1.0) / F.col("n_links").cast("double")).alias("w"),
+    )
+    hosts = (
+        links.select(F.col("src_host").alias("host"))
+        .unionByName(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    # edges and the frontier are each referenced twice per round — checkpoint
+    # both so the logical plan stays O(1) per round instead of doubling
+    # (2^rounds leaf scans otherwise; same lineage-explosion class as the
+    # update_tree fix). Both tables are host-cardinality metadata.
+    edges = edges.localCheckpoint(eager=False)
+    d = hosts.agg(F.min("host").alias("host")).select("host", F.lit(0.0).alias("dist"))
+    for _ in range(rounds):
+        d = d.localCheckpoint(eager=False)
+        relaxed = d.join(edges, d["host"] == edges["src_host"]).select(
+            F.col("dst_host").alias("host"), (F.col("dist") + F.col("w")).alias("cand")
+        )
+        d = (
+            d.select("host", F.col("dist").alias("cand"))
+            .unionByName(relaxed)
+            .groupBy("host")
+            .agg(F.min("cand").alias("dist"))
+        )
+    return d
+
+
+def host_distances_sql(links_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`host_distances`. ``links_sql`` yields
+    (src_host, dst_host, n_links)."""
+    ctes = [
+        f"lnk AS ({links_sql})",
+        "edges AS (SELECT src_host, dst_host, 1.0 / CAST(n_links AS DOUBLE) AS w FROM lnk)",
+        """hosts AS (SELECT DISTINCT host FROM (
+           SELECT src_host AS host FROM lnk
+           UNION ALL SELECT dst_host AS host FROM lnk))""",
+        "d0 AS (SELECT min(host) AS host, 0.0 AS dist FROM hosts)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT host, min(cand) AS dist FROM (
+    SELECT host, dist AS cand FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst_host AS host, d.dist + e.w AS cand
+    FROM d{i - 1} d JOIN edges e ON d.host = e.src_host)
+  GROUP BY host)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT host, dist FROM d{rounds}"

@@ -250,19 +250,33 @@ def crawl_frontier(pages: DataFrame, host_rank: DataFrame) -> DataFrame:
     position.
 
     Scale shape: one window partitioned BY HOST (per-host sort, no global
-    pass) for slots; the global priority is a window over the (slot, rank)
-    pair — a metadata-light sort because the frontier is emitted per slot
-    wave in practice; urls are deterministically sub-ordered by
-    portable-hash so the schedule is engine-reproducible."""
+    pass) for slots; the global priority NEVER runs a single-partition sort —
+    it is assembled from per-SLOT windows plus driver-side cumulative slot
+    offsets (slot counts are metadata: one row per slot wave, bounded by the
+    deepest host's queue), so the widest partition is one slot wave, not the
+    whole frontier. Urls are deterministically sub-ordered by portable-hash
+    so the schedule is engine-reproducible."""
     from pyspark.sql import Window
 
     parsed = parse_urls(pages).select("url", "host")
     wslot = Window.partitionBy("host").orderBy(G.hash63_col(F.col("url")), "url")
     slotted = parsed.withColumn("slot", F.row_number().over(wslot).cast("long"))
     j = slotted.join(F.broadcast(host_rank.select("host", "rank")), "host")
-    wp = Window.orderBy("slot", F.desc("rank"), "host", "url")
-    return j.withColumn("priority", F.row_number().over(wp).cast("long")).select(
-        "url", "host", "slot", "rank", "priority"
+    # priority = cumulative count of earlier slot waves + rank within this
+    # wave; identical to a global row_number over (slot, rank DESC, host,
+    # url) but with no global sort. Slot counts are driver metadata.
+    j = j.localCheckpoint(eager=False)  # two consumers: slot counts + the schedule
+    counts = {r["slot"]: r["n"] for r in j.groupBy("slot").agg(F.count("*").alias("n")).collect()}
+    acc, offsets = 0, []
+    for s in sorted(counts):
+        offsets.append((s, acc))
+        acc += counts[s]
+    off = j.sparkSession.createDataFrame(offsets, "slot long, slot_off long")
+    wp = Window.partitionBy("slot").orderBy(F.desc("rank"), "host", "url")
+    return (
+        j.join(F.broadcast(off), "slot")
+        .withColumn("priority", (F.col("slot_off") + F.row_number().over(wp)).cast("long"))
+        .select("url", "host", "slot", "rank", "priority")
     )
 
 
@@ -282,4 +296,61 @@ j AS (SELECT s.url, s.host, s.slot, r.rank
 SELECT url, host, slot, rank,
        CAST(row_number() OVER (ORDER BY slot, rank DESC, host, url) AS BIGINT) AS priority
 FROM j
+"""
+
+
+def path_rollup(pages: DataFrame, max_depth: int = 3) -> DataFrame:
+    """(host, depth, prefix, n_pages, total_tokens): the URL-space tile
+    pyramid — every page rolls up into its path-prefix ancestors (depth 0 =
+    the site root '/', depth d = the first d path segments), mirroring how a
+    tile pyramid rolls cells into parents. The drill-down surface for "which
+    section of this site holds the tokens".
+
+    Scale shape: each page fans out to at most ``max_depth + 1`` prefix rows
+    (a constant), then ONE groupBy(host, depth, prefix) with full map-side
+    combine — the same bounded-fan-out + single-shuffle shape as the quadkey
+    pyramid rollup (operators/heatmap.py). Hot hosts are Zipf-skewed but the
+    key includes the prefix, which subdivides them; AQE splits any residual
+    hot key."""
+    parsed = parse_urls(pages).select(
+        "host", "path", G.token_count_col(F.col("text")).alias("n_tokens")
+    )
+    segs = F.filter(F.split(F.col("path"), "/"), lambda s: s != "")
+    fan = F.transform(
+        F.sequence(F.lit(0), F.least(F.size(segs), F.lit(max_depth))),
+        lambda d: F.struct(
+            d.cast("long").alias("depth"),
+            F.when(d == 0, F.lit("/"))
+            .otherwise(F.concat(F.lit("/"), F.concat_ws("/", F.slice(segs, 1, d))))
+            .alias("prefix"),
+        ),
+    )
+    return (
+        parsed.select("host", "n_tokens", F.explode(fan).alias("p"))
+        .groupBy("host", F.col("p.depth").alias("depth"), F.col("p.prefix").alias("prefix"))
+        .agg(F.count("*").alias("n_pages"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+def path_rollup_sql(pages_sql: str, max_depth: int = 3) -> str:
+    """DuckDB twin of :func:`path_rollup`; ``pages_sql`` yields (url, text)."""
+    return f"""
+WITH parsed AS (
+  SELECT regexp_extract(url, '{URL_RE}', 2) AS host,
+         regexp_extract(url, '{URL_RE}', 3) AS path,
+         {G.token_count_sql("text")} AS n_tokens
+  FROM ({pages_sql})),
+segd AS (
+  SELECT host, n_tokens, list_filter(str_split(path, '/'), s -> s <> '') AS segs
+  FROM parsed),
+fan AS (
+  SELECT host, n_tokens, segs,
+         unnest(generate_series(0, least(len(segs), {max_depth}))) AS depth
+  FROM segd)
+SELECT host, depth,
+       CASE WHEN depth = 0 THEN '/'
+            ELSE '/' || array_to_string(segs[1:depth], '/') END AS prefix,
+       count(*)::BIGINT AS n_pages,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM fan GROUP BY 1, 2, 3
 """

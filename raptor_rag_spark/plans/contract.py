@@ -604,6 +604,28 @@ SELECT doc_id, lang_guess, quality, n_tokens FROM (
 """
 
 
+def q_winnow_fp(spark, sf_dir):
+    """MOSS winnowing fingerprints (Schleimer et al. 2003): window-min over
+    k-gram hashes — position-robust exact-substring signatures, ~1/w the
+    k-gram volume, selected entirely in JVM array expressions."""
+    return D.winnow_fingerprints(ld(spark, sf_dir, "documents"))
+
+
+def _sql_winnow_fp() -> str:
+    return D.winnow_fingerprints_sql("SELECT doc_id, text FROM documents")
+
+
+def q_winnow_matches(spark, sf_dir):
+    """MOSS match step: pairs sharing ≥2 winnowed fingerprints via a
+    df-capped inverted-index self-join (same skew discipline as the other
+    pair generators — no hot fingerprint goes quadratic)."""
+    return D.winnow_matches(ld(spark, sf_dir, "documents"))
+
+
+def _sql_winnow_matches() -> str:
+    return D.winnow_matches_sql("SELECT doc_id, text FROM documents")
+
+
 # --------------------------------------------------------------------------
 # spatial / similarity over the embeddings table
 # --------------------------------------------------------------------------
@@ -3436,6 +3458,139 @@ def _sql_host_pagerank() -> str:
     return host_pagerank_sql(f"SELECT url FROM {_PAGES_PQ}", URL_RE, iterations=5)
 
 
+def q_host_distances(spark, sf_dir):
+    """Bellman-Ford shortest paths over the real extracted host link graph
+    (6 relaxation rounds, edge cost 1/n_links) — crawl-depth/authority
+    distance from the seed host; frontier is host-metadata, one join + one
+    min-groupBy per round."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import host_distances
+
+    return host_distances(extract_links(_pages(spark)))
+
+
+def _sql_host_distances() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import host_distances_sql
+
+    return host_distances_sql(extract_links_sql(_PAGES_SQL))
+
+
+GEO_LAT0, GEO_LON0 = 0.7, -2.1  # reference point for the geodesic query
+
+
+def q_geo_chord(spark, sf_dir):
+    """Geodesic distance on the sphere: project xy to (lon, lat), compute the
+    haversine CHORD distance 2R·√a from a fixed reference point using the
+    twin sin/cos (functions/trig.py — bit-identical argument-reduced Taylor
+    across Spark/DuckDB/Python, no libm). Chord = through-sphere metric,
+    strictly monotone in great-circle distance, so it ranks identically."""
+    from ..functions import trig as TR
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(
+        "vec_id",
+        ((x - F.lit(0.5)) * F.lit(2.0 * 3.141592653589793)).alias("lon"),
+        ((y - F.lit(0.5)) * F.lit(3.141592653589793)).alias("lat"),
+    )
+    return pts.select(
+        "vec_id",
+        "lon",
+        "lat",
+        TR.chord_dist_col(
+            F.lit(GEO_LAT0), F.lit(GEO_LON0), F.col("lat"), F.col("lon")
+        ).alias("chord"),
+    )
+
+
+def _sql_geo_chord() -> str:
+    from ..functions import trig as TR
+
+    x, y = G.xy_sql("embedding", DIM)
+    return f"""
+WITH pts AS (
+  SELECT vec_id,
+         (({x}) - 0.5) * {2.0 * 3.141592653589793!r} AS lon,
+         (({y}) - 0.5) * {3.141592653589793!r} AS lat
+  FROM embeddings)
+SELECT vec_id, lon, lat,
+       {TR.chord_dist_sql(repr(GEO_LAT0), repr(GEO_LON0), "lat", "lon")} AS chord
+FROM pts
+"""
+
+
+def q_hex_pyramid(spark, sf_dir):
+    """Hexagonal tile pyramid: per-hex counts at res 6 rolled up 3 levels via
+    H3 child→parent (center-containment) semantics — point set aggregated
+    once, coarser levels cost only occupied-hex metadata."""
+    from ..operators.hexgrid import hex_pyramid
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return hex_pyramid(e.select(x.alias("x"), y.alias("y")), res=6, levels=3)
+
+
+def _sql_hex_pyramid() -> str:
+    from ..operators.hexgrid import hex_pyramid_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return hex_pyramid_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=6, levels=3)
+
+
+def q_path_rollup(spark, sf_dir):
+    """URL-space tile pyramid: every page rolls up into its path-prefix
+    ancestors (depth ≤ 3), one bounded fan-out + one map-side-combinable
+    groupBy — the drill-down surface over site structure."""
+    from ..operators.webops import path_rollup
+
+    return path_rollup(_pages(spark))
+
+
+def _sql_path_rollup() -> str:
+    from ..operators.webops import path_rollup_sql
+
+    return path_rollup_sql(f"SELECT url, text FROM {_PAGES_PQ}")
+
+
+def q_hex_cells(spark, sf_dir):
+    """H3-style HEXAGONAL index (functions/hexgen.py): axial coords via cube
+    rounding, packed 64-bit hex ids, and the H3 center-containment parent one
+    resolution coarser — the genuine hex lattice beside the quadkey grid
+    (reference layer hierarchy: raptor/cluster_tree_builder.py:84-129)."""
+    from ..operators.hexgrid import hex_assign
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return hex_assign(e.select("vec_id", x.alias("x"), y.alias("y")), res=6)
+
+
+def _sql_hex_cells() -> str:
+    from ..operators.hexgrid import hex_assign_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return hex_assign_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=6)
+
+
+def q_hex_density(spark, sf_dir):
+    """Hexagonal ring-1 smoothed density: per-hex counts + sum over the 6
+    axial neighbors, folded into ONE aggregation (the 7× fan-out explodes
+    occupied-hex metadata, never the point set) — the isotropic focal mean
+    square grids can't give."""
+    from ..operators.hexgrid import hex_density
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return hex_density(e.select(x.alias("x"), y.alias("y")), res=5)
+
+
+def _sql_hex_density() -> str:
+    from ..operators.hexgrid import hex_density_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return hex_density_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=5)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3469,6 +3624,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
     "curate_corpus": q_curate_corpus,
+    "winnow_fp": q_winnow_fp,
+    "winnow_matches": q_winnow_matches,
     # spatial / similarity
     "emb_cells": q_emb_cells,
     "emb_dwithin": q_emb_dwithin,
@@ -3552,6 +3709,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_labels": q_tile_labels,
     "tile_exemplars": q_tile_exemplars,
     "tile_addresses": q_tile_addresses,
+    "hex_cells": q_hex_cells,
+    "hex_density": q_hex_density,
+    "hex_pyramid": q_hex_pyramid,
+    "geo_chord": q_geo_chord,
+    "path_rollup": q_path_rollup,
+    "host_distances": q_host_distances,
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
@@ -3612,6 +3775,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _sql_dedup_components(),
     "dedup_keep": _sql_dedup_keep(),
     "curate_corpus": _sql_curate_corpus(),
+    "winnow_fp": _sql_winnow_fp(),
+    "winnow_matches": _sql_winnow_matches(),
     "emb_cells": _sql_emb_cells(),
     "emb_dwithin": _sql_emb_dwithin(),
     "bbox_overlay": _sql_bbox_overlay(),
@@ -3692,6 +3857,12 @@ ORACLES: dict[str, str] = {
     "tile_labels": _sql_tile_labels(),
     "tile_exemplars": _sql_tile_exemplars(),
     "tile_addresses": _sql_tile_addresses(),
+    "hex_cells": _sql_hex_cells(),
+    "hex_density": _sql_hex_density(),
+    "hex_pyramid": _sql_hex_pyramid(),
+    "geo_chord": _sql_geo_chord(),
+    "path_rollup": _sql_path_rollup(),
+    "host_distances": _sql_host_distances(),
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),

@@ -1,0 +1,75 @@
+"""Twin sin/cos and haversine chord distance: accuracy vs libm, bit-identity
+across Python/DuckDB/Spark, and metric properties."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+from raptor_rag_spark.functions import trig as T
+
+
+def test_accuracy_vs_libm():
+    xs = np.linspace(-4.0, 4.0, 2001)
+    for x in xs:
+        x = float(x)
+        assert abs(T.sin_py(x) - math.sin(x)) < 3e-16
+        assert abs(T.cos_py(x) - math.cos(x)) < 3e-16
+
+
+def test_duckdb_bit_identical_to_python():
+    xs = [float(x) for x in np.linspace(-4.0, 4.0, 801)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    rows = con.execute(f"SELECT x, {T.sin_sql('x')} AS s, {T.cos_sql('x')} AS c FROM t").fetchall()
+    for x, s, c in rows:
+        assert s == T.sin_py(x) and c == T.cos_py(x), x
+
+
+def test_spark_bit_identical_to_python(spark):
+    from pyspark.sql import functions as F
+
+    xs = [(float(x),) for x in np.linspace(-4.0, 4.0, 801)]
+    df = spark.createDataFrame(xs, "x double")
+    rows = df.select("x", T.sin_col(F.col("x")).alias("s"), T.cos_col(F.col("x")).alias("c")).collect()
+    for r in rows:
+        assert r["s"] == T.sin_py(r["x"]) and r["c"] == T.cos_py(r["x"]), r["x"]
+
+
+def _chord_py(lat1, lon1, lat2, lon2):
+    sdlat = T.sin_py((lat2 - lat1) * 0.5)
+    sdlon = T.sin_py((lon2 - lon1) * 0.5)
+    a = sdlat * sdlat + T.cos_py(lat1) * T.cos_py(lat2) * (sdlon * sdlon)
+    return 2.0 * math.sqrt(a)
+
+
+def test_chord_is_geodesic_chord():
+    """2·sin(c/2) where c is the true central angle — checked against the
+    3D unit-vector chord length."""
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        lat1, lat2 = rng.uniform(-math.pi / 2, math.pi / 2, 2)
+        lon1, lon2 = rng.uniform(-math.pi, math.pi, 2)
+        v1 = np.array([math.cos(lat1) * math.cos(lon1), math.cos(lat1) * math.sin(lon1), math.sin(lat1)])
+        v2 = np.array([math.cos(lat2) * math.cos(lon2), math.cos(lat2) * math.sin(lon2), math.sin(lat2)])
+        want = float(np.linalg.norm(v1 - v2))
+        got = _chord_py(lat1, lon1, lat2, lon2)
+        assert abs(got - want) < 1e-12
+
+
+def test_chord_sql_twin():
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, float(rng.uniform(-math.pi / 2, math.pi / 2)), float(rng.uniform(-math.pi, math.pi)))
+        for i in range(300)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO g VALUES (?, ?, ?)", rows)
+    sql = T.chord_dist_sql("0.7", "-2.1", "lat", "lon")
+    got = dict(con.execute(f"SELECT id, {sql} FROM g").fetchall())
+    for i, lat, lon in rows:
+        assert got[i] == _chord_py(0.7, -2.1, lat, lon), i

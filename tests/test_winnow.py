@@ -1,0 +1,84 @@
+"""Winnowing fingerprints (MOSS): reference-python vs DuckDB vs Spark twins,
+plus the winnowing guarantee (shared k+w-1 token run ⇒ shared fingerprint)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+
+from raptor_rag_spark.operators.dedup import (
+    WINNOW_K,
+    WINNOW_W,
+    winnow_fingerprints,
+    winnow_fingerprints_sql,
+    winnow_matches,
+    winnow_matches_sql,
+)
+
+WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _hash63(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _winnow_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> set[int]:
+    toks = WORD_RE.findall(text.lower())
+    if not toks:
+        return set()
+    grams = (
+        [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else [" ".join(toks)]
+    )
+    hs = [_hash63(g) for g in grams]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (2, "completely different words describing some other topic entirely here now"),
+    # doc 3 shares a long run with doc 1 (the first 12 words)
+    (3, "the quick brown fox jumps over the lazy dog and runs far but then it stops"),
+    (4, ""),
+    (5, "short text"),
+]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    return con.execute(sql).fetchall()
+
+
+def test_sql_matches_reference_python():
+    rows = _duck(winnow_fingerprints_sql("SELECT doc_id, text FROM documents"))
+    got: dict[int, set[int]] = {}
+    for d, fp in rows:
+        got.setdefault(d, set()).add(fp)
+    for doc_id, text in DOCS:
+        assert got.get(doc_id, set()) == _winnow_py(text), doc_id
+
+
+def test_guarantee_shared_run_yields_shared_fp():
+    """Docs 1 and 3 share a run of 12 >= k + w - 1 = 11 tokens."""
+    a, b = _winnow_py(DOCS[0][1]), _winnow_py(DOCS[2][1])
+    assert a & b
+    pairs = _duck(winnow_matches_sql("SELECT doc_id, text FROM documents", min_shared=1))
+    assert any(p[:2] == (1, 3) for p in pairs)
+
+
+def test_spark_twins(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {(r["doc_id"], r["fp"]) for r in winnow_fingerprints(df).collect()}
+    want = set(map(tuple, _duck(winnow_fingerprints_sql("SELECT doc_id, text FROM documents"))))
+    assert got == want
+
+    gm = {tuple(r) for r in winnow_matches(df, min_shared=1).collect()}
+    wm = set(map(tuple, _duck(winnow_matches_sql("SELECT doc_id, text FROM documents", min_shared=1))))
+    assert gm == wm
