@@ -48,6 +48,16 @@ SQRT3 = 1.7320508075688772  # float64 nearest to sqrt(3); shared literal
 AXIAL_NEIGHBORS = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
 
 
+
+def flit(x: float) -> str:
+    """Emit a float for DuckDB SQL in scientific notation, which DuckDB
+    parses as DOUBLE (IEEE-correct). Plain decimal literals parse as
+    DECIMAL(w,s), and DuckDB's DECIMAL->DOUBLE cast can differ from the
+    IEEE-754 nearest double by one ulp (measured: 0.013531646934131853) —
+    enough to flip floor()/comparison branches at constructed boundaries."""
+    return f"{float(x):.17e}"
+
+
 def hex_size(res: int) -> float:
     """Circumradius of the res-level hexagon (halves per resolution)."""
     if not 0 <= res <= 20:
@@ -160,8 +170,8 @@ def hex_qr_sql(x: str, y: str, res: int) -> tuple[str, str]:
     """(q_expr, r_expr) — requires x/y to be simple column references (they
     are repeated several times; pass through a WITH stage first)."""
     a, b, c = _axial_consts(res)
-    qf = f"(({x}) * {a!r})"
-    rf = f"(({x}) * {b!r} + ({y}) * {c!r})"
+    qf = f"(({x}) * {flit(a)})"
+    rf = f"(({x}) * {flit(b)} + ({y}) * {flit(c)})"
     sf = f"(-{qf} - {rf})"
     qr, rr, sr = _round_sql(qf), _round_sql(rf), _round_sql(sf)
     dq = f"abs(({qr})::DOUBLE - {qf})"
@@ -182,6 +192,6 @@ def hex_pack_sql(q: str, r: str, res: int) -> str:
 
 def hex_center_sql(q: str, r: str, res: int) -> tuple[str, str]:
     s = hex_size(res)
-    cx = f"(({q})::DOUBLE * {1.5 * s!r})"
-    cy = f"(({r})::DOUBLE * {SQRT3 * s!r} + ({q})::DOUBLE * {SQRT3 * s * 0.5!r})"
+    cx = f"(({q})::DOUBLE * {flit(1.5 * s)})"
+    cy = f"(({r})::DOUBLE * {flit(SQRT3 * s)} + ({q})::DOUBLE * {flit(SQRT3 * s * 0.5)})"
     return cx, cy

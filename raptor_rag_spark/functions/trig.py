@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .hexgen import flit
+
 TWO_OVER_PI = 0.6366197723675814
 PIO2_HI = 1.5707963267341256  # high split of pi/2
 PIO2_LO = 6.077100506506192e-11  # pi/2 - PIO2_HI (double-double tail)
@@ -94,16 +96,16 @@ def chord_dist_col(
 # ---------------------------------------------------------------- DuckDB side
 
 def _fold_sql(x: str) -> tuple[str, str]:
-    k = f"CAST(floor(({x}) * {TWO_OVER_PI!r} + 0.5) AS BIGINT)"
+    k = f"CAST(floor(({x}) * {flit(TWO_OVER_PI)} + 0.5) AS BIGINT)"
     kd = f"CAST({k} AS DOUBLE)"
-    y = f"((({x}) - {kd} * {PIO2_HI!r}) - {kd} * {PIO2_LO!r})"
+    y = f"((({x}) - {kd} * {flit(PIO2_HI)}) - {kd} * {flit(PIO2_LO)})"
     return k, y
 
 
 def _poly_sql(y2: str, coef: list[float]) -> str:
-    p = repr(coef[-1])
+    p = flit(coef[-1])
     for c in reversed(coef[:-1]):
-        p = f"({p} * {y2} + {c!r})"
+        p = f"({p} * {y2} + {flit(c)})"
     return p
 
 
@@ -172,4 +174,4 @@ def chord_dist_sql(lat1: str, lon1: str, lat2: str, lon2: str, radius: float = 1
     sdlat = sin_sql(f"((({lat2}) - ({lat1})) * 0.5)")
     sdlon = sin_sql(f"((({lon2}) - ({lon1})) * 0.5)")
     a = f"({sdlat} * {sdlat} + {cos_sql(lat1)} * {cos_sql(lat2)} * ({sdlon} * {sdlon}))"
-    return f"({2.0 * radius!r} * sqrt({a}))"
+    return f"({flit(2.0 * radius)} * sqrt({a}))"

@@ -491,3 +491,58 @@ SELECT b.{id_col}, b.n_grams,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM base b LEFT JOIN hits h USING ({id_col})
 """
+
+
+ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def anchor_text_profile(pages: DataFrame, top_k: int = 3) -> DataFrame:
+    """(dst_host, term, n, rnk): what the web CALLS each host — the top
+    ``top_k`` anchor-text terms pointing at every destination host, the
+    classic link-context relevance signal (anchor text describes the TARGET,
+    not the source, so it is the highest-precision ranking feature a crawl
+    yields).
+
+    Scale shape: one html scan (anchor tags exploded, then per-row regexp
+    group extraction — all codegen), one map-side-combined groupBy on
+    (dst_host, term), and a top-k window partitioned by host over the
+    host-cardinality count table. No data-sized window, no Python."""
+    tags = pages.select(
+        F.explode(
+            F.regexp_extract_all(F.decode(F.col("html"), "UTF-8"), F.lit(ANCHOR_RE), 0)
+        ).alias("tag")
+    )
+    parsed = tags.select(
+        F.regexp_extract(F.col("tag"), ANCHOR_RE, 1).alias("dst_url"),
+        F.regexp_extract(F.col("tag"), ANCHOR_RE, 2).alias("anchor"),
+    ).select(
+        F.regexp_extract(F.col("dst_url"), URL_RE, 2).alias("dst_host"),
+        F.explode(G.words_col(F.col("anchor"))).alias("term"),
+    ).where(F.col("dst_host") != "")
+    counts = parsed.groupBy("dst_host", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_k)
+        .select("dst_host", "term", "n", "rnk")
+    )
+
+
+def anchor_text_profile_sql(pages_sql: str, top_k: int = 3) -> str:
+    """DuckDB twin of :func:`anchor_text_profile`."""
+    return f"""
+WITH tags AS (
+  SELECT unnest(regexp_extract_all(decode(html), '{ANCHOR_RE}', 0)) AS tag
+  FROM ({pages_sql})),
+parsed AS (
+  SELECT regexp_extract(regexp_extract(tag, '{ANCHOR_RE}', 1), '{URL_RE}', 2) AS dst_host,
+         unnest({G.words_sql("regexp_extract(tag, '" + ANCHOR_RE + "', 2)")}) AS term
+  FROM tags),
+counts AS (
+  SELECT dst_host, term, count(*)::BIGINT AS n FROM parsed
+  WHERE dst_host <> '' GROUP BY dst_host, term)
+SELECT dst_host, term, n,
+       CAST(row_number() OVER (PARTITION BY dst_host ORDER BY n DESC, term) AS BIGINT) AS rnk
+FROM counts
+QUALIFY rnk <= {top_k}
+"""

@@ -167,3 +167,88 @@ def hex_pyramid_sql(points_sql: str, res: int, levels: int = 3) -> str:
         )
     union = "\nUNION ALL\n".join(f"SELECT * FROM lvl{i}" for i in range(levels))
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def hex_soft_assign(
+    points: DataFrame, res: int, eps: float = 0.15, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, hex_q, hex_r, is_home, hexdist): soft multi-cell HEX assignment —
+    the GMM prob-threshold recast (reference raptor/cluster_utils.py:46-52)
+    on the hexagonal lattice: every point keeps its home hexagon and
+    additionally any of the 6 neighbors whose boundary polygon, expanded by
+    ``eps``·apothem, still contains the point. The hexagon point-in-polygon
+    test is closed-form (no ray casting needed for a regular hexagon):
+    p is inside the hex at center c iff
+    max(|dy|, |dx·√3/2 + dy/2|, |dx·√3/2 − dy/2|) ≤ apothem — the three
+    edge-normal projections of p−c.
+
+    Scale shape: a literal 7-offset explode (constant fan-out per point), all
+    arithmetic scan-fused JVM expressions, no join, no shuffle — downstream
+    consumers aggregate. ``hexdist`` is the normalized hex-norm (1.0 = on
+    the boundary), so a consumer can re-threshold without recomputing."""
+    from ..functions.hexgen import AXIAL_NEIGHBORS, SQRT3, hex_center_cols, hex_qr_cols, hex_size
+
+    b = SQRT3 / 2.0
+    apothem = hex_size(res) * b
+    q, r = hex_qr_cols(F.col("x"), F.col("y"), res)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dq).cast("long").alias("dq"), F.lit(dr).cast("long").alias("dr"))
+            for dq, dr in ((0, 0), *AXIAL_NEIGHBORS)
+        ]
+    )
+    fanned = points.select(
+        id_col, "x", "y", q.alias("hq"), r.alias("hr"), F.explode(offsets).alias("o")
+    ).select(
+        id_col,
+        "x",
+        "y",
+        (F.col("hq") + F.col("o.dq")).alias("hex_q"),
+        (F.col("hr") + F.col("o.dr")).alias("hex_r"),
+        ((F.col("o.dq") == 0) & (F.col("o.dr") == 0)).alias("is_home"),
+    )
+    cx, cy = hex_center_cols(F.col("hex_q"), F.col("hex_r"), res)
+    dx = F.col("x") - cx
+    dy = F.col("y") - cy
+    m = F.greatest(
+        F.abs(dy),
+        F.abs(dx * F.lit(b) + dy * F.lit(0.5)),
+        F.abs(dx * F.lit(b) - dy * F.lit(0.5)),
+    )
+    return (
+        fanned.withColumn("hexdist", m / F.lit(apothem))
+        .where(F.col("hexdist") <= F.lit(1.0 + eps))
+        .select(id_col, "hex_q", "hex_r", "is_home", "hexdist")
+    )
+
+
+def hex_soft_assign_sql(
+    points_sql: str, res: int, eps: float = 0.15, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`hex_soft_assign`."""
+    from ..functions.hexgen import AXIAL_NEIGHBORS, SQRT3, flit, hex_center_sql, hex_qr_sql, hex_size
+
+    b = SQRT3 / 2.0
+    apothem = hex_size(res) * b
+    q, r = hex_qr_sql("x", "y", res)
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in ((0, 0), *AXIAL_NEIGHBORS))
+    cx, cy = hex_center_sql("hex_q", "hex_r", res)
+    return f"""
+WITH pts AS (SELECT {id_col}, x, y FROM ({points_sql})),
+assigned AS (SELECT {id_col}, x, y, {q} AS hq, {r} AS hr FROM pts),
+offs(dq, dr) AS (VALUES {offs}),
+fanned AS (
+  SELECT {id_col}, x, y, hq + dq AS hex_q, hr + dr AS hex_r,
+         (dq = 0 AND dr = 0) AS is_home
+  FROM assigned CROSS JOIN offs),
+centered AS (
+  SELECT {id_col}, x, y, hex_q, hex_r, is_home, {cx} AS cx, {cy} AS cy FROM fanned),
+scored AS (
+  SELECT {id_col}, hex_q, hex_r, is_home,
+         greatest(abs(y - cy),
+                  abs((x - cx) * {flit(b)} + (y - cy) * 0.5),
+                  abs((x - cx) * {flit(b)} - (y - cy) * 0.5)) / {flit(apothem)} AS hexdist
+  FROM centered)
+SELECT {id_col}, hex_q, hex_r, is_home, hexdist FROM scored
+WHERE hexdist <= {flit(1.0 + eps)}
+"""

@@ -276,3 +276,69 @@ SELECT {id_col}, n_points, round(path, 6) AS path_len, round(net, 6) AS net_disp
          AS mean_step
 FROM scored
 """
+
+
+def stay_points(
+    events_xy: DataFrame, res: int = 6, min_events: int = 3, id_col: str = "user_id"
+) -> DataFrame:
+    """(user_id, cell_id, n_events, t_start, t_end): dwell detection — the
+    maximal runs of CONSECUTIVE events (per user, time order) that stay in
+    the same grid cell, kept when the run holds ≥ ``min_events`` events. The
+    mobility-analytics "stay point": where an entity lingered, as opposed to
+    where it passed through. Cell membership discretizes the radius test, so
+    the whole detector is gaps-and-islands over window functions — no
+    sequential scan kernel.
+
+    Scale shape: one window partitioned by user (per-user time sort only;
+    users are the natural shard) + one groupBy on the run id; both shuffles
+    are on user_id. Timestamps are formatted to strings for the twin
+    comparison per the house rule.
+    """
+    from pyspark.sql import Window
+
+    cell = G.cell_col(F.col("x"), F.col("y"), res)
+    w = Window.partitionBy(id_col).orderBy("ts", "event_id")
+    runs = (
+        events_xy.select(id_col, "event_id", "ts", cell.alias("cell_id"))
+        .withColumn(
+            "new_run",
+            F.when(F.col("cell_id") == F.lag("cell_id").over(w), F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("run_id", F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        runs.groupBy(id_col, "run_id")
+        .agg(
+            F.first("cell_id").alias("cell_id"),
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("t_end"),
+        )
+        .where(F.col("n_events") >= min_events)
+        .select(id_col, "cell_id", "n_events", "t_start", "t_end")
+    )
+
+
+def stay_points_sql(
+    events_xy_sql: str, res: int = 6, min_events: int = 3, id_col: str = "user_id"
+) -> str:
+    """DuckDB twin of :func:`stay_points`. ``events_xy_sql`` yields
+    (user_id, event_id, ts, x, y)."""
+    cell = G.cell_sql("x", "y", res)
+    return f"""
+WITH pts AS (SELECT {id_col}, event_id, ts, {cell} AS cell_id FROM ({events_xy_sql})),
+flagged AS (
+  SELECT {id_col}, event_id, ts, cell_id,
+         CASE WHEN cell_id = lag(cell_id) OVER w THEN 0 ELSE 1 END AS new_run
+  FROM pts WINDOW w AS (PARTITION BY {id_col} ORDER BY ts, event_id)),
+runs AS (
+  SELECT {id_col}, ts, cell_id,
+         sum(new_run) OVER (PARTITION BY {id_col} ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged)
+SELECT {id_col}, min(cell_id) AS cell_id, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
+FROM runs GROUP BY {id_col}, run_id
+HAVING count(*) >= {min_events}
+"""

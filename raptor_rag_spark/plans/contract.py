@@ -3212,6 +3212,46 @@ JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
     return trajectory_stats_sql(ev_xy)
 
 
+def q_stay_points(spark, sf_dir):
+    """Dwell detection (stay points): maximal same-cell consecutive-event
+    runs per user with ≥2 events — gaps-and-islands over user-partitioned
+    windows, shuffling only on user_id (operators/spacetime.py:stay_points)."""
+    from ..operators.spacetime import stay_points
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    return stay_points(pts, res=4, min_events=2)
+
+
+def _sql_stay_points() -> str:
+    from ..operators.spacetime import stay_points_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    ev_xy = f"""
+SELECT e.user_id, e.event_id, e.ts,
+       greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+       greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+FROM events e
+JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+  ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id
+"""
+    return stay_points_sql(ev_xy, res=4, min_events=2)
+
+
 def q_seg_intersect(spark, sf_dir):
     """Trajectory-crossing detection: ST_Intersects(line, line) as a
     cell-bucketed candidate join + exact double-straddle orientation test
@@ -3458,6 +3498,21 @@ def _sql_host_pagerank() -> str:
     return host_pagerank_sql(f"SELECT url FROM {_PAGES_PQ}", URL_RE, iterations=5)
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text profile: top-3 terms the web uses to link TO each host —
+    codegen regexp extraction + one (host, term) groupBy + host-partitioned
+    top-k window; the highest-precision ranking feature a crawl yields."""
+    from ..operators.curation import anchor_text_profile
+
+    return anchor_text_profile(_pages(spark))
+
+
+def _sql_anchor_text() -> str:
+    from ..operators.curation import anchor_text_profile_sql
+
+    return anchor_text_profile_sql(_PAGES_SQL)
+
+
 def q_host_distances(spark, sf_dir):
     """Bellman-Ford shortest paths over the real extracted host link graph
     (6 relaxation rounds, edge cost 1/n_links) — crawl-depth/authority
@@ -3536,6 +3591,27 @@ def _sql_hex_pyramid() -> str:
 
     x, y = G.xy_sql("embedding", DIM)
     return hex_pyramid_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=6, levels=3)
+
+
+def q_hex_soft(spark, sf_dir):
+    """Soft multi-cell assignment on the HEX lattice: home hexagon + any
+    neighbor whose eps-expanded boundary polygon still contains the point —
+    the GMM prob-threshold recast with a closed-form hexagon PIP (3
+    edge-normal projections vs apothem). Constant 7× fan-out, zero joins."""
+    from ..operators.hexgrid import hex_soft_assign
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return hex_soft_assign(e.select("vec_id", x.alias("x"), y.alias("y")), res=5, eps=0.2)
+
+
+def _sql_hex_soft() -> str:
+    from ..operators.hexgrid import hex_soft_assign_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return hex_soft_assign_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", res=5, eps=0.2
+    )
 
 
 def q_path_rollup(spark, sf_dir):
@@ -3713,8 +3789,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hex_density": q_hex_density,
     "hex_pyramid": q_hex_pyramid,
     "geo_chord": q_geo_chord,
+    "hex_soft": q_hex_soft,
     "path_rollup": q_path_rollup,
     "host_distances": q_host_distances,
+    "anchor_text": q_anchor_text,
+    "stay_points": q_stay_points,
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
@@ -3861,8 +3940,11 @@ ORACLES: dict[str, str] = {
     "hex_density": _sql_hex_density(),
     "hex_pyramid": _sql_hex_pyramid(),
     "geo_chord": _sql_geo_chord(),
+    "hex_soft": _sql_hex_soft(),
     "path_rollup": _sql_path_rollup(),
     "host_distances": _sql_host_distances(),
+    "anchor_text": _sql_anchor_text(),
+    "stay_points": _sql_stay_points(),
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),

@@ -184,3 +184,33 @@ def test_hex_pyramid_twin_and_mass(spark):
     }
     got = {(r["res"], r["hex_q"], r["hex_r"], r["cnt"]) for r in out}
     assert got == want
+
+
+def test_hex_soft_assign_twin_and_semantics(spark):
+    """Every point keeps its home hex (hexdist <= 1 there); neighbors appear
+    only within the eps collar; Spark == DuckDB exactly."""
+    import duckdb as _dd
+
+    from raptor_rag_spark.operators.hexgrid import hex_soft_assign, hex_soft_assign_sql
+
+    rng = np.random.default_rng(21)
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(rng.random((300, 2)))]
+    df = spark.createDataFrame(rows, "vec_id long, x double, y double")
+    out = hex_soft_assign(df, res=5, eps=0.2).collect()
+    homes = [r for r in out if r["is_home"]]
+    assert len(homes) == len(rows)  # exactly one home per point
+    assert all(r["hexdist"] <= 1.0 + 1e-12 for r in homes)
+    others = [r for r in out if not r["is_home"]]
+    assert others and all(r["hexdist"] <= 1.2 for r in others)
+    assert min(r["hexdist"] for r in others) > 0.8  # collar, not interior
+    con = _dd.connect()
+    con.execute("CREATE TABLE points_tbl(vec_id BIGINT, x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO points_tbl VALUES (?, ?, ?)", rows)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            hex_soft_assign_sql("SELECT vec_id, x, y FROM points_tbl", res=5, eps=0.2)
+        ).fetchall()
+    }
+    got = {(r["vec_id"], r["hex_q"], r["hex_r"], r["is_home"], r["hexdist"]) for r in out}
+    assert got == want
