@@ -437,6 +437,26 @@ def main() -> None:
         ).agg(F.sum("chord")).collect(),
     )
 
+    # S2 spherical cells (twin-trig face chart + Hilbert walk, zero shuffles)
+    from raptor_rag_spark.operators.s2 import s2_cells
+
+    timed(
+        "s2_cells",
+        lambda: s2_cells(
+            geo_pts.select("vec_id", "lon", "lat"), res=10
+        ).agg(F.sum("s2_id")).collect(),
+    )
+
+    # hex soft assignment (7x fan-out hexagon PIP collar)
+    from raptor_rag_spark.operators.hexgrid import hex_soft_assign
+
+    timed(
+        "hex_soft",
+        lambda: hex_soft_assign(
+            embs.select("vec_id", x.alias("x"), y.alias("y")), res=8, eps=0.2
+        ).count(),
+    )
+
     # URL path pyramid + Bellman-Ford host distances over the link graph
     from raptor_rag_spark.operators.graph import host_distances
     from raptor_rag_spark.operators.webops import path_rollup

@@ -130,6 +130,10 @@ def hex_pyramid(points: DataFrame, res: int, levels: int = 3) -> DataFrame:
         .groupBy("hex_q", "hex_r")
         .agg(F.count("*").alias("cnt"))
         .select(F.lit(res).cast("int").alias("res"), "hex_q", "hex_r", "cnt")
+        # materialize once: each level of the final UNION is a separate plan
+        # branch, and without this the point-set aggregation re-runs per
+        # level; checkpointed, every level chains off occupied-hex metadata
+        .localCheckpoint(eager=False)
     )
     out = cur
     for lvl in range(1, levels):

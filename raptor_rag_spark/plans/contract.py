@@ -3575,6 +3575,35 @@ FROM pts
 """
 
 
+def q_s2_cells(spark, sf_dir):
+    """S2-style spherical cells: (lon, lat) → twin-trig unit vector →
+    cube-face chart → linear st → Hilbert position on the face; parent is
+    the 2-bit Hilbert prefix (S2's defining hierarchy property). Zero
+    shuffles — one scan-fused Project (operators/s2.py)."""
+    from ..operators.s2 import s2_cells
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(
+        "vec_id",
+        ((x - F.lit(0.5)) * F.lit(2.0 * 3.141592653589793)).alias("lon"),
+        ((y - F.lit(0.5)) * F.lit(3.141592653589793)).alias("lat"),
+    )
+    return s2_cells(pts, res=8)
+
+
+def _sql_s2_cells() -> str:
+    from ..operators.s2 import s2_cells_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    pts = f"""
+SELECT vec_id,
+       (({x}) - 0.5) * {2.0 * 3.141592653589793!r} AS lon,
+       (({y}) - 0.5) * {3.141592653589793!r} AS lat
+FROM embeddings"""
+    return s2_cells_sql(pts, res=8)
+
+
 def q_hex_pyramid(spark, sf_dir):
     """Hexagonal tile pyramid: per-hex counts at res 6 rolled up 3 levels via
     H3 child→parent (center-containment) semantics — point set aggregated
@@ -3790,6 +3819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hex_pyramid": q_hex_pyramid,
     "geo_chord": q_geo_chord,
     "hex_soft": q_hex_soft,
+    "s2_cells": q_s2_cells,
     "path_rollup": q_path_rollup,
     "host_distances": q_host_distances,
     "anchor_text": q_anchor_text,
@@ -3941,6 +3971,7 @@ ORACLES: dict[str, str] = {
     "hex_pyramid": _sql_hex_pyramid(),
     "geo_chord": _sql_geo_chord(),
     "hex_soft": _sql_hex_soft(),
+    "s2_cells": _sql_s2_cells(),
     "path_rollup": _sql_path_rollup(),
     "host_distances": _sql_host_distances(),
     "anchor_text": _sql_anchor_text(),
