@@ -20,10 +20,12 @@ genuine S2 construction, from scratch, over the sphere:
    2-bit extension of its parent's, ``parent_id = face · 4^(res−1) +
    (hkey >> 2)`` — S2's defining prefix-hierarchy property, free.
 
-Everything is a scan-fused column chain (the Hilbert walk grows linearly in
-``res`` by staged selects); the DuckDB twin unrolls the identical steps, so
-cell ids are bit-identical by construction. Scale: zero shuffles — this is a
-Project; consumers bucket/join on s2_id like any other cell id.
+Everything is column arithmetic; the DuckDB twin unrolls the identical steps,
+so cell ids are bit-identical by construction. Scale: NO shuffle anywhere —
+one narrow local materialization of (id, face, i, j) sits between the trig
+chart and the Hilbert walk purely to stop Catalyst's CollapseProject from
+substituting the chart into every walk stage (exponential expression growth
+otherwise); consumers bucket/join on s2_id like any other cell id.
 """
 
 from __future__ import annotations
@@ -87,6 +89,13 @@ def s2_cells(points: DataFrame, res: int = 8, id_col: str = "vec_id") -> DataFra
         id_col, "face", i.alias("i"), j.alias("j"), i.alias("hx"), j.alias("hy"),
         F.lit(0).cast("long").alias("hkey"),
     )
+    # BARRIER before the Hilbert walk: Catalyst's CollapseProject substitutes
+    # each stage's inputs into the next, so without this the trig face chart
+    # would be copied ~2^res times into the fused projection (measured:
+    # minutes of driver planning at res 8). Materializing the narrow
+    # (id, face, i, j) row — four small ints — keeps the walk's expression
+    # growth over plain column refs; linear local IO, still zero shuffles.
+    out = out.localCheckpoint(eager=False)
     for b in range(res - 1, -1, -1):
         s = 1 << b
         rx = F.shiftrightunsigned(F.col("hx"), b).bitwiseAND(F.lit(1))

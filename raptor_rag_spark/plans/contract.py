@@ -3604,6 +3604,51 @@ FROM embeddings"""
     return s2_cells_sql(pts, res=8)
 
 
+def q_geo_knn(spark, sf_dir):
+    """Geodesic kNN: top-20 vectors nearest the reference point by haversine
+    chord distance (monotone in great-circle distance, so the ranking is the
+    geodesic ranking), deterministic tiebreak on vec_id."""
+    base = q_geo_chord(spark, sf_dir)
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    # driver merge — scale-safe); the rank window then runs on 20 rows only
+    top = base.select("vec_id", "chord").orderBy("chord", "vec_id").limit(20)
+    w = Window.orderBy("chord", "vec_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def _sql_geo_knn() -> str:
+    return f"""
+WITH base AS ({_sql_geo_chord()})
+SELECT vec_id, chord, CAST(row_number() OVER (ORDER BY chord, vec_id) AS BIGINT) AS rnk
+FROM base QUALIFY rnk <= 20
+"""
+
+
+def q_s2_drill(spark, sf_dir):
+    """S2 drill-down read: every point inside one res-3 ancestor cell,
+    selected as a CONTIGUOUS Hilbert-key range (hkey >> 10 = prefix) — the
+    sortable-id range scan that makes S2 ids layout keys, not just labels.
+    The prefix is taken from vec_id 0's cell so the range is never empty."""
+    base = q_s2_cells(spark, sf_dir)  # res 8
+    anchor = base.where(F.col("vec_id") == 0).select(
+        "face", F.shiftrightunsigned(F.col("hkey"), 10).alias("pfx")
+    )
+    return (
+        base.join(F.broadcast(anchor), "face")
+        .where(F.shiftrightunsigned(F.col("hkey"), 10) == F.col("pfx"))
+        .select("vec_id", "face", "hkey", "s2_id")
+    )
+
+
+def _sql_s2_drill() -> str:
+    return f"""
+WITH base AS ({_sql_s2_cells()}),
+anchor AS (SELECT face, (hkey >> 10) AS pfx FROM base WHERE vec_id = 0)
+SELECT b.vec_id, b.face, b.hkey, b.s2_id
+FROM base b JOIN anchor a ON b.face = a.face AND (b.hkey >> 10) = a.pfx
+"""
+
+
 def q_hex_pyramid(spark, sf_dir):
     """Hexagonal tile pyramid: per-hex counts at res 6 rolled up 3 levels via
     H3 child→parent (center-containment) semantics — point set aggregated
@@ -3820,6 +3865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_chord": q_geo_chord,
     "hex_soft": q_hex_soft,
     "s2_cells": q_s2_cells,
+    "s2_drill": q_s2_drill,
+    "geo_knn": q_geo_knn,
     "path_rollup": q_path_rollup,
     "host_distances": q_host_distances,
     "anchor_text": q_anchor_text,
@@ -3972,6 +4019,8 @@ ORACLES: dict[str, str] = {
     "geo_chord": _sql_geo_chord(),
     "hex_soft": _sql_hex_soft(),
     "s2_cells": _sql_s2_cells(),
+    "s2_drill": _sql_s2_drill(),
+    "geo_knn": _sql_geo_knn(),
     "path_rollup": _sql_path_rollup(),
     "host_distances": _sql_host_distances(),
     "anchor_text": _sql_anchor_text(),
