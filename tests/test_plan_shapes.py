@@ -229,3 +229,80 @@ def test_bucketed_join_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS ps_bucket_a")
         spark.sql("DROP TABLE IF EXISTS ps_bucket_b")
+
+
+def test_hex_assign_zero_exchange(spark):
+    """Hex assignment (cube rounding + integer parents) is a pure map — no
+    Exchange, no Python, one codegen span over the scan."""
+    from raptor_rag_spark.operators.hexgrid import hex_assign
+
+    pts = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 97 / 97.0).alias("x"),
+        (F.col("id") % 89 / 89.0).alias("y"),
+    )
+    plan = explain_str(hex_assign(pts, res=6))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_hex_density_single_data_shuffle(spark):
+    """The point set shuffles ONCE (partial->final hash agg on hex coords);
+    the 7x ring fan-out regroups occupied-hex metadata, not points."""
+    from raptor_rag_spark.operators.hexgrid import hex_density
+
+    pts = spark.range(500).select(
+        (F.col("id") % 97 / 97.0).alias("x"), (F.col("id") % 89 / 89.0).alias("y")
+    )
+    plan = explain_str(hex_density(pts, res=5))
+    # formatted mode names each node twice (tree + details)
+    assert plan.count("Exchange (") == 2, plan  # points->hex agg, hex->ring agg
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_s2_cells_no_shuffle_no_python(spark):
+    """S2 cells: trig chart + Hilbert walk stays JVM-side with no Exchange
+    (the only barrier is a narrow localCheckpoint, which is not a shuffle)."""
+    from raptor_rag_spark.operators.s2 import s2_cells
+
+    pts = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        ((F.col("id") % 97 / 97.0 - 0.5) * 6.283).alias("lon"),
+        ((F.col("id") % 89 / 89.0 - 0.5) * 3.141).alias("lat"),
+    )
+    df = s2_cells(pts, res=8)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # and planning is sane: the fix for the CollapseProject blowup keeps the
+    # physical plan string far below the multi-megabyte pathological case
+    assert len(plan) < 400_000, len(plan)
+
+
+def test_winnow_codegen_not_interpreted(spark):
+    """Winnowing must run the k-gram hash in codegen rows (posexplode), not
+    inside a higher-order-function lambda (interpreted per element)."""
+    from raptor_rag_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")], "doc_id long, text string"
+    )
+    plan = explain_str(winnow_fingerprints(docs))
+    low = plan.lower()
+    # the md5 hash chain must live in a codegen Project row, never inside a
+    # higher-order-function lambda body (those evaluate interpreted)
+    assert "md5" in low, plan
+    for i in range(len(low)):
+        if low.startswith("lambdafunction", i):
+            assert "md5" not in low[i : i + 300], plan
+    assert "Window" in plan, plan
+
+
+def test_path_rollup_single_aggregation(spark, pages_pq):
+    """URL path pyramid: constant fan-out explode + ONE partial/final agg."""
+    from raptor_rag_spark.operators.webops import path_rollup
+
+    pages = spark.read.parquet(pages_pq)
+    plan = explain_str(path_rollup(pages))
+    assert plan.count("Exchange (") == 1, plan
+    assert "Generate" in plan, plan  # the explode
