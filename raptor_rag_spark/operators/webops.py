@@ -354,3 +354,87 @@ SELECT host, depth,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM fan GROUP BY 1, 2, 3
 """
+
+
+def term_bursts(
+    pages: DataFrame,
+    min_last: int = 3,
+    min_prior_periods: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """(term, c_last, avg_prior, lift, rnk): burst detection — terms whose
+    count in the LATEST crawl week most exceeds their own prior weekly
+    average (lift = c_last / avg_prior). The trend signal a crawl-monitoring
+    pipeline alerts on: what is the web suddenly talking about.
+
+    Scale shape: one (term, week) groupBy with map-side combine (the only
+    point-set shuffle), then per-term prior aggregation over the
+    term-cardinality count table; the latest week is a broadcast 1-row
+    aggregate; top-k via orderBy+limit (TakeOrderedAndProject), rank window
+    over k rows only. Terms below ``min_last`` in the last week or with
+    fewer than ``min_prior_periods`` active prior weeks are dropped (burst
+    of nothing is noise)."""
+    from pyspark.sql import Window
+
+    wk = F.date_format(F.date_trunc("week", F.col("warc_ts")), "yyyy-MM-dd")
+    tw = (
+        pages.select(wk.alias("week"), F.explode(G.words_col(F.col("text"))).alias("term"))
+        .groupBy("term", "week")
+        .agg(F.count("*").alias("c"))
+    ).localCheckpoint(eager=False)  # two consumers: last-week counts + priors
+    last = tw.agg(F.max("week").alias("last_week"))
+    lastc = (
+        tw.join(F.broadcast(last), tw["week"] == last["last_week"])
+        .select("term", F.col("c").alias("c_last"))
+        .where(F.col("c_last") >= min_last)
+    )
+    prior = (
+        tw.join(F.broadcast(last), tw["week"] < last["last_week"])
+        .groupBy("term")
+        .agg(F.sum("c").alias("prior_sum"), F.count("*").alias("prior_n"))
+        .where(F.col("prior_n") >= min_prior_periods)
+    )
+    scored = lastc.join(prior, "term").select(
+        "term",
+        "c_last",
+        F.round(F.col("prior_sum").cast("double") / F.col("prior_n").cast("double"), 6).alias(
+            "avg_prior"
+        ),
+        F.round(
+            F.col("c_last").cast("double")
+            / (F.col("prior_sum").cast("double") / F.col("prior_n").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+    top = scored.orderBy(F.desc("lift"), "term").limit(top_k)
+    w = Window.orderBy(F.desc("lift"), "term")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def term_bursts_sql(
+    pages_sql: str, min_last: int = 3, min_prior_periods: int = 2, top_k: int = 20
+) -> str:
+    """DuckDB twin of :func:`term_bursts`; ``pages_sql`` yields (warc_ts, text)."""
+    return f"""
+WITH tw AS (
+  SELECT term, week, count(*)::BIGINT AS c FROM (
+    SELECT strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS week,
+           unnest({G.words_sql("text")}) AS term
+    FROM ({pages_sql}))
+  GROUP BY term, week),
+last AS (SELECT max(week) AS last_week FROM tw),
+lastc AS (
+  SELECT term, c AS c_last FROM tw, last WHERE week = last_week AND c >= {min_last}),
+prior AS (
+  SELECT term, sum(c)::BIGINT AS prior_sum, count(*)::BIGINT AS prior_n
+  FROM tw, last WHERE week < last_week GROUP BY term
+  HAVING count(*) >= {min_prior_periods}),
+scored AS (
+  SELECT term, c_last,
+         round(CAST(prior_sum AS DOUBLE) / CAST(prior_n AS DOUBLE), 6) AS avg_prior,
+         round(CAST(c_last AS DOUBLE) / (CAST(prior_sum AS DOUBLE) / CAST(prior_n AS DOUBLE)), 6) AS lift
+  FROM lastc JOIN prior USING (term))
+SELECT term, c_last, avg_prior, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, term) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= {top_k}
+"""

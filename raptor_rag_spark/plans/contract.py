@@ -3498,6 +3498,21 @@ def _sql_host_pagerank() -> str:
     return host_pagerank_sql(f"SELECT url FROM {_PAGES_PQ}", URL_RE, iterations=5)
 
 
+def q_term_bursts(spark, sf_dir):
+    """Burst detection: terms whose latest-crawl-week count most exceeds
+    their own prior weekly average (lift) — one (term, week) groupBy on the
+    point set, term-cardinality everything after, TakeOrdered top-k."""
+    from ..operators.webops import term_bursts
+
+    return term_bursts(_pages(spark))
+
+
+def _sql_term_bursts() -> str:
+    from ..operators.webops import term_bursts_sql
+
+    return term_bursts_sql(f"SELECT warc_ts, text FROM {_PAGES_PQ}")
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text profile: top-3 terms the web uses to link TO each host —
     codegen regexp extraction + one (host, term) groupBy + host-partitioned
@@ -3871,6 +3886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_distances": q_host_distances,
     "anchor_text": q_anchor_text,
     "stay_points": q_stay_points,
+    "term_bursts": q_term_bursts,
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
@@ -4025,6 +4041,7 @@ ORACLES: dict[str, str] = {
     "host_distances": _sql_host_distances(),
     "anchor_text": _sql_anchor_text(),
     "stay_points": _sql_stay_points(),
+    "term_bursts": _sql_term_bursts(),
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
