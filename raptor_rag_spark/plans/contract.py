@@ -3498,6 +3498,36 @@ def _sql_host_pagerank() -> str:
     return host_pagerank_sql(f"SELECT url FROM {_PAGES_PQ}", URL_RE, iterations=5)
 
 
+def q_stream_hex_density(spark, sf_dir):
+    """Hex tile rollup as a REAL Structured Streaming job (stream-static
+    broadcast placement join, watermarked day windows, availableNow drain);
+    the memory-sink result must hash-equal the batch oracle."""
+    from ..streaming.events_stream import stream_hex_density
+
+    return stream_hex_density(spark, sf_dir)
+
+
+def _sql_stream_hex_density() -> str:
+    from ..functions.hexgen import hex_qr_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    hq, hr = hex_qr_sql("x", "y", 4)
+    return f"""
+WITH locs AS (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings),
+pts AS (
+  SELECT e.ts,
+         greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+         greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+  FROM events e
+  JOIN locs l ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id),
+assigned AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, {hq} AS hex_q, {hr} AS hex_r
+  FROM pts)
+SELECT day, hex_q, hex_r, count(*)::BIGINT AS n
+FROM assigned GROUP BY day, hex_q, hex_r
+"""
+
+
 def q_term_bursts(spark, sf_dir):
     """Burst detection: terms whose latest-crawl-week count most exceeds
     their own prior weekly average (lift) — one (term, week) groupBy on the
@@ -3887,6 +3917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text": q_anchor_text,
     "stay_points": q_stay_points,
     "term_bursts": q_term_bursts,
+    "stream_hex_density": q_stream_hex_density,
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
@@ -4042,6 +4073,7 @@ ORACLES: dict[str, str] = {
     "anchor_text": _sql_anchor_text(),
     "stay_points": _sql_stay_points(),
     "term_bursts": _sql_term_bursts(),
+    "stream_hex_density": _sql_stream_hex_density(),
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),

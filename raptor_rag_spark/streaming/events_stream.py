@@ -441,3 +441,71 @@ def stream_dedup(
             f"(query {sink}); result would be partial"
         )
     return spark.table(sink)
+
+
+def stream_hex_density(
+    spark: SparkSession,
+    sf_dir: str,
+    res: int = 4,
+    watermark: str = "2 days",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming hexagonal tile rollup: events stream in, each is placed at
+    its user's embedding-plane location (stream-static broadcast join — the
+    dim side is the static embeddings table), assigned a hexagon (pure
+    column cube-rounding, functions/hexgen.py), and counted per
+    (day window, hexagon) under a watermark. The lattice analytics of the
+    batch engine, running as a real Structured Streaming job; output equals
+    the batch twin bit-for-bit (contract query ``stream_hex_density``).
+
+    Scale: the static side is broadcast (no stream repartition for the
+    join); state is one count per (day, occupied hex), evicted by the
+    watermark."""
+    from ..functions import hexgen as H
+    from ..functions import sqlgen as G
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x, y = G.xy_cols(F.col("embedding"), 64)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = stream.join(F.broadcast(locs), stream["user_id"] % n_locs == locs["vec_id"]).select(
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    q_, r_ = H.hex_qr_cols(F.col("x"), F.col("y"), res)
+    agg = (
+        pts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), q_.alias("hex_q"), r_.alias("hex_r"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "hex_q",
+            "hex_r",
+            "n",
+        )
+    )
+    sink = f"hex_density_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream_hex_density did not drain within {timeout_s}s")
+    return spark.table(sink)

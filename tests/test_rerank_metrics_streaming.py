@@ -158,3 +158,23 @@ def test_webops_host_rollup_and_filter(spark):
     assert (kept["host_avg_tokens"] >= 40.0).all()
     # the gate is per-HOST: a kept page may itself be short
     assert set(kept["host"]).issubset(set(stats["host"]))
+
+
+def test_stream_hex_density_equals_batch_hex_counts(spark):
+    """The streaming hex rollup drains to exactly the batch per-(day, hex)
+    counts, and per-day mass equals the event count of that day."""
+    from raptor_rag_spark.streaming.events_stream import stream_hex_density
+
+    out = stream_hex_density(spark, SF).toPandas()
+    assert (out["n"] > 0).all()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from pyspark.sql import functions as F
+
+    per_day = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    got_day = out.groupby("day")["n"].sum().to_dict()
+    assert got_day == per_day
