@@ -3498,6 +3498,57 @@ def _sql_host_pagerank() -> str:
     return host_pagerank_sql(f"SELECT url FROM {_PAGES_PQ}", URL_RE, iterations=5)
 
 
+def q_tree_rouge(spark, sf_dir):
+    """Tree self-evaluation: ROUGE-L of each level-1 summary against its
+    members' concatenated leaf text (sorted by child id) — does the rollup
+    summary actually cover its cluster. Bounded to the 12 lowest-id parents
+    (TakeOrdered); the oracle re-derives the LCS in a recursive CTE over the
+    identical tree-dump bits."""
+    from ..operators.evalmetrics import rouge_l_pairs
+
+    tree = _tree(spark, sf_dir)
+    parents = (
+        tree.where(F.col("level") == 1)
+        .select(F.col("node_id").alias("pair_id"), F.col("text").alias("prediction"), "children")
+        .orderBy("pair_id")
+        .limit(12)
+    )
+    kids = parents.select("pair_id", F.explode("children").alias("cid"))
+    leaf = tree.where(F.col("level") == 0).select(
+        F.col("node_id").alias("cid"), F.col("text").alias("ctext")
+    )
+    gold = (
+        kids.join(leaf, "cid")
+        .groupBy("pair_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cid", "ctext"))), lambda s: s["ctext"]
+                ),
+            ).alias("gold")
+        )
+    )
+    return rouge_l_pairs(parents.select("pair_id", "prediction").join(gold, "pair_id"))
+
+
+def _sql_tree_rouge() -> str:
+    from ..operators.evalmetrics import rouge_l_sql
+
+    pairs = f"""
+WITH parents AS (
+  SELECT node_id AS pair_id, text AS prediction, children
+  FROM {_NODES_PQ} WHERE level = 1 ORDER BY node_id LIMIT 12),
+kids AS (SELECT pair_id, unnest(children) AS cid FROM parents),
+leaf AS (SELECT node_id AS cid, text AS ctext FROM {_NODES_PQ} WHERE level = 0),
+gold AS (
+  SELECT pair_id, string_agg(ctext, ' ' ORDER BY cid) AS gold
+  FROM kids JOIN leaf USING (cid) GROUP BY pair_id)
+SELECT p.pair_id, p.prediction, g.gold FROM parents p JOIN gold g USING (pair_id)
+"""
+    return rouge_l_sql(pairs)
+
+
 def q_stream_hex_density(spark, sf_dir):
     """Hex tile rollup as a REAL Structured Streaming job (stream-static
     broadcast placement join, watermarked day windows, availableNow drain);
@@ -3918,6 +3969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stay_points": q_stay_points,
     "term_bursts": q_term_bursts,
     "stream_hex_density": q_stream_hex_density,
+    "tree_rouge": q_tree_rouge,
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
     "ripley_k": q_ripley_k,
@@ -4074,6 +4126,7 @@ ORACLES: dict[str, str] = {
     "stay_points": _sql_stay_points(),
     "term_bursts": _sql_term_bursts(),
     "stream_hex_density": _sql_stream_hex_density(),
+    "tree_rouge": _sql_tree_rouge(),
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
     "ripley_k": _sql_ripley_k(),
