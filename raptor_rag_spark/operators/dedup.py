@@ -511,3 +511,63 @@ SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM grp GROUP BY doc_id, island
 """
+
+
+def simhash_near_pairs(
+    docs: DataFrame, bits: int = 16, max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): EXACT set of document pairs whose simhash
+    fingerprints differ in at most one bit — multi-probe LSH: each doc emits
+    its fingerprint plus all ``bits`` single-bit flips (17 probe keys at 16
+    bits), so any hamming≤1 pair collides on at least one key; the equi-join
+    on probe keys is then verified with an exact popcount. Completeness is
+    by construction (probes cover every ≤1-bit neighborhood), so unlike
+    plain simhash equality this catches near-misses without an all-pairs
+    scan.
+
+    Same skew cap as the other generators: probe buckets above
+    ``max_bucket`` docs are dropped before the self-join (mass-duplicated
+    content is exact_dedup's job), mirrored in the twin."""
+    sigs = simhash_fingerprints(docs, bits).localCheckpoint(eager=True)
+    probe_arr = F.array(
+        F.col("simhash"),
+        *[F.col("simhash").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+    )
+    probes = sigs.select("doc_id", "simhash", F.explode(probe_arr).alias("probe"))
+    rare = (
+        probes.groupBy("probe")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("probe")
+    )
+    idx = probes.join(rare, "probe")
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.probe") == F.col("b.probe")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 1)
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_near_sql(sigs_sql: str, bits: int = 16, max_bucket: int = MAX_BAND_BUCKET) -> str:
+    """DuckDB twin of :func:`simhash_near_pairs`; ``sigs_sql`` yields
+    (doc_id, simhash)."""
+    flips = ", ".join(f"xor(simhash, {1 << i})" for i in range(bits))
+    return f"""
+WITH sigs AS ({sigs_sql}),
+probes AS (
+  SELECT doc_id, simhash, unnest([simhash, {flips}]) AS probe FROM sigs),
+rare AS (
+  SELECT probe FROM probes GROUP BY probe HAVING count(*) >= 2 AND count(*) <= {max_bucket}),
+idx AS (SELECT doc_id, simhash, probe FROM probes JOIN rare USING (probe))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM idx a JOIN idx b ON a.probe = b.probe AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""

@@ -476,6 +476,18 @@ SELECT doc_id, {sim} AS simhash FROM (
 """
 
 
+def q_simhash_near(spark, sf_dir):
+    """Multi-probe SimHash near-dup: the EXACT hamming≤1 pair set via
+    fingerprint + 16 single-bit-flip probe keys (completeness by
+    construction), bucket-capped equi-join, popcount verify — near-misses
+    plain simhash equality cannot see, still no all-pairs scan."""
+    return D.simhash_near_pairs(ld(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_near() -> str:
+    return D.simhash_near_sql(_sql_simhash())
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.2)
 
@@ -3865,6 +3877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_sigs": q_minhash_sigs,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
+    "simhash_near": q_simhash_near,
     "ngram_jaccard": q_ngram_jaccard,
     "emb_neardup": q_emb_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -4025,6 +4038,7 @@ ORACLES: dict[str, str] = {
     "minhash_sigs": _sql_minhash_sigs(),
     "minhash_pairs": _sql_minhash_pairs(),
     "simhash": _sql_simhash(),
+    "simhash_near": _sql_simhash_near(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "emb_neardup": _sql_emb_neardup(),
     "dedup_clusters": _sql_dedup_components(),

@@ -82,3 +82,28 @@ def test_spark_twins(spark):
     gm = {tuple(r) for r in winnow_matches(df, min_shared=1).collect()}
     wm = set(map(tuple, _duck(winnow_matches_sql("SELECT doc_id, text FROM documents", min_shared=1))))
     assert gm == wm
+
+
+def test_simhash_near_exact_vs_bruteforce(spark):
+    """Multi-probe simhash pairs == brute-force hamming<=1 over fingerprints
+    (completeness of the 1-bit probe neighborhood)."""
+    from raptor_rag_spark.operators.dedup import simhash_fingerprints, simhash_near_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dogs today"),
+        (3, "completely different words on another topic entirely"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "numbers 123 and symbols only 456 789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    got = {tuple(r) for r in simhash_near_pairs(df).collect()}
+    assert got == want
+    assert (1, 4, 0) in got  # the exact dup pair survives at distance 0
