@@ -476,6 +476,50 @@ SELECT doc_id, {sim} AS simhash FROM (
 """
 
 
+def q_dedup_eval(spark, sf_dir):
+    """Candidate-generator quality audit: precision/recall of the MinHash-LSH
+    candidate pairs against the exact n-gram-Jaccard≥0.2 truth set — the
+    number that says whether the banding parameters are right BEFORE a
+    100-TB run. One row; both pair sets come from the production operators."""
+    mh = D.minhash_band_pairs(ld(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    truth = D.ngram_jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    inter = mh.join(truth, ["doc_a", "doc_b"]).count()
+    n_mh, n_truth = mh.count(), truth.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_mh,
+                n_truth,
+                inter,
+                # UNROUNDED doubles: both engines do the identical IEEE
+                # division (python round is banker's, SQL round half-away —
+                # small-integer ratios like 1/128 hit exact 6-dp ties)
+                inter / n_mh if n_mh else 0.0,
+                inter / n_truth if n_truth else 0.0,
+            )
+        ],
+        "n_candidates long, n_truth long, n_hit long, precision double, recall double",
+    )
+
+
+def _sql_dedup_eval() -> str:
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({_sql_minhash_pairs()})),
+truth AS (SELECT doc_a, doc_b FROM ({_sql_ngram_jaccard()})),
+hit AS (SELECT count(*)::BIGINT AS n_hit FROM mh JOIN truth USING (doc_a, doc_b)),
+c AS (SELECT (SELECT count(*)::BIGINT FROM mh) AS n_candidates,
+             (SELECT count(*)::BIGINT FROM truth) AS n_truth, n_hit FROM hit)
+SELECT n_candidates, n_truth, n_hit,
+       CASE WHEN n_candidates = 0 THEN 0.0
+            ELSE CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE) END AS precision,
+       CASE WHEN n_truth = 0 THEN 0.0
+            ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+FROM c
+"""
+
+
 def q_simhash_near(spark, sf_dir):
     """Multi-probe SimHash near-dup: the EXACT hamming≤1 pair set via
     fingerprint + 16 single-bit-flip probe keys (completeness by
@@ -3878,6 +3922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "simhash_near": q_simhash_near,
+    "dedup_eval": q_dedup_eval,
     "ngram_jaccard": q_ngram_jaccard,
     "emb_neardup": q_emb_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -4039,6 +4084,7 @@ ORACLES: dict[str, str] = {
     "minhash_pairs": _sql_minhash_pairs(),
     "simhash": _sql_simhash(),
     "simhash_near": _sql_simhash_near(),
+    "dedup_eval": _sql_dedup_eval(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "emb_neardup": _sql_emb_neardup(),
     "dedup_clusters": _sql_dedup_components(),
