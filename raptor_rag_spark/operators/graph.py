@@ -489,3 +489,91 @@ def host_distances_sql(links_sql: str, rounds: int = 6) -> str:
   GROUP BY host)"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT host, dist FROM d{rounds}"
+
+
+def host_communities(links: DataFrame, rounds: int = 4) -> DataFrame:
+    """(host, community): synchronous label propagation over the host link
+    graph — every round each host adopts the heaviest label among its
+    neighbors (edge weight n_links, both directions), ties to the smallest
+    label; isolated hosts keep their own. The crawl-cluster signal
+    (site families / mirror groups) one step softer than connected
+    components (dedup_clusters) because weights matter.
+
+    Synchronous LPA oscillates on symmetric structures (two nodes endlessly
+    swapping labels), so each node also casts a SELF-VOTE: its current label
+    weighted by its strongest incident edge — a node only changes label when
+    some neighbor label strictly outweighs its strongest tie, ties resolved
+    to the smallest label. Deterministic by construction, so the unrolled
+    DuckDB twin is exact. Scale shape: labels and edges are host-cardinality
+    metadata; each round is one join + one (host, label) groupBy + one
+    per-host argmax window; per-round localCheckpoint keeps the plan O(1)
+    like host_distances."""
+    from pyspark.sql import Window
+
+    und = (
+        links.select("src_host", "dst_host", "n_links")
+        .unionByName(
+            links.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+                "n_links",
+            )
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    selfw = und.groupBy("src_host").agg(F.max("w").alias("w_self")).localCheckpoint(eager=False)
+    lab = selfw.select(F.col("src_host").alias("host"), F.col("src_host").alias("community"))
+    rk = Window.partitionBy("host").orderBy(F.desc("w_sum"), "community")
+    for _ in range(rounds):
+        lab = lab.localCheckpoint(eager=False)
+        nvotes = (
+            und.join(lab, und["dst_host"] == lab["host"])
+            .select(F.col("src_host").alias("host"), "community", "w")
+        )
+        svotes = lab.join(selfw, lab["host"] == selfw["src_host"]).select(
+            "host", "community", F.col("w_self").alias("w")
+        )
+        votes = (
+            nvotes.unionByName(svotes)
+            .groupBy("host", "community")
+            .agg(F.sum("w").alias("w_sum"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(rk))
+            .where(F.col("rn") == 1)
+            .select("host", "community")
+        )
+    return lab
+
+
+def host_communities_sql(links_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`host_communities`."""
+    ctes = [
+        f"lnk AS ({links_sql})",
+        """und AS (
+  SELECT src_host, dst_host, CAST(sum(n_links) AS BIGINT) AS w FROM (
+    SELECT src_host, dst_host, n_links FROM lnk
+    UNION ALL SELECT dst_host AS src_host, src_host AS dst_host, n_links FROM lnk)
+  GROUP BY src_host, dst_host)""",
+        "selfw AS (SELECT src_host, CAST(max(w) AS BIGINT) AS w_self FROM und GROUP BY src_host)",
+        "l0 AS (SELECT src_host AS host, src_host AS community FROM selfw)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT host, community FROM (
+    SELECT host, community,
+           row_number() OVER (PARTITION BY host ORDER BY w_sum DESC, community) AS rn
+    FROM (
+      SELECT host, community, CAST(sum(w) AS BIGINT) AS w_sum FROM (
+        SELECT u.src_host AS host, p.community, u.w
+        FROM und u JOIN l{i - 1} p ON u.dst_host = p.host
+        UNION ALL
+        SELECT l.host, l.community, s.w_self AS w
+        FROM l{i - 1} l JOIN selfw s ON l.host = s.src_host)
+      GROUP BY host, community))
+  WHERE rn = 1)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT host, community FROM l{rounds}"

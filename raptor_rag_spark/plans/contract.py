@@ -3840,6 +3840,23 @@ def _sql_hex_soft() -> str:
     )
 
 
+def q_host_communities(spark, sf_dir):
+    """Label propagation over the real host link graph (4 synchronous
+    rounds, weight-then-label argmax): site families / mirror groups — the
+    weighted community signal one step softer than connected components."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import host_communities
+
+    return host_communities(extract_links(_pages(spark)))
+
+
+def _sql_host_communities() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import host_communities_sql
+
+    return host_communities_sql(extract_links_sql(_PAGES_SQL))
+
+
 def q_path_rollup(spark, sf_dir):
     """URL-space tile pyramid: every page rolls up into its path-prefix
     ancestors (depth ≤ 3), one bounded fan-out + one map-side-combinable
@@ -4023,6 +4040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_knn": q_geo_knn,
     "path_rollup": q_path_rollup,
     "host_distances": q_host_distances,
+    "host_communities": q_host_communities,
     "anchor_text": q_anchor_text,
     "stay_points": q_stay_points,
     "term_bursts": q_term_bursts,
@@ -4182,6 +4200,7 @@ ORACLES: dict[str, str] = {
     "geo_knn": _sql_geo_knn(),
     "path_rollup": _sql_path_rollup(),
     "host_distances": _sql_host_distances(),
+    "host_communities": _sql_host_communities(),
     "anchor_text": _sql_anchor_text(),
     "stay_points": _sql_stay_points(),
     "term_bursts": _sql_term_bursts(),

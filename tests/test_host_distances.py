@@ -68,3 +68,37 @@ def test_spark_twin(spark):
     df = spark.createDataFrame(LINKS, "src_host string, dst_host string, n_links long")
     got = {r["host"]: r["dist"] for r in host_distances(df).collect()}
     assert got == _duck()
+
+
+def test_host_communities_semantics_and_twin(spark):
+    """Two dense triangles joined by one weak bridge resolve into two
+    communities; Spark == DuckDB exactly."""
+    import duckdb as _dd
+
+    from raptor_rag_spark.operators.graph import host_communities, host_communities_sql
+
+    edges = [
+        # triangle 1 (heavy)
+        ("a1", "a2", 5), ("a2", "a3", 5), ("a1", "a3", 5),
+        # triangle 2 (heavy)
+        ("b1", "b2", 5), ("b2", "b3", 5), ("b1", "b3", 5),
+        # weak bridge
+        ("a3", "b1", 1),
+        # isolated pair
+        ("c1", "c2", 2),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    got = {r["host"]: r["community"] for r in host_communities(df).collect()}
+    a = {got["a1"], got["a2"], got["a3"]}
+    b = {got["b1"], got["b2"], got["b3"]}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert got["c1"] == got["c2"]
+    con = _dd.connect()
+    con.execute("CREATE TABLE lk(src_host VARCHAR, dst_host VARCHAR, n_links BIGINT)")
+    con.executemany("INSERT INTO lk VALUES (?, ?, ?)", edges)
+    want = dict(
+        con.execute(
+            host_communities_sql("SELECT src_host, dst_host, n_links FROM lk")
+        ).fetchall()
+    )
+    assert got == want
