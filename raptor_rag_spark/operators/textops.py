@@ -164,10 +164,13 @@ def collocations(
     )
     from pyspark.sql import Window
 
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    # driver merge); the rank window then touches top_k rows only — never a
+    # single-partition sort of the whole term-pair table
+    top = scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(top_k)
     w = Window.orderBy(F.desc("pmi"), "term_a", "term_b")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("term_a", "term_b", "n_ab", "pmi", "rank")
     )
 

@@ -107,3 +107,38 @@ def test_simhash_near_exact_vs_bruteforce(spark):
     got = {tuple(r) for r in simhash_near_pairs(df).collect()}
     assert got == want
     assert (1, 4, 0) in got  # the exact dup pair survives at distance 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=30),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=30),
+    st.lists(st.sampled_from(_VOCAB), min_size=WINNOW_K + WINNOW_W - 1, max_size=WINNOW_K + WINNOW_W + 4),
+)
+def test_winnow_guarantee_property(prefix_a, prefix_b, shared):
+    """ANY two docs sharing a k+w-1 token run share >=1 winnowed fingerprint
+    (the MOSS guarantee), regardless of surrounding context."""
+    a = " ".join(prefix_a + shared)
+    b = " ".join(prefix_b + shared)
+    fa, fb = _winnow_py(a), _winnow_py(b)
+    assert fa & fb, (a, b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=40))
+def test_winnow_density_property(tokens):
+    """The fingerprint set is never larger than the k-gram count and never
+    empty for non-empty docs (window-min always selects something)."""
+    text = " ".join(tokens)
+    fps = _winnow_py(text)
+    if not tokens:
+        assert fps == set()
+    else:
+        n_grams = max(len(tokens) - WINNOW_K + 1, 1)
+        assert 1 <= len(fps) <= n_grams
