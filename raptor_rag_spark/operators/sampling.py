@@ -232,3 +232,63 @@ def weighted_sample_sql(
 SELECT * FROM ({src_sql})
 WHERE ({h} % {scale}) < floor({w} * {scale})
 """
+
+
+def quality_rank(docs: DataFrame, buckets_bits: int = 8) -> DataFrame:
+    """(doc_id, quality, rnk, pctl): the GLOBAL rank and percentile of every
+    document's quality score — a distributed ECDF with NO global sort. The
+    quality range [0,1] is cut into 2^bits value buckets; within-bucket
+    row_numbers (bucket-partitioned windows) plus broadcast cumulative
+    bucket offsets reproduce the exact global row_number over
+    (quality, doc_id) — the same two-level prefix-sum trick as
+    corpus_shards, applied to VALUE buckets instead of hash buckets.
+
+    pctl = (rnk − 1)/(n − 1) (0 = worst, 1 = best), n broadcast as a 1-row
+    aggregate. The percentile-normalized quality is what corpus-mixing
+    recipes consume (e.g. keep the top 30% per source)."""
+    from pyspark.sql import Window
+
+    from ..functions import sqlgen as G
+
+    nb = 1 << buckets_bits
+    q = docs.select("doc_id", F.round(G.quality_score_cols(F.col("text")), 6).alias("quality"))
+    base = q.withColumn(
+        "vb",
+        F.least(F.floor(F.col("quality") * F.lit(float(nb))).cast("long"), F.lit(nb - 1)),
+    )
+    w_in = Window.partitionBy("vb").orderBy("quality", "doc_id")
+    within = base.withColumn("rn_in", F.row_number().over(w_in).cast("long"))
+    totals = base.groupBy("vb").agg(F.count("*").alias("tot"))
+    w_off = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.withColumn("off", F.sum("tot").over(w_off) - F.col("tot")).select(
+        "vb", "off"
+    )  # 256-row metadata window
+    n1 = docs.agg((F.count("*") - F.lit(1)).cast("double").alias("n1"))
+    return (
+        within.join(F.broadcast(offsets), "vb")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "quality",
+            (F.col("off") + F.col("rn_in")).alias("rnk"),
+            (
+                (F.col("off") + F.col("rn_in") - F.lit(1)).cast("double") / F.col("n1")
+            ).alias("pctl"),
+        )
+    )
+
+
+def quality_rank_sql(docs_sql: str, buckets_bits: int = 8) -> str:
+    """DuckDB twin of :func:`quality_rank` — the oracle uses the PLAIN global
+    row_number, proving the two-level reconstruction is exact."""
+    from ..functions import sqlgen as G
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, round({G.quality_score_sql("text")}, 6) AS quality FROM ({docs_sql})),
+n AS (SELECT CAST(count(*) - 1 AS DOUBLE) AS n1 FROM q)
+SELECT doc_id, quality,
+       CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rnk,
+       (CAST(row_number() OVER (ORDER BY quality, doc_id) - 1 AS DOUBLE) / (SELECT n1 FROM n)) AS pctl
+FROM q
+"""

@@ -660,6 +660,22 @@ SELECT doc_id, lang_guess, quality, n_tokens FROM (
 """
 
 
+def q_quality_rank(spark, sf_dir):
+    """Distributed ECDF: exact global quality rank/percentile with NO global
+    sort — 256 value buckets, bucket-partitioned row_numbers + broadcast
+    cumulative offsets; the oracle uses the plain global row_number, proving
+    the two-level reconstruction exact."""
+    from ..operators.sampling import quality_rank
+
+    return quality_rank(ld(spark, sf_dir, "documents"))
+
+
+def _sql_quality_rank() -> str:
+    from ..operators.sampling import quality_rank_sql
+
+    return quality_rank_sql("SELECT doc_id, text FROM documents")
+
+
 def q_winnow_fp(spark, sf_dir):
     """MOSS winnowing fingerprints (Schleimer et al. 2003): window-min over
     k-gram hashes — position-robust exact-substring signatures, ~1/w the
@@ -3945,6 +3961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
     "curate_corpus": q_curate_corpus,
+    "quality_rank": q_quality_rank,
     "winnow_fp": q_winnow_fp,
     "winnow_matches": q_winnow_matches,
     # spatial / similarity
@@ -4108,6 +4125,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _sql_dedup_components(),
     "dedup_keep": _sql_dedup_keep(),
     "curate_corpus": _sql_curate_corpus(),
+    "quality_rank": _sql_quality_rank(),
     "winnow_fp": _sql_winnow_fp(),
     "winnow_matches": _sql_winnow_matches(),
     "emb_cells": _sql_emb_cells(),

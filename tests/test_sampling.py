@@ -99,3 +99,20 @@ def test_weighted_sample(spark):
         .fetchall()
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == want
+
+
+def test_quality_rank_reconstructs_global_rank(spark):
+    """Two-level bucket reconstruction == plain global row_number, and the
+    percentile endpoints are exactly 0 and 1."""
+    from raptor_rag_spark.operators.sampling import quality_rank
+
+    rows = [(i, f"some text with quality {'good ' * (i % 17)} {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["rnk"], r["pctl"], r["quality"]) for r in quality_rank(df).collect()}
+    assert sorted(r[0] for r in out.values()) == list(range(1, 201))
+    by_rank = sorted(out.values())
+    assert by_rank[0][1] == 0.0 and by_rank[-1][1] == 1.0
+    # rank order agrees with (quality, doc_id) order
+    qs = sorted((q, d) for d, (_, _, q) in out.items())
+    for want_rnk, (_, d) in enumerate(qs, start=1):
+        assert out[d][0] == want_rnk
