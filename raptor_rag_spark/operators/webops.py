@@ -438,3 +438,57 @@ SELECT term, c_last, avg_prior, lift,
        CAST(row_number() OVER (ORDER BY lift DESC, term) AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= {top_k}
 """
+
+
+RECENCY_ALPHA = 0.8  # weekly decay
+
+
+def host_recency(pages: DataFrame, alpha: float = RECENCY_ALPHA) -> DataFrame:
+    """(host, n_pages, recency_score): recency-weighted crawl mass per host —
+    each page contributes alpha^(weeks since the newest capture in the
+    corpus), so recently-recrawled hosts outrank stale ones at equal size.
+    The freshness prior a recrawl scheduler feeds on.
+
+    Twin-exactness: alpha^d is computed as exp(d·ln(alpha)) with the TWIN
+    transcendentals (functions/sqlgen.py exp/ln — pinned-order IEEE, no
+    libm), ln(alpha) injected as one Python-computed literal into both
+    engines; per-host sums go through exact DECIMAL. Scale shape: the global
+    newest timestamp is a broadcast 1-row aggregate; then one host-keyed
+    groupBy with map-side combine."""
+    from ..functions.sqlgen import exp_col, ln_py
+
+    ln_alpha = ln_py(alpha)  # one shared literal
+    latest = pages.agg(F.max("warc_ts").alias("latest_ts"))
+    parsed = parse_urls(pages).select("host", "warc_ts")
+    d = F.floor(
+        F.datediff(F.to_date(F.col("latest_ts")), F.to_date(F.col("warc_ts"))) / F.lit(7)
+    ).cast("double")
+    weighted = parsed.crossJoin(F.broadcast(latest)).select(
+        "host", exp_col(d * F.lit(ln_alpha)).alias("wgt")
+    )
+    return weighted.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.col("wgt").cast("decimal(28,15)")).cast("double").alias("recency_score"),
+    )
+
+
+def host_recency_sql(pages_sql: str, alpha: float = RECENCY_ALPHA) -> str:
+    """DuckDB twin of :func:`host_recency`."""
+    from ..functions.hexgen import flit
+    from ..functions.sqlgen import exp_sql, ln_py
+
+    ln_alpha = ln_py(alpha)
+    return f"""
+WITH latest AS (SELECT max(warc_ts) AS latest_ts FROM ({pages_sql})),
+parsed AS (
+  SELECT regexp_extract(url, '{URL_RE}', 2) AS host, warc_ts FROM ({pages_sql})),
+darg AS (
+  SELECT host,
+         (CAST(floor(datediff('day', CAST(warc_ts AS DATE), CAST(latest_ts AS DATE)) / 7) AS DOUBLE)
+          * {flit(ln_alpha)}) AS x
+  FROM parsed, latest),
+weighted AS (SELECT host, {exp_sql("x")} AS wgt FROM darg)
+SELECT host, count(*)::BIGINT AS n_pages,
+       CAST(sum(CAST(wgt AS DECIMAL(28,15))) AS DOUBLE) AS recency_score
+FROM weighted GROUP BY host
+"""

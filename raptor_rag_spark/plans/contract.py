@@ -3651,6 +3651,22 @@ FROM assigned GROUP BY day, hex_q, hex_r
 """
 
 
+def q_host_recency(spark, sf_dir):
+    """Recency-weighted crawl mass per host: alpha^(weeks since newest
+    capture) summed per host — alpha^d composed from the TWIN exp/ln
+    transcendentals, decimal-exact sums; the recrawl-scheduler freshness
+    prior."""
+    from ..operators.webops import host_recency
+
+    return host_recency(_pages(spark))
+
+
+def _sql_host_recency() -> str:
+    from ..operators.webops import host_recency_sql
+
+    return host_recency_sql(f"SELECT url, warc_ts FROM {_PAGES_PQ}")
+
+
 def q_term_bursts(spark, sf_dir):
     """Burst detection: terms whose latest-crawl-week count most exceeds
     their own prior weekly average (lift) — one (term, week) groupBy on the
@@ -4061,6 +4077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text": q_anchor_text,
     "stay_points": q_stay_points,
     "term_bursts": q_term_bursts,
+    "host_recency": q_host_recency,
     "stream_hex_density": q_stream_hex_density,
     "tree_rouge": q_tree_rouge,
     "crawl_frontier": q_crawl_frontier,
@@ -4222,6 +4239,7 @@ ORACLES: dict[str, str] = {
     "anchor_text": _sql_anchor_text(),
     "stay_points": _sql_stay_points(),
     "term_bursts": _sql_term_bursts(),
+    "host_recency": _sql_host_recency(),
     "stream_hex_density": _sql_stream_hex_density(),
     "tree_rouge": _sql_tree_rouge(),
     "crawl_frontier": _sql_crawl_frontier(),
