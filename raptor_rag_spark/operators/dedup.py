@@ -571,3 +571,138 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM idx a JOIN idx b ON a.probe = b.probe AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """
+
+
+CDC_GRAM = 4  # rolling-gram width for boundary detection
+CDC_MOD = 16  # expected chunk length in tokens (boundary prob 1/mod)
+
+
+def cdc_chunks(docs: DataFrame, gram: int = CDC_GRAM, mod: int = CDC_MOD) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_hash): content-defined chunking —
+    the text splits AFTER every position whose ``gram``-token rolling hash is
+    ≡ 0 (mod ``mod``), so chunk boundaries are a pure function of LOCAL
+    content: insert a sentence and only the surrounding chunks change,
+    unlike fixed-size chunking where every later chunk shifts. The rsync /
+    CDC trick, applied to token streams for chunk-granular dedup.
+
+    Scale shape: posexplode → codegen rolling-gram hash → one doc-partitioned
+    window (cumulative boundary count = chunk index) → one groupBy(doc,
+    chunk) assembling the chunk hash from position-ordered tokens. Two
+    shuffles, both keyed by doc_id."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(G.words_col(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.withColumn(
+        "gram",
+        F.concat_ws(
+            " ", F.collect_list("tok").over(w.rowsBetween(-(gram - 1), 0))
+        ),
+    )
+    # boundary AFTER pos i when the gram ending at i hashes to 0 (mod m) and
+    # a full gram exists (pos >= gram-1)
+    bdry = grams.withColumn(
+        "is_bdry",
+        ((F.col("pos") >= gram - 1) & (F.pmod(G.hash63_col(F.col("gram")), F.lit(mod)) == 0)).cast(
+            "long"
+        ),
+    )
+    chunked = bdry.withColumn(
+        "chunk_idx",
+        (
+            F.sum("is_bdry").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("is_bdry")
+        ).cast("long"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_chunks_sql(docs_sql: str, gram: int = CDC_GRAM, mod: int = CDC_MOD) -> str:
+    """DuckDB twin of :func:`cdc_chunks`."""
+    words = G.words_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+  FROM (SELECT doc_id, {words} AS l FROM ({docs_sql}))),
+grams AS (
+  SELECT doc_id, pos, tok,
+         string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN {gram - 1} PRECEDING AND CURRENT ROW) AS gram
+  FROM toks),
+bdry AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= {gram - 1} AND ({G.hash63_sql("gram")}) % {mod} = 0
+              THEN 1 ELSE 0 END AS is_bdry
+  FROM grams),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         CAST(sum(is_bdry) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) - is_bdry AS BIGINT) AS chunk_idx
+  FROM bdry)
+SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM chunked GROUP BY doc_id, chunk_idx
+"""
+
+
+def cdc_dup_stats(docs: DataFrame, gram: int = CDC_GRAM, mod: int = CDC_MOD) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac): per-document fraction of
+    tokens living in chunks that also appear (by content hash) in at least
+    one OTHER document — the chunk-granular dedup decision signal sitting
+    between whole-doc near-dup and token-level dup_spans."""
+    ch = cdc_chunks(docs, gram, mod).localCheckpoint(eager=True)
+    shared = (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = ch.join(shared, "chunk_hash").select(
+        "doc_id", F.col("n_tokens").alias("dup_t")
+    )
+    per = flagged.groupBy("doc_id").agg(F.sum("dup_t").alias("dup_tokens"))
+    totals = ch.groupBy("doc_id").agg(F.sum("n_tokens").alias("n_tokens"))
+    return (
+        totals.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def cdc_dup_stats_sql(docs_sql: str, gram: int = CDC_GRAM, mod: int = CDC_MOD) -> str:
+    """DuckDB twin of :func:`cdc_dup_stats`."""
+    return f"""
+WITH ch AS ({cdc_chunks_sql(docs_sql, gram, mod)}),
+shared AS (
+  SELECT chunk_hash FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT doc_id, CAST(sum(n_tokens) AS BIGINT) AS dup_tokens
+  FROM ch JOIN shared USING (chunk_hash) GROUP BY doc_id),
+totals AS (SELECT doc_id, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM ch GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens, coalesce(p.dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS dup_frac
+FROM totals t LEFT JOIN per p USING (doc_id)
+"""

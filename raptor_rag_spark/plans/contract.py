@@ -660,6 +660,29 @@ SELECT doc_id, lang_guess, quality, n_tokens FROM (
 """
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: boundaries where the 4-token rolling hash
+    ≡ 0 (mod 16) — boundaries are a pure function of LOCAL content, so an
+    edit only perturbs its surrounding chunks (the rsync/CDC property);
+    two doc-keyed shuffles total."""
+    return D.cdc_chunks(ld(spark, sf_dir, "documents"))
+
+
+def _sql_cdc_chunks() -> str:
+    return D.cdc_chunks_sql("SELECT doc_id, text FROM documents")
+
+
+def q_cdc_dup(spark, sf_dir):
+    """Chunk-granular dup audit: per-doc fraction of tokens in CDC chunks
+    shared (by content hash) with another doc — the dedup decision signal
+    between whole-doc near-dup and token-level dup_spans."""
+    return D.cdc_dup_stats(ld(spark, sf_dir, "documents"))
+
+
+def _sql_cdc_dup() -> str:
+    return D.cdc_dup_stats_sql("SELECT doc_id, text FROM documents")
+
+
 def q_quality_rank(spark, sf_dir):
     """Distributed ECDF: exact global quality rank/percentile with NO global
     sort — 256 value buckets, bucket-partitioned row_numbers + broadcast
@@ -3978,6 +4001,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep": q_dedup_keep,
     "curate_corpus": q_curate_corpus,
     "quality_rank": q_quality_rank,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dup": q_cdc_dup,
     "winnow_fp": q_winnow_fp,
     "winnow_matches": q_winnow_matches,
     # spatial / similarity
@@ -4143,6 +4168,8 @@ ORACLES: dict[str, str] = {
     "dedup_keep": _sql_dedup_keep(),
     "curate_corpus": _sql_curate_corpus(),
     "quality_rank": _sql_quality_rank(),
+    "cdc_chunks": _sql_cdc_chunks(),
+    "cdc_dup": _sql_cdc_dup(),
     "winnow_fp": _sql_winnow_fp(),
     "winnow_matches": _sql_winnow_matches(),
     "emb_cells": _sql_emb_cells(),

@@ -142,3 +142,26 @@ def test_winnow_density_property(tokens):
     else:
         n_grams = max(len(tokens) - WINNOW_K + 1, 1)
         assert 1 <= len(fps) <= n_grams
+
+
+def test_cdc_edit_locality(spark):
+    """The CDC property: editing one token changes only chunks near the
+    edit — chunk hashes before the edit's neighborhood are identical."""
+    from raptor_rag_spark.operators.dedup import CDC_GRAM, cdc_chunks
+
+    base_toks = [f"w{i % 23}x{i % 7}" for i in range(120)]
+    edited = list(base_toks)
+    edited[80] = "EDITED"
+    df = spark.createDataFrame(
+        [(1, " ".join(base_toks)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).collect()
+    a = sorted((r["chunk_idx"], r["chunk_hash"], r["n_tokens"]) for r in out if r["doc_id"] == 1)
+    b = sorted((r["chunk_idx"], r["chunk_hash"], r["n_tokens"]) for r in out if r["doc_id"] == 2)
+    # token masses match the input
+    assert sum(t[2] for t in a) == 120 and sum(t[2] for t in b) == 120
+    # all chunks fully before the edit neighborhood are bit-identical
+    pre_a = [t for t in a if sum(x[2] for x in a[: t[0]]) + t[2] <= 80 - CDC_GRAM]
+    assert pre_a and all(t in b for t in pre_a)
+    # and the docs differ somewhere after it
+    assert a != b
