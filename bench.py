@@ -464,6 +464,32 @@ def main() -> None:
     timed("path_rollup", lambda: path_rollup(pages).count())
     timed("host_distances", lambda: host_distances(extract_links(pages)).count())
 
+    # round-2 continuation legs: bursts, communities, CDC, ECDF, near-probes
+    from raptor_rag_spark.operators.graph import host_communities
+    from raptor_rag_spark.operators.sampling import quality_rank
+    from raptor_rag_spark.operators.webops import host_recency, term_bursts
+
+    timed("term_bursts", lambda: term_bursts(pages).count())
+    timed("host_recency", lambda: host_recency(pages).count())
+    timed("host_communities", lambda: host_communities(extract_links(pages)).count())
+    timed("quality_rank", lambda: quality_rank(docs.select("doc_id", "text")).count())
+    timed("simhash_near", lambda: D.simhash_near_pairs(docs.select("doc_id", "text")).count())
+    timed("cdc_dup", lambda: D.cdc_dup_stats(docs.select("doc_id", "text")).count())
+    from raptor_rag_spark.operators.spacetime import stay_points as _sp
+
+    def _stay():
+        ev2 = events.join(
+            F.broadcast(embs.select("vec_id", x.alias("x0"), y.alias("y0"))),
+            events["user_id"] % 5000 == F.col("vec_id"),
+        ).select(
+            "user_id", "event_id", "ts",
+            F.greatest(F.least(F.col("x0"), F.lit(1.0)), F.lit(0.0)).alias("x"),
+            F.greatest(F.least(F.col("y0"), F.lit(1.0)), F.lit(0.0)).alias("y"),
+        )
+        _sp(ev2, res=4, min_events=2).count()
+
+    timed("stay_points", _stay)
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(
