@@ -481,9 +481,17 @@ def q_dedup_eval(spark, sf_dir):
     candidate pairs against the exact n-gram-Jaccard≥0.2 truth set — the
     number that says whether the banding parameters are right BEFORE a
     100-TB run. One row; both pair sets come from the production operators."""
-    mh = D.minhash_band_pairs(ld(spark, sf_dir, "documents")).select("doc_a", "doc_b")
-    truth = D.ngram_jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.2).select(
-        "doc_a", "doc_b"
+    # each pair set feeds two consumers (count + intersection join):
+    # materialize once so the generators run once
+    mh = (
+        D.minhash_band_pairs(ld(spark, sf_dir, "documents"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        D.ngram_jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     inter = mh.join(truth, ["doc_a", "doc_b"]).count()
     n_mh, n_truth = mh.count(), truth.count()
