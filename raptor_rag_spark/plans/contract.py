@@ -668,6 +668,60 @@ SELECT doc_id, lang_guess, quality, n_tokens FROM (
 """
 
 
+def q_tile_lang_entropy(spark, sf_dir):
+    """Per-tile language diversity: documents placed at their embedding's
+    tile (res 3), per-(cell, lang) counts → Shannon entropy via the TWIN ln
+    with decimal-exact term sums — the mixture raster a multilingual corpus
+    curator reads before per-language sampling."""
+    docs = ld(spark, sf_dir, "documents")
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(F.col("vec_id").alias("doc_id"), G.cell_col(x, y, 3).alias("cell_id"))
+    langs = T.language_id(docs).select("doc_id", "lang_guess")
+    per = (
+        pts.join(langs, "doc_id")
+        .groupBy("cell_id", "lang_guess")
+        .agg(F.count("*").alias("nl"))
+    )
+    tot = per.groupBy("cell_id").agg(F.sum("nl").alias("nt"), F.count("*").alias("n_langs"))
+    p = F.col("nl").cast("double") / F.col("nt").cast("double")
+    term = (p * G.ln_col(p)).cast("decimal(28,15)")
+    return (
+        per.join(tot, "cell_id")
+        .groupBy("cell_id")
+        .agg(
+            F.max("nt").alias("n_docs"),
+            F.max("n_langs").alias("n_langs"),
+            (-F.sum(term).cast("double")).alias("entropy"),
+        )
+        .select("cell_id", F.col("n_docs").cast("long").alias("n_docs"), "n_langs", "entropy")
+    )
+
+
+def _sql_tile_lang_entropy() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    cell = G.cell_sql("x", "y", 3)
+    return f"""
+WITH pts AS (
+  SELECT vec_id AS doc_id, {cell} AS cell_id
+  FROM (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings)),
+langs AS (SELECT doc_id, {G.lang_id_sql("text")} AS lang_guess FROM documents),
+per AS (
+  SELECT cell_id, lang_guess, count(*)::BIGINT AS nl
+  FROM pts JOIN langs USING (doc_id) GROUP BY cell_id, lang_guess),
+tot AS (SELECT cell_id, CAST(sum(nl) AS BIGINT) AS nt, count(*)::BIGINT AS n_langs
+        FROM per GROUP BY cell_id),
+terms AS (
+  SELECT cell_id, nt, n_langs, p, {G.ln_sql("p")} AS lnp FROM (
+    SELECT per.cell_id, tot.nt, tot.n_langs,
+           CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE) AS p
+    FROM per JOIN tot USING (cell_id)))
+SELECT cell_id, max(nt) AS n_docs, max(n_langs) AS n_langs,
+       -CAST(sum(CAST((p * lnp) AS DECIMAL(28,15))) AS DOUBLE) AS entropy
+FROM terms GROUP BY cell_id
+"""
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking: boundaries where the 4-token rolling hash
     ≡ 0 (mod 16) — boundaries are a pure function of LOCAL content, so an
@@ -4009,6 +4063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep": q_dedup_keep,
     "curate_corpus": q_curate_corpus,
     "quality_rank": q_quality_rank,
+    "tile_lang_entropy": q_tile_lang_entropy,
     "cdc_chunks": q_cdc_chunks,
     "cdc_dup": q_cdc_dup,
     "winnow_fp": q_winnow_fp,
@@ -4176,6 +4231,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep": _sql_dedup_keep(),
     "curate_corpus": _sql_curate_corpus(),
     "quality_rank": _sql_quality_rank(),
+    "tile_lang_entropy": _sql_tile_lang_entropy(),
     "cdc_chunks": _sql_cdc_chunks(),
     "cdc_dup": _sql_cdc_dup(),
     "winnow_fp": _sql_winnow_fp(),
