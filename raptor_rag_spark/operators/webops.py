@@ -492,3 +492,88 @@ SELECT host, count(*)::BIGINT AS n_pages,
        CAST(sum(CAST(wgt AS DECIMAL(28,15))) AS DOUBLE) AS recency_score
 FROM weighted GROUP BY host
 """
+
+
+def host_anomaly(pages: DataFrame, min_prior_weeks: int = 3) -> DataFrame:
+    """(host, c_last, mean_prior, sd_prior, z): crawl-health anomaly score —
+    how many standard deviations the latest week's page count sits from the
+    host's own prior weekly history. |z| ≥ 2 is the recrawl-alert threshold
+    (site redesign, outage, or a crawler trap).
+
+    Exactness: sum and sum-of-squares go through DECIMAL (cross-row float
+    addition is order-dependent; decimals are exact), then mean/variance are
+    per-row double arithmetic in pinned order: var = (sumsq − sum²/n)/(n−1).
+    Scale shape: one (host, week) groupBy on the page scan, host-cardinality
+    everything after (the per-host latest week is one more host-keyed agg +
+    join on the same key — no extra shuffle of the page set)."""
+    wk = F.date_format(F.date_trunc("week", F.col("warc_ts")), "yyyy-MM-dd")
+    hw = (
+        parse_urls(pages)
+        .select("host", wk.alias("week"))
+        .groupBy("host", "week")
+        .agg(F.count("*").alias("c"))
+    ).localCheckpoint(eager=False)  # consumers: latest counts + prior stats
+    # "latest" is PER HOST (its own newest active week): every multi-week
+    # host scores, instead of only hosts that happened to appear in the
+    # corpus's single newest week
+    last = hw.groupBy("host").agg(F.max("week").alias("last_week"))
+    lastc = hw.join(last, ["host"]).where(F.col("week") == F.col("last_week")).select(
+        "host", F.col("c").alias("c_last")
+    )
+    prior = (
+        hw.join(last, ["host"])
+        .where(F.col("week") < F.col("last_week"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c").cast("decimal(28,6)")).cast("double").alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(28,6)")).cast("double").alias("ss"),
+        )
+        .where(F.col("n") >= min_prior_weeks)
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast("double")) / (
+        F.col("n").cast("double") - F.lit(1.0)
+    )
+    sd = F.sqrt(var)
+    return (
+        lastc.join(prior, "host")
+        .select(
+            "host",
+            "c_last",
+            mean.alias("mean_prior"),
+            sd.alias("sd_prior"),
+            F.when(sd > 0, (F.col("c_last").cast("double") - mean) / sd)
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
+
+
+def host_anomaly_sql(pages_sql: str, min_prior_weeks: int = 3) -> str:
+    """DuckDB twin of :func:`host_anomaly`; ``pages_sql`` yields (url, warc_ts)."""
+    return f"""
+WITH hw AS (
+  SELECT regexp_extract(url, '{URL_RE}', 2) AS host,
+         strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS week,
+         count(*)::BIGINT AS c
+  FROM ({pages_sql}) GROUP BY 1, 2),
+last AS (SELECT host, max(week) AS last_week FROM hw GROUP BY host),
+lastc AS (SELECT host, c AS c_last FROM hw JOIN last USING (host) WHERE week = last_week),
+prior AS (
+  SELECT host, count(*)::BIGINT AS n,
+         CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(c * c AS DECIMAL(28,6))) AS DOUBLE) AS ss
+  FROM hw JOIN last USING (host) WHERE week < last_week GROUP BY host
+  HAVING count(*) >= {min_prior_weeks}),
+scored AS (
+  SELECT host, c_last, n, s, ss,
+         (s / CAST(n AS DOUBLE)) AS mean_prior,
+         sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd_prior
+  FROM lastc JOIN prior USING (host))
+SELECT host, c_last, mean_prior, sd_prior,
+       CASE WHEN sd_prior > 0
+            THEN (CAST(c_last AS DOUBLE) - mean_prior) / sd_prior
+            ELSE 0.0 END AS z
+FROM scored
+"""

@@ -3736,6 +3736,21 @@ FROM assigned GROUP BY day, hex_q, hex_r
 """
 
 
+def q_host_anomaly(spark, sf_dir):
+    """Crawl-health z-scores: latest-week page count vs the host's own prior
+    weekly mean/σ (decimal-exact sums, pinned-order variance) — the recrawl
+    alert for redesigns, outages, and crawler traps."""
+    from ..operators.webops import host_anomaly
+
+    return host_anomaly(_pages(spark), min_prior_weeks=3)
+
+
+def _sql_host_anomaly() -> str:
+    from ..operators.webops import host_anomaly_sql
+
+    return host_anomaly_sql(f"SELECT url, warc_ts FROM {_PAGES_PQ}", min_prior_weeks=3)
+
+
 def q_host_recency(spark, sf_dir):
     """Recency-weighted crawl mass per host: alpha^(weeks since newest
     capture) summed per host — alpha^d composed from the TWIN exp/ln
@@ -4166,6 +4181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stay_points": q_stay_points,
     "term_bursts": q_term_bursts,
     "host_recency": q_host_recency,
+    "host_anomaly": q_host_anomaly,
     "stream_hex_density": q_stream_hex_density,
     "tree_rouge": q_tree_rouge,
     "crawl_frontier": q_crawl_frontier,
@@ -4331,6 +4347,7 @@ ORACLES: dict[str, str] = {
     "stay_points": _sql_stay_points(),
     "term_bursts": _sql_term_bursts(),
     "host_recency": _sql_host_recency(),
+    "host_anomaly": _sql_host_anomaly(),
     "stream_hex_density": _sql_stream_hex_density(),
     "tree_rouge": _sql_tree_rouge(),
     "crawl_frontier": _sql_crawl_frontier(),
