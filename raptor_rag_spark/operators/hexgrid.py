@@ -26,6 +26,8 @@ def hex_assign(points: DataFrame, res: int, id_col: str = "vec_id") -> DataFrame
     """(id, hex_q, hex_r, hex_id, parent_id): exact hexagon of each (x, y)
     point plus its H3-style center-containment parent one resolution coarser.
     Pure column arithmetic — survives any scale as a scan-fused Project."""
+    if res < 1:
+        raise ValueError("hex_assign needs res >= 1 (parents are emitted at res - 1)")
     q, r = H.hex_qr_cols(F.col("x"), F.col("y"), res)
     pts = points.select(id_col, "x", "y", q.alias("hex_q"), r.alias("hex_r"))
     pq, pr = H.hex_parent_cols(F.col("hex_q"), F.col("hex_r"), res)
@@ -100,6 +102,8 @@ HAVING sum(CASE WHEN is_self THEN cnt END) IS NOT NULL
 
 def hex_assign_sql(points_sql: str, res: int, id_col: str = "vec_id") -> str:
     """DuckDB twin of :func:`hex_assign`; ``points_sql`` yields (id, x, y)."""
+    if res < 1:
+        raise ValueError("hex_assign_sql needs res >= 1 (parents are emitted at res - 1)")
     q, r = H.hex_qr_sql("x", "y", res)
     pq, pr = H.hex_parent_sql("hex_q", "hex_r")
     return f"""
@@ -144,6 +148,9 @@ def hex_pyramid(points: DataFrame, res: int, levels: int = 3) -> DataFrame:
             .groupBy("hex_q", "hex_r")
             .agg(F.sum("cnt").alias("cnt"))
             .select(F.lit(r_child - 1).cast("int").alias("res"), "hex_q", "hex_r", "cnt")
+            # per-level checkpoint: each UNION branch would otherwise replay
+            # every intermediate aggregation (level 1 runs levels-1 times)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(cur)
     return out
@@ -190,15 +197,13 @@ def hex_soft_assign(
     arithmetic scan-fused JVM expressions, no join, no shuffle — downstream
     consumers aggregate. ``hexdist`` is the normalized hex-norm (1.0 = on
     the boundary), so a consumer can re-threshold without recomputing."""
-    from ..functions.hexgen import AXIAL_NEIGHBORS, SQRT3, hex_center_cols, hex_qr_cols, hex_size
-
-    b = SQRT3 / 2.0
-    apothem = hex_size(res) * b
-    q, r = hex_qr_cols(F.col("x"), F.col("y"), res)
+    b = H.SQRT3 / 2.0
+    apothem = H.hex_size(res) * b
+    q, r = H.hex_qr_cols(F.col("x"), F.col("y"), res)
     offsets = F.array(
         *[
             F.struct(F.lit(dq).cast("long").alias("dq"), F.lit(dr).cast("long").alias("dr"))
-            for dq, dr in ((0, 0), *AXIAL_NEIGHBORS)
+            for dq, dr in ((0, 0), *H.AXIAL_NEIGHBORS)
         ]
     )
     fanned = points.select(
@@ -211,7 +216,7 @@ def hex_soft_assign(
         (F.col("hr") + F.col("o.dr")).alias("hex_r"),
         ((F.col("o.dq") == 0) & (F.col("o.dr") == 0)).alias("is_home"),
     )
-    cx, cy = hex_center_cols(F.col("hex_q"), F.col("hex_r"), res)
+    cx, cy = H.hex_center_cols(F.col("hex_q"), F.col("hex_r"), res)
     dx = F.col("x") - cx
     dy = F.col("y") - cy
     m = F.greatest(
@@ -230,13 +235,11 @@ def hex_soft_assign_sql(
     points_sql: str, res: int, eps: float = 0.15, id_col: str = "vec_id"
 ) -> str:
     """DuckDB twin of :func:`hex_soft_assign`."""
-    from ..functions.hexgen import AXIAL_NEIGHBORS, SQRT3, flit, hex_center_sql, hex_qr_sql, hex_size
-
-    b = SQRT3 / 2.0
-    apothem = hex_size(res) * b
-    q, r = hex_qr_sql("x", "y", res)
-    offs = ", ".join(f"({dq}, {dr})" for dq, dr in ((0, 0), *AXIAL_NEIGHBORS))
-    cx, cy = hex_center_sql("hex_q", "hex_r", res)
+    b = H.SQRT3 / 2.0
+    apothem = H.hex_size(res) * b
+    q, r = H.hex_qr_sql("x", "y", res)
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in ((0, 0), *H.AXIAL_NEIGHBORS))
+    cx, cy = H.hex_center_sql("hex_q", "hex_r", res)
     return f"""
 WITH pts AS (SELECT {id_col}, x, y FROM ({points_sql})),
 assigned AS (SELECT {id_col}, x, y, {q} AS hq, {r} AS hr FROM pts),
@@ -250,9 +253,9 @@ centered AS (
 scored AS (
   SELECT {id_col}, hex_q, hex_r, is_home,
          greatest(abs(y - cy),
-                  abs((x - cx) * {flit(b)} + (y - cy) * 0.5),
-                  abs((x - cx) * {flit(b)} - (y - cy) * 0.5)) / {flit(apothem)} AS hexdist
+                  abs((x - cx) * {H.flit(b)} + (y - cy) * 0.5),
+                  abs((x - cx) * {H.flit(b)} - (y - cy) * 0.5)) / {H.flit(apothem)} AS hexdist
   FROM centered)
 SELECT {id_col}, hex_q, hex_r, is_home, hexdist FROM scored
-WHERE hexdist <= {flit(1.0 + eps)}
+WHERE hexdist <= {H.flit(1.0 + eps)}
 """

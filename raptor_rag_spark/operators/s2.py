@@ -38,6 +38,8 @@ from ..functions import trig as TR
 
 def s2_cells(points: DataFrame, res: int = 8, id_col: str = "vec_id") -> DataFrame:
     """(id, face, i, j, hkey, s2_id, parent_id) from (id, lon, lat) radians."""
+    if res < 1:
+        raise ValueError("s2_cells needs res >= 1 (parents are the 2-bit prefix)")
     n = 1 << res
     coslat = TR.cos_col(F.col("lat"))
     xyz = points.select(
@@ -130,6 +132,8 @@ def s2_cells(points: DataFrame, res: int = 8, id_col: str = "vec_id") -> DataFra
 
 def s2_cells_sql(points_sql: str, res: int = 8, id_col: str = "vec_id") -> str:
     """DuckDB twin of :func:`s2_cells`. ``points_sql`` yields (id, lon, lat)."""
+    if res < 1:
+        raise ValueError("s2_cells_sql needs res >= 1 (parents are the 2-bit prefix)")
     n = 1 << res
     coslat = TR.cos_sql("lat")
     coslon = TR.cos_sql("lon")

@@ -266,12 +266,14 @@ def crawl_frontier(pages: DataFrame, host_rank: DataFrame) -> DataFrame:
     # wave; identical to a global row_number over (slot, rank DESC, host,
     # url) but with no global sort. Slot counts are driver metadata.
     j = j.localCheckpoint(eager=False)  # two consumers: slot counts + the schedule
-    counts = {r["slot"]: r["n"] for r in j.groupBy("slot").agg(F.count("*").alias("n")).collect()}
-    acc, offsets = 0, []
-    for s in sorted(counts):
-        offsets.append((s, acc))
-        acc += counts[s]
-    off = j.sparkSession.createDataFrame(offsets, "slot long, slot_off long")
+    # cumulative offsets as a LAZY window over the slot-counts table (one row
+    # per slot wave — bounded by the deepest host queue, never the frontier);
+    # no driver collect, no eager jobs, executors absorb the skewed case
+    counts = j.groupBy("slot").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    off = counts.withColumn("slot_off", F.sum("n").over(w_off) - F.col("n")).select(
+        "slot", "slot_off"
+    )
     wp = Window.partitionBy("slot").orderBy(F.desc("rank"), "host", "url")
     return (
         j.join(F.broadcast(off), "slot")
@@ -535,7 +537,10 @@ def host_anomaly(pages: DataFrame, min_prior_weeks: int = 3) -> DataFrame:
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast("double")) / (
         F.col("n").cast("double") - F.lit(1.0)
     )
-    sd = F.sqrt(var)
+    # the decimal-exact ss and the rounded s*s/n can put var one ulp below 0
+    # for huge constant-ish counts; Spark sqrt would yield NaN while DuckDB
+    # sqrt ERRORS on negatives — clamp in BOTH twins
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     return (
         lastc.join(prior, "host")
         .select(
@@ -569,7 +574,7 @@ prior AS (
 scored AS (
   SELECT host, c_last, n, s, ss,
          (s / CAST(n AS DOUBLE)) AS mean_prior,
-         sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd_prior
+         sqrt(greatest((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd_prior
   FROM lastc JOIN prior USING (host))
 SELECT host, c_last, mean_prior, sd_prior,
        CASE WHEN sd_prior > 0

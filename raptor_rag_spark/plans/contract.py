@@ -3845,16 +3845,17 @@ def q_geo_chord(spark, sf_dir):
 
 def _sql_geo_chord() -> str:
     from ..functions import trig as TR
+    from ..functions.hexgen import flit
 
     x, y = G.xy_sql("embedding", DIM)
     return f"""
 WITH pts AS (
   SELECT vec_id,
-         (({x}) - 0.5) * {2.0 * 3.141592653589793!r} AS lon,
-         (({y}) - 0.5) * {3.141592653589793!r} AS lat
+         (({x}) - 0.5) * {flit(2.0 * 3.141592653589793)} AS lon,
+         (({y}) - 0.5) * {flit(3.141592653589793)} AS lat
   FROM embeddings)
 SELECT vec_id, lon, lat,
-       {TR.chord_dist_sql(repr(GEO_LAT0), repr(GEO_LON0), "lat", "lon")} AS chord
+       {TR.chord_dist_sql(flit(GEO_LAT0), flit(GEO_LON0), "lat", "lon")} AS chord
 FROM pts
 """
 
@@ -3879,11 +3880,13 @@ def q_s2_cells(spark, sf_dir):
 def _sql_s2_cells() -> str:
     from ..operators.s2 import s2_cells_sql
 
+    from ..functions.hexgen import flit
+
     x, y = G.xy_sql("embedding", DIM)
     pts = f"""
 SELECT vec_id,
-       (({x}) - 0.5) * {2.0 * 3.141592653589793!r} AS lon,
-       (({y}) - 0.5) * {3.141592653589793!r} AS lat
+       (({x}) - 0.5) * {flit(2.0 * 3.141592653589793)} AS lon,
+       (({y}) - 0.5) * {flit(3.141592653589793)} AS lat
 FROM embeddings"""
     return s2_cells_sql(pts, res=8)
 

@@ -459,8 +459,12 @@ def stream_hex_density(
     the batch twin bit-for-bit (contract query ``stream_hex_density``).
 
     Scale: the static side is broadcast (no stream repartition for the
-    join); state is one count per (day, occupied hex), evicted by the
-    watermark."""
+    join); state is one count per (day, occupied hex). NOTE: this demo
+    drains with outputMode('complete') so the memory sink holds the full
+    result for the oracle compare — in complete mode Spark does NOT evict
+    aggregation state at the watermark; a continuous deployment of this
+    plan should run update/append mode, where the same watermark bounds
+    state to live day windows."""
     from ..functions import hexgen as H
     from ..functions import sqlgen as G
 
