@@ -225,3 +225,114 @@ est AS (
 SELECT top.v AS term, est.est, top.exact, CAST(top.rank AS INT) AS rank
 FROM top JOIN est ON top.v = est.item
 """
+
+
+BLOOM_BITS = 2016  # m: filter size in bits (32 words x 63 usable bits --
+# bit 63 is unused because DuckDB range-checks 1::BIGINT << 63 while Spark
+# silently wraps to Long.MIN_VALUE; 63-bit words keep both engines exact)
+BLOOM_K = 3  # hash functions (salted portable hashes)
+BLOOM_WORDS = BLOOM_BITS // 63
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx, word): a Bloom filter of the key set as 32 OR-aggregated
+    64-bit words — byte-identical across engines (portable salted hashes →
+    bit positions → per-word bit_or). The third verifiable sketch beside
+    HLL and count-min: mergeable by OR, one metadata-scale groupBy
+    (≤ ``BLOOM_WORDS`` groups)."""
+    fans = [
+        F.pmod(G.hash63_col(F.concat(F.col(key_col).cast("string"), F.lit(f"|b{s}"))),
+               F.lit(BLOOM_BITS))
+        for s in range(BLOOM_K)
+    ]
+    return (
+        keys.select(F.explode(F.array(*fans)).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / F.lit(63)).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def bloom_semijoin(probe: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """(n_probe, n_pass, n_true, n_false_pos): the classic Bloom pre-filter
+    audit — probe rows whose key passes the filter of ``keys``, vs exact
+    membership. All true members pass (no false negatives, by construction);
+    n_false_pos measures the pre-filter's selectivity at the chosen m/k.
+
+    Scale shape: the filter is 32 rows, broadcast; each probe key fans out to
+    ``BLOOM_K`` (word, bit) checks joined against the broadcast words and
+    AND-reduced per key — a constant-cost map-side pre-filter, which is the
+    entire point (drop most of the corpus before an expensive join)."""
+    bloom = bloom_build(keys, key_col)
+    fans = [
+        F.pmod(G.hash63_col(F.concat(F.col(key_col).cast("string"), F.lit(f"|b{s}"))),
+               F.lit(BLOOM_BITS))
+        for s in range(BLOOM_K)
+    ]
+    checks = (
+        probe.select(F.col(key_col).alias("k"), F.explode(F.array(*fans)).alias("pos"))
+        .select(
+            "k",
+            F.floor(F.col("pos") / F.lit(63)).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))").alias("bit"),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "k",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
+    )
+    truth = keys.select(F.col(key_col).alias("k")).distinct().withColumn("is_true", F.lit(1))
+    audited = checks.join(truth, "k", "left").select(
+        "k", "all_hit", F.coalesce("is_true", F.lit(0)).alias("is_true")
+    )
+    return audited.agg(
+        F.count("*").alias("n_probe"),
+        F.sum("all_hit").cast("long").alias("n_pass"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum(
+            F.when((F.col("all_hit") == 1) & (F.col("is_true") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+    )
+
+
+def _bloom_fan_sql(key_expr: str) -> str:
+    parts = []
+    for s in range(BLOOM_K):
+        h = G.hash63_sql(f"CAST({key_expr} AS VARCHAR) || '|b{s}'")
+        parts.append(f"(({h}) % {BLOOM_BITS})")
+    return ", ".join(parts)
+
+
+def bloom_semijoin_sql(probe_sql: str, keys_sql: str, key_col: str) -> str:
+    """DuckDB twin of :func:`bloom_semijoin`."""
+    return f"""
+WITH kfan AS (
+  SELECT unnest([{_bloom_fan_sql(key_col)}]) AS pos FROM ({keys_sql})),
+bloom AS (
+  SELECT CAST(floor(pos / 63) AS BIGINT) AS word_idx,
+         bit_or(1::BIGINT << CAST((pos % 63) AS INT)) AS word
+  FROM kfan GROUP BY 1),
+pfan AS (
+  SELECT {key_col} AS k, unnest([{_bloom_fan_sql(key_col)}]) AS pos FROM ({probe_sql})),
+checks AS (
+  SELECT p.k,
+         min(CASE WHEN coalesce(b.word, 0) & (1::BIGINT << CAST((p.pos % 63) AS INT)) <> 0
+                  THEN 1 ELSE 0 END) AS all_hit
+  FROM pfan p LEFT JOIN bloom b ON CAST(floor(p.pos / 63) AS BIGINT) = b.word_idx
+  GROUP BY p.k),
+truth AS (SELECT DISTINCT {key_col} AS k, 1 AS is_true FROM ({keys_sql})),
+audited AS (
+  SELECT c.k, c.all_hit, coalesce(t.is_true, 0) AS is_true
+  FROM checks c LEFT JOIN truth t USING (k))
+SELECT count(*)::BIGINT AS n_probe,
+       CAST(sum(all_hit) AS BIGINT) AS n_pass,
+       CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN all_hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM audited
+"""

@@ -476,6 +476,31 @@ SELECT doc_id, {sim} AS simhash FROM (
 """
 
 
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter semi-join audit (the third verifiable sketch beside HLL
+    and count-min): build a 2048-bit filter of the even-doc fingerprints,
+    probe ALL documents, report pass/true/false-positive counts — bits are
+    byte-identical across engines (portable salted hashes + per-word
+    bit_or), broadcast as 32 longs."""
+    from ..operators.sketches import bloom_semijoin
+
+    docs = ld(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", G.fingerprint_col(F.col("text")).alias("fp")
+    )
+    keys = fp.where(F.col("doc_id") % 2 == 0).select("fp")
+    return bloom_semijoin(fp.select("fp"), keys, "fp")
+
+
+def _sql_bloom_filter() -> str:
+    from ..operators.sketches import bloom_semijoin_sql
+
+    fp = f"SELECT doc_id, {G.fingerprint_sql('text')} AS fp FROM documents"
+    return bloom_semijoin_sql(
+        f"SELECT fp FROM ({fp})", f"SELECT fp FROM ({fp}) WHERE doc_id % 2 = 0", "fp"
+    )
+
+
 def q_dedup_eval(spark, sf_dir):
     """Candidate-generator quality audit: precision/recall of the MinHash-LSH
     candidate pairs against the exact n-gram-Jaccard≥0.2 truth set — the
@@ -4075,6 +4100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_near": q_simhash_near,
     "dedup_eval": q_dedup_eval,
+    "bloom_filter": q_bloom_filter,
     "ngram_jaccard": q_ngram_jaccard,
     "emb_neardup": q_emb_neardup,
     "dedup_clusters": q_dedup_clusters,
@@ -4244,6 +4270,7 @@ ORACLES: dict[str, str] = {
     "simhash": _sql_simhash(),
     "simhash_near": _sql_simhash_near(),
     "dedup_eval": _sql_dedup_eval(),
+    "bloom_filter": _sql_bloom_filter(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "emb_neardup": _sql_emb_neardup(),
     "dedup_clusters": _sql_dedup_components(),

@@ -247,3 +247,22 @@ def test_srp_pairs_finds_neardups(spark):
     assert {(i, 100 + i) for i in range(5)} <= got
     for r in srp_pairs(vecs, min_sim=0.9).collect():
         assert r["cos_sim"] >= 0.9
+
+
+def test_bloom_semijoin_no_false_negatives(spark):
+    """Every true member passes the filter; false positives are counted, not
+    hidden; the audit row is internally consistent."""
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.sketches import bloom_semijoin
+
+    probe = spark.range(2000).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    keys = spark.range(0, 2000, 4).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    row = bloom_semijoin(probe, keys, "key").collect()[0]
+    assert row["n_probe"] == 2000 and row["n_true"] == 500
+    # no false negatives: every true member passes
+    assert row["n_pass"] >= row["n_true"]
+    assert row["n_pass"] - row["n_true"] == row["n_false_pos"]
+    # 500 keys * 3 hashes into 2016 bits -> fill ~0.53; fpr ~ 0.15, so the
+    # pre-filter must actually prune (pass rate well below 1)
+    assert row["n_pass"] < 1400
