@@ -104,6 +104,7 @@ class ClusterTreeConfig(TreeBuilderConfig):
         *,
         max_resolution=12,
         soft_buffer=0.02,
+        lattice="quad",
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -114,6 +115,11 @@ class ClusterTreeConfig(TreeBuilderConfig):
         # soft-assignment boundary buffer (the GMM-threshold analogue)
         self.max_resolution = max_resolution
         self.soft_buffer = soft_buffer
+        if lattice not in ("quad", "hex"):
+            raise ValueError(f"unknown lattice {lattice!r} (expected 'quad' or 'hex')")
+        # which hierarchical lattice the tree tiles on: the quadkey grid or
+        # the H3-style hexagonal lattice (same packed-id layout end to end)
+        self.lattice = lattice
 
     def config_hash(self) -> str:
         """sha256 cache key over every build-affecting field — the
@@ -139,6 +145,7 @@ class ClusterTreeConfig(TreeBuilderConfig):
             f"clustering_threshold={self.clustering_threshold}",
             f"max_resolution={self.max_resolution}",
             f"soft_buffer={self.soft_buffer}",
+            f"lattice={self.lattice}",
             f"tokenizer={type(self.tokenizer).__name__}",
             f"text_splitter={type(self.text_splitter).__name__}",
             f"summarization_model={type(self.summarization_model).__name__}",

@@ -195,3 +195,49 @@ def hex_center_sql(q: str, r: str, res: int) -> tuple[str, str]:
     cx = f"(({q})::DOUBLE * {flit(1.5 * s)})"
     cy = f"(({r})::DOUBLE * {flit(SQRT3 * s)} + ({q})::DOUBLE * {flit(SQRT3 * s * 0.5)})"
     return cx, cy
+
+
+# -------------------------------------------------- packed-id parent (tree path)
+
+def hex_parent_packed_col(cell: Column) -> Column:
+    """Parent hex id from a PACKED hex id (the build_tree lattice hook):
+    unpack (res, q, r), integer aperture-4 parent, repack at res−1 — the hex
+    analogue of sqlgen.cell_parent_col's shift expression; still pure column
+    arithmetic."""
+    res = F.shiftrightunsigned(cell, RES_SHIFT)
+    q = F.shiftrightunsigned(cell, COORD_BITS).bitwiseAND(F.lit(COORD_MASK)) - F.lit(OFF)
+    r = cell.bitwiseAND(F.lit(COORD_MASK)) - F.lit(OFF)
+    pq, pr = hex_parent_cols(q, r)
+    return (
+        F.shiftleft(res - F.lit(1), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(pq + F.lit(OFF), COORD_BITS))
+        .bitwiseOR(pr + F.lit(OFF))
+    )
+
+
+def hex_parent_packed_py(cell: int) -> int:
+    """Python twin of :func:`hex_parent_packed_col` (driver dirty-set hops)."""
+    res = cell >> RES_SHIFT
+    q = ((cell >> COORD_BITS) & COORD_MASK) - OFF
+    r = (cell & COORD_MASK) - OFF
+    qr, rr, sr = (q + 1) >> 1, (r + 1) >> 1, (1 - q - r) >> 1
+    tq, tr, ts = abs(qr * 2 - q), abs(rr * 2 - r), abs(sr * 2 + q + r)
+    if tq > tr and tq > ts:
+        pq, pr = -rr - sr, rr
+    elif tr > ts:
+        pq, pr = qr, -qr - sr
+    else:
+        pq, pr = qr, rr
+    return ((res - 1) << RES_SHIFT) | ((pq + OFF) << COORD_BITS) | (pr + OFF)
+
+
+def hex_parent_packed_sql(cell_expr: str) -> str:
+    """DuckDB twin of :func:`hex_parent_packed_col` (``cell_expr`` should be
+    a simple column reference)."""
+    res = f"(({cell_expr}) >> {RES_SHIFT})"
+    q = f"(((({cell_expr}) >> {COORD_BITS}) & {COORD_MASK}) - {OFF})"
+    r = f"((({cell_expr}) & {COORD_MASK}) - {OFF})"
+    pq, pr = hex_parent_sql(q, r)
+    return (
+        f"((({res} - 1) << {RES_SHIFT}) | (({pq} + {OFF}) << {COORD_BITS}) | ({pr} + {OFF}))"
+    )

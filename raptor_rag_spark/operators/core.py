@@ -50,7 +50,19 @@ def with_xy(df: DataFrame, dim: int = DEFAULT_DIM, embedding_col: str = "embeddi
     return df.withColumn("x", x).withColumn("y", y)
 
 
-def with_cell(df: DataFrame, res: int, x_col: str = "x", y_col: str = "y") -> DataFrame:
+def with_cell(
+    df: DataFrame, res: int, x_col: str = "x", y_col: str = "y", lattice: str = "quad"
+) -> DataFrame:
+    """Cell assignment on the configured lattice: ``quad`` = the 64-bit
+    quadkey grid (sqlgen.cell_col), ``hex`` = the H3-style hexagonal lattice
+    (hexgen.hex_cell_col) — same packed-id layout, so every downstream
+    groupBy/parent join is lattice-agnostic."""
+    if lattice == "hex":
+        from ..functions.hexgen import hex_cell_col
+
+        return df.withColumn("cell_id", hex_cell_col(F.col(x_col), F.col(y_col), res))
+    if lattice != "quad":
+        raise ValueError(f"unknown lattice {lattice!r} (expected 'quad' or 'hex')")
     return df.withColumn("cell_id", G.cell_col(F.col(x_col), F.col(y_col), res))
 
 
@@ -63,6 +75,7 @@ def chunk_embed_fused(
     overlap: int = 0,
     models: dict | None = None,
     cluster_model: str = "default",
+    lattice: str = "quad",
 ) -> DataFrame:
     """Chunk + embed in ONE Python round trip (mapInPandas).
 
@@ -123,6 +136,7 @@ def leaf_nodes(
     overlap: int = 0,
     models: dict | None = None,
     cluster_model: str = "default",
+    lattice: str = "quad",
 ) -> DataFrame:
     """Full leaf pipeline → level-0 nodes DataFrame (SURVEY.md §1.2 schema).
 
@@ -130,7 +144,7 @@ def leaf_nodes(
     projection, cell encode, node ids, token counts — is JVM column
     expressions inside whole-stage codegen."""
     nodes = chunk_embed_fused(docs, id_col, text_col, max_tokens, dim, overlap, models, cluster_model)
-    nodes = with_cell(with_xy(nodes, dim), res)
+    nodes = with_cell(with_xy(nodes, dim), res, lattice=lattice)
     cols = [
         G.hash63_col(F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"))).alias("node_id"),
         F.lit(0).alias("level"),

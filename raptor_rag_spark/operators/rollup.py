@@ -40,6 +40,18 @@ NODES_SCHEMA = (
 )
 
 
+def _parent_cell_expr(lattice: str) -> F.Column:
+    """Packed parent-cell expression on the configured lattice (both are
+    pure column arithmetic with the same id layout)."""
+    if lattice == "hex":
+        from ..functions.hexgen import hex_parent_packed_col
+
+        return hex_parent_packed_col(F.col("cell_id"))
+    if lattice != "quad":
+        raise ValueError(f"unknown lattice {lattice!r} (expected 'quad' or 'hex')")
+    return G.cell_parent_col(F.col("cell_id"), 1)
+
+
 def _salt_map(nodes: DataFrame, parent_cell: F.Column, max_length_in_cluster: int) -> DataFrame:
     """(parent_cell, n_buckets) for hot cells only — broadcastable."""
     return (
@@ -63,6 +75,7 @@ def build_parent_nodes(
     dim: int = DEFAULT_DIM,
     models: dict | None = None,
     cluster_model: str = "default",
+    lattice: str = "quad",
 ) -> DataFrame:
     """One parent node per (parent cell, salt bucket) of the given nodes.
 
@@ -78,7 +91,7 @@ def build_parent_nodes(
     ``embeddings`` map computed on its summary text (reference
     tree_builder.py:125-127: parent embeddings are re-embedded per model)."""
     multi = models is not None and len(models) > 1
-    parent_cell = G.cell_parent_col(F.col("cell_id"), 1)
+    parent_cell = _parent_cell_expr(lattice)
     salt_df = F.broadcast(_salt_map(nodes, parent_cell, max_length_in_cluster))
 
     staged = (

@@ -97,6 +97,7 @@ class TileTreeBuilder:
                 cfg.max_resolution,
                 models=models,
                 cluster_model=cfg.cluster_embedding_model,
+                lattice=getattr(cfg, "lattice", "quad"),
             )
             if ckpt:
                 m = ckpt.write_level(current, 0, extra={"stage": "leaves", "res": cfg.max_resolution})
@@ -124,6 +125,7 @@ class TileTreeBuilder:
                 max_length_in_cluster=cfg.max_length_in_cluster,
                 models=models,
                 cluster_model=cfg.cluster_embedding_model,
+                lattice=getattr(cfg, "lattice", "quad"),
             )
             if ckpt:
                 m = ckpt.write_level(parents, level, extra={"res": res - 1})
@@ -198,6 +200,7 @@ def update_tree(
         cfg.max_resolution,
         models=models,
         cluster_model=cfg.cluster_embedding_model,
+        lattice=getattr(cfg, "lattice", "quad"),
     ).localCheckpoint(eager=True)
     current = tree.filter(F.col("level") == 0).unionByName(new_leaves)
     levels = [current]
@@ -205,10 +208,11 @@ def update_tree(
     # count-based stop rule is monotone in corpus size), every level beyond
     # base_max has no kept nodes — the whole level is dirty
     base_max = tree.agg(F.max("level")).collect()[0][0] or 0
+    lattice = getattr(cfg, "lattice", "quad")
     dirty = [
         r["c"]
         for r in new_leaves.select(
-            G.cell_parent_col(F.col("cell_id"), 1).alias("c")
+            _parent_cell_col(lattice).alias("c")
         ).distinct().collect()
     ]
 
@@ -219,7 +223,7 @@ def update_tree(
         res = cfg.max_resolution - (level - 1)
         if res - 1 < 0:
             break
-        parent_cell = G.cell_parent_col(F.col("cell_id"), 1)
+        parent_cell = _parent_cell_col(lattice)
         affected = (
             current if level > base_max else current.where(parent_cell.isin(dirty))
         )
@@ -230,6 +234,7 @@ def update_tree(
             max_length_in_cluster=cfg.max_length_in_cluster,
             models=models,
             cluster_model=cfg.cluster_embedding_model,
+            lattice=lattice,
         )
         if level > base_max:
             current = recomputed.localCheckpoint(eager=True)
@@ -242,7 +247,7 @@ def update_tree(
             current = kept.unionByName(recomputed).localCheckpoint(eager=True)
         levels.append(current)
         # every parent of a dirty cell must re-aggregate at the next level
-        dirty = sorted({_parent_cell_py(c) for c in dirty})
+        dirty = sorted({_parent_cell_py(c, lattice) for c in dirty})
 
     out = levels[0]
     for df in levels[1:]:
@@ -250,7 +255,17 @@ def update_tree(
     return out
 
 
-def _parent_cell_py(cell: int) -> int:
+def _parent_cell_py(cell: int, lattice: str = "quad") -> int:
+    if lattice == "hex":
+        from ..functions.hexgen import hex_parent_packed_py
+
+        return hex_parent_packed_py(cell)
     from ..kernels.grid import cell_parent
 
     return int(cell_parent(cell, 1))
+
+
+def _parent_cell_col(lattice: str):
+    from ..operators.rollup import _parent_cell_expr
+
+    return _parent_cell_expr(lattice)

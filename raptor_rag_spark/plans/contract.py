@@ -2004,6 +2004,39 @@ GROUP BY e.query_id
 """
 
 
+def _hex_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship tree built on the HEXAGONAL lattice (cfg.lattice='hex'):
+    same pipeline, hexgen cell/parent expressions swapped in. res 5 ≈ the
+    quad tree's res 8 cell size (hex_size(r) = 0.125·2^−r vs quad 2^−r), so
+    the aperture-4 hierarchy compresses comparably."""
+    key = (id(spark), sf_dir, "hex")
+    if key not in _TREE_CACHE:
+        from ..config import ClusterTreeConfig
+        from .build_tree import build_tree
+
+        docs = ld(spark, sf_dir, "documents")
+        cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=5, lattice="hex")
+        tree = build_tree(docs, cfg)
+        path = _dump_path("hexnodes", sf_dir)
+        tree.write.mode("overwrite").parquet(path)
+        _TREE_CACHE[key] = spark.read.parquet(path).cache()
+    return _TREE_CACHE[key]
+
+
+_HEXNODES_PQ = "read_parquet('/root/repo/.tree_dumps/sf0.01_hexnodes/*.parquet')"
+
+
+def q_tree_hex_stats(spark, sf_dir):
+    """Per-level rollup of the HEX-lattice tile tree — the north star's 'H3
+    cells as tree layers' built literally: build_tree(lattice='hex') swaps
+    the hexgen cube-round/parent expressions into the identical pipeline."""
+    return level_stats(_hex_tree(spark, sf_dir))
+
+
+def _sql_tree_hex_stats() -> str:
+    return SQL_TREE_LEVEL_STATS.replace(_NODES_PQ, _HEXNODES_PQ)
+
+
 def q_tree_level_stats(spark, sf_dir):
     """Per-level rollup of the built tile tree (A5) — exact oracle over the
     tree dump."""
@@ -4156,6 +4189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize": q_stream_sessionize,
     # tree build + retrieval (exact twins over the tree dump)
     "tree_level_stats": q_tree_level_stats,
+    "tree_hex_stats": q_tree_hex_stats,
     "tree_tile_stats": q_tree_tile_stats,
     "tree_tile_vectorize": q_tree_tile_vectorize,
     "viewport_tiles": q_viewport_tiles,
@@ -4324,6 +4358,7 @@ ORACLES: dict[str, str] = {
     "gmm_cluster": _sql_gmm_cluster(),
     # tree family — exact twins over the engine's own parquet dump
     "tree_level_stats": SQL_TREE_LEVEL_STATS,
+    "tree_hex_stats": _sql_tree_hex_stats(),
     "tree_tile_stats": SQL_TREE_TILE_STATS,
     "tree_tile_vectorize": SQL_TREE_TILE_VECTORIZE,
     "viewport_tiles": SQL_VIEWPORT_TILES,

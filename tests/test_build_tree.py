@@ -283,3 +283,36 @@ def test_update_tree_deepens_shallow_base(spark):
         )
 
     assert sig(updated) == sig(full)
+
+
+def test_hex_lattice_tree(spark):
+    """build_tree(lattice='hex') runs the identical pipeline on the hex
+    lattice: every level's cells are valid hex ids one resolution coarser,
+    children partition the level below, and the config hash differs from the
+    quad tree's (separate cache key)."""
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.functions import hexgen as H
+    from raptor_rag_spark.plans.build_tree import build_tree
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = ClusterTreeConfig(max_tokens=48, num_layers=2, max_resolution=4, lattice="hex")
+    assert cfg.config_hash() != ClusterTreeConfig(
+        max_tokens=48, num_layers=2, max_resolution=4
+    ).config_hash()
+    tree = build_tree(docs, cfg)
+    rows = tree.select("node_id", "level", "cell_id", "children").collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) >= {0, 1}
+    for lv, rs in by_level.items():
+        for r in rs:
+            assert (r["cell_id"] >> H.RES_SHIFT) == 4 - lv  # hex res per level
+    # children of level-1 nodes exactly partition level 0
+    kids = [c for r in by_level[1] for c in r["children"]]
+    assert sorted(kids) == sorted(r["node_id"] for r in by_level[0])
+    # parent cell of each child's cell equals the parent's cell
+    leaf_cell = {r["node_id"]: r["cell_id"] for r in by_level[0]}
+    for r in by_level[1]:
+        for c in r["children"]:
+            assert H.hex_parent_packed_py(leaf_cell[c]) == r["cell_id"]
