@@ -78,6 +78,15 @@ def main() -> None:
     timed("tree_build", _build)
     tree = state["tree"]
 
+    # the same build on the HEXAGONAL lattice (res 5 ~ quad res 8 cell size)
+    def _build_hex():
+        cfg = ClusterTreeConfig(
+            max_tokens=64, num_layers=3, max_resolution=5, lattice="hex"
+        )
+        build_tree(docs, cfg).count()
+
+    timed("tree_build_hex", _build_hex)
+
     # incremental maintenance: fold a 1% crawl delta into the built tree by
     # recomputing only the dirty-cell cone (plans/build_tree.py:update_tree)
     def _incr():
