@@ -2199,6 +2199,20 @@ def q_tree_collapsed_knn(spark, sf_dir):
     return collapsed_knn(_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=10, max_tokens=3500)
 
 
+def q_tree_hex_knn(spark, sf_dir):
+    """Collapsed-tree retrieval over the HEX-lattice tree — the retrieval
+    path is lattice-agnostic (it ranks by embedding distance over all
+    levels), so the same operator answers queries on either tree; the oracle
+    recomputes from the hex-tree dump bits."""
+    return collapsed_knn(
+        _hex_tree(spark, sf_dir), _tree_queries(spark, sf_dir), top_k=10, max_tokens=3500
+    )
+
+
+def _sql_tree_hex_knn() -> str:
+    return _sql_collapsed_knn(10, 3500).replace(_NODES_PQ, _HEXNODES_PQ)
+
+
 def q_tree_cell_knn(spark, sf_dir):
     """Cell-pruned kNN — broadcast spatial index over the tree levels. Exact
     oracle: the deterministic ring-widening control flow unrolled into static
@@ -4196,6 +4210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drill_down": q_drill_down,
     "tree_incremental": q_tree_incremental,
     "tree_collapsed_knn": q_tree_collapsed_knn,
+    "tree_hex_knn": q_tree_hex_knn,
     "tree_cell_knn": q_tree_cell_knn,
     "cell_knn_recall": q_cell_knn_recall,
     "tree_traversal": q_tree_traversal,
@@ -4365,6 +4380,7 @@ ORACLES: dict[str, str] = {
     "drill_down": SQL_DRILL_DOWN,
     "tree_incremental": SQL_TREE_INCREMENTAL,
     "tree_collapsed_knn": _sql_collapsed_knn(10, 3500),
+    "tree_hex_knn": _sql_tree_hex_knn(),
     "tree_flat_knn": _sql_collapsed_knn(5, 3500, "WHERE n.level = 0"),
     "tree_cell_knn": _sql_cell_knn(10, 3500),
     "cell_knn_recall": _sql_cell_knn_recall(10),
