@@ -316,3 +316,29 @@ def test_hex_lattice_tree(spark):
     for r in by_level[1]:
         for c in r["children"]:
             assert H.hex_parent_packed_py(leaf_cell[c]) == r["cell_id"]
+
+
+def test_update_tree_hex_lattice_matches_rebuild(spark):
+    """Incremental update on the HEX lattice (driver dirty-set hops via
+    hex_parent_packed_py) is node-for-node identical to a full rebuild."""
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.plans.build_tree import build_tree, update_tree
+
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=2, max_resolution=4, lattice="hex")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id < 30")
+    extra = docs.filter("doc_id >= 30 AND doc_id < 40")
+
+    def sig(tree):
+        rows = tree.select(
+            "node_id", "level", "cell_id", "text", "token_count",
+            F.array_sort("children").alias("ch"),
+        ).collect()
+        return sorted(
+            (r["node_id"], r["level"], r["cell_id"], r["text"], r["token_count"], tuple(r["ch"]))
+            for r in rows
+        )
+
+    full = build_tree(docs.filter("doc_id < 40"), cfg)
+    updated = update_tree(build_tree(base, cfg), extra, cfg)
+    assert sig(updated) == sig(full)
