@@ -4008,6 +4008,43 @@ FROM base b JOIN anchor a ON b.face = a.face AND (b.hkey >> 10) = a.pfx
 """
 
 
+def q_hex_viewport(spark, sf_dir):
+    """Tile-server viewport read on the hex lattice: occupied hexes whose
+    CENTER falls in the query bbox, with their ring-smoothed densities —
+    the filter is pushed-down center arithmetic over the occupied-hex
+    metadata table (the point set was aggregated once by hex_density)."""
+    from ..functions.hexgen import hex_center_cols
+    from ..operators.hexgrid import hex_density
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    dens = hex_density(e.select(x.alias("x"), y.alias("y")), res=5)
+    cx, cy = hex_center_cols(F.col("hex_q"), F.col("hex_r"), 5)
+    return (
+        dens.withColumn("cx", cx)
+        .withColumn("cy", cy)
+        .where(
+            (F.col("cx") >= 0.25) & (F.col("cx") < 0.5)
+            & (F.col("cy") >= 0.25) & (F.col("cy") < 0.5)
+        )
+        .select("hex_q", "hex_r", "cnt", "ring_cnt", "cx", "cy")
+    )
+
+
+def _sql_hex_viewport() -> str:
+    from ..functions.hexgen import hex_center_sql
+    from ..operators.hexgrid import hex_density_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    cx, cy = hex_center_sql("hex_q", "hex_r", 5)
+    return f"""
+WITH dens AS ({hex_density_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=5)}),
+centered AS (SELECT hex_q, hex_r, cnt, ring_cnt, {cx} AS cx, {cy} AS cy FROM dens)
+SELECT hex_q, hex_r, cnt, ring_cnt, cx, cy FROM centered
+WHERE cx >= 0.25 AND cx < 0.5 AND cy >= 0.25 AND cy < 0.5
+"""
+
+
 def q_hex_pyramid(spark, sf_dir):
     """Hexagonal tile pyramid: per-hex counts at res 6 rolled up 3 levels via
     H3 child→parent (center-containment) semantics — point set aggregated
@@ -4247,6 +4284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hex_cells": q_hex_cells,
     "hex_density": q_hex_density,
     "hex_pyramid": q_hex_pyramid,
+    "hex_viewport": q_hex_viewport,
     "geo_chord": q_geo_chord,
     "hex_soft": q_hex_soft,
     "s2_cells": q_s2_cells,
@@ -4416,6 +4454,7 @@ ORACLES: dict[str, str] = {
     "hex_cells": _sql_hex_cells(),
     "hex_density": _sql_hex_density(),
     "hex_pyramid": _sql_hex_pyramid(),
+    "hex_viewport": _sql_hex_viewport(),
     "geo_chord": _sql_geo_chord(),
     "hex_soft": _sql_hex_soft(),
     "s2_cells": _sql_s2_cells(),
