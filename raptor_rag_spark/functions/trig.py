@@ -175,3 +175,114 @@ def chord_dist_sql(lat1: str, lon1: str, lat2: str, lon2: str, radius: float = 1
     sdlon = sin_sql(f"((({lon2}) - ({lon1})) * 0.5)")
     a = f"({sdlat} * {sdlat} + {cos_sql(lat1)} * {cos_sql(lat2)} * ({sdlon} * {sdlon}))"
     return f"({flit(2.0 * radius)} * sqrt({a}))"
+
+
+# ---------------------------------------------------------------- twin atan / atan2
+
+PI = 3.141592653589793
+PI_2 = 1.5707963267948966
+PI_4 = 0.7853981633974483
+TAN_PI_8 = 0.41421356237309503  # sqrt(2) - 1
+
+_ATAN_NC = 21  # series terms; |v| <= tan(pi/8) => truncation < 1e-17
+_ATAN_COEF = [((-1.0) ** k) / (2 * k + 1) for k in range(_ATAN_NC)]
+
+
+def _atan_core_py(v: float) -> float:
+    v2 = v * v
+    p = _ATAN_COEF[-1]
+    for c in reversed(_ATAN_COEF[:-1]):
+        p = p * v2 + c
+    return v * p
+
+
+def atan_py(t: float) -> float:
+    """Twin arctangent: two-step reduction (reciprocal, then the pi/8 fold
+    atan(u) = pi/4 + atan((u-1)/(u+1))) + alternating series in Horner form."""
+    neg = t < 0.0
+    a = -t if neg else t
+    inv = a > 1.0
+    u = 1.0 / a if inv else a
+    fold = u > TAN_PI_8
+    v = (u - 1.0) / (u + 1.0) if fold else u
+    r = PI_4 + _atan_core_py(v) if fold else _atan_core_py(v)
+    if inv:
+        r = PI_2 - r
+    return -r if neg else r
+
+
+def atan2_py(y: float, x: float) -> float:
+    if x > 0.0:
+        return atan_py(y / x)
+    if x < 0.0:
+        return atan_py(y / x) + PI if y >= 0.0 else atan_py(y / x) - PI
+    return PI_2 if y > 0.0 else (-PI_2 if y < 0.0 else 0.0)
+
+
+def atan_col(t: Column) -> Column:
+    neg = t < F.lit(0.0)
+    a = F.abs(t)
+    inv = a > F.lit(1.0)
+    u = F.when(inv, F.lit(1.0) / a).otherwise(a)
+    fold = u > F.lit(TAN_PI_8)
+    v = F.when(fold, (u - F.lit(1.0)) / (u + F.lit(1.0))).otherwise(u)
+    v2 = v * v
+    p = F.lit(_ATAN_COEF[-1])
+    for c in reversed(_ATAN_COEF[:-1]):
+        p = p * v2 + F.lit(c)
+    core = v * p
+    r = F.when(fold, F.lit(PI_4) + core).otherwise(core)
+    r = F.when(inv, F.lit(PI_2) - r).otherwise(r)
+    return F.when(neg, -r).otherwise(r)
+
+
+def atan2_col(y: Column, x: Column) -> Column:
+    base = atan_col(y / x)
+    return (
+        F.when(x > F.lit(0.0), base)
+        .when((x < F.lit(0.0)) & (y >= F.lit(0.0)), base + F.lit(PI))
+        .when(x < F.lit(0.0), base - F.lit(PI))
+        .when(y > F.lit(0.0), F.lit(PI_2))
+        .when(y < F.lit(0.0), F.lit(-PI_2))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def atan_sql(t: str) -> str:
+    """Twin arctangent as DuckDB SQL. ``t`` MUST be a simple column ref."""
+    from .hexgen import flit
+
+    a = f"abs({t})"
+    u = f"(CASE WHEN {a} > 1.0 THEN 1.0 / {a} ELSE {a} END)"
+    # u appears many times; caller stages t, we accept the textual blowup of
+    # one level (u is small). v likewise.
+    v = f"(CASE WHEN {u} > {flit(TAN_PI_8)} THEN ({u} - 1.0) / ({u} + 1.0) ELSE {u} END)"
+    v2 = f"({v} * {v})"
+    p = flit(_ATAN_COEF[-1])
+    for c in reversed(_ATAN_COEF[:-1]):
+        p = f"({p} * {v2} + {flit(c)})"
+    core = f"({v} * {p})"
+    r = f"(CASE WHEN {u} > {flit(TAN_PI_8)} THEN {flit(PI_4)} + {core} ELSE {core} END)"
+    r = f"(CASE WHEN {a} > 1.0 THEN {flit(PI_2)} - {r} ELSE {r} END)"
+    return f"(CASE WHEN ({t}) < 0.0 THEN -{r} ELSE {r} END)"
+
+
+def atan2_sql(y: str, x: str, ratio_alias: str = "atr") -> tuple[str, str]:
+    """(stage_expr, result_expr): the ratio y/x must be STAGED as a column
+    named ``ratio_alias`` (atan_sql repeats its argument heavily), then the
+    quadrant CASE applies. Usage:
+        WITH s AS (SELECT *, {stage} AS atr FROM ...)
+        SELECT {result} FROM s
+    """
+    from .hexgen import flit
+
+    stage = f"(({y}) / ({x}))"
+    base = atan_sql(ratio_alias)
+    result = (
+        f"(CASE WHEN ({x}) > 0.0 THEN {base} "
+        f"WHEN ({x}) < 0.0 AND ({y}) >= 0.0 THEN {base} + {flit(PI)} "
+        f"WHEN ({x}) < 0.0 THEN {base} - {flit(PI)} "
+        f"WHEN ({y}) > 0.0 THEN {flit(PI_2)} "
+        f"WHEN ({y}) < 0.0 THEN {flit(-PI_2)} ELSE 0.0 END)"
+    )
+    return stage, result

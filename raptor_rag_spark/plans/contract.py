@@ -4008,6 +4008,66 @@ FROM base b JOIN anchor a ON b.face = a.face AND (b.hkey >> 10) = a.pfx
 """
 
 
+RAD2DEG = 57.29577951308232
+
+
+def q_geo_bearing(spark, sf_dir):
+    """Initial great-circle bearing from the reference point to every vector
+    — atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ) with the
+    TWIN atan2 (two-step reduction + 21-term series; functions/trig.py) and
+    twin sin/cos; degrees normalized to [0, 360)."""
+    from ..functions import trig as TR
+
+    base = q_geo_chord(spark, sf_dir).select("vec_id", "lon", "lat")
+    s1, c1 = TR.sin_py(GEO_LAT0), TR.cos_py(GEO_LAT0)  # plan-time constants
+    dlon = F.col("lon") - F.lit(GEO_LON0)
+    staged = base.select(
+        "vec_id",
+        (TR.sin_col(dlon) * TR.cos_col(F.col("lat"))).alias("yc"),
+        (
+            F.lit(c1) * TR.sin_col(F.col("lat"))
+            - F.lit(s1) * (TR.cos_col(F.col("lat")) * TR.cos_col(dlon))
+        ).alias("xc"),
+    )
+    # narrow barrier (vec_id, yc, xc): atan_col references its argument many
+    # times; unmaterialized, each reference would duplicate the full trig
+    # chains into the fused projection (same CollapseProject hazard as s2)
+    staged = staged.localCheckpoint(eager=False)
+    deg = TR.atan2_col(F.col("yc"), F.col("xc")) * F.lit(RAD2DEG)
+    return staged.select(
+        "vec_id",
+        F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg).alias("bearing_deg"),
+    )
+
+
+def _sql_geo_bearing() -> str:
+    from ..functions import trig as TR
+    from ..functions.hexgen import flit
+
+    x, y = G.xy_sql("embedding", DIM)
+    s1, c1 = TR.sin_py(GEO_LAT0), TR.cos_py(GEO_LAT0)
+    stage, result = TR.atan2_sql("yc", "xc")
+    deg = f"({result} * {flit(RAD2DEG)})"
+    return f"""
+WITH pts AS (
+  SELECT vec_id,
+         (({x}) - 0.5) * {flit(2.0 * 3.141592653589793)} AS lon,
+         (({y}) - 0.5) * {flit(3.141592653589793)} AS lat
+  FROM embeddings),
+d AS (SELECT vec_id, lat, (lon - {flit(GEO_LON0)}) AS dlon FROM pts),
+comp AS (
+  SELECT vec_id,
+         ({TR.sin_sql("dlon")} * {TR.cos_sql("lat")}) AS yc,
+         ({flit(c1)} * {TR.sin_sql("lat")}
+          - {flit(s1)} * ({TR.cos_sql("lat")} * {TR.cos_sql("dlon")})) AS xc
+  FROM d),
+staged AS (SELECT vec_id, yc, xc, {stage} AS atr FROM comp)
+SELECT vec_id,
+       CASE WHEN {deg} < 0 THEN {deg} + 360.0 ELSE {deg} END AS bearing_deg
+FROM staged
+"""
+
+
 def q_hex_viewport(spark, sf_dir):
     """Tile-server viewport read on the hex lattice: occupied hexes whose
     CENTER falls in the query bbox, with their ring-smoothed densities —
@@ -4290,6 +4350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s2_cells": q_s2_cells,
     "s2_drill": q_s2_drill,
     "geo_knn": q_geo_knn,
+    "geo_bearing": q_geo_bearing,
     "path_rollup": q_path_rollup,
     "host_distances": q_host_distances,
     "host_communities": q_host_communities,
@@ -4460,6 +4521,7 @@ ORACLES: dict[str, str] = {
     "s2_cells": _sql_s2_cells(),
     "s2_drill": _sql_s2_drill(),
     "geo_knn": _sql_geo_knn(),
+    "geo_bearing": _sql_geo_bearing(),
     "path_rollup": _sql_path_rollup(),
     "host_distances": _sql_host_distances(),
     "host_communities": _sql_host_communities(),

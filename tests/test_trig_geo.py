@@ -73,3 +73,36 @@ def test_chord_sql_twin():
     got = dict(con.execute(f"SELECT id, {sql} FROM g").fetchall())
     for i, lat, lon in rows:
         assert got[i] == _chord_py(0.7, -2.1, lat, lon), i
+
+
+def test_atan_atan2_twins_and_accuracy():
+    rng = np.random.default_rng(37)
+    vals = [float(v) for v in np.linspace(-50, 50, 1001)] + [0.0, 1.0, -1.0, 1e-12, 1e12]
+    for t in vals:
+        assert abs(T.atan_py(t) - math.atan(t)) < 5e-16
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    for v, r in con.execute(f"SELECT v, {T.atan_sql('v')} FROM t").fetchall():
+        assert r == T.atan_py(v), v
+    for _ in range(500):
+        y, x = float(rng.normal()), float(rng.normal())
+        assert abs(T.atan2_py(y, x) - math.atan2(y, x)) < 1e-15
+    # axis cases
+    assert T.atan2_py(1.0, 0.0) == T.PI_2 and T.atan2_py(-1.0, 0.0) == -T.PI_2
+    assert T.atan2_py(0.0, 0.0) == 0.0
+
+
+def test_bearing_cardinal_directions():
+    """From the origin: due north/east bearings come out 0/90 degrees."""
+    def bearing(lat1, lon1, lat2, lon2):
+        dlon = lon2 - lon1
+        yc = T.sin_py(dlon) * T.cos_py(lat2)
+        xc = T.cos_py(lat1) * T.sin_py(lat2) - T.sin_py(lat1) * (T.cos_py(lat2) * T.cos_py(dlon))
+        d = T.atan2_py(yc, xc) * 57.29577951308232
+        return d + 360.0 if d < 0 else d
+
+    assert abs(bearing(0.0, 0.0, 0.5, 0.0) - 0.0) < 1e-9     # north
+    assert abs(bearing(0.0, 0.0, 0.0, 0.5) - 90.0) < 1e-9    # east
+    assert abs(bearing(0.0, 0.0, -0.5, 0.0) - 180.0) < 1e-9  # south
+    assert abs(bearing(0.0, 0.0, 0.0, -0.5) - 270.0) < 1e-9  # west
