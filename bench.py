@@ -466,6 +466,27 @@ def main() -> None:
         ).count(),
     )
 
+    # great-circle bearings via the twin atan2 (narrow barrier before atan)
+    def _bearing():
+        from raptor_rag_spark.plans.contract import GEO_LAT0, GEO_LON0, RAD2DEG
+
+        s1, c1 = TR.sin_py(GEO_LAT0), TR.cos_py(GEO_LAT0)
+        dlon = F.col("lon") - F.lit(GEO_LON0)
+        staged = geo_pts.select(
+            "vec_id",
+            (TR.sin_col(dlon) * TR.cos_col(F.col("lat"))).alias("yc"),
+            (
+                F.lit(c1) * TR.sin_col(F.col("lat"))
+                - F.lit(s1) * (TR.cos_col(F.col("lat")) * TR.cos_col(dlon))
+            ).alias("xc"),
+        ).localCheckpoint(eager=False)
+        deg = TR.atan2_col(F.col("yc"), F.col("xc")) * F.lit(RAD2DEG)
+        staged.select(F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg)).agg(
+            F.count("*")
+        ).collect()
+
+    timed("geo_bearing", _bearing)
+
     # URL path pyramid + Bellman-Ford host distances over the link graph
     from raptor_rag_spark.operators.graph import host_distances
     from raptor_rag_spark.operators.webops import path_rollup
