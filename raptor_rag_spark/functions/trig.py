@@ -286,3 +286,29 @@ def atan2_sql(y: str, x: str, ratio_alias: str = "atr") -> tuple[str, str]:
         f"WHEN ({y}) < 0.0 THEN {flit(-PI_2)} ELSE 0.0 END)"
     )
     return stage, result
+
+
+# ---------------------------------------------------------------- twin asin
+
+def asin_py(z: float) -> float:
+    """Twin arcsine via asin(z) = atan2(z, sqrt((1-z)(1+z))) — composes the
+    twin atan2; the factored radicand is the numerically stable form.
+    math.sqrt, NOT ``** 0.5``: pow(x, 0.5) is one ulp off true sqrt on some
+    inputs, and the engines use true (correctly rounded) sqrt."""
+    import math
+
+    return atan2_py(z, math.sqrt(max((1.0 - z) * (1.0 + z), 0.0)))
+
+
+def asin_col(z: Column) -> Column:
+    x = F.sqrt(F.greatest((F.lit(1.0) - z) * (F.lit(1.0) + z), F.lit(0.0)))
+    return atan2_col(z, x)
+
+
+def asin_sql(z: str, x_alias: str = "asx", ratio_alias: str = "atr") -> tuple[str, str, str]:
+    """(x_stage, ratio_stage, result): stage sqrt((1-z)(1+z)) as ``x_alias``,
+    then the atan2 ratio as ``ratio_alias``, then select the result —
+    mirrors atan2_sql's staging contract."""
+    x_stage = f"sqrt(greatest((1.0 - ({z})) * (1.0 + ({z})), 0.0))"
+    ratio_stage, result = atan2_sql(z, x_alias, ratio_alias)
+    return x_stage, ratio_stage, result

@@ -4068,6 +4068,35 @@ FROM staged
 """
 
 
+def q_geo_arc(spark, sf_dir):
+    """True great-circle arc distance (radians on the unit sphere):
+    c = 2·asin(chord/2), asin composed as atan2(z, √((1−z)(1+z))) from the
+    twin atan2 — upgrading the chord metric to the actual geodesic length."""
+    from ..functions import trig as TR
+
+    base = q_geo_chord(spark, sf_dir).select("vec_id", "chord")
+    z = F.col("chord") * F.lit(0.5)
+    staged = base.select("vec_id", "chord", z.alias("z")).localCheckpoint(eager=False)
+    return staged.select(
+        "vec_id",
+        "chord",
+        (F.lit(2.0) * TR.asin_col(F.col("z"))).alias("arc"),
+    )
+
+
+def _sql_geo_arc() -> str:
+    from ..functions import trig as TR
+
+    xs, rs, res = TR.asin_sql("z")
+    return f"""
+WITH base AS ({_sql_geo_chord()}),
+zt AS (SELECT vec_id, chord, (chord * 0.5) AS z FROM base),
+a AS (SELECT vec_id, chord, z, {xs} AS asx FROM zt),
+b AS (SELECT vec_id, chord, z, asx, {rs} AS atr FROM a)
+SELECT vec_id, chord, (2.0 * {res}) AS arc FROM b
+"""
+
+
 def q_hex_viewport(spark, sf_dir):
     """Tile-server viewport read on the hex lattice: occupied hexes whose
     CENTER falls in the query bbox, with their ring-smoothed densities —
@@ -4351,6 +4380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s2_drill": q_s2_drill,
     "geo_knn": q_geo_knn,
     "geo_bearing": q_geo_bearing,
+    "geo_arc": q_geo_arc,
     "path_rollup": q_path_rollup,
     "host_distances": q_host_distances,
     "host_communities": q_host_communities,
@@ -4522,6 +4552,7 @@ ORACLES: dict[str, str] = {
     "s2_drill": _sql_s2_drill(),
     "geo_knn": _sql_geo_knn(),
     "geo_bearing": _sql_geo_bearing(),
+    "geo_arc": _sql_geo_arc(),
     "path_rollup": _sql_path_rollup(),
     "host_distances": _sql_host_distances(),
     "host_communities": _sql_host_communities(),

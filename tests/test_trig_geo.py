@@ -106,3 +106,23 @@ def test_bearing_cardinal_directions():
     assert abs(bearing(0.0, 0.0, 0.0, 0.5) - 90.0) < 1e-9    # east
     assert abs(bearing(0.0, 0.0, -0.5, 0.0) - 180.0) < 1e-9  # south
     assert abs(bearing(0.0, 0.0, 0.0, -0.5) - 270.0) < 1e-9  # west
+
+
+def test_asin_twin_and_arc_roundtrip():
+    vals = [float(v) for v in np.linspace(0.0, 1.0, 1001)]
+    for z in vals:
+        assert abs(T.asin_py(z) - math.asin(z)) < 5e-16
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(z DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    xs, rs, res = T.asin_sql("z")
+    rows = con.execute(
+        f"WITH a AS (SELECT z, {xs} AS asx FROM t), "
+        f"b AS (SELECT z, asx, {rs} AS atr FROM a) SELECT z, {res} FROM b"
+    ).fetchall()
+    for z, r in rows:
+        assert r == T.asin_py(z), z
+    # arc round trip: chord = 2 sin(c/2)  =>  2 asin(chord/2) == c
+    for c in np.linspace(0.0, math.pi - 0.01, 200):
+        chord = 2.0 * math.sin(c / 2.0)
+        assert abs(2.0 * T.asin_py(chord / 2.0) - c) < 1e-12
