@@ -126,3 +126,37 @@ def test_asin_twin_and_arc_roundtrip():
     for c in np.linspace(0.0, math.pi - 0.01, 200):
         chord = 2.0 * math.sin(c / 2.0)
         assert abs(2.0 * T.asin_py(chord / 2.0) - c) < 1e-12
+
+
+def test_geodesic_destination_round_trip():
+    """Full-suite composition check: bearing + arc from A to B, then the
+    destination formula from A with that (bearing, arc) lands back on B —
+    every term built from the twin sin/cos/asin/atan2."""
+    rng = np.random.default_rng(43)
+
+    def bearing(lat1, lon1, lat2, lon2):
+        dlon = lon2 - lon1
+        yc = T.sin_py(dlon) * T.cos_py(lat2)
+        xc = T.cos_py(lat1) * T.sin_py(lat2) - T.sin_py(lat1) * (T.cos_py(lat2) * T.cos_py(dlon))
+        return T.atan2_py(yc, xc)
+
+    for _ in range(300):
+        lat1 = float(rng.uniform(-1.4, 1.4))
+        lon1 = float(rng.uniform(-3.0, 3.0))
+        lat2 = float(rng.uniform(-1.4, 1.4))
+        lon2 = float(rng.uniform(-3.0, 3.0))
+        arc = 2.0 * T.asin_py(_chord_py(lat1, lon1, lat2, lon2) / 2.0)
+        th = bearing(lat1, lon1, lat2, lon2)
+        sphi2 = T.sin_py(lat1) * T.cos_py(arc) + T.cos_py(lat1) * T.sin_py(arc) * T.cos_py(th)
+        phi2 = T.asin_py(max(min(sphi2, 1.0), -1.0))
+        lam2 = lon1 + T.atan2_py(
+            T.sin_py(th) * T.sin_py(arc) * T.cos_py(lat1),
+            T.cos_py(arc) - T.sin_py(lat1) * sphi2,
+        )
+        # normalize lon into (-pi, pi]
+        while lam2 > math.pi:
+            lam2 -= 2 * math.pi
+        while lam2 <= -math.pi:
+            lam2 += 2 * math.pi
+        assert abs(phi2 - lat2) < 1e-9
+        assert abs(lam2 - lon2) < 1e-9 or abs(abs(lam2 - lon2) - 2 * math.pi) < 1e-9
