@@ -180,9 +180,15 @@ def update_tree(
     node ids, salts and summaries are deterministic functions of a cell's
     own members, which is what makes touched-cell recompute == full rebuild.
 
-    The dirty-cell set is one DISTINCT over the new leaves (metadata-scale:
-    bounded by cells, not documents) collected per level for a broadcast
-    ``isin`` — same driver-side level loop the builder uses."""
+    The dirty-cell set stays a DataFrame end-to-end (one DISTINCT over the
+    new leaves, metadata-scale: bounded by cells, not documents) — affected
+    nodes are selected with a broadcast LEFT SEMI join and untouched nodes
+    with a broadcast LEFT ANTI join, and per-level propagation is
+    ``select(parent).distinct()``. Nothing is ever collected to the driver:
+    a 0.1% daily crawl over a 100-TB corpus touches millions of distinct
+    cells, which as an ``isin`` literal list would blow up Catalyst before
+    any task ran; as a broadcast-hash semi/anti join it is one small-table
+    exchange per level."""
     cfg = config if config is not None else ClusterTreeConfig()
     models = _models_arg(cfg)
 
@@ -209,12 +215,13 @@ def update_tree(
     # base_max has no kept nodes — the whole level is dirty
     base_max = tree.agg(F.max("level")).collect()[0][0] or 0
     lattice = getattr(cfg, "lattice", "quad")
-    dirty = [
-        r["c"]
-        for r in new_leaves.select(
-            _parent_cell_col(lattice).alias("c")
-        ).distinct().collect()
-    ]
+    # one-column DataFrame of level-1 cells containing new children; eager
+    # localCheckpoint keeps each level's plan O(1), not O(level) distincts
+    dirty = (
+        new_leaves.select(_parent_cell_col(lattice).alias("dirty_cell"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     for level in range(1, cfg.num_layers + 1):
         n_current = current.count()
@@ -225,7 +232,11 @@ def update_tree(
             break
         parent_cell = _parent_cell_col(lattice)
         affected = (
-            current if level > base_max else current.where(parent_cell.isin(dirty))
+            current
+            if level > base_max
+            else current.withColumn("__pcell", parent_cell)
+            .join(F.broadcast(dirty), F.col("__pcell") == F.col("dirty_cell"), "left_semi")
+            .drop("__pcell")
         )
         recomputed = build_parent_nodes(
             affected,
@@ -239,15 +250,19 @@ def update_tree(
         if level > base_max:
             current = recomputed.localCheckpoint(eager=True)
         else:
-            kept = tree.filter(
-                (F.col("level") == level) & ~F.col("cell_id").isin(dirty)
+            kept = tree.filter(F.col("level") == level).join(
+                F.broadcast(dirty), F.col("cell_id") == F.col("dirty_cell"), "left_anti"
             )
             # localCheckpoint (not cache): truncates the per-level plan so
             # level k+1 analyzes O(level-k) work, not the whole history
             current = kept.unionByName(recomputed).localCheckpoint(eager=True)
         levels.append(current)
         # every parent of a dirty cell must re-aggregate at the next level
-        dirty = sorted({_parent_cell_py(c, lattice) for c in dirty})
+        dirty = (
+            dirty.select(_parent_cell_of(F.col("dirty_cell"), lattice).alias("dirty_cell"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     out = levels[0]
     for df in levels[1:]:
@@ -263,6 +278,15 @@ def _parent_cell_py(cell: int, lattice: str = "quad") -> int:
     from ..kernels.grid import cell_parent
 
     return int(cell_parent(cell, 1))
+
+
+def _parent_cell_of(col: F.Column, lattice: str) -> F.Column:
+    """Packed parent-cell expression over an arbitrary cell column."""
+    if lattice == "hex":
+        from ..functions.hexgen import hex_parent_packed_col
+
+        return hex_parent_packed_col(col)
+    return G.cell_parent_col(col, 1)
 
 
 def _parent_cell_col(lattice: str):

@@ -285,6 +285,42 @@ def test_update_tree_deepens_shallow_base(spark):
     assert sig(updated) == sig(full)
 
 
+def test_update_tree_wide_dirty_set_stays_distributed(spark):
+    """Dirty-set propagation must survive a dirty set of >= 10^4 distinct
+    cells — the 100-TB-scale shape where a 0.1% daily crawl touches millions
+    of cells. The set is carried as a DataFrame through broadcast semi/anti
+    joins (never collected into an ``isin`` literal list), so the per-level
+    plan stays O(1) in dirty-set size; a literal-list plan blows up Catalyst
+    analysis long before this size. Measured ~15 s wall at 13k new docs /
+    10k+ dirty cells on local[32]."""
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.functions import sqlgen as G
+    from raptor_rag_spark.operators.core import leaf_nodes
+    from raptor_rag_spark.plans.build_tree import build_tree, update_tree
+
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=3, max_resolution=9)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base_tree = build_tree(docs.filter("doc_id < 50"), cfg).localCheckpoint(eager=True)
+
+    extra = spark.range(13000).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.concat(F.lit("unique token "), F.sha2(F.col("id").cast("string"), 256)).alias("text"),
+    )
+    new_leaves = leaf_nodes(extra, max_tokens=64, res=9)
+    n_dirty = (
+        new_leaves.select(G.cell_parent_col(F.col("cell_id"), 1).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n_dirty >= 10_000  # the test genuinely exercises the target scale
+
+    updated = update_tree(base_tree, extra, cfg).cache()
+    n_base_leaves = base_tree.filter("level = 0").count()
+    assert updated.filter("level = 0").count() == n_base_leaves + new_leaves.count()
+    assert updated.agg(F.max("level")).collect()[0][0] >= 1
+    updated.unpersist()
+
+
 def test_hex_lattice_tree(spark):
     """build_tree(lattice='hex') runs the identical pipeline on the hex
     lattice: every level's cells are valid hex ids one resolution coarser,
