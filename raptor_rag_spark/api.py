@@ -20,7 +20,12 @@ import logging
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .config import ClusterTreeConfig, TreeRetrieverConfig
+from .config import (
+    ClusterTreeConfig,
+    RetrievalAugmentationConfig,
+    TreeRetrieverConfig,
+    default_qa_model,
+)
 from .operators.core import with_embedding
 from .operators.knn import collapsed_knn, retrieval_context
 from .operators.traverse import traversal_retrieve
@@ -34,15 +39,25 @@ class RetrievalAugmentation:
     def __init__(
         self,
         spark: SparkSession,
-        config: ClusterTreeConfig | None = None,
+        config: RetrievalAugmentationConfig | ClusterTreeConfig | None = None,
         retriever_config: TreeRetrieverConfig | None = None,
         tree: DataFrame | str | None = None,
     ):
         self.spark = spark
-        self.config = config if config is not None else ClusterTreeConfig()
-        self.retriever_config = (
-            retriever_config if retriever_config is not None else TreeRetrieverConfig()
-        )
+        if isinstance(config, RetrievalAugmentationConfig):
+            # unified config (reference retrieval_augmentation.py:18-122):
+            # one object routes builder, retriever and QA model
+            self.config = config.tree_builder_config
+            self.retriever_config = (
+                retriever_config if retriever_config is not None else config.tree_retriever_config
+            )
+            self.qa_model = config.qa_model
+        else:
+            self.config = config if config is not None else ClusterTreeConfig()
+            self.retriever_config = (
+                retriever_config if retriever_config is not None else TreeRetrieverConfig()
+            )
+            self.qa_model = default_qa_model
         if tree is None:
             self.tree: DataFrame | None = None
         elif isinstance(tree, str):
@@ -157,6 +172,14 @@ class RetrievalAugmentation:
                 threshold=self.retriever_config.threshold,
                 model=model,
             )
+        if self.retriever_config.reranker is not None and isinstance(question, str):
+            # reference applies the reranker as a pure reorder over the
+            # selected nodes (tree_retriever.py:122-125, top_k=len(selected));
+            # batch (list) retrieval keeps engine order — a per-query text
+            # scorer needs the query string, which rerank() takes scalar
+            results = self.retriever_config.reranker.rerank(results, question).drop(
+                "score", "cum_tokens"
+            )
         ctx = retrieval_context(results)
         if isinstance(question, list):
             return ctx
@@ -183,13 +206,8 @@ class RetrievalAugmentation:
         context, layer_info = self.retrieve(
             question, top_k=top_k, max_tokens=max_tokens, return_layer_information=True
         )
-        if qa_fn is None:
-            from .kernels.summarize import extractive_summary
-            from .kernels.tokenizer import RegexTokenizer
-
-            answer = extractive_summary(context, 100, RegexTokenizer())
-        else:
-            answer = qa_fn(context, question)
+        fn = qa_fn if qa_fn is not None else self.qa_model
+        answer = fn(context, question)
         if return_layer_information:
             return answer, layer_info
         return answer

@@ -167,6 +167,7 @@ class TreeRetrieverConfig:
         embedding_model=None,
         num_layers=None,
         start_layer=None,
+        reranker=None,
     ):
         self.tokenizer: BaseTokenizer = tokenizer if tokenizer is not None else DEFAULT_TOKENIZER
 
@@ -207,3 +208,152 @@ class TreeRetrieverConfig:
         if start_layer is not None and (not isinstance(start_layer, int) or start_layer < 0):
             raise ValueError("start_layer must be an integer and at least 0")
         self.start_layer = start_layer
+
+        # post-retrieval reranker (reference tree_retriever.py:76-78): None,
+        # or a BaseReRanker whose scorer rescores the candidate DataFrame
+        from .operators.rerank import BaseReRanker
+
+        if reranker is not None and not isinstance(reranker, BaseReRanker):
+            raise ValueError("reranker must be an instance of BaseReRanker")
+        self.reranker = reranker
+
+
+def default_qa_model(context: str, question: str) -> str:
+    """Deterministic extractive QA callable — the engine-core default where
+    the reference defaults to LiteLLMQAModel (qa_models.py:13+); LLM QA stays
+    outside the core (SURVEY.md §3.3), pluggable via the same signature."""
+    from .kernels.summarize import extractive_summary
+    from .kernels.tokenizer import RegexTokenizer
+
+    return extractive_summary(context, 100, RegexTokenizer())
+
+
+class RetrievalAugmentationConfig:
+    """Unified config with ``tb_*``/``tr_*`` prefix routing — the reference's
+    top-level config (raptor/retrieval_augmentation.py:18-122): every
+    ``tb_``-prefixed argument routes to ClusterTreeConfig, every ``tr_``-
+    prefixed one to TreeRetrieverConfig, and the ``embedding_model`` /
+    ``summarization_model`` shortcuts unify both sides (:56-74) — a single
+    embedding model becomes {"EMB": model} on the builder AND the retriever's
+    context/query model, erroring if the long-form argument was also given.
+
+    ``qa_model`` is a callable ``(context, question) -> str`` (the engine's
+    pluggable QA contract; reference BaseQAModel, qa_models.py:7-10)."""
+
+    def __init__(
+        self,
+        tree_builder_config=None,
+        tree_retriever_config=None,
+        qa_model=None,
+        embedding_model=None,
+        summarization_model=None,
+        tree_builder_type="cluster",
+        # TreeRetrieverConfig arguments (reference :27-37)
+        tr_tokenizer=None,
+        tr_threshold=0.5,
+        tr_top_k=5,
+        tr_selection_mode="top_k",
+        tr_context_embedding_model="default",
+        tr_embedding_model=None,
+        tr_num_layers=None,
+        tr_start_layer=None,
+        tr_reranker=None,
+        # TreeBuilderConfig arguments (reference :38-49)
+        tb_tokenizer=None,
+        tb_max_tokens=100,
+        tb_num_layers=5,
+        tb_threshold=0.5,
+        tb_top_k=5,
+        tb_selection_mode="top_k",
+        tb_summarization_length=100,
+        tb_summarization_model=None,
+        tb_embedding_models=None,
+        tb_cluster_embedding_model="default",
+        tb_text_splitter=None,
+        # tiling recast knobs, routed to ClusterTreeConfig
+        tb_max_resolution=12,
+        tb_soft_buffer=0.02,
+        tb_lattice="quad",
+    ):
+        supported_tree_builders = {"cluster": ClusterTreeConfig}
+        if tree_builder_type not in supported_tree_builders:
+            raise ValueError(
+                f"tree_builder_type must be one of {list(supported_tree_builders.keys())}"
+            )
+
+        if qa_model is not None and not callable(qa_model):
+            raise ValueError("qa_model must be a callable (context, question) -> str")
+
+        if embedding_model is not None and not isinstance(embedding_model, BaseEmbeddingModel):
+            raise ValueError("embedding_model must be an instance of BaseEmbeddingModel")
+        elif embedding_model is not None:
+            # single-model unification (reference :56-64)
+            if tb_embedding_models is not None:
+                raise ValueError(
+                    "Only one of 'tb_embedding_models' or 'embedding_model' "
+                    "should be provided, not both."
+                )
+            tb_embedding_models = {"EMB": embedding_model}
+            tr_embedding_model = embedding_model
+            tb_cluster_embedding_model = "EMB"
+            tr_context_embedding_model = "EMB"
+
+        if summarization_model is not None and not isinstance(
+            summarization_model, BaseSummarizationModel
+        ):
+            raise ValueError(
+                "summarization_model must be an instance of BaseSummarizationModel"
+            )
+        elif summarization_model is not None:
+            if tb_summarization_model is not None:
+                raise ValueError(
+                    "Only one of 'tb_summarization_model' or 'summarization_model' "
+                    "should be provided, not both."
+                )
+            tb_summarization_model = summarization_model
+
+        config_class = supported_tree_builders[tree_builder_type]
+        if tree_builder_config is None:
+            tree_builder_config = config_class(
+                tokenizer=tb_tokenizer,
+                max_tokens=tb_max_tokens,
+                num_layers=tb_num_layers,
+                threshold=tb_threshold,
+                top_k=tb_top_k,
+                selection_mode=tb_selection_mode,
+                summarization_length=tb_summarization_length,
+                summarization_model=tb_summarization_model,
+                embedding_models=tb_embedding_models,
+                cluster_embedding_model=tb_cluster_embedding_model,
+                text_splitter=tb_text_splitter,
+                max_resolution=tb_max_resolution,
+                soft_buffer=tb_soft_buffer,
+                lattice=tb_lattice,
+            )
+        elif not isinstance(tree_builder_config, config_class):
+            raise ValueError(
+                f"tree_builder_config must be a direct instance of {config_class} "
+                f"for tree_builder_type '{tree_builder_type}'"
+            )
+
+        if tree_retriever_config is None:
+            tree_retriever_config = TreeRetrieverConfig(
+                tokenizer=tr_tokenizer,
+                threshold=tr_threshold,
+                top_k=tr_top_k,
+                selection_mode=tr_selection_mode,
+                context_embedding_model=tr_context_embedding_model,
+                embedding_model=tr_embedding_model,
+                num_layers=tr_num_layers,
+                start_layer=tr_start_layer,
+                reranker=tr_reranker,
+            )
+        elif not isinstance(tree_retriever_config, TreeRetrieverConfig):
+            raise ValueError(
+                "tree_retriever_config must be an instance of TreeRetrieverConfig"
+            )
+
+        self.tree_builder_config = tree_builder_config
+        self.tree_retriever_config = tree_retriever_config
+        self.qa_model = qa_model if qa_model is not None else default_qa_model
+        self.tree_builder_type = tree_builder_type

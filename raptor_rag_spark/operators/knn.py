@@ -44,9 +44,17 @@ def _distance(dim: int, metric: str = "cosine", model: str | None = None) -> F.C
     return G.dist_cols(F.col("q_embedding"), emb, dim, metric)
 
 
-def _rank_and_budget(scored: DataFrame, top_k: int, max_tokens: int | None) -> DataFrame:
+def _rank_and_budget(scored: DataFrame, top_k: int | None, max_tokens: int | None) -> DataFrame:
+    """``top_k=None`` is the budget-only mode (reference ``use_top_k=False``,
+    faiss_retriever.py:146-154): ALL candidates rank by distance and
+    accumulate until ``max_tokens`` with no k-cap. Both cutoffs are windows
+    over the same (dist, node_id) ordering — no extra shuffle either way."""
+    if top_k is None and max_tokens is None:
+        raise ValueError("one of top_k or max_tokens must be set")
     w = Window.partitionBy("query_id").orderBy("dist", "node_id")
-    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
     if max_tokens is not None:
         cum = F.sum("token_count").over(w.rowsBetween(Window.unboundedPreceding, 0))
         out = out.withColumn("cum_tokens", cum).filter(F.col("cum_tokens") <= max_tokens)
@@ -56,7 +64,7 @@ def _rank_and_budget(scored: DataFrame, top_k: int, max_tokens: int | None) -> D
 def collapsed_knn(
     nodes: DataFrame,
     queries: DataFrame,
-    top_k: int = 10,
+    top_k: int | None = 10,
     max_tokens: int | None = 3500,
     dim: int = DEFAULT_DIM,
     distance_metric: str = "cosine",
@@ -73,7 +81,7 @@ def collapsed_knn(
 def flat_knn(
     nodes: DataFrame,
     queries: DataFrame,
-    top_k: int = 5,
+    top_k: int | None = 5,
     max_tokens: int | None = 3500,
     dim: int = DEFAULT_DIM,
     distance_metric: str = "cosine",

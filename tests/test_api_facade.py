@@ -196,3 +196,60 @@ def test_update_documents_matches_rebuild(spark):
     ra_new = RetrievalAugmentation(spark, cfg)
     ra_new.update_documents(docs.filter("doc_id < 5"))
     assert ra_new.tree is not None
+
+
+def test_unified_config_facade(spark, ra):
+    """The facade accepts the unified RetrievalAugmentationConfig: tb_*/tr_*
+    routing reaches the builder and retriever, the qa_model callable drives
+    answer_question, and an injected reranker reorders the context."""
+    from raptor_rag_spark.config import RetrievalAugmentationConfig
+    from raptor_rag_spark.operators.rerank import BaseReRanker, overlap_score
+
+    calls = []
+
+    def qa(context, question):
+        calls.append(question)
+        return "ANSWER:" + context[:10]
+
+    cfg = RetrievalAugmentationConfig(
+        tb_max_tokens=64, tb_num_layers=2, tb_max_resolution=6, tr_top_k=4, qa_model=qa
+    )
+    r = RetrievalAugmentation(spark, config=cfg, tree=ra.tree)
+    assert r.config.max_tokens == 64 and r.retriever_config.top_k == 4
+    ans = r.answer_question("spark join data", top_k=5)
+    assert ans.startswith("ANSWER:") and calls == ["spark join data"]
+
+    class ReverseReRanker(BaseReRanker):
+        def scorer(self, text, query_text):
+            return -overlap_score(text, query_text)  # invert the default order
+
+    cfg2 = RetrievalAugmentationConfig(
+        tb_max_tokens=64, tb_num_layers=2, tb_max_resolution=6,
+        tr_reranker=ReverseReRanker(),
+    )
+    r2 = RetrievalAugmentation(spark, config=cfg2, tree=ra.tree)
+    base_ctx, _ = ra.retrieve("spark join data", top_k=5)
+    rr_ctx, _ = r2.retrieve("spark join data", top_k=5)
+    assert sorted(base_ctx.split("\n\n")) == sorted(rr_ctx.split("\n\n"))  # same nodes
+    assert base_ctx != rr_ctx  # different order under the injected scorer
+
+
+def test_flat_budget_mode(spark, ra):
+    """top_k=None budget-only retrieval (reference use_top_k=False,
+    faiss_retriever.py:146-154): every selected node fits the cumulative
+    budget and the NEXT ranked node would overflow it."""
+    from raptor_rag_spark.operators.core import with_embedding
+    from raptor_rag_spark.operators.knn import flat_knn
+
+    qdf = spark.createDataFrame([(0, "spark join data")], "query_id long, qtext string")
+    queries = with_embedding(qdf, "qtext").select(
+        "query_id", F.col("embedding").alias("q_embedding")
+    )
+    budget = 300
+    got = flat_knn(ra.tree, queries, top_k=None, max_tokens=budget).collect()
+    assert got, "budget-only mode returned nothing"
+    assert sum(r["token_count"] for r in got) <= budget
+    unbounded = flat_knn(ra.tree, queries, top_k=None, max_tokens=10**9)
+    assert unbounded.count() == ra.tree.filter("level = 0").count()  # no k-cap
+    with pytest.raises(ValueError, match="one of top_k or max_tokens"):
+        flat_knn(ra.tree, queries, top_k=None, max_tokens=None).collect()
