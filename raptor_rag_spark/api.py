@@ -192,6 +192,51 @@ class RetrievalAugmentation:
             return row["context"], layer_info
         return row["context"]
 
+    def retrieve_batch(
+        self,
+        questions: DataFrame,
+        query_id_col: str = "query_id",
+        text_col: str = "qtext",
+        top_k: int = 10,
+        max_tokens: int = 3500,
+        collapse_tree: bool = True,
+    ) -> DataFrame:
+        """Batch retrieval over a QUESTIONS DATAFRAME — the engine's native
+        throughput surface (SURVEY.md §3.3: batching is the main win over the
+        reference's one-question-at-a-time loop,
+        raptor/retrieval_augmentation.py:180-201). Returns one row per
+        question: (query_id, context, layer_information); the single kNN
+        broadcast join amortizes over every question, so retrieving 10^4
+        questions costs the same number of Spark actions as retrieving one.
+        No driver-side collects — callers compose further or write a sink."""
+        if self.tree is None:
+            raise ValueError(
+                "There are no trees to retrieve, please add documents first."
+            )
+        model, q_model = self._context_model()
+        queries = with_embedding(
+            questions.select(F.col(query_id_col).alias("query_id"), text_col),
+            text_col,
+            model=q_model,
+        ).select("query_id", F.col("embedding").alias("q_embedding"))
+        if collapse_tree:
+            results = collapsed_knn(
+                self.tree, queries, top_k=top_k, max_tokens=max_tokens, model=model
+            )
+        else:
+            top = self.tree.agg(F.max("level")).collect()[0][0]
+            results = traversal_retrieve(
+                self.tree,
+                queries,
+                start_layer=top,
+                num_layers=top + 1,
+                top_k=self.retriever_config.top_k,
+                selection_mode=self.retriever_config.selection_mode,
+                threshold=self.retriever_config.threshold,
+                model=model,
+            )
+        return retrieval_context(results)
+
     # --------------------------------------------------------------------- qa
     def answer_question(
         self,

@@ -261,6 +261,35 @@ def dist_sql(a: str, b: str, dim: int, metric: str = "cosine") -> str:
 # Horner form — pass a plain column reference (materialize the argument in a
 # CTE first), never a large expression, or DuckDB's planner blows up.
 
+#: inline-arg budget for the twin *_sql generators (exp/ln/sin/cos/atan/...).
+#: Every one of them substitutes its argument text 10-50x into a Horner form;
+#: real call sites pass a bare column reference or a short staged expression
+#: (longest in-repo: ~45 chars). Anything bigger is almost certainly an
+#: unstaged compound expression that would silently balloon the oracle SQL to
+#: megabytes and blow up the DuckDB planner.
+MAX_INLINE_ARG = 96
+
+
+def check_inline_arg(fn: str, _limit: int = MAX_INLINE_ARG, **exprs: str) -> None:
+    """Fail LOUDLY when a twin-SQL generator receives an argument too complex
+    to inline (stage it as a column in a CTE and pass the simple reference).
+    Guards the documented "pass simple column references only" contract.
+    ``_limit`` tightens the budget for generators that re-inline their args
+    into OTHER twin generators (chord_dist_sql → sin_sql)."""
+    for name, expr in exprs.items():
+        bad = (
+            len(expr) > _limit
+            or "\n" in expr
+            or "select" in expr.lower()
+        )
+        if bad:
+            raise ValueError(
+                f"{fn}({name}=...): the argument is inlined many times and is too "
+                f"complex ({len(expr)} chars) — stage it as a column (CTE / select "
+                f"alias) and pass the plain reference instead: {expr[:80]!r}..."
+            )
+
+
 _EXP_INV_LN2 = 1.4426950408889634
 _EXP_LN2_HI = 0.6931471803691238
 _EXP_LN2_LO = 1.9082149292705877e-10
@@ -284,6 +313,7 @@ def exp_col(x: Column) -> Column:
 
 def exp_sql(x: str) -> str:
     """Twin exp for x <= 0 as DuckDB SQL. ``x`` MUST be a simple column ref."""
+    check_inline_arg("exp_sql", x=x)
     k = f"CAST(floor(({x}) * {_EXP_INV_LN2!r} + 0.5) AS BIGINT)"
     kd = f"CAST({k} AS DOUBLE)"
     fe = f"((({x}) - {kd} * {_EXP_LN2_HI!r}) - {kd} * {_EXP_LN2_LO!r})"
@@ -343,6 +373,7 @@ def ln_col(x: Column) -> Column:
 
 def ln_sql(x: str) -> str:
     """Twin natural log as DuckDB SQL. ``x`` MUST be a simple column ref."""
+    check_inline_arg("ln_sql", x=x)
     e0 = f"CAST(floor(log2({x})) AS BIGINT)"
     e1 = (
         f"(CASE WHEN power(2.0, CAST({e0} AS DOUBLE)) > ({x}) THEN {e0} - 1 "

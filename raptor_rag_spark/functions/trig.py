@@ -111,6 +111,9 @@ def _poly_sql(y2: str, coef: list[float]) -> str:
 
 def sin_sql(x: str) -> str:
     """Twin sine as DuckDB SQL. ``x`` MUST be a simple column reference."""
+    from .sqlgen import check_inline_arg
+
+    check_inline_arg("sin_sql", x=x)
     k, y = _fold_sql(x)
     y2 = f"({y} * {y})"
     s = f"({y} * {_poly_sql(y2, _SIN_COEF)})"
@@ -124,6 +127,9 @@ def sin_sql(x: str) -> str:
 
 def cos_sql(x: str) -> str:
     """Twin cosine as DuckDB SQL. ``x`` MUST be a simple column reference."""
+    from .sqlgen import check_inline_arg
+
+    check_inline_arg("cos_sql", x=x)
     k, y = _fold_sql(x)
     y2 = f"({y} * {y})"
     s = f"({y} * {_poly_sql(y2, _SIN_COEF)})"
@@ -170,7 +176,12 @@ def cos_py(x: float) -> float:
 
 def chord_dist_sql(lat1: str, lon1: str, lat2: str, lon2: str, radius: float = 1.0) -> str:
     """DuckDB twin of :func:`chord_dist_col`. Arguments should be simple
-    column references or literals (they are inlined several times each)."""
+    column references or literals (they are inlined several times each).
+    Tighter budget than the leaf generators: each arg is re-inlined through
+    sin_sql/cos_sql, so the composed argument must still fit THEIR budget."""
+    from .sqlgen import check_inline_arg
+
+    check_inline_arg("chord_dist_sql", _limit=40, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2)
     sdlat = sin_sql(f"((({lat2}) - ({lat1})) * 0.5)")
     sdlon = sin_sql(f"((({lon2}) - ({lon1})) * 0.5)")
     a = f"({sdlat} * {sdlat} + {cos_sql(lat1)} * {cos_sql(lat2)} * ({sdlon} * {sdlon}))"
@@ -251,6 +262,9 @@ def atan2_col(y: Column, x: Column) -> Column:
 def atan_sql(t: str) -> str:
     """Twin arctangent as DuckDB SQL. ``t`` MUST be a simple column ref."""
     from .hexgen import flit
+    from .sqlgen import check_inline_arg
+
+    check_inline_arg("atan_sql", t=t)
 
     a = f"abs({t})"
     u = f"(CASE WHEN {a} > 1.0 THEN 1.0 / {a} ELSE {a} END)"
@@ -275,6 +289,9 @@ def atan2_sql(y: str, x: str, ratio_alias: str = "atr") -> tuple[str, str]:
         SELECT {result} FROM s
     """
     from .hexgen import flit
+    from .sqlgen import check_inline_arg
+
+    check_inline_arg("atan2_sql", y=y, x=x)
 
     stage = f"(({y}) / ({x}))"
     base = atan_sql(ratio_alias)

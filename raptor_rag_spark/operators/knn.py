@@ -133,36 +133,53 @@ def ring_cells(homes: DataFrame, radius_col: F.Column, extra: tuple[str, ...] = 
     )
 
 
+def corpus_cell_counts(nodes: DataFrame) -> DataFrame:
+    """Per-cell node counts, materialized. Corpus-dependent but
+    query-INdependent: compute once per corpus (or per tree build) and pass
+    to every cell_pruned_knn / grid_knn call to skip the per-call
+    aggregation barrier — the interactive-latency amortization the r2 audit
+    asked for."""
+    return nodes.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(
+        eager=True
+    )
+
+
 def _initial_radius(
     cell_counts: DataFrame, resolutions: list[int], need: int, max_radius: int
-) -> F.Column:
-    """Density-informed seed radius per resolution: size the ring so its
-    EXPECTED population covers ``need`` (uniform estimate), keeping the
-    examined doubling sequence in _choose_radii short and its rings small.
-    One driver collect of ≤ len(resolutions) aggregate rows (metadata-scale).
-    """
-    import math
-
-    stats = {
-        int(r["res"]): int(r["total"])
-        for r in cell_counts.withColumn(
+) -> DataFrame:
+    """Density-informed seed radius per resolution, fully declarative:
+    (res, radius) rows sized so the seed ring's EXPECTED population covers
+    ``need`` (uniform estimate), keeping the doubling sequence in
+    _choose_radii short and its rings small. Joined onto homes (broadcast,
+    ≤ len(resolutions) rows) — no driver collect; the arithmetic is the
+    pinned IEEE order the DuckDB oracle replicates (contract `r0` CTE):
+    side = ceil(sqrt(need / (total / 4^res))), r0 = clamp(side // 2, 1,
+    max_radius); empty resolution → max_radius."""
+    spark = cell_counts.sparkSession
+    res_df = spark.createDataFrame([(int(r),) for r in sorted(set(resolutions))], "res int")
+    totals = (
+        cell_counts.withColumn(
             "res", F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT).cast("int")
         )
         .groupBy("res")
         .agg(F.sum("n_in_cell").alias("total"))
-        .collect()
-    }
-    expr = F.lit(1)
-    for res in resolutions:
-        total = stats.get(res, 0)
-        density = total / float(4**res) if total else 0.0
-        if density > 0:
-            side = math.ceil(math.sqrt(need / density))
-            r0 = min(max((side - 1 + 1) // 2, 1), max_radius)
-        else:
-            r0 = max_radius
-        expr = F.when(F.col("res") == res, F.lit(r0)).otherwise(expr)
-    return expr
+    )
+    # 4^res = 1 << 2*res is exact in double, so density and the seed side
+    # come out bit-identical to the former driver-side math.ceil/sqrt path
+    density = F.col("total").cast("double") / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), 2 * res) AS DOUBLE)"
+    )
+    side = F.ceil(F.sqrt(F.lit(float(need)) / density))
+    r0 = F.least(
+        F.greatest(F.floor(side / F.lit(2)).cast("long"), F.lit(1).cast("long")),
+        F.lit(max_radius).cast("long"),
+    )
+    radius = F.when(F.col("total").isNotNull() & (F.col("total") > 0), r0).otherwise(
+        F.lit(max_radius).cast("long")
+    )
+    return res_df.join(F.broadcast(totals), "res", "left").select(
+        "res", radius.alias("radius")
+    )
 
 
 def _choose_radii(
@@ -200,12 +217,15 @@ def _choose_radii(
         .agg(F.min("t").alias("t"))
         .localCheckpoint(eager=True)
     )
+    # best_t is (queries × resolutions) rows — the operator's designed small
+    # side at any corpus scale, so hint it explicitly (the checkpointed homes
+    # join output no longer carries size stats Catalyst could infer from)
     chosen = (
-        homes.join(best_t, ["query_id", "res"])
+        homes.join(F.broadcast(best_t), ["query_id", "res"])
         .withColumn("radius", r_of_t)
         .drop("t")
     )
-    leftover = homes.join(best_t, ["query_id", "res"], "left_anti")
+    leftover = homes.join(F.broadcast(best_t), ["query_id", "res"], "left_anti")
     return chosen, leftover
 
 
@@ -219,6 +239,7 @@ def cell_pruned_knn(
     distance_metric: str = "cosine",
     max_radius: int = 8,
     oversample: int = 8,
+    cell_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate kNN restricted to each query's cell neighborhood, with
     recall-safe adaptive ring widening (SURVEY.md §7 hard-point e).
@@ -245,9 +266,8 @@ def cell_pruned_knn(
     the right level automatically.
     """
     resolutions = sorted(set(levels_res.values()))
-    cell_counts = (
-        nodes.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(eager=True)
-    )
+    if cell_counts is None:
+        cell_counts = corpus_cell_counts(nodes)
     need = oversample * top_k
     # materialize the tiny homes table (queries × resolutions rows of plain
     # ints): query_homes embeds the 64-term projection fold, and threading
@@ -256,7 +276,7 @@ def cell_pruned_knn(
     # optimization. Checkpointing cuts the lineage to flat integer columns.
     homes = (
         query_homes(queries, resolutions, dim)
-        .withColumn("radius", _initial_radius(cell_counts, resolutions, need, max_radius))
+        .join(F.broadcast(_initial_radius(cell_counts, resolutions, need, max_radius)), "res")
         .localCheckpoint(eager=True)
     )
     ring_homes, pending = _choose_radii(homes, cell_counts, need, max_radius)
@@ -286,6 +306,7 @@ def grid_knn(
     k: int = 10,
     id_col: str = "vec_id",
     max_radius: int = 64,
+    cell_counts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT tile-space kNN join via grid ring search — the classic
     grid-index algorithm with the covering-radius guarantee.
@@ -321,12 +342,11 @@ def grid_knn(
         qiy.alias("iy"),
     ).localCheckpoint(eager=True)
 
-    cell_counts = pts.groupBy("cell_id").agg(F.count("*").alias("n_in_cell")).localCheckpoint(
-        eager=True
-    )
+    if cell_counts is None:
+        cell_counts = corpus_cell_counts(pts)
     ring_homes, pending = _choose_radii(
-        homes.select("query_id", "res", "ix", "iy").withColumn(
-            "radius", _initial_radius(cell_counts, [res], k, max_radius)
+        homes.select("query_id", "res", "ix", "iy").join(
+            F.broadcast(_initial_radius(cell_counts, [res], k, max_radius)), "res"
         ),
         cell_counts,
         k,

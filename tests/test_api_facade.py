@@ -253,3 +253,31 @@ def test_flat_budget_mode(spark, ra):
     assert unbounded.count() == ra.tree.filter("level = 0").count()  # no k-cap
     with pytest.raises(ValueError, match="one of top_k or max_tokens"):
         flat_knn(ra.tree, queries, top_k=None, max_tokens=None).collect()
+
+
+def test_retrieve_batch_dataframe_scales_without_extra_actions(ra, spark):
+    """100 questions through retrieve_batch cost the same number of Spark
+    jobs as one question — the batch is ONE broadcast kNN plan, not a
+    per-question loop (VERDICT r2 #7)."""
+    sc = spark.sparkContext
+
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    one = spark.createDataFrame([(0, "spark join data")], "query_id long, qtext string")
+    many = spark.createDataFrame(
+        [(i, f"spark join data variant {i}") for i in range(100)],
+        "query_id long, qtext string",
+    )
+    n_one = jobs_in("batch-1", lambda: ra.retrieve_batch(one).collect())
+    n_many = jobs_in("batch-100", lambda: ra.retrieve_batch(many, top_k=5).collect())
+    assert n_many <= n_one + 2  # same plan shape; AQE may add a stage or two
+
+    out = ra.retrieve_batch(many, top_k=5).collect()
+    assert len(out) == 100
+    assert all(r["context"].endswith("\n\n") for r in out)

@@ -160,3 +160,29 @@ def test_geodesic_destination_round_trip():
             lam2 += 2 * math.pi
         assert abs(phi2 - lat2) < 1e-9
         assert abs(lam2 - lon2) < 1e-9 or abs(abs(lam2 - lon2) - 2 * math.pi) < 1e-9
+
+
+def test_inline_guard_rejects_compound_arguments():
+    """The twin *_sql generators inline their argument 10-50x; a compound
+    expression must fail loudly (ValueError telling the caller to stage it
+    as a column), never silently explode the oracle SQL (VERDICT r2 #8)."""
+    import pytest
+
+    from raptor_rag_spark.functions import sqlgen as G
+
+    # a 64-term projection-fold-ish compound: way over the inline budget
+    compound = "(" + " + ".join(f"embedding[{i}] * 0.5" for i in range(16)) + ")"
+    assert len(compound) > G.MAX_INLINE_ARG
+    for fn in (T.sin_sql, T.cos_sql, T.atan_sql, G.exp_sql, G.ln_sql):
+        with pytest.raises(ValueError, match="stage it as a column"):
+            fn(compound)
+    with pytest.raises(ValueError, match="stage it as a column"):
+        T.atan2_sql("yc", compound)
+    with pytest.raises(ValueError, match="stage it as a column"):
+        T.chord_dist_sql("a_column_name_longer_than_the_composed_budget", "0.0", "lat", "lon")
+    # embedded subqueries and newlines are rejected outright
+    with pytest.raises(ValueError, match="stage it as a column"):
+        T.sin_sql("(SELECT max(x) FROM t)")
+    # the documented contract still works: simple refs and short literals
+    assert "CASE" in T.sin_sql("lat")
+    assert "power" in G.exp_sql("(-(s / CAST(n AS DOUBLE)))")
