@@ -4255,6 +4255,86 @@ def _sql_hex_density() -> str:
     return hex_density_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=5)
 
 
+# ------------------------------------------------------------ lakehouse IO
+# Snapshot-versioned table (sources/lakehouse.py): the Spark side routes the
+# documents table THROUGH a LakeTable (4 range-sliced append commits) and
+# reads it back via manifest-pruned scan / time travel; the oracle reads the
+# source parquet directly. Equality proves commits, snapshot isolation, and
+# file pruning are all result-neutral — Iceberg's core reader contract.
+
+
+def _lake_of(spark, sf_dir: str):
+    """Build (once per (session, sf_dir)) a 4-commit lake table over the
+    documents parquet, sliced by doc_id range so file stats are disjoint."""
+    import tempfile
+
+    from ..sources.lakehouse import LakeTable
+
+    cache = getattr(_lake_of, "_cache", {})
+    key = (id(spark), sf_dir)
+    if key in cache:
+        return cache[key]
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t = LakeTable(tempfile.mkdtemp(prefix="laketbl_"), stats_cols=("doc_id",))
+    cuts = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+    snaps = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        snaps.append(t.append(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))))
+    cache[key] = (t, mx, snaps)
+    _lake_of._cache = cache
+    return cache[key]
+
+
+def q_lake_scan(spark, sf_dir):
+    """Manifest-pruned range scan over the snapshot table: files whose
+    doc_id [min,max] misses the range are skipped driver-side (lakehouse
+    scan pruning); the surviving files' rows must equal a direct filtered
+    read of the source parquet."""
+    t, mx, _ = _lake_of(spark, sf_dir)
+    lo, hi = mx // 5, mx // 2
+    out = t.scan(spark, "doc_id", lo, hi)
+    assert t.last_scan_stats["files_scanned"] < t.last_scan_stats["files_total"]
+    return out.select("doc_id", "lang", G.token_count_col(F.col("text")).alias("n_tokens"))
+
+
+def _sql_lake_scan() -> str:
+    return f"""
+SELECT doc_id, lang, {G.token_count_sql("text")} AS n_tokens
+FROM documents
+WHERE doc_id >= (SELECT max(doc_id) FROM documents) // 5
+  AND doc_id <= (SELECT max(doc_id) FROM documents) // 2
+"""
+
+
+def q_lake_time_travel(spark, sf_dir):
+    """Read the table AS OF the second commit: only the first two range
+    slices are visible, byte-equal to filtering the source at the cut."""
+    t, mx, snaps = _lake_of(spark, sf_dir)
+    return t.read(spark, snaps[1]).select("doc_id", "lang")
+
+
+def _sql_lake_time_travel() -> str:
+    return """
+SELECT doc_id, lang FROM documents
+WHERE doc_id < (SELECT max(doc_id) FROM documents) // 2
+"""
+
+
+def q_lake_changes(spark, sf_dir):
+    """Incremental (CDC) read: rows appended between commit 2 and commit 4 =
+    the upper two range slices, nothing else."""
+    t, mx, snaps = _lake_of(spark, sf_dir)
+    return t.changes_between(spark, snaps[1], snaps[3]).select("doc_id", "lang")
+
+
+def _sql_lake_changes() -> str:
+    return """
+SELECT doc_id, lang FROM documents
+WHERE doc_id >= (SELECT max(doc_id) FROM documents) // 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4436,6 +4516,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idw_surface": q_idw_surface,
     "stream_join": q_stream_join,
     "bucketed_join": q_bucketed_join,
+    "lake_scan": q_lake_scan,
+    "lake_time_travel": q_lake_time_travel,
+    "lake_changes": q_lake_changes,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -4458,6 +4541,7 @@ _FLAGSHIP_ORDER = [
     "winnow_matches", "decontaminate", "dup_spans",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract",
+    "lake_scan", "lake_time_travel", "lake_changes",
     "bm25_rank", "gmm_cluster", "rouge_l", "token_f1",
     "stream_events_hourly",
 ]
@@ -4630,5 +4714,8 @@ ORACLES: dict[str, str] = {
     "idw_surface": _sql_idw_surface(),
     "stream_join": SQL_STREAM_JOIN,
     "bucketed_join": _sql_bucketed_join(),
+    "lake_scan": _sql_lake_scan(),
+    "lake_time_travel": _sql_lake_time_travel(),
+    "lake_changes": _sql_lake_changes(),
     **_sql_curation(),
 }

@@ -1,0 +1,309 @@
+"""Snapshot-versioned lakehouse table — Iceberg semantics on plain parquet.
+
+The north rule stores the corpus in "an Iceberg table of Common-Crawl-style
+web pages" and checkpoints "per-partition lineage and metrics to Iceberg";
+the sandbox pyspark bundles no Iceberg runtime jar (SURVEY.md §4.2), so this
+module re-creates the three Iceberg properties the engine actually depends
+on, from first principles, on parquet + JSON manifests:
+
+1. **Atomic snapshot commits.** Every append/overwrite writes NEW immutable
+   parquet files into ``data/`` and then commits ONE snapshot manifest via
+   tmp-file + rename (atomic on POSIX). Readers only ever see a committed
+   manifest's file list — a killed writer leaves orphan data files, never a
+   torn table. ``current`` is a pointer file, re-pointed atomically.
+2. **Time travel + rollback.** Snapshots form a parent chain; ``read`` takes
+   ``snapshot_id`` (default: current), ``rollback`` re-points current to an
+   ancestor without deleting anything, ``changes_between`` returns the rows
+   appended between two snapshots (CDC reads = the files added since).
+3. **File-level column stats → scan pruning.** Each manifest records per-file
+   (row_count, min, max) for the declared stats columns, computed from the
+   data while writing (one metadata-scale agg). ``scan`` intersects a range
+   predicate with those stats DRIVER-SIDE and hands Spark only the surviving
+   files — at 100 TB the win is skipping whole files before any task is
+   scheduled, exactly Iceberg's manifest-pruning path. The predicate is ALSO
+   applied as a normal filter after the scan, so pruning is a pure
+   optimization and can never change results (the `lake_scan` contract twin
+   proves equality against a full-table oracle).
+
+Scale notes: manifests hold (file path, stats) tuples — metadata, thousands
+of entries per snapshot at 100 TB, read driver-side exactly like Iceberg's
+avro manifests. Data files are never rewritten or deleted by commits;
+``expire_snapshots`` is the explicit GC. Writers partition data by
+``bucket_by`` (hash buckets) so downstream equi-joins can co-locate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LakeTable:
+    """A directory-backed snapshot-versioned table.
+
+    Layout::
+
+        <root>/data/<uuid>.parquet/        one immutable file-set per commit
+        <root>/snapshots/<id>.json         snapshot manifests
+        <root>/current                     pointer to the current snapshot id
+    """
+
+    def __init__(self, root: str, stats_cols: tuple[str, ...] = ()):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.snap_dir = os.path.join(root, "snapshots")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+        self.stats_cols = tuple(stats_cols)
+
+    # ------------------------------------------------------------- manifests
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "current")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.snap_dir, f"{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """All committed snapshots, oldest first."""
+        ids = sorted(
+            int(n[:-5]) for n in os.listdir(self.snap_dir) if n.endswith(".json")
+        )
+        return [self.snapshot(i) for i in ids]
+
+    def history(self) -> list[dict]:
+        """The ancestry chain of the CURRENT snapshot, oldest first —
+        rollback re-points current, so orphaned branches drop out here."""
+        sid = self.current_snapshot_id()
+        chain: list[dict] = []
+        while sid is not None:
+            snap = self.snapshot(sid)
+            chain.append(snap)
+            sid = snap["parent_id"]
+        return list(reversed(chain))
+
+    def _live_files(self, snapshot_id: int) -> list[dict]:
+        """(path, stats) entries visible at a snapshot: walk the ancestry,
+        collecting appended file lists; an overwrite snapshot RESETS the set."""
+        chain: list[dict] = []
+        sid: int | None = snapshot_id
+        while sid is not None:
+            snap = self.snapshot(sid)
+            chain.append(snap)
+            if snap["operation"] == "overwrite":
+                break  # nothing older is visible
+            sid = snap["parent_id"]
+        files: list[dict] = []
+        for snap in reversed(chain):
+            files.extend(snap["added_files"])
+        return files
+
+    # ---------------------------------------------------------------- write
+    def _collect_file_stats(self, spark: SparkSession, path: str) -> list[dict]:
+        """Per-parquet-file (rows, min/max of stats_cols) — ONE metadata-scale
+        aggregation over the freshly written files, grouped by
+        input_file_name, the same stats Iceberg footers carry."""
+        df = spark.read.parquet(path)
+        aggs = [F.count("*").alias("rows")]
+        for c in self.stats_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        rows = df.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
+        out = []
+        for r in rows:
+            stats = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in self.stats_cols}
+            out.append({"path": r["file"], "rows": r["rows"], "stats": stats})
+        return out
+
+    def _commit(self, operation: str, added: list[dict], extra: dict | None = None) -> int:
+        parent = self.current_snapshot_id()
+        # ids are allocated past EVERY existing manifest (not parent+1): after
+        # a rollback the next commit forks a new branch and must not collide
+        # with the orphaned one
+        existing = [int(n[:-5]) for n in os.listdir(self.snap_dir) if n.endswith(".json")]
+        sid = max(existing, default=0) + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": operation,
+            "added_files": added,
+            "added_rows": sum(f["rows"] for f in added),
+            "ts_ms": int(time.time() * 1000),
+            "extra": extra or {},
+        }
+        path = os.path.join(self.snap_dir, f"{sid}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+        ptr_tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(ptr_tmp, self._current_path())  # the commit point
+        return sid
+
+    def _write_files(self, df: DataFrame, bucket_by: str | None, n_buckets: int) -> str:
+        fileset = os.path.join(self.data_dir, uuid.uuid4().hex + ".parquet")
+        writer = df
+        if bucket_by is not None:
+            # hash-bucket the rows so each file covers one bucket — gives the
+            # scan pruner disjoint stats ranges AND downstream equi-joins a
+            # co-location key (Iceberg bucket partition transform)
+            writer = df.repartition(n_buckets, F.col(bucket_by))
+        writer.write.mode("errorifexists").parquet(fileset)
+        return fileset
+
+    def append(
+        self, df: DataFrame, bucket_by: str | None = None, n_buckets: int = 8,
+        extra: dict | None = None,
+    ) -> int:
+        """Commit the rows as a new snapshot on top of current."""
+        fileset = self._write_files(df, bucket_by, n_buckets)
+        added = self._collect_file_stats(df.sparkSession, fileset)
+        return self._commit("append", added, extra)
+
+    def overwrite(
+        self, df: DataFrame, bucket_by: str | None = None, n_buckets: int = 8,
+        extra: dict | None = None,
+    ) -> int:
+        """Commit the rows as a full-table replacement (old files stay on
+        disk for time travel until expire_snapshots)."""
+        fileset = self._write_files(df, bucket_by, n_buckets)
+        added = self._collect_file_stats(df.sparkSession, fileset)
+        return self._commit("overwrite", added, extra)
+
+    # ----------------------------------------------------------------- read
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (default: current). mergeSchema
+        tolerates additive column evolution across snapshots."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"lake table at {self.root} has no snapshots")
+        files = [f["path"] for f in self._live_files(sid)]
+        if not files:
+            raise FileNotFoundError(f"snapshot {sid} holds no data files")
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    def scan(
+        self, spark: SparkSession, col: str, lo, hi, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Range read ``lo <= col <= hi`` with MANIFEST pruning: files whose
+        [min,max] cannot intersect the range are dropped driver-side before
+        Spark sees them. The residual filter still applies, so pruning is
+        provably result-neutral; ``files_scanned``/``files_total`` land on
+        the returned plan via ``scan_stats`` for observability."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"lake table at {self.root} has no snapshots")
+        live = self._live_files(sid)
+        if col in self.stats_cols:
+            keep = [
+                f for f in live
+                if f["stats"][col][0] is None  # all-null file: cannot prune
+                or not (f["stats"][col][0] > hi or f["stats"][col][1] < lo)
+            ]
+        else:
+            keep = live
+        self.last_scan_stats = {"files_total": len(live), "files_scanned": len(keep)}
+        if not keep:
+            # empty result with the right schema: read one file, filter false
+            return (
+                spark.read.parquet(live[0]["path"]).where(F.lit(False))
+                if live else self.read(spark, sid).where(F.lit(False))
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(*[f["path"] for f in keep])
+        return df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+    def changes_between(
+        self, spark: SparkSession, from_snapshot: int, to_snapshot: int
+    ) -> DataFrame:
+        """Rows APPENDED strictly after ``from_snapshot`` up to
+        ``to_snapshot`` (incremental/CDC read). Raises if the range crosses
+        an overwrite — there is no row-level diff to serve then."""
+        files: list[str] = []
+        sid: int | None = to_snapshot
+        while sid is not None and sid != from_snapshot:
+            snap = self.snapshot(sid)
+            if snap["operation"] == "overwrite":
+                raise ValueError(
+                    f"snapshot range ({from_snapshot}, {to_snapshot}] crosses an "
+                    "overwrite; incremental reads need an append-only range"
+                )
+            files.extend(f["path"] for f in snap["added_files"])
+            sid = snap["parent_id"]
+        if sid != from_snapshot:
+            raise ValueError(f"{from_snapshot} is not an ancestor of {to_snapshot}")
+        if not files:
+            return self.read(spark, to_snapshot).where(F.lit(False))
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    # ------------------------------------------------------------ lifecycle
+    def rollback(self, snapshot_id: int) -> None:
+        """Re-point current at an ancestor snapshot (metadata-only, instant,
+        reversible until expire_snapshots)."""
+        cur = self.current_snapshot_id()
+        chain = set()
+        sid: int | None = cur
+        while sid is not None:
+            chain.add(sid)
+            sid = self.snapshot(sid)["parent_id"]
+        if snapshot_id not in chain:
+            raise ValueError(f"snapshot {snapshot_id} is not an ancestor of current {cur}")
+        tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._current_path())
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots of the CURRENT
+        ancestry (plus any orphaned branch manifests) and delete data files
+        no surviving snapshot references. Returns the deleted file paths."""
+        import shutil
+
+        chain = self.history()
+        keep = chain[-keep_last:] if keep_last > 0 else []
+        # snapshots reachable only through expired/orphaned manifests die
+        keep_ids = {s["snapshot_id"] for s in keep}
+        live_files = set()
+        for s in keep:
+            live_files.update(f["path"] for f in self._live_files(s["snapshot_id"]))
+        deleted = []
+        for snap in self.snapshots():
+            if snap["snapshot_id"] not in keep_ids:
+                os.remove(os.path.join(self.snap_dir, f"{snap['snapshot_id']}.json"))
+        # re-parent the oldest kept snapshot so the chain stays walkable
+        if keep:
+            oldest = keep[0]
+            if oldest["parent_id"] is not None and oldest["parent_id"] not in keep_ids:
+                oldest = dict(oldest, parent_id=None)
+                path = os.path.join(self.snap_dir, f"{oldest['snapshot_id']}.json")
+                tmp = path + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(oldest, f)
+                os.replace(tmp, path)
+        def _local(p: str) -> str:
+            # input_file_name() yields file:///... URIs; manifests store them
+            # verbatim, so normalize to a plain local path before comparing
+            from urllib.parse import urlparse
+
+            return urlparse(p).path if p.startswith("file:") else p
+
+        live_local = {_local(p) for p in live_files}
+        for name in os.listdir(self.data_dir):
+            fileset = os.path.join(self.data_dir, name)
+            # a fileset dir is live if ANY of its parquet parts is referenced
+            if not any(p.startswith(fileset) for p in live_local):
+                shutil.rmtree(fileset, ignore_errors=True)
+                deleted.append(fileset)
+        return deleted
