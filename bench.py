@@ -546,6 +546,24 @@ def main() -> None:
 
     timed("stay_points", _stay)
 
+    # snapshot lakehouse: z-order clustered write + bbox scan w/ file skipping
+    from raptor_rag_spark.sources.lakehouse import LakeTable
+
+    import shutil
+    import tempfile
+
+    lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
+
+    def _lake():
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        t = LakeTable(lake_dir, stats_cols=(LakeTable.ZKEY,))
+        t.append_zordered(pts.withColumnRenamed("node_id", "pid"), res=8, n_files=32)
+        n = t.scan_bbox(spark, 0.2, 0.3, 0.5, 0.6, res=8).count()
+        state["lake_files"] = dict(t.last_scan_stats, rows=n)
+
+    timed("lake_zorder_rw", _lake)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(
@@ -562,6 +580,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "n_tree_nodes": state["n_nodes"],
                 "dup_heavy_pairs": state.get("dup_heavy_pairs"),
+                "lake_files": state.get("lake_files"),
                 "pages_per_sec": round(n_docs / build_s, 2) if build_s else None,
             }
         )

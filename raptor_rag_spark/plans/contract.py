@@ -4335,6 +4335,39 @@ WHERE doc_id >= (SELECT max(doc_id) FROM documents) // 2
 """
 
 
+def q_lake_zorder_scan(spark, sf_dir):
+    """Z-order data skipping: embeddings xy written as a z-clustered lake
+    snapshot, then a bbox read that prunes files from Morton-range manifest
+    stats; must equal a plain coordinate filter over the source table."""
+    import tempfile
+
+    from ..sources.lakehouse import LakeTable
+
+    cache = getattr(q_lake_zorder_scan, "_cache", {})
+    key = (id(spark), sf_dir)
+    if key not in cache:
+        e = ld(spark, sf_dir, "embeddings")
+        x, y = G.xy_cols(F.col("embedding"), DIM)
+        pts = e.select("vec_id", x.alias("x"), y.alias("y"))
+        t = LakeTable(tempfile.mkdtemp(prefix="lakez_"), stats_cols=(LakeTable.ZKEY,))
+        t.append_zordered(pts, res=8, n_files=16)
+        cache[key] = t
+        q_lake_zorder_scan._cache = cache
+    t = cache[key]
+    out = t.scan_bbox(spark, 0.25, 0.4, 0.5, 0.75, res=8)
+    assert t.last_scan_stats["files_scanned"] < t.last_scan_stats["files_total"]
+    return out.select("vec_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+def _sql_lake_zorder_scan() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    return f"""
+SELECT vec_id, round(x, 6) AS x, round(y, 6) AS y
+FROM (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings)
+WHERE x >= 0.25 AND x <= 0.4 AND y >= 0.5 AND y <= 0.75
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4519,6 +4552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_scan": q_lake_scan,
     "lake_time_travel": q_lake_time_travel,
     "lake_changes": q_lake_changes,
+    "lake_zorder_scan": q_lake_zorder_scan,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -4541,7 +4575,7 @@ _FLAGSHIP_ORDER = [
     "winnow_matches", "decontaminate", "dup_spans",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract",
-    "lake_scan", "lake_time_travel", "lake_changes",
+    "lake_scan", "lake_time_travel", "lake_changes", "lake_zorder_scan",
     "bm25_rank", "gmm_cluster", "rouge_l", "token_f1",
     "stream_events_hourly",
 ]
@@ -4717,5 +4751,6 @@ ORACLES: dict[str, str] = {
     "lake_scan": _sql_lake_scan(),
     "lake_time_travel": _sql_lake_time_travel(),
     "lake_changes": _sql_lake_changes(),
+    "lake_zorder_scan": _sql_lake_zorder_scan(),
     **_sql_curation(),
 }

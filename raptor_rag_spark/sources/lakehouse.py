@@ -43,6 +43,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def zranges_for_bbox(
+    xlo: float, xhi: float, ylo: float, yhi: float, res: int
+) -> list[tuple[int, int]]:
+    """Contiguous Morton-key intervals covering the bbox (coords in [0,1],
+    inclusive bounds): recursive quadtree descent — a quadrant fully inside
+    the bbox (or at leaf resolution) contributes its whole key interval,
+    a disjoint quadrant contributes nothing, a straddling quadrant splits.
+    Adjacent intervals merge, so typical bboxes yield a handful of ranges.
+    Pure driver-side arithmetic over 4^res keyspace METADATA — never touches
+    data. Bit order matches operators.layout.zorder_key_col (ix odd bits)."""
+    out: list[tuple[int, int]] = []
+
+    def rec(depth: int, m: int, cx: float, cy: float, size: float) -> None:
+        if cx > xhi or cy > yhi or cx + size <= xlo or cy + size <= ylo:
+            return  # disjoint (cell max is exclusive)
+        full = xlo <= cx and cx + size <= xhi and ylo <= cy and cy + size <= yhi
+        if full or depth == res:
+            shift = 2 * (res - depth)
+            out.append((m << shift, ((m + 1) << shift) - 1))
+            return
+        h = size / 2.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(depth + 1, (m << 2) | (dx << 1) | dy, cx + dx * h, cy + dy * h, h)
+
+    rec(0, 0, 0.0, 0.0, 1.0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
 class LakeTable:
     """A directory-backed snapshot-versioned table.
 
@@ -153,10 +189,23 @@ class LakeTable:
         os.replace(ptr_tmp, self._current_path())  # the commit point
         return sid
 
-    def _write_files(self, df: DataFrame, bucket_by: str | None, n_buckets: int) -> str:
+    def _write_files(
+        self,
+        df: DataFrame,
+        bucket_by: str | None,
+        n_buckets: int,
+        range_by: str | None = None,
+    ) -> str:
         fileset = os.path.join(self.data_dir, uuid.uuid4().hex + ".parquet")
         writer = df
-        if bucket_by is not None:
+        if range_by is not None:
+            # range-cluster: each file covers one contiguous key interval →
+            # tight disjoint [min,max] stats, the layout ZORDER-style data
+            # skipping needs (Delta/Iceberg OPTIMIZE ... ZORDER BY)
+            writer = df.repartitionByRange(n_buckets, F.col(range_by)).sortWithinPartitions(
+                range_by
+            )
+        elif bucket_by is not None:
             # hash-bucket the rows so each file covers one bucket — gives the
             # scan pruner disjoint stats ranges AND downstream equi-joins a
             # co-location key (Iceberg bucket partition transform)
@@ -164,14 +213,45 @@ class LakeTable:
         writer.write.mode("errorifexists").parquet(fileset)
         return fileset
 
+    def _find_epoch(self, epoch_id) -> int | None:
+        """Snapshot already committed for this epoch, if any — the exactly-
+        once check for streaming foreachBatch re-deliveries."""
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            snap = self.snapshot(sid)
+            if snap["extra"].get("epoch_id") == epoch_id:
+                return sid
+            sid = snap["parent_id"]
+        return None
+
     def append(
         self, df: DataFrame, bucket_by: str | None = None, n_buckets: int = 8,
-        extra: dict | None = None,
+        extra: dict | None = None, epoch_id: int | None = None,
     ) -> int:
-        """Commit the rows as a new snapshot on top of current."""
+        """Commit the rows as a new snapshot on top of current.
+
+        ``epoch_id`` makes the commit IDEMPOTENT per epoch: a foreachBatch
+        re-delivery of an already-committed micro-batch returns the existing
+        snapshot without writing — the exactly-once sink contract for
+        Structured Streaming (epoch dedup before any data is written)."""
+        if epoch_id is not None:
+            done = self._find_epoch(epoch_id)
+            if done is not None:
+                return done
+            extra = {**(extra or {}), "epoch_id": epoch_id}
         fileset = self._write_files(df, bucket_by, n_buckets)
         added = self._collect_file_stats(df.sparkSession, fileset)
         return self._commit("append", added, extra)
+
+    def streaming_sink(self, bucket_by: str | None = None, n_buckets: int = 8):
+        """``writeStream.foreachBatch(table.streaming_sink())`` — each
+        micro-batch lands as one atomic snapshot keyed by its epoch id, so a
+        restarted query that re-delivers a batch commits nothing twice."""
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.append(batch_df, bucket_by=bucket_by, n_buckets=n_buckets, epoch_id=epoch_id)
+
+        return _sink
 
     def overwrite(
         self, df: DataFrame, bucket_by: str | None = None, n_buckets: int = 8,
@@ -225,6 +305,83 @@ class LakeTable:
         df = spark.read.option("mergeSchema", "true").parquet(*[f["path"] for f in keep])
         return df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
+    # ------------------------------------------------- z-order data skipping
+    ZKEY = "_zkey"
+
+    def append_zordered(
+        self,
+        df: DataFrame,
+        res: int,
+        x_col: str = "x",
+        y_col: str = "y",
+        n_files: int = 8,
+        extra: dict | None = None,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY (x, y) as a WRITE: rows gain a Morton key
+        at ``res`` bits/axis, are range-clustered so each file covers one
+        contiguous z-interval, and the key lands in the file stats. A 2-D
+        bbox then prunes files via ``scan_bbox`` — Delta/Iceberg's z-order
+        data skipping, from first principles. Requires ``ZKEY`` in
+        stats_cols."""
+        from ..operators.layout import zorder_key_col
+
+        if self.ZKEY not in self.stats_cols:
+            raise ValueError(f"append_zordered needs {self.ZKEY!r} in stats_cols")
+        n = 1 << res
+        ix = F.greatest(
+            F.least(F.floor(F.col(x_col) * F.lit(float(n))).cast("long"), F.lit(n - 1)),
+            F.lit(0),
+        )
+        iy = F.greatest(
+            F.least(F.floor(F.col(y_col) * F.lit(float(n))).cast("long"), F.lit(n - 1)),
+            F.lit(0),
+        )
+        keyed = df.withColumn(self.ZKEY, zorder_key_col(ix, iy, res))
+        fileset = self._write_files(keyed, None, n_files, range_by=self.ZKEY)
+        added = self._collect_file_stats(df.sparkSession, fileset)
+        return self._commit("append", added, {**(extra or {}), "zorder_res": res})
+
+    def scan_bbox(
+        self,
+        spark: SparkSession,
+        xlo: float,
+        xhi: float,
+        ylo: float,
+        yhi: float,
+        res: int,
+        x_col: str = "x",
+        y_col: str = "y",
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Bounding-box read with z-order file skipping: the bbox decomposes
+        into a small set of contiguous Morton ranges (driver-side quadtree
+        cover, the classic BIGMIN-free approach); files whose [min,max] zkey
+        stats miss every range are never handed to Spark. The exact
+        coordinate filter still applies, so skipping is result-neutral."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"lake table at {self.root} has no snapshots")
+        ranges = zranges_for_bbox(xlo, xhi, ylo, yhi, res)
+        live = self._live_files(sid)
+        keep = []
+        for f in live:
+            st = f["stats"].get(self.ZKEY)
+            if st is None or st[0] is None:
+                keep.append(f)  # no stats: cannot prune
+                continue
+            if any(not (st[0] > hi or st[1] < lo) for lo, hi in ranges):
+                keep.append(f)
+        self.last_scan_stats = {"files_total": len(live), "files_scanned": len(keep)}
+        if not keep:
+            return self.read(spark, sid).where(F.lit(False)).drop(self.ZKEY)
+        df = spark.read.option("mergeSchema", "true").parquet(*[f["path"] for f in keep])
+        return df.where(
+            (F.col(x_col) >= F.lit(xlo))
+            & (F.col(x_col) <= F.lit(xhi))
+            & (F.col(y_col) >= F.lit(ylo))
+            & (F.col(y_col) <= F.lit(yhi))
+        ).drop(self.ZKEY)
+
     def changes_between(
         self, spark: SparkSession, from_snapshot: int, to_snapshot: int
     ) -> DataFrame:
@@ -247,6 +404,29 @@ class LakeTable:
         if not files:
             return self.read(spark, to_snapshot).where(F.lit(False))
         return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    def merge(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        value_cols: list[str],
+        bucket_by: str | None = None,
+        n_buckets: int = 8,
+    ) -> int:
+        """MERGE INTO: upsert ``updates`` into the current snapshot and
+        commit the merged table as an overwrite snapshot (copy-on-write, the
+        Iceberg/Delta MERGE execution model — the old snapshot stays
+        time-travelable). The decision dataflow is ONE full-outer join
+        (operators/merge.py); rows keep their merged values, the action
+        column is dropped before the write."""
+        from ..operators.merge import merge_upsert
+
+        base = self.read(updates.sparkSession)
+        merged = merge_upsert(base, updates, key_cols, value_cols).drop("action")
+        extra = {"operation_detail": "merge", "keys": list(key_cols)}
+        fileset = self._write_files(merged, bucket_by, n_buckets)
+        added = self._collect_file_stats(updates.sparkSession, fileset)
+        return self._commit("overwrite", added, extra)
 
     # ------------------------------------------------------------ lifecycle
     def rollback(self, snapshot_id: int) -> None:

@@ -136,3 +136,110 @@ def test_schema_evolution_additive_column(spark, docs, tmp_path):
     assert set(out.columns) == {"doc_id", "text", "lang"}
     # old rows surface NULL for the new column
     assert out.where("lang IS NULL").count() == docs.count()
+
+
+def test_zranges_cover_exactly():
+    """Pure driver-side check: every leaf cell whose center falls in the
+    bbox has its z-key inside some range, and keys far outside don't."""
+    from raptor_rag_spark.sources.lakehouse import zranges_for_bbox
+
+    res = 5
+    n = 1 << res
+
+    def zkey(ix, iy):
+        z = 0
+        for b in range(res):
+            z |= ((ix >> b) & 1) << (2 * b + 1)
+            z |= ((iy >> b) & 1) << (2 * b)
+        return z
+
+    xlo, xhi, ylo, yhi = 0.2, 0.55, 0.4, 0.9
+    ranges = zranges_for_bbox(xlo, xhi, ylo, yhi, res)
+    assert ranges == sorted(ranges) and len(ranges) < 64
+
+    def covered(z):
+        return any(lo <= z <= hi for lo, hi in ranges)
+
+    for ix in range(n):
+        for iy in range(n):
+            cx, cy = ix / n, iy / n
+            z = zkey(ix, iy)
+            if xlo <= cx and cx + 1 / n <= xhi and ylo <= cy and cy + 1 / n <= yhi:
+                assert covered(z), (ix, iy)  # fully-inside cells always covered
+            if cx > xhi or cy > yhi or cx + 1 / n <= xlo or cy + 1 / n <= ylo:
+                assert not covered(z), (ix, iy)  # disjoint cells never covered
+
+
+def test_zorder_scan_skips_files_and_matches_full_filter(spark, tmp_path):
+    from raptor_rag_spark.sources.lakehouse import LakeTable
+
+    t = LakeTable(str(tmp_path / "t"), stats_cols=(LakeTable.ZKEY,))
+    pts = spark.range(4000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 2654435761) % 1000 / 1000.0).alias("x"),
+        ((F.col("id") * 40503) % 1000 / 1000.0).alias("y"),
+    )
+    t.append_zordered(pts, res=8, n_files=16)
+    got = t.scan_bbox(spark, 0.1, 0.2, 0.6, 0.7, res=8)
+    want = pts.where("x BETWEEN 0.1 AND 0.2 AND y BETWEEN 0.6 AND 0.7")
+    assert sorted(r["pid"] for r in got.collect()) == sorted(r["pid"] for r in want.collect())
+    st = t.last_scan_stats
+    assert st["files_scanned"] < st["files_total"], st
+    assert LakeTable.ZKEY not in got.columns
+
+
+def test_streaming_sink_is_exactly_once(spark, docs, tmp_path):
+    """foreachBatch re-delivery of an epoch must not double-commit."""
+    from raptor_rag_spark.sources.lakehouse import LakeTable
+
+    t = LakeTable(str(tmp_path / "t"))
+    sink = t.streaming_sink()
+    b0 = docs.filter("doc_id < 10")
+    b1 = docs.filter("doc_id >= 10 AND doc_id < 14")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # restarted query re-delivers the last epoch
+    assert t.read(spark).count() == 14
+    assert len(t.history()) == 2
+    epochs = [s["extra"]["epoch_id"] for s in t.history()]
+    assert epochs == [0, 1]
+
+
+def test_merge_into_copy_on_write(spark, docs, tmp_path):
+    t = LakeTable(str(tmp_path / "t"))
+    s1 = t.append(docs.filter("doc_id < 10").select("doc_id", "text"))
+    updates = spark.createDataFrame(
+        [(5, "REPLACED"), (100, "NEW ROW")], "doc_id long, text string"
+    )
+    s2 = t.merge(updates, ["doc_id"], ["text"])
+    cur = {r["doc_id"]: r["text"] for r in t.read(spark).collect()}
+    assert len(cur) == 11 and cur[5] == "REPLACED" and cur[100] == "NEW ROW"
+    # pre-merge snapshot still time-travelable
+    old = {r["doc_id"]: r["text"] for r in t.read(spark, s1).collect()}
+    assert len(old) == 10 and old[5] != "REPLACED"
+    assert t.snapshot(s2)["extra"]["operation_detail"] == "merge"
+
+
+def test_lake_cdc_drives_incremental_tree_update(spark, docs, tmp_path):
+    """The daily-crawl loop end-to-end: pages land in the snapshot table,
+    the CDC read (changes_between) yields exactly the new rows, and feeding
+    them to update_tree produces a tree node-identical to a full rebuild
+    over the table's current snapshot — incremental maintenance driven
+    purely by table metadata, no external bookkeeping of 'what changed'."""
+    from raptor_rag_spark.config import ClusterTreeConfig
+    from raptor_rag_spark.plans.build_tree import build_tree, update_tree
+
+    t = LakeTable(str(tmp_path / "t"))
+    s1 = t.append(docs.filter("doc_id < 30").select("doc_id", "text"))
+    cfg = ClusterTreeConfig(max_tokens=64, num_layers=2, max_resolution=6)
+    tree = build_tree(t.read(spark, s1), cfg)
+
+    s2 = t.append(docs.filter("doc_id >= 30 AND doc_id < 40").select("doc_id", "text"))
+    delta = t.changes_between(spark, s1, s2)
+    updated = update_tree(tree, delta, cfg)
+    rebuilt = build_tree(t.read(spark, s2), cfg)
+
+    cols = ["node_id", "level", "cell_id", "token_count"]
+    got = sorted(map(tuple, updated.select(*cols).collect()))
+    want = sorted(map(tuple, rebuilt.select(*cols).collect()))
+    assert got == want and len(got) > 0
