@@ -429,6 +429,42 @@ class LakeTable:
         return self._commit("overwrite", added, extra)
 
     # ------------------------------------------------------------ lifecycle
+    def compact(self, spark: SparkSession, n_files: int = 8, sort_by: str | None = None) -> int:
+        """Bin-pack the current snapshot's (typically many small, e.g.
+        per-micro-batch) files into ``n_files`` and commit the rewrite as an
+        overwrite snapshot — rows unchanged, old snapshot stays readable.
+        The small-files problem is what kills streaming-ingested tables at
+        scale: every reader pays per-file open/footer cost, and manifest
+        pruning degrades when stats ranges fragment. ``sort_by`` re-clusters
+        while compacting (stats tighten back up)."""
+        df = self.read(spark)
+        if sort_by is not None:
+            fileset = self._write_files(df, None, n_files, range_by=sort_by)
+        else:
+            fileset = self._write_files(df.coalesce(n_files), None, n_files)
+        added = self._collect_file_stats(spark, fileset)
+        return self._commit("overwrite", added, {"operation_detail": "compact"})
+
+    def vacuum_orphans(self) -> list[str]:
+        """Delete data filesets referenced by NO snapshot manifest — the
+        residue of writers killed between data write and commit (the atomic
+        commit protocol makes them invisible but not free)."""
+        import shutil
+        from urllib.parse import urlparse
+
+        referenced = set()
+        for snap in self.snapshots():
+            for f in snap["added_files"]:
+                p = f["path"]
+                referenced.add(urlparse(p).path if p.startswith("file:") else p)
+        deleted = []
+        for name in os.listdir(self.data_dir):
+            fileset = os.path.join(self.data_dir, name)
+            if not any(p.startswith(fileset) for p in referenced):
+                shutil.rmtree(fileset, ignore_errors=True)
+                deleted.append(fileset)
+        return deleted
+
     def rollback(self, snapshot_id: int) -> None:
         """Re-point current at an ancestor snapshot (metadata-only, instant,
         reversible until expire_snapshots)."""

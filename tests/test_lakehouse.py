@@ -243,3 +243,32 @@ def test_lake_cdc_drives_incremental_tree_update(spark, docs, tmp_path):
     got = sorted(map(tuple, updated.select(*cols).collect()))
     want = sorted(map(tuple, rebuilt.select(*cols).collect()))
     assert got == want and len(got) > 0
+
+
+def test_compact_binpacks_without_changing_rows(spark, docs, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), stats_cols=("doc_id",))
+    # streaming-style ingest: many tiny commits → many files
+    for i in range(6):
+        t.append(docs.filter(f"doc_id >= {i*10} AND doc_id < {i*10+10}"))
+    before = sorted(r["doc_id"] for r in t.read(spark).collect())
+    pre = t.current_snapshot_id()
+    n_files_pre = len(t._live_files(pre))
+    t.compact(spark, n_files=2, sort_by="doc_id")
+    after = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert after == before
+    assert len(t._live_files(t.current_snapshot_id())) <= 2 < n_files_pre
+    # pre-compaction snapshot still time-travelable
+    assert t.read(spark, pre).count() == len(before)
+    # re-clustering restored prunable stats
+    t.scan(spark, "doc_id", 5, 15)
+    assert t.last_scan_stats["files_scanned"] < t.last_scan_stats["files_total"]
+
+
+def test_vacuum_orphans_removes_only_uncommitted(spark, docs, tmp_path):
+    t = LakeTable(str(tmp_path / "t"))
+    t.append(docs.filter("doc_id < 10"))
+    t._write_files(docs.filter("doc_id >= 90 AND doc_id < 95"), None, 4)  # killed writer
+    assert len(os.listdir(t.data_dir)) == 2
+    deleted = t.vacuum_orphans()
+    assert len(deleted) == 1 and len(os.listdir(t.data_dir)) == 1
+    assert t.read(spark).count() == 10
