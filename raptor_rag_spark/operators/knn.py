@@ -95,16 +95,40 @@ def flat_knn(
 
 def query_homes(queries: DataFrame, resolutions: list[int], dim: int = DEFAULT_DIM) -> DataFrame:
     """(query_id, res, ix, iy) home-cell coordinates per resolution — pure
-    column expressions (no driver round trip), one row per query×resolution."""
+    column expressions (no driver round trip), one row per query×resolution.
+
+    The 64-term projection fold is instantiated ONCE, at the finest
+    resolution; coarser homes are integer right-shifts of the finest coords
+    (floor(x·2^r) == floor(x·2^rmax) >> (rmax−r), and the [0, 2^r−1] clamp
+    commutes with the shift), bit-identical to clamping per resolution.
+    Before this, each of the R resolutions embedded its own copy of the
+    ix/iy fold — 2R copies of a ~130-node branchy expression in one
+    WholeStageCodegen method, which blew janino's 64 KB limit and dropped
+    the whole stage to interpreted mode (measured: 4 codegen failures and
+    seconds of compile+fallback per retrieval call)."""
+    res_list = sorted(set(resolutions))
+    rmax = res_list[-1]
+    n = 1 << rmax
     x, y = G.xy_cols(F.col("q_embedding"), dim)
-    per_res = []
-    for res in sorted(set(resolutions)):
-        n = 1 << res
-        ix = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
-        iy = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
-        per_res.append(F.struct(F.lit(res).alias("res"), ix.alias("ix"), iy.alias("iy")))
-    return queries.select("query_id", F.explode(F.array(*per_res)).alias("h")).select(
-        "query_id", F.col("h.res").alias("res"), F.col("h.ix").alias("ix"), F.col("h.iy").alias("iy")
+    ix0 = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    iy0 = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    per_res = [
+        F.struct(
+            F.lit(res).alias("res"),
+            F.shiftrightunsigned(F.col("__ix0"), rmax - res).alias("ix"),
+            F.shiftrightunsigned(F.col("__iy0"), rmax - res).alias("iy"),
+        )
+        for res in res_list
+    ]
+    return (
+        queries.select("query_id", ix0.alias("__ix0"), iy0.alias("__iy0"))
+        .select("query_id", F.explode(F.array(*per_res)).alias("h"))
+        .select(
+            "query_id",
+            F.col("h.res").alias("res"),
+            F.col("h.ix").alias("ix"),
+            F.col("h.iy").alias("iy"),
+        )
     )
 
 
