@@ -577,3 +577,148 @@ def host_communities_sql(links_sql: str, rounds: int = 4) -> str:
   WHERE rn = 1)"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT host, community FROM l{rounds}"
+
+
+# ---------------------------------------------------------------- HITS
+
+def hits(links: DataFrame, iterations: int = 5) -> DataFrame:
+    """(host, hub, auth): Kleinberg's HITS over the real extracted link
+    graph (curation.extract_links: src_host, dst_host, n_links), K power
+    rounds with L1 normalization.
+
+        auth⁰ = hub⁰ = 1/N
+        authᵏ ∝ Σ_in  w · hubᵏ⁻¹(src);   hubᵏ ∝ Σ_out w · authᵏ(dst)
+
+    (each re-normalized to sum 1 — the L1 variant keeps the twin exact:
+    cross-row sums in DECIMAL(28,15), the normalizing division a single
+    IEEE double op per row, no sqrt ordering concerns).
+
+    Scale shape: identical to :func:`pagerank` — the edge list is
+    host-cardinality metadata; every half-round is edges ⋈ scores
+    (broadcast, |hosts| rows) then ONE map-side-combined groupBy; scores
+    are localCheckpointed per round so round k's broadcast doesn't
+    re-evaluate rounds 1..k−1. Hosts with no in-links (pure hubs) and no
+    out-links (pure authorities / dangling crawl targets) stay in the
+    score vectors with 0 via the left join + coalesce.
+
+    Reference role: none (the reference has no graph surface); this is the
+    second classic link-analysis prior beside PageRank for crawl-frontier
+    and quality weighting (SURVEY.md §2.1).
+    """
+    dec = "decimal(28,15)"
+    hosts = (
+        links.select(F.col("src_host").alias("host"))
+        .unionByName(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    w = Window.orderBy("host")
+    nodes = hosts.select(
+        "host", (F.row_number().over(w) - 1).cast("long").alias("host_id")
+    ).localCheckpoint(eager=True)
+    sid = nodes.select(F.col("host").alias("src_host"), F.col("host_id").alias("src"))
+    did = nodes.select(F.col("host").alias("dst_host"), F.col("host_id").alias("dst"))
+    edges = (
+        links.join(F.broadcast(sid), "src_host")
+        .join(F.broadcast(did), "dst_host")
+        .select("src", "dst", F.col("n_links").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    n_hosts = nodes.agg(F.count("*").alias("n_hosts"))
+    scores = (
+        nodes.select("host_id")
+        .crossJoin(F.broadcast(n_hosts))
+        .select(
+            "host_id",
+            (F.lit(1.0) / F.col("n_hosts").cast("double")).alias("hub"),
+            (F.lit(1.0) / F.col("n_hosts").cast("double")).alias("auth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _half(src_scores: DataFrame, score_col: str, join_key: str, group_key: str, out: str) -> DataFrame:
+        """One HITS half-round: sum w·score over ``join_key`` grouped by
+        ``group_key``, L1-normalized. Returns (host_id, <out>)."""
+        raw = (
+            edges.join(
+                F.broadcast(src_scores.select(F.col("host_id").alias(join_key), score_col)),
+                join_key,
+            )
+            .select(
+                F.col(group_key).alias("host_id"),
+                (F.col("w").cast("double") * F.col(score_col)).alias("c"),
+            )
+            .groupBy("host_id")
+            .agg(F.sum(F.col("c").cast(dec)).alias("s_dec"))
+        )
+        tot = raw.agg(F.sum("s_dec").alias("tot"))
+        return (
+            nodes.select("host_id")
+            .join(raw, "host_id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "host_id",
+                F.coalesce(
+                    F.col("s_dec").cast("double") / F.col("tot").cast("double"), F.lit(0.0)
+                ).alias(out),
+            )
+        )
+
+    for _ in range(iterations):
+        auth = _half(scores, "hub", "src", "dst", "auth")
+        hub = _half(auth.withColumnRenamed("auth", "auth"), "auth", "dst", "src", "hub")
+        scores = auth.join(hub, "host_id").select("host_id", "hub", "auth").localCheckpoint(
+            eager=True
+        )
+    return nodes.join(scores, "host_id").select("host", "hub", "auth")
+
+
+def hits_sql(links_sql: str, iterations: int = 5) -> str:
+    """DuckDB twin of :func:`hits`. ``links_sql`` must yield
+    (src_host, dst_host, n_links)."""
+    dec = "DECIMAL(28,15)"
+    ctes = [
+        f"links AS MATERIALIZED ({links_sql})",
+        """hosts AS (SELECT DISTINCT host FROM (
+           SELECT src_host AS host FROM links
+           UNION ALL SELECT dst_host AS host FROM links))""",
+        """nid AS MATERIALIZED (SELECT host,
+             CAST(row_number() OVER (ORDER BY host) - 1 AS BIGINT) AS host_id
+           FROM hosts)""",
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts FROM nid)",
+        """edges AS MATERIALIZED (SELECT s.host_id AS src, d.host_id AS dst,
+             CAST(l.n_links AS BIGINT) AS w
+           FROM links l
+           JOIN nid s ON l.src_host = s.host
+           JOIN nid d ON l.dst_host = d.host)""",
+        """s0 AS (SELECT host_id,
+             (1.0 / CAST((SELECT n_hosts FROM c) AS DOUBLE)) AS hub,
+             (1.0 / CAST((SELECT n_hosts FROM c) AS DOUBLE)) AS auth
+           FROM nid)""",
+    ]
+
+    # Each normalize CTE references its _raw CTE twice (numerator + L1-sum
+    # scalar subquery) and each half-round feeds the next: without
+    # MATERIALIZED DuckDB inlines the chain and the plan grows 4^iterations.
+    def half(k: int, prev: str, score: str, join_key: str, group_key: str, out: str) -> str:
+        return f"""{out}{k} AS MATERIALIZED (
+  SELECT n.host_id,
+         coalesce(CAST(r.s_dec AS DOUBLE) / CAST((SELECT sum(s_dec) FROM {out}{k}_raw) AS DOUBLE), 0.0) AS {out}
+  FROM nid n LEFT JOIN {out}{k}_raw r ON n.host_id = r.host_id)""", f"""{out}{k}_raw AS MATERIALIZED (
+  SELECT e.{group_key} AS host_id,
+         sum(CAST((CAST(e.w AS DOUBLE) * p.{score}) AS {dec})) AS s_dec
+  FROM edges e JOIN {prev} p ON e.{join_key} = p.host_id GROUP BY e.{group_key})"""
+
+    prev = "s0"
+    for k in range(1, iterations + 1):
+        a_main, a_raw = half(k, prev, "hub", "src", "dst", "auth")
+        ctes += [a_raw, a_main]
+        h_main, h_raw = half(k, f"auth{k}", "auth", "dst", "src", "hub")
+        ctes += [h_raw, h_main]
+        ctes.append(
+            f"s{k} AS (SELECT a.host_id, h.hub, a.auth FROM auth{k} a JOIN hub{k} h ON a.host_id = h.host_id)"
+        )
+        prev = f"s{k}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n.host, s.hub, s.auth FROM nid n JOIN {prev} s ON n.host_id = s.host_id"
+    )

@@ -2719,6 +2719,23 @@ def _sql_link_pagerank() -> str:
     return link_pagerank_sql(extract_links_sql(_PAGES_SQL), iterations=5)
 
 
+def q_link_hits(spark, sf_dir):
+    """HITS hubs/authorities over the REAL html-extracted link graph
+    (graph.hits): 5 power rounds, L1-normalized, exact-decimal sums — the
+    second classic link-analysis prior beside PageRank."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import hits
+
+    return hits(extract_links(_pages(spark)), iterations=5)
+
+
+def _sql_link_hits() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import hits_sql
+
+    return hits_sql(extract_links_sql(_PAGES_SQL), iterations=5)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) file-layout assignment over the embedding plane —
     the OPTIMIZE…ZORDER BY clustering primitive as exact bit arithmetic
@@ -4564,6 +4581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert": q_merge_upsert,
     "token_quantiles": q_token_quantiles,
     "link_pagerank": q_link_pagerank,
+    "link_hits": q_link_hits,
     "zorder_layout": q_zorder_layout,
     "hll_distinct": q_hll_distinct,
     "cms_heavy_terms": q_cms_heavy_terms,
@@ -4764,6 +4782,7 @@ ORACLES: dict[str, str] = {
     "merge_upsert": _sql_merge_upsert(),
     "token_quantiles": _sql_token_quantiles(),
     "link_pagerank": _sql_link_pagerank(),
+    "link_hits": _sql_link_hits(),
     "zorder_layout": _sql_zorder_layout(),
     "hll_distinct": _sql_hll_distinct(),
     "cms_heavy_terms": _sql_cms_heavy_terms(),

@@ -266,3 +266,29 @@ def test_bloom_semijoin_no_false_negatives(spark):
     # 500 keys * 3 hashes into 2016 bits -> fill ~0.53; fpr ~ 0.15, so the
     # pre-filter must actually prune (pass rate well below 1)
     assert row["n_pass"] < 1400
+
+
+def test_hits_hub_authority_separation(spark):
+    from raptor_rag_spark.operators.graph import hits
+
+    # h1/h2 are pure hubs pointing at a1/a2 (pure authorities); x.com does both.
+    links = spark.createDataFrame(
+        [
+            ("h1.com", "a1.com", 2),
+            ("h1.com", "a2.com", 1),
+            ("h2.com", "a1.com", 1),
+            ("x.com", "a1.com", 1),
+            ("a2.com", "x.com", 1),
+        ],
+        "src_host STRING, dst_host STRING, n_links LONG",
+    )
+    out = {r["host"]: r for r in hits(links, iterations=5).collect()}
+    assert set(out) == {"h1.com", "h2.com", "x.com", "a1.com", "a2.com"}
+    # pure authorities have zero hub score; pure hubs have zero authority
+    assert out["a1.com"]["hub"] == 0.0 and out["h1.com"]["auth"] == 0.0
+    # a1 collects the most in-mass; h1 distributes the most out-mass
+    assert out["a1.com"]["auth"] > out["a2.com"]["auth"]
+    assert out["h1.com"]["hub"] > out["h2.com"]["hub"]
+    # L1 normalization: both score vectors sum to 1
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-9
+    assert abs(sum(r["auth"] for r in out.values()) - 1.0) < 1e-9
