@@ -341,3 +341,196 @@ pick AS (
   FROM tiled GROUP BY tile)
 SELECT tile, (m).doc_id AS doc_id, n_docs FROM pick
 """
+
+
+# ---------------------------------------------------------------- QL (Dirichlet)
+
+MU = 2000.0
+
+
+def ql_rank(
+    docs: DataFrame | None,
+    queries: DataFrame,
+    top_k: int = 10,
+    mu: float = MU,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): Dirichlet-smoothed query-likelihood
+    retrieval — the second classic lexical model beside BM25 (Zhai & Lafferty
+    2001), and the partner ranking :func:`rrf_fuse` hybridizes with.
+
+        log P(q|d) = Σ_{t∈q∩V} qtf_t · ln(1 + tf_td / (μ·cf_t/|C|))
+                     + |q∩V| · ln(μ / (dl_d + μ))
+
+    the standard sparse decomposition: the first sum runs only over MATCHED
+    postings (docs sharing ≥1 in-vocabulary query term — the same candidate
+    set BM25 scores), and the second is a doc-only correction, so no dense
+    docs × terms cross join ever materializes. Out-of-vocabulary query terms
+    (cf = 0 ⇒ ln 0) are dropped from both sums, per standard practice.
+
+    Scale shape mirrors :func:`bm25_rank`: ONE postings shuffle (reusable via
+    ``postings=`` — at 100 TB the index is built once and persisted),
+    collection frequency aggregated ONLY for the broadcast query-term set,
+    per-(query, doc) contributions summed exactly in DECIMAL(28,15), twin ln
+    throughout — the DuckDB oracle hash-matches bit-for-bit."""
+    if postings is None:
+        postings = bm25_index(docs)
+        # dl from the raw token arrays, not the postings DAG — same
+        # value-identical shortcut (and reason) as bm25_rank
+        words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
+        dl = (
+            words.select("doc_id", F.size("ws").cast("long").alias("dl_l"))
+            .where(F.col("dl_l") > 0)
+        )
+    else:
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
+    coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
+    qtf = (
+        queries.select("query_id", F.explode(G.words_col(F.col("qtext"))).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("long").alias("qtf"))
+    )
+    # collection frequency only for query terms: the full cf table is
+    # vocabulary-sized; semi-joined to the broadcast query-term set it is
+    # bounded by total query length
+    cf = (
+        postings.join(F.broadcast(qtf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    qv = qtf.join(cf, "term")  # in-vocabulary query terms (cf > 0 by construction)
+    qlen = qv.groupBy("query_id").agg(F.sum("qtf").cast("double").alias("qlen"))
+    matched = (
+        postings.join(F.broadcast(qv), "term")
+        .join(F.broadcast(coll))
+        .withColumn(
+            "arg",
+            F.lit(1.0)
+            + F.col("tf").cast("double")
+            / (F.lit(mu) * (F.col("cf") / F.col("c_len"))),
+        )
+        .withColumn("contrib", F.col("qtf").cast("double") * G.ln_col(F.col("arg")))
+    )
+    s = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("s_match")
+    )
+    scored = (
+        s.join(dl, "doc_id")
+        .join(F.broadcast(qlen), "query_id")
+        .withColumn("bg_arg", F.lit(mu) / (F.col("dl_l").cast("double") + F.lit(mu)))
+        .withColumn("score", F.col("s_match") + F.col("qlen") * G.ln_col(F.col("bg_arg")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def ql_rank_sql(
+    queries_values: list[tuple[int, str]],
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    top_k: int = 10,
+    mu: float = MU,
+) -> str:
+    """DuckDB twin of :func:`ql_rank`. ``queries_values`` is the literal
+    (query_id, qtext) list (queries are small by definition)."""
+    ws = G.words_sql("text")
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in queries_values)
+    return f"""
+WITH words AS (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM words) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl_l FROM words WHERE len(ws) > 0),
+coll AS (SELECT CAST(sum(dl_l) AS DOUBLE) AS c_len FROM dl),
+qtf AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM (SELECT query_id, unnest({G.words_sql('qtext')}) AS term
+        FROM (VALUES {qvals}) q(query_id, qtext))
+  GROUP BY query_id, term),
+cf AS (
+  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf
+  FROM postings WHERE term IN (SELECT DISTINCT term FROM qtf) GROUP BY term),
+qv AS (SELECT q.query_id, q.term, q.qtf, c.cf FROM qtf q JOIN cf c USING (term)),
+qlen AS (SELECT query_id, CAST(sum(qtf) AS DOUBLE) AS qlen FROM qv GROUP BY query_id),
+matched AS MATERIALIZED (
+  SELECT q.query_id, p.doc_id, CAST(q.qtf AS DOUBLE) AS qtfd,
+         (1.0 + CAST(p.tf AS DOUBLE) / ({mu!r} * (q.cf / c.c_len))) AS arg
+  FROM postings p JOIN qv q USING (term) CROSS JOIN coll c),
+s AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST((qtfd * {G.ln_sql('arg')}) AS DECIMAL(28,15))) AS DOUBLE) AS s_match
+  FROM matched GROUP BY query_id, doc_id),
+scored AS MATERIALIZED (
+  SELECT s.query_id, s.doc_id, s.s_match, q.qlen,
+         ({mu!r} / (CAST(l.dl_l AS DOUBLE) + {mu!r})) AS bg_arg
+  FROM s JOIN dl l USING (doc_id) JOIN qlen q USING (query_id)),
+fin AS (SELECT query_id, doc_id, (s_match + qlen * {G.ln_sql('bg_arg')}) AS score FROM scored)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM fin) WHERE rank <= {top_k}
+"""
+
+
+# ---------------------------------------------------------------- RRF fusion
+
+RRF_K = 60.0
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, top_k: int = 10, k: float = RRF_K) -> DataFrame:
+    """(query_id, doc_id, score, rank): reciprocal-rank fusion of two ranked
+    lists (Cormack, Clarke & Büttcher 2009) — the standard hybrid-retrieval
+    combiner (lexical ⊕ lexical-LM here; lexical ⊕ vector in general):
+
+        score(d) = Σ_systems 1 / (k + rank_system(d))      (k = 60)
+
+    Inputs are (query_id, doc_id, ..., rank) as produced by
+    :func:`bm25_rank` / :func:`ql_rank` / any kNN top-k. Fusion uses ONLY
+    ranks — no score normalization problem — which is why RRF is the default
+    hybrid combiner in production search stacks.
+
+    Scale shape: one full-outer join of two already-top-k-bounded tables
+    (≤ top_k rows per query per system — metadata scale regardless of corpus
+    size) + one per-query window. Each side contributes one IEEE division;
+    the sum is a single fixed-order addition, so the twin is hash-exact."""
+    ra = a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    rb = b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    fused = (
+        ra.join(rb, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "score",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("rank_a").cast("double")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("rank_b").cast("double")), F.lit(0.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rrf_fuse_sql(a_sql: str, b_sql: str, top_k: int = 10, k: float = RRF_K) -> str:
+    """DuckDB twin of :func:`rrf_fuse`. ``a_sql``/``b_sql`` must yield
+    (query_id, doc_id, ..., rank)."""
+    return f"""
+WITH ra AS MATERIALIZED (SELECT query_id, doc_id, rank AS rank_a FROM ({a_sql})),
+rb AS MATERIALIZED (SELECT query_id, doc_id, rank AS rank_b FROM ({b_sql})),
+fused AS (
+  SELECT query_id, doc_id,
+         (coalesce(1.0 / ({k!r} + CAST(rank_a AS DOUBLE)), 0.0)
+          + coalesce(1.0 / ({k!r} + CAST(rank_b AS DOUBLE)), 0.0)) AS score
+  FROM ra FULL OUTER JOIN rb USING (query_id, doc_id))
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM fused) WHERE rank <= {top_k}
+"""

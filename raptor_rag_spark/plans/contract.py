@@ -1271,6 +1271,46 @@ SELECT query_id, doc_id, score, rank FROM (
 """
 
 
+def q_ql_rank(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (Zhai & Lafferty) — the second
+    classic lexical model beside BM25, in its sparse matched-postings +
+    doc-background decomposition (operators/ranking.py ql_rank). Twin ln +
+    decimal sums → hash-exact."""
+    from ..operators.ranking import ql_rank
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return ql_rank(docs, qs, top_k=10)
+
+
+def _sql_ql_rank() -> str:
+    from ..operators.ranking import ql_rank_sql
+
+    return ql_rank_sql(BM25_QUERIES, top_k=10)
+
+
+def q_rrf_hybrid(spark, sf_dir):
+    """Reciprocal-rank-fusion hybrid retrieval: BM25 ⊕ Dirichlet-QL top-10
+    lists fused by Σ 1/(60+rank) (operators/ranking.py rrf_fuse) — the
+    production hybrid-search combiner; fusion itself is metadata-scale (one
+    full-outer join of two top-k-bounded lists per query)."""
+    from ..operators.ranking import bm25_rank, ql_rank, rrf_fuse
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    a = bm25_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
+    b = ql_rank(docs, qs, top_k=10)
+    return rrf_fuse(a, b, top_k=10)
+
+
+def _sql_rrf_hybrid() -> str:
+    from ..operators.ranking import ql_rank_sql, rrf_fuse_sql
+
+    return rrf_fuse_sql(
+        _sql_bm25(top_k=10, ratio=(9, 10)), ql_rank_sql(BM25_QUERIES, top_k=10), top_k=10
+    )
+
+
 def q_doc_lm_score(spark, sf_dir):
     """Unigram-LM mean log-likelihood per document (perplexity-style quality
     gate; the statistical sibling of the heuristic doc_quality). Twin ln +
@@ -4468,6 +4508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rerank / metrics / streaming / clustering
     "rerank_docs": q_rerank_docs,
     "bm25_rank": q_bm25_rank,
+    "ql_rank": q_ql_rank,
+    "rrf_hybrid": q_rrf_hybrid,
     "doc_lm_score": q_doc_lm_score,
     "doc_top_terms": q_doc_top_terms,
     "kde_heatmap": q_kde_heatmap,
@@ -4678,6 +4720,8 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "rerank_docs": _sql_rerank(),
     "bm25_rank": _sql_bm25(),
+    "ql_rank": _sql_ql_rank(),
+    "rrf_hybrid": _sql_rrf_hybrid(),
     "doc_lm_score": _sql_lm_score(),
     "doc_top_terms": _sql_doc_top_terms(),
     "kde_heatmap": _sql_kde_heatmap(),
