@@ -1311,6 +1311,29 @@ def _sql_rrf_hybrid() -> str:
     )
 
 
+def q_mmr_diversify(spark, sf_dir):
+    """Maximal-marginal-relevance diversified selection over the BM25 top-10
+    (operators/rerank.py mmr_select): 5 argmax rounds of λ·rel −
+    (1−λ)·max-Jaccard-to-selected, bit-identical to the unrolled
+    MATERIALIZED-CTE DuckDB twin."""
+    from ..operators.ranking import bm25_rank
+    from ..operators.rerank import mmr_select
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    cand = bm25_rank(docs, qs, top_k=10, max_df_ratio=(9, 10)).select(
+        "query_id", "doc_id", F.col("score").alias("rel")
+    )
+    return mmr_select(cand, docs, k=5, lam=0.7)
+
+
+def _sql_mmr_diversify() -> str:
+    from ..operators.rerank import mmr_select_sql
+
+    cand = f"SELECT query_id, doc_id, score AS rel FROM ({_sql_bm25(top_k=10, ratio=(9, 10))})"
+    return mmr_select_sql(cand, k=5, lam=0.7)
+
+
 def q_doc_lm_score(spark, sf_dir):
     """Unigram-LM mean log-likelihood per document (perplexity-style quality
     gate; the statistical sibling of the heuristic doc_quality). Twin ln +
@@ -4510,6 +4533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_rank": q_bm25_rank,
     "ql_rank": q_ql_rank,
     "rrf_hybrid": q_rrf_hybrid,
+    "mmr_diversify": q_mmr_diversify,
     "doc_lm_score": q_doc_lm_score,
     "doc_top_terms": q_doc_top_terms,
     "kde_heatmap": q_kde_heatmap,
@@ -4722,6 +4746,7 @@ ORACLES: dict[str, str] = {
     "bm25_rank": _sql_bm25(),
     "ql_rank": _sql_ql_rank(),
     "rrf_hybrid": _sql_rrf_hybrid(),
+    "mmr_diversify": _sql_mmr_diversify(),
     "doc_lm_score": _sql_lm_score(),
     "doc_top_terms": _sql_doc_top_terms(),
     "kde_heatmap": _sql_kde_heatmap(),

@@ -89,3 +89,62 @@ def test_rrf_hybrid_improves_on_single_system_shape(spark):
     assert len(fused) >= 3
     ranks = sorted(r["rank"] for r in fused)
     assert ranks == list(range(1, len(fused) + 1))
+
+
+def _ref_mmr(cands, wsets, k=3, lam=0.7):
+    """cands: {doc_id: rel}; wsets: {doc_id: set(words)}."""
+    sel, out = [], []
+    for i in range(1, k + 1):
+        best = None
+        for d, rel in cands.items():
+            if d in sel:
+                continue
+            pen = max((len(wsets[d] & wsets[s]) / len(wsets[d] | wsets[s]) for s in sel), default=0.0)
+            m = lam * rel - (1 - lam) * pen
+            if best is None or (m, -d) > (best[1], -best[0]):
+                best = (d, m)
+        if best is None:
+            break
+        sel.append(best[0])
+        out.append((best[0], i, best[1]))
+    return out
+
+
+def test_mmr_select_matches_handrolled(spark):
+    from raptor_rag_spark.operators.rerank import mmr_select
+
+    docs_rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana cherry dates"),  # near-dup of 1
+        (3, "quantum flux capacitors"),
+        (4, "apple quantum banana flux"),
+    ]
+    cands = {1: 1.0, 2: 0.95, 3: 0.5, 4: 0.6}
+    docs = spark.createDataFrame(docs_rows, "doc_id LONG, text STRING")
+    cand = spark.createDataFrame(
+        [(0, d, r) for d, r in cands.items()], "query_id INT, doc_id LONG, rel DOUBLE"
+    )
+    got = {
+        r["doc_id"]: (r["pick"], r["mmr"])
+        for r in mmr_select(cand, docs, k=3, lam=0.5).collect()
+    }
+    wsets = {d: set(t.split()) for d, t in docs_rows}
+    ref = _ref_mmr(cands, wsets, k=3, lam=0.5)
+    assert len(got) == 3
+    for doc_id, pick, mmr in ref:
+        assert got[doc_id][0] == pick
+        assert got[doc_id][1] == pytest.approx(mmr, rel=1e-12)
+    # diversity: the near-duplicate of pick 1 must NOT be pick 2
+    picks = sorted(got.items(), key=lambda kv: kv[1][0])
+    assert picks[0][0] == 1 and picks[1][0] != 2
+
+
+def test_mmr_fewer_candidates_than_k(spark):
+    from raptor_rag_spark.operators.rerank import mmr_select
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "c d")], "doc_id LONG, text STRING")
+    cand = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.9)], "query_id INT, doc_id LONG, rel DOUBLE"
+    )
+    out = mmr_select(cand, docs, k=5, lam=0.7).collect()
+    assert sorted(r["pick"] for r in out) == [1, 2]  # stops when exhausted
