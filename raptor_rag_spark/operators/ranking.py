@@ -534,3 +534,209 @@ SELECT query_id, doc_id, score, rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM fused) WHERE rank <= {top_k}
 """
+
+
+# ---------------------------------------------------------------- RM3 (PRF)
+
+RM3_ALPHA = 0.6
+RM3_FB_DOCS = 5
+RM3_FB_TERMS = 10
+
+
+def rm3_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    alpha: float = RM3_ALPHA,
+    mu: float = MU,
+    max_df_ratio: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): RM3 pseudo-relevance-feedback
+    retrieval (Lavrenko & Croft relevance models; Abdul-Jaleel et al. 2004)
+    — the classic two-pass query-expansion pipeline:
+
+    1. first pass: BM25 top-``fb_docs`` per query = the feedback set F;
+    2. relevance model (uniform-weight RM1):
+       P(t|R) = (1/|F|) · Σ_{d∈F} tf(t,d)/dl(d); keep the top-``fb_terms``
+       terms by P(t|R) (ties by term);
+    3. expanded query model: w(t) = α·P_mle(t|q) + (1−α)·P(t|R) over the
+       union of in-vocabulary query terms and expansion terms;
+    4. second pass: Dirichlet QL scoring with weights w(t) — the same sparse
+       matched-postings + background decomposition as :func:`ql_rank`, with
+       the total query mass Σw(t) in place of |q|.
+
+    Scale shape: the feedback join is (queries × fb_docs) rows against the
+    postings — bounded by the feedback set, not the corpus; the relevance
+    model and expanded-query table are metadata-scale and broadcast into the
+    second pass; the postings index is built ONCE and shared by both passes.
+    All float reductions are DECIMAL(28,15) sums of deterministic IEEE ops,
+    twin ln throughout — the DuckDB oracle hash-matches exactly."""
+    postings = bm25_index(docs).localCheckpoint(eager=True)  # shared by both passes
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
+    coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
+
+    fb = bm25_rank(
+        None, queries, top_k=fb_docs, max_df_ratio=max_df_ratio, postings=postings
+    ).select("query_id", "doc_id")
+    nf = fb.groupBy("query_id").agg(F.count("*").alias("nf"))
+    # P(t|R): every (feedback doc, term) posting contributes tf/dl
+    prel_raw = (
+        fb.join(postings, "doc_id")
+        .join(dl, "doc_id")
+        .withColumn(
+            "c",
+            (F.col("tf").cast("double") / F.col("dl_l").cast("double")).cast(
+                "decimal(28,15)"
+            ),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("c").alias("s"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("prel"), "term")
+    prel = (
+        prel_raw.join(F.broadcast(nf), "query_id")
+        .withColumn(
+            "prel", F.col("s").cast("double") / F.col("nf").cast("double")
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= fb_terms)
+        .select("query_id", "term", "prel")
+    )
+    # original-query MLE over in-vocabulary terms (cf > 0), as in ql_rank
+    qtf = (
+        queries.select("query_id", F.explode(G.words_col(F.col("qtext"))).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("long").alias("qtf"))
+    )
+    vocab_q = (
+        postings.join(F.broadcast(qtf.select("term").distinct()), "term")
+        .select("term")
+        .distinct()
+    )
+    qv = qtf.join(F.broadcast(vocab_q), "term")
+    qlen = qv.groupBy("query_id").agg(F.sum("qtf").cast("double").alias("qlen"))
+    mle = qv.join(F.broadcast(qlen), "query_id").select(
+        "query_id", "term", (F.col("qtf").cast("double") / F.col("qlen")).alias("mle")
+    )
+    wq = (
+        mle.join(prel, ["query_id", "term"], "full_outer")
+        .withColumn(
+            "wt",
+            F.lit(alpha) * F.coalesce(F.col("mle"), F.lit(0.0))
+            + F.lit(1.0 - alpha) * F.coalesce(F.col("prel"), F.lit(0.0)),
+        )
+        .select("query_id", "term", "wt")
+        .localCheckpoint(eager=True)  # reused twice below (scoring + mass)
+    )
+    wsum = wq.groupBy("query_id").agg(
+        F.sum(F.col("wt").cast("decimal(28,15)")).cast("double").alias("wsum")
+    )
+    cf = (
+        postings.join(F.broadcast(wq.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    matched = (
+        postings.join(F.broadcast(wq.join(cf, "term")), "term")
+        .join(F.broadcast(coll))
+        .withColumn(
+            "arg",
+            F.lit(1.0)
+            + F.col("tf").cast("double")
+            / (F.lit(mu) * (F.col("cf") / F.col("c_len"))),
+        )
+        .withColumn("contrib", F.col("wt") * G.ln_col(F.col("arg")))
+    )
+    s = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("s_match")
+    )
+    scored = (
+        s.join(dl, "doc_id")
+        .join(F.broadcast(wsum), "query_id")
+        .withColumn("bg_arg", F.lit(mu) / (F.col("dl_l").cast("double") + F.lit(mu)))
+        .withColumn("score", F.col("s_match") + F.col("wsum") * G.ln_col(F.col("bg_arg")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rm3_rank_sql(
+    bm25_sql: str,
+    queries_values: list[tuple[int, str]],
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    top_k: int = 10,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    alpha: float = RM3_ALPHA,
+    mu: float = MU,
+) -> str:
+    """DuckDB twin of :func:`rm3_rank`. ``bm25_sql`` must be the FIRST-PASS
+    twin with top_k = fb_docs (compose via :func:`bm25_rank`'s twin so both
+    passes share semantics)."""
+    ws = G.words_sql("text")
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in queries_values)
+    return f"""
+WITH r3_words AS (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+r3_postings AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM r3_words) GROUP BY doc_id, term),
+r3_dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl_l FROM r3_postings GROUP BY doc_id),
+coll AS (SELECT CAST(sum(dl_l) AS DOUBLE) AS c_len FROM r3_dl),
+fb AS MATERIALIZED (SELECT query_id, doc_id FROM ({bm25_sql})),
+nf AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nf FROM fb GROUP BY query_id),
+prel_raw AS (
+  SELECT f.query_id, p.term,
+         sum(CAST((CAST(p.tf AS DOUBLE) / CAST(l.dl_l AS DOUBLE)) AS DECIMAL(28,15))) AS s
+  FROM fb f JOIN r3_postings p USING (doc_id) JOIN r3_dl l USING (doc_id)
+  GROUP BY f.query_id, p.term),
+prel AS MATERIALIZED (
+  SELECT query_id, term, prel FROM (
+    SELECT r.query_id, r.term,
+           (CAST(r.s AS DOUBLE) / CAST(n.nf AS DOUBLE)) AS prel,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY (CAST(r.s AS DOUBLE) / CAST(n.nf AS DOUBLE)) DESC, r.term) AS rn
+    FROM prel_raw r JOIN nf n USING (query_id)) WHERE rn <= {fb_terms}),
+qtf AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM (SELECT query_id, unnest({G.words_sql('qtext')}) AS term
+        FROM (VALUES {qvals}) q(query_id, qtext))
+  GROUP BY query_id, term),
+qv AS (SELECT * FROM qtf WHERE term IN (SELECT DISTINCT term FROM r3_postings)),
+qlen AS (SELECT query_id, CAST(sum(qtf) AS DOUBLE) AS qlen FROM qv GROUP BY query_id),
+mle AS (
+  SELECT q.query_id, q.term, (CAST(q.qtf AS DOUBLE) / l.qlen) AS mle
+  FROM qv q JOIN qlen l USING (query_id)),
+wq AS MATERIALIZED (
+  SELECT query_id, term,
+         ({alpha!r} * coalesce(mle, 0.0) + {1.0 - alpha!r} * coalesce(prel, 0.0)) AS wt
+  FROM mle FULL OUTER JOIN prel USING (query_id, term)),
+wsum AS (
+  SELECT query_id, CAST(sum(CAST(wt AS DECIMAL(28,15))) AS DOUBLE) AS wsum
+  FROM wq GROUP BY query_id),
+cf AS (
+  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf
+  FROM r3_postings WHERE term IN (SELECT DISTINCT term FROM wq) GROUP BY term),
+r3_matched AS MATERIALIZED (
+  SELECT q.query_id, p.doc_id, q.wt,
+         (1.0 + CAST(p.tf AS DOUBLE) / ({mu!r} * (c.cf / x.c_len))) AS arg
+  FROM r3_postings p JOIN wq q USING (term) JOIN cf c USING (term) CROSS JOIN coll x),
+s AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST((wt * {G.ln_sql('arg')}) AS DECIMAL(28,15))) AS DOUBLE) AS s_match
+  FROM r3_matched GROUP BY query_id, doc_id),
+r3_scored AS MATERIALIZED (
+  SELECT s.query_id, s.doc_id, s.s_match, w.wsum,
+         ({mu!r} / (CAST(l.dl_l AS DOUBLE) + {mu!r})) AS bg_arg
+  FROM s JOIN r3_dl l USING (doc_id) JOIN wsum w USING (query_id)),
+fin AS (SELECT query_id, doc_id, (s_match + wsum * {G.ln_sql('bg_arg')}) AS score FROM r3_scored)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM fin) WHERE rank <= {top_k}
+"""

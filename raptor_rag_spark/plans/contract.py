@@ -1311,6 +1311,26 @@ def _sql_rrf_hybrid() -> str:
     )
 
 
+def q_rm3_rank(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback retrieval (operators/ranking.py
+    rm3_rank): BM25 top-5 feedback docs → uniform RM1 relevance model →
+    top-10 expansion terms → α-interpolated weighted Dirichlet-QL second
+    pass. Both passes share ONE postings index; hash-exact twin."""
+    from ..operators.ranking import rm3_rank
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return rm3_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
+
+
+def _sql_rm3_rank() -> str:
+    from ..operators.ranking import rm3_rank_sql
+
+    return rm3_rank_sql(
+        _sql_bm25(top_k=5, ratio=(9, 10)), BM25_QUERIES, top_k=10
+    )
+
+
 def q_mmr_diversify(spark, sf_dir):
     """Maximal-marginal-relevance diversified selection over the BM25 top-10
     (operators/rerank.py mmr_select): 5 argmax rounds of λ·rel −
@@ -4534,6 +4554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ql_rank": q_ql_rank,
     "rrf_hybrid": q_rrf_hybrid,
     "mmr_diversify": q_mmr_diversify,
+    "rm3_rank": q_rm3_rank,
     "doc_lm_score": q_doc_lm_score,
     "doc_top_terms": q_doc_top_terms,
     "kde_heatmap": q_kde_heatmap,
@@ -4747,6 +4768,7 @@ ORACLES: dict[str, str] = {
     "ql_rank": _sql_ql_rank(),
     "rrf_hybrid": _sql_rrf_hybrid(),
     "mmr_diversify": _sql_mmr_diversify(),
+    "rm3_rank": _sql_rm3_rank(),
     "doc_lm_score": _sql_lm_score(),
     "doc_top_terms": _sql_doc_top_terms(),
     "kde_heatmap": _sql_kde_heatmap(),

@@ -148,3 +148,25 @@ def test_mmr_fewer_candidates_than_k(spark):
     )
     out = mmr_select(cand, docs, k=5, lam=0.7).collect()
     assert sorted(r["pick"] for r in out) == [1, 2]  # stops when exhausted
+
+
+def test_rm3_expansion_recalls_docs_without_query_terms(spark):
+    from raptor_rag_spark.operators.ranking import ql_rank, rm3_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta gamma delta"),  # shares NO original query term
+            (3, "alpha alpha epsilon"),
+            (4, "zeta eta theta"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    qs = spark.createDataFrame([(0, "alpha")], "query_id INT, qtext STRING")
+    ql_docs = {r["doc_id"] for r in ql_rank(docs, qs, top_k=10).collect()}
+    rm3 = rm3_rank(docs, qs, top_k=10, fb_docs=2, fb_terms=5).collect()
+    rm3_docs = {r["doc_id"] for r in rm3}
+    assert 2 not in ql_docs  # first-pass models can't see doc 2
+    assert 2 in rm3_docs  # expansion terms (beta/gamma from feedback) recall it
+    # ranks are a contiguous 1..n permutation
+    assert sorted(r["rank"] for r in rm3) == list(range(1, len(rm3) + 1))
