@@ -4491,6 +4491,49 @@ def q_bm25_incremental(spark, sf_dir):
     return cache[key].search(spark, qs, top_k=10, max_df_ratio=(9, 10))
 
 
+def q_tile_incremental(spark, sf_dir):
+    """Per-cell stats from the PERSISTED, incrementally-maintained tile-stats
+    table (sources/tilestats.py): partials built from the first half of the
+    embedding points, second half folded in through the lake CDC path
+    (corpus appends → changes_between → full-outer MERGE of partial
+    aggregates), then read rolled up TWO levels coarser than maintained.
+    Must hash-match a full recompute over the union corpus — incremental
+    view maintenance and the pyramid rollup are both exact."""
+    import tempfile
+
+    from ..sources.lakehouse import LakeTable
+    from ..sources.tilestats import TileStatsTable
+
+    cache = getattr(q_tile_incremental, "_cache", {})
+    key = (id(spark), sf_dir)
+    if key not in cache:
+        e = ld(spark, sf_dir, "embeddings")
+        x, y = G.xy_cols(F.col("embedding"), DIM)
+        pts = e.select("vec_id", x.alias("x"), y.alias("y"))
+        mx = pts.agg(F.max("vec_id")).collect()[0][0]
+        corpus = LakeTable(tempfile.mkdtemp(prefix="tilecorpus_"))
+        s1 = corpus.append(pts.where(F.col("vec_id") < mx // 2))
+        stats = TileStatsTable(tempfile.mkdtemp(prefix="tilestats_"), res=6)
+        stats.build(corpus.read(spark, s1))
+        s2 = corpus.append(pts.where(F.col("vec_id") >= mx // 2))
+        stats.refresh_from(corpus, s1, s2)
+        cache[key] = stats
+        q_tile_incremental._cache = cache
+    return cache[key].read_stats(spark, res=4)
+
+
+def _sql_tile_incremental() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    cell = G.cell_sql("x", "y", 4)
+    return f"""
+WITH pts AS (SELECT {x} AS x, {y} AS y FROM embeddings)
+SELECT {cell} AS cell_id, count(*) AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_x,
+       round(CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_y
+FROM pts GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4681,6 +4724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_time_travel": q_lake_time_travel,
     "lake_changes": q_lake_changes,
     "lake_zorder_scan": q_lake_zorder_scan,
+    "tile_incremental": q_tile_incremental,
     "bm25_incremental": q_bm25_incremental,
 }
 
@@ -4886,6 +4930,7 @@ ORACLES: dict[str, str] = {
     "lake_time_travel": _sql_lake_time_travel(),
     "lake_changes": _sql_lake_changes(),
     "lake_zorder_scan": _sql_lake_zorder_scan(),
+    "tile_incremental": _sql_tile_incremental(),
     # incremental index maintenance is exact, so the oracle IS the
     # full-corpus BM25 twin (same params as bm25_rank)
     "bm25_incremental": _sql_bm25(10, (9, 10)),
