@@ -740,3 +740,131 @@ SELECT query_id, doc_id, score, rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM fin) WHERE rank <= {top_k}
 """
+
+
+# ---------------------------------------------------------------- snippets
+
+SNIPPET_WINDOW = 20
+
+
+def snippet_extract(
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = SNIPPET_WINDOW,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, start, n_hits, snippet): search-result snippet
+    extraction — for every document matching ≥1 query term, the
+    ``window``-token span that covers the MOST DISTINCT query terms (ties:
+    earliest start), rendered from the token array. The highlighting pass a
+    search stack runs over its top-k page, here as a set-oriented operator
+    over (query × doc) pairs.
+
+    Candidate starts are query-term hit positions only (an optimal
+    max-distinct-cover window can always be shifted left to start AT a hit),
+    so per (query, doc) the work is |hits|² with |hits| bounded by query
+    terms × their in-doc frequency — never |doc|². The hit self-join is
+    keyed on (query_id, doc_id); snippet text is a pure list-slice of the
+    SAME tokenization both engines share, so the twin is string-exact.
+
+    Scale shape: one positional-postings scan (posexplode — the positional
+    index a search engine persists anyway), broadcast query terms, one
+    bounded self-join + one argmax window. At 100 TB you run this on the
+    top-k candidates per query, not the corpus; semantics are identical."""
+    toks = docs.select("doc_id", G.words_col(F.col("text")).alias("ws"))
+    pos = toks.select("doc_id", F.posexplode("ws").alias("pos", "term"))
+    qterms = queries.select(
+        "query_id", F.explode(G.words_col(F.col("qtext"))).alias("term")
+    ).distinct()
+    hits = pos.join(F.broadcast(qterms), "term").select(
+        "query_id", "doc_id", "pos", "term"
+    )
+    if cand is not None:
+        # result-page shape: snippets only for the retrieved (query, doc)
+        # pairs — at 100 TB cand is top-k-bounded, so everything downstream
+        # of this semi-join is metadata scale
+        hits = hits.join(
+            F.broadcast(cand.select("query_id", "doc_id").distinct()),
+            ["query_id", "doc_id"],
+            "left_semi",
+        )
+    h1 = hits.select("query_id", "doc_id", F.col("pos").alias("start"))
+    h2 = hits.select(
+        F.col("query_id").alias("query_id2"),
+        F.col("doc_id").alias("doc_id2"),
+        F.col("pos").alias("pos2"),
+        F.col("term").alias("term2"),
+    )
+    covered = (
+        h1.join(
+            h2,
+            (F.col("query_id") == F.col("query_id2"))
+            & (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") >= F.col("start"))
+            & (F.col("pos2") < F.col("start") + F.lit(window)),
+        )
+        .groupBy("query_id", "doc_id", "start")
+        .agg(F.countDistinct("term2").alias("n_hits"))
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(F.desc("n_hits"), "start")
+    best = (
+        covered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.join(toks, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("start") + F.lit(1), F.lit(window)), " "
+        ).alias("snippet"),
+    )
+
+
+def snippet_extract_sql(
+    queries_values: list[tuple[int, str]],
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    window: int = SNIPPET_WINDOW,
+    cand_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`snippet_extract`. ``cand_sql`` must yield
+    (query_id, doc_id, ...)."""
+    ws = G.words_sql("text")
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in queries_values)
+    cand_filter = (
+        f"WHERE EXISTS (SELECT 1 FROM ({cand_sql}) c "
+        f"WHERE c.query_id = q.query_id AND c.doc_id = p.doc_id)"
+        if cand_sql is not None
+        else ""
+    )
+    return f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+pos AS (
+  SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos, unnest(ws) AS term
+  FROM toks),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({G.words_sql('qtext')}) AS term
+  FROM (VALUES {qvals}) q(query_id, qtext)),
+hits AS MATERIALIZED (
+  SELECT q.query_id, p.doc_id, p.pos, p.term
+  FROM pos p JOIN qterms q USING (term)
+  {cand_filter}),
+covered AS (
+  SELECT h1.query_id, h1.doc_id, h1.pos AS start,
+         CAST(count(DISTINCT h2.term) AS BIGINT) AS n_hits
+  FROM hits h1 JOIN hits h2
+    ON h1.query_id = h2.query_id AND h1.doc_id = h2.doc_id
+   AND h2.pos >= h1.pos AND h2.pos < h1.pos + {window}
+  GROUP BY h1.query_id, h1.doc_id, h1.pos),
+best AS (
+  SELECT query_id, doc_id, start, n_hits FROM (
+    SELECT query_id, doc_id, start, n_hits,
+           row_number() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY n_hits DESC, start) AS rn
+    FROM covered) WHERE rn = 1)
+SELECT b.query_id, b.doc_id, CAST(b.start AS BIGINT) AS start, b.n_hits,
+       array_to_string(list_slice(t.ws, b.start + 1, b.start + {window}), ' ') AS snippet
+FROM best b JOIN toks t USING (doc_id)
+"""

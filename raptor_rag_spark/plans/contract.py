@@ -1331,6 +1331,27 @@ def _sql_rm3_rank() -> str:
     )
 
 
+def q_snippet_extract(spark, sf_dir):
+    """Search-result snippets for the BM25 top-5 result page: per (query,
+    doc) the 20-token window covering the most distinct query terms
+    (operators/ranking.py snippet_extract), string-exact via the shared
+    tokenization."""
+    from ..operators.ranking import bm25_rank, snippet_extract
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    cand = bm25_rank(docs, qs, top_k=5, max_df_ratio=(9, 10))
+    return snippet_extract(docs, qs, window=20, cand=cand)
+
+
+def _sql_snippet_extract() -> str:
+    from ..operators.ranking import snippet_extract_sql
+
+    return snippet_extract_sql(
+        BM25_QUERIES, window=20, cand_sql=_sql_bm25(top_k=5, ratio=(9, 10))
+    )
+
+
 def q_mmr_diversify(spark, sf_dir):
     """Maximal-marginal-relevance diversified selection over the BM25 top-10
     (operators/rerank.py mmr_select): 5 argmax rounds of λ·rel −
@@ -4598,6 +4619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_hybrid": q_rrf_hybrid,
     "mmr_diversify": q_mmr_diversify,
     "rm3_rank": q_rm3_rank,
+    "snippet_extract": q_snippet_extract,
     "doc_lm_score": q_doc_lm_score,
     "doc_top_terms": q_doc_top_terms,
     "kde_heatmap": q_kde_heatmap,
@@ -4813,6 +4835,7 @@ ORACLES: dict[str, str] = {
     "rrf_hybrid": _sql_rrf_hybrid(),
     "mmr_diversify": _sql_mmr_diversify(),
     "rm3_rank": _sql_rm3_rank(),
+    "snippet_extract": _sql_snippet_extract(),
     "doc_lm_score": _sql_lm_score(),
     "doc_top_terms": _sql_doc_top_terms(),
     "kde_heatmap": _sql_kde_heatmap(),

@@ -170,3 +170,41 @@ def test_rm3_expansion_recalls_docs_without_query_terms(spark):
     assert 2 in rm3_docs  # expansion terms (beta/gamma from feedback) recall it
     # ranks are a contiguous 1..n permutation
     assert sorted(r["rank"] for r in rm3) == list(range(1, len(rm3) + 1))
+
+
+def test_snippet_extract_picks_densest_window(spark):
+    from raptor_rag_spark.operators.ranking import snippet_extract
+
+    # query terms x,y: the densest 5-token window is "x q y" at pos 6
+    docs = spark.createDataFrame(
+        [(1, "x a b c d e x q y z w"), (2, "nothing relevant here")],
+        "doc_id LONG, text STRING",
+    )
+    qs = spark.createDataFrame([(0, "x y")], "query_id INT, qtext STRING")
+    out = snippet_extract(docs, qs, window=5).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1  # doc 2 has no hits
+    r = out[0]
+    assert r["n_hits"] == 2 and r["start"] == 6
+    assert r["snippet"] == "x q y z w"
+
+
+def test_snippet_window_ties_break_earliest(spark):
+    from raptor_rag_spark.operators.ranking import snippet_extract
+
+    docs = spark.createDataFrame([(1, "x a a a x")], "doc_id LONG, text STRING")
+    qs = spark.createDataFrame([(0, "x")], "query_id INT, qtext STRING")
+    r = snippet_extract(docs, qs, window=3).collect()[0]
+    assert r["start"] == 0 and r["n_hits"] == 1  # both hits cover 1 term; earliest wins
+    assert r["snippet"] == "x a a"
+
+
+def test_snippet_candidate_restriction(spark):
+    from raptor_rag_spark.operators.ranking import snippet_extract
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y w")], "doc_id LONG, text STRING"
+    )
+    qs = spark.createDataFrame([(0, "x")], "query_id INT, qtext STRING")
+    cand = spark.createDataFrame([(0, 2)], "query_id INT, doc_id LONG")
+    out = snippet_extract(docs, qs, window=3, cand=cand).collect()
+    assert [r["doc_id"] for r in out] == [2]
