@@ -3941,6 +3941,33 @@ FROM assigned GROUP BY day, hex_q, hex_r
 """
 
 
+def q_stream_tile_stats(spark, sf_dir):
+    """Tile-stats materialized view maintained by a REAL multi-epoch
+    Structured Streaming job (foreachBatch → epoch-gated exact merge,
+    sources/tilestats.py); the final read must hash-equal a one-shot batch
+    recompute over all events — batch-chop independence is the invariant."""
+    from ..streaming.events_stream import stream_tile_stats
+
+    return stream_tile_stats(spark, sf_dir)
+
+
+def _sql_stream_tile_stats() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    cell = G.cell_sql("x", "y", 6)
+    return f"""
+WITH locs AS (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings),
+pts AS (
+  SELECT greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+         greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+  FROM events e
+  JOIN locs l ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id)
+SELECT {cell} AS cell_id, count(*)::BIGINT AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_x,
+       round(CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / count(*), 6) AS centroid_y
+FROM pts GROUP BY 1
+"""
+
+
 def q_host_anomaly(spark, sf_dir):
     """Crawl-health z-scores: latest-week page count vs the host's own prior
     weekly mean/σ (decimal-exact sums, pinned-order variance) — the recrawl
@@ -4747,6 +4774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_changes": q_lake_changes,
     "lake_zorder_scan": q_lake_zorder_scan,
     "tile_incremental": q_tile_incremental,
+    "stream_tile_stats": q_stream_tile_stats,
     "bm25_incremental": q_bm25_incremental,
 }
 
@@ -4954,6 +4982,7 @@ ORACLES: dict[str, str] = {
     "lake_changes": _sql_lake_changes(),
     "lake_zorder_scan": _sql_lake_zorder_scan(),
     "tile_incremental": _sql_tile_incremental(),
+    "stream_tile_stats": _sql_stream_tile_stats(),
     # incremental index maintenance is exact, so the oracle IS the
     # full-corpus BM25 twin (same params as bm25_rank)
     "bm25_incremental": _sql_bm25(10, (9, 10)),

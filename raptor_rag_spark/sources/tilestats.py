@@ -77,7 +77,14 @@ class TileStatsTable:
                 return done
         spark = pts.sparkSession
         delta = _partials(pts, self.res)
-        old = self.table.read(spark)
+        try:
+            old = self.table.read(spark)
+        except FileNotFoundError:
+            # first delta on an empty table: the merge identity — lets a
+            # streaming sink build the view from nothing, batch by batch
+            old = spark.createDataFrame(
+                [], f"cell_id long, n long, sx {DEC}, sy {DEC}"
+            )
         zero = F.lit(0).cast(DEC)
         merged = (
             old.select(

@@ -513,3 +513,61 @@ def stream_hex_density(
         q.stop()
         raise TimeoutError(f"stream_hex_density did not drain within {timeout_s}s")
     return spark.table(sink)
+
+
+def stream_tile_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    res: int = 6,
+    n_files: int = 4,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Live materialized tile view: events stream in micro-batches
+    (maxFilesPerTrigger=1 over a multi-file copy, so the drain really spans
+    several epochs), each event is placed at its user's embedding-plane
+    location (stream-static broadcast join), and a foreachBatch sink folds
+    every micro-batch into the persisted TileStatsTable through the
+    epoch-gated exact merge (sources/tilestats.py). The final read must
+    hash-equal a one-shot batch recompute over the union of all events —
+    proving the incremental view is exact across epoch boundaries AND that
+    the result is independent of how the stream was chopped into batches.
+
+    Scale: state is O(occupied cells); each micro-batch costs one partial
+    aggregation + one metadata-scale merge; a replayed epoch commits
+    nothing (exactly-once)."""
+    from ..functions import sqlgen as G
+    from ..sources.tilestats import TileStatsTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="tilestream_src_")
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x, y = G.xy_cols(F.col("embedding"), 64)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = stream.join(
+        F.broadcast(locs), stream["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    stats = TileStatsTable(tempfile.mkdtemp(prefix="tilestream_"), res=res)
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        pts.writeStream.foreachBatch(stats.streaming_sink())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream_tile_stats did not drain within {timeout_s}s")
+    return stats.read_stats(spark)

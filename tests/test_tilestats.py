@@ -64,3 +64,18 @@ def test_refresh_from_corpus_cdc(spark):
     full = TileStatsTable(tempfile.mkdtemp(prefix="ts_"), res=5)
     full.build(a.unionByName(b))
     assert _stats_rows(t.read_stats(spark)) == _stats_rows(full.read_stats(spark))
+
+
+def test_stream_tile_stats_multi_epoch(spark, tmp_path):
+    """The streaming drain must span multiple epochs and still equal batch."""
+    import glob
+    import os
+
+    from raptor_rag_spark.streaming.events_stream import stream_tile_stats
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    out = stream_tile_stats(spark, sf, res=5, n_files=3)
+    rows = _stats_rows(out)
+    assert rows and sum(n for n, _, _ in rows.values()) == spark.read.parquet(
+        f"{sf}/events.parquet"
+    ).count()
