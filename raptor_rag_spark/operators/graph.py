@@ -722,3 +722,144 @@ def hits_sql(links_sql: str, iterations: int = 5) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT n.host, s.hub, s.auth FROM nid n JOIN {prev} s ON n.host_id = s.host_id"
     )
+
+
+# ---------------------------------------------------- personalized PageRank
+
+def link_ppr(
+    links: DataFrame, seed_prefix: str = "a", iterations: int = 5
+) -> DataFrame:
+    """(host, is_seed, rank): personalized PageRank over the real extracted
+    link graph — teleportation jumps only to the SEED set (hosts whose name
+    starts with ``seed_prefix``), so rank measures proximity to the seeds:
+
+        rank⁰ = 1/|S|·[h∈S]
+        rankᵏ = (1−d)/|S|·[h∈S] + d · Σ_in w·rankᵏ⁻¹(src)/out_deg(src)
+
+    This is the crawl-frontier prioritizer ("expand outward from trusted
+    seeds" — the TrustRank shape) and the random-walk-with-restart kernel
+    personalization/recommendation stacks use. Dangling mass leaks, same as
+    :func:`link_pagerank`.
+
+    Scale shape identical to :func:`pagerank`: host-cardinality edges, one
+    broadcast join + one map-side-combined DECIMAL groupBy per round, scores
+    localCheckpointed so round k doesn't re-evaluate rounds 1..k−1."""
+    dec = "decimal(28,15)"
+    hosts = (
+        links.select(F.col("src_host").alias("host"))
+        .unionByName(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out = links.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("n_links").alias("deg")
+    )
+    w = Window.orderBy("host")
+    nodes = (
+        hosts.join(out, "host", "left")
+        .select("host", F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_deg"))
+        .withColumn("host_id", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("is_seed", F.col("host").startswith(seed_prefix))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = nodes.where("is_seed").agg(F.count("*").alias("n_seeds"))
+    sid = nodes.select(F.col("host").alias("src_host"), F.col("host_id").alias("src"), "out_deg")
+    did = nodes.select(F.col("host").alias("dst_host"), F.col("host_id").alias("dst"))
+    edges = (
+        links.join(F.broadcast(sid), "src_host")
+        .join(F.broadcast(did), "dst_host")
+        .select("src", "dst", F.col("n_links").cast("long").alias("w"), "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    base = (
+        nodes.select("host_id", "is_seed")
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "host_id",
+            F.when(
+                F.col("is_seed"),
+                F.lit(BASE_NUM) / F.col("n_seeds").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("base"),
+            F.when(
+                F.col("is_seed"), F.lit(1.0) / F.col("n_seeds").cast("double")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("host_id", "rank")
+    for _ in range(iterations):
+        contrib = (
+            edges.join(F.broadcast(ranks.withColumnRenamed("host_id", "src")), "src")
+            .select(
+                "dst",
+                (
+                    F.col("w").cast("double")
+                    * (F.col("rank") / F.col("out_deg").cast("double"))
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast(dec)).cast("double").alias("s"))
+        )
+        ranks = (
+            base.select("host_id", "base")
+            .join(contrib.withColumnRenamed("dst", "host_id"), "host_id", "left")
+            .select(
+                "host_id",
+                (
+                    F.col("base")
+                    + F.lit(DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes.join(ranks, "host_id").select("host", "is_seed", "rank")
+
+
+def link_ppr_sql(links_sql: str, seed_prefix: str = "a", iterations: int = 5) -> str:
+    """DuckDB twin of :func:`link_ppr`."""
+    dec = "DECIMAL(28,15)"
+    ctes = [
+        f"links AS MATERIALIZED ({links_sql})",
+        """hosts AS (SELECT DISTINCT host FROM (
+           SELECT src_host AS host FROM links
+           UNION ALL SELECT dst_host AS host FROM links))""",
+        """odeg AS (SELECT src_host AS host, CAST(sum(n_links) AS BIGINT) AS deg
+           FROM links GROUP BY src_host)""",
+        f"""nid AS MATERIALIZED (SELECT h.host, coalesce(o.deg, 0) AS out_deg,
+             CAST(row_number() OVER (ORDER BY h.host) - 1 AS BIGINT) AS host_id,
+             (h.host LIKE '{seed_prefix}%') AS is_seed
+           FROM hosts h LEFT JOIN odeg o ON h.host = o.host)""",
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM nid WHERE is_seed)",
+        """edges AS MATERIALIZED (SELECT s.host_id AS src, d.host_id AS dst,
+             CAST(l.n_links AS BIGINT) AS w, s.out_deg
+           FROM links l
+           JOIN nid s ON l.src_host = s.host
+           JOIN nid d ON l.dst_host = d.host)""",
+        """r0 AS (SELECT host_id,
+             CASE WHEN is_seed
+                  THEN (1.0 / CAST((SELECT n_seeds FROM c) AS DOUBLE))
+                  ELSE 0.0 END AS rank
+           FROM nid)""",
+    ]
+    base = (
+        f"(CASE WHEN nid.is_seed THEN ({BASE_NUM!r} / CAST((SELECT n_seeds FROM c) AS DOUBLE)) "
+        f"ELSE 0.0 END)"
+    )
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT nid.host_id,
+         ({base} + {DAMPING!r} * coalesce(s.sc, 0.0)) AS rank
+  FROM nid LEFT JOIN (
+    SELECT e.dst AS host_id,
+           CAST(sum(CAST((CAST(e.w AS DOUBLE) * (r.rank / CAST(e.out_deg AS DOUBLE))) AS {dec})) AS DOUBLE) AS sc
+    FROM edges e JOIN r{k - 1} r ON e.src = r.host_id GROUP BY e.dst) s
+  ON nid.host_id = s.host_id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n.host, n.is_seed, r.rank FROM nid n JOIN r{iterations} r ON n.host_id = r.host_id"
+    )

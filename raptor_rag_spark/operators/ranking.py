@@ -552,6 +552,7 @@ def rm3_rank(
     alpha: float = RM3_ALPHA,
     mu: float = MU,
     max_df_ratio: tuple[int, int] | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): RM3 pseudo-relevance-feedback
     retrieval (Lavrenko & Croft relevance models; Abdul-Jaleel et al. 2004)
@@ -573,7 +574,8 @@ def rm3_rank(
     second pass; the postings index is built ONCE and shared by both passes.
     All float reductions are DECIMAL(28,15) sums of deterministic IEEE ops,
     twin ln throughout — the DuckDB oracle hash-matches exactly."""
-    postings = bm25_index(docs).localCheckpoint(eager=True)  # shared by both passes
+    if postings is None:
+        postings = bm25_index(docs).localCheckpoint(eager=True)  # shared by both passes
     dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
     coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
 

@@ -2840,6 +2840,23 @@ def _sql_link_hits() -> str:
     return hits_sql(extract_links_sql(_PAGES_SQL), iterations=5)
 
 
+def q_link_ppr(spark, sf_dir):
+    """Personalized PageRank (TrustRank shape) over the real extracted link
+    graph: teleportation restricted to seed hosts (prefix 'a'), 5 exact-
+    decimal power rounds — the crawl-frontier prioritizer."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import link_ppr
+
+    return link_ppr(extract_links(_pages(spark)), seed_prefix="a", iterations=5)
+
+
+def _sql_link_ppr() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import link_ppr_sql
+
+    return link_ppr_sql(extract_links_sql(_PAGES_SQL), seed_prefix="a", iterations=5)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) file-layout assignment over the embedding plane —
     the OPTIMIZE…ZORDER BY clustering primitive as exact bit arithmetic
@@ -3968,6 +3985,23 @@ FROM pts GROUP BY 1
 """
 
 
+def q_covisit_topk(spark, sf_dir):
+    """Item-item co-visitation cosine (collaborative-filtering candidate
+    generator, operators/covisit.py): binarized user→item interactions from
+    the events' JSON props, power-user cap BEFORE the pair join (the skew
+    guard), symmetric top-5 neighbors. sqrt/div are single IEEE ops —
+    hash-exact twin."""
+    from ..operators.covisit import covisit_topk
+
+    return covisit_topk(ld(spark, sf_dir, "events"), top_k=5)
+
+
+def _sql_covisit_topk() -> str:
+    from ..operators.covisit import covisit_topk_sql
+
+    return covisit_topk_sql(top_k=5)
+
+
 def q_host_anomaly(spark, sf_dir):
     """Crawl-health z-scores: latest-week page count vs the host's own prior
     weekly mean/σ (decimal-exact sums, pinned-order variance) — the recrawl
@@ -4761,6 +4795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_quantiles": q_token_quantiles,
     "link_pagerank": q_link_pagerank,
     "link_hits": q_link_hits,
+    "link_ppr": q_link_ppr,
     "zorder_layout": q_zorder_layout,
     "hll_distinct": q_hll_distinct,
     "cms_heavy_terms": q_cms_heavy_terms,
@@ -4775,6 +4810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_zorder_scan": q_lake_zorder_scan,
     "tile_incremental": q_tile_incremental,
     "stream_tile_stats": q_stream_tile_stats,
+    "covisit_topk": q_covisit_topk,
     "bm25_incremental": q_bm25_incremental,
 }
 
@@ -4969,6 +5005,7 @@ ORACLES: dict[str, str] = {
     "token_quantiles": _sql_token_quantiles(),
     "link_pagerank": _sql_link_pagerank(),
     "link_hits": _sql_link_hits(),
+    "link_ppr": _sql_link_ppr(),
     "zorder_layout": _sql_zorder_layout(),
     "hll_distinct": _sql_hll_distinct(),
     "cms_heavy_terms": _sql_cms_heavy_terms(),
@@ -4983,6 +5020,7 @@ ORACLES: dict[str, str] = {
     "lake_zorder_scan": _sql_lake_zorder_scan(),
     "tile_incremental": _sql_tile_incremental(),
     "stream_tile_stats": _sql_stream_tile_stats(),
+    "covisit_topk": _sql_covisit_topk(),
     # incremental index maintenance is exact, so the oracle IS the
     # full-corpus BM25 twin (same params as bm25_rank)
     "bm25_incremental": _sql_bm25(10, (9, 10)),

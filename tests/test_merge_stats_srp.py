@@ -292,3 +292,19 @@ def test_hits_hub_authority_separation(spark):
     # L1 normalization: both score vectors sum to 1
     assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-9
     assert abs(sum(r["auth"] for r in out.values()) - 1.0) < 1e-9
+
+
+def test_link_ppr_mass_concentrates_near_seeds(spark):
+    from raptor_rag_spark.operators.graph import link_ppr
+
+    # a.com is the only seed; chain a -> m -> z, plus unreachable u -> v
+    links = spark.createDataFrame(
+        [("a.com", "m.com", 1), ("m.com", "z.com", 1), ("u.com", "v.com", 1)],
+        "src_host STRING, dst_host STRING, n_links LONG",
+    )
+    out = {r["host"]: r for r in link_ppr(links, seed_prefix="a", iterations=5).collect()}
+    assert out["a.com"]["is_seed"] and not out["m.com"]["is_seed"]
+    # unreachable-from-seed hosts get exactly zero mass
+    assert out["u.com"]["rank"] == 0.0 and out["v.com"]["rank"] == 0.0
+    # mass decays with distance from the seed
+    assert out["a.com"]["rank"] > out["m.com"]["rank"] > out["z.com"]["rank"] > 0.0
