@@ -4616,6 +4616,35 @@ FROM pts GROUP BY 1
 """
 
 
+def q_bm25_delete(spark, sf_dir):
+    """Search over the persisted index AFTER tombstone deletes (doc_id % 7
+    == 0 retired via negated-tf postings, sources/searchindex.py): must
+    hash-match a fresh oracle over the corpus WITHOUT those docs — the
+    O(deleted) delete path is exact, no live-postings rewrite."""
+    import tempfile
+
+    from ..sources.searchindex import SearchIndex
+
+    cache = getattr(q_bm25_delete, "_cache", {})
+    key = (id(spark), sf_dir)
+    if key not in cache:
+        docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+        idx = SearchIndex(tempfile.mkdtemp(prefix="bm25del_"))
+        idx.build(docs)
+        idx.delete_documents(docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
+        cache[key] = idx
+        q_bm25_delete._cache = cache
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return cache[key].search(spark, qs, top_k=10, max_df_ratio=(9, 10))
+
+
+def _sql_bm25_delete() -> str:
+    return _sql_bm25(top_k=10, ratio=(9, 10)).replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 0)",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4812,6 +4841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tile_stats": q_stream_tile_stats,
     "covisit_topk": q_covisit_topk,
     "bm25_incremental": q_bm25_incremental,
+    "bm25_delete": q_bm25_delete,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -4831,11 +4861,14 @@ _FLAGSHIP_ORDER = [
     "geo_chord", "geo_knn", "geo_bearing", "geo_arc",
     "exact_dedup", "minhash_pairs", "simhash_near", "ngram_jaccard",
     "emb_neardup", "dedup_clusters", "dedup_keep", "dedup_eval",
-    "winnow_matches", "decontaminate", "bm25_incremental",
+    "winnow_matches", "decontaminate", "bm25_incremental", "bm25_delete",
+    "ql_rank", "rrf_hybrid", "rm3_rank", "mmr_diversify", "snippet_extract",
+    "tile_incremental", "stream_tile_stats",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract",
     "lake_scan", "lake_time_travel", "lake_changes", "lake_zorder_scan",
-    "bm25_rank", "gmm_cluster", "rouge_l", "token_f1",
+    "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
+    "gmm_cluster", "rouge_l", "token_f1",
     "stream_events_hourly",
 ]
 assert all(k in QUERIES for k in _FLAGSHIP_ORDER), "flagship key missing from registry"
@@ -5024,5 +5057,6 @@ ORACLES: dict[str, str] = {
     # incremental index maintenance is exact, so the oracle IS the
     # full-corpus BM25 twin (same params as bm25_rank)
     "bm25_incremental": _sql_bm25(10, (9, 10)),
+    "bm25_delete": _sql_bm25_delete(),
     **_sql_curation(),
 }

@@ -28,6 +28,7 @@ rule's crawl model.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.ranking import bm25_index, bm25_rank
 from .lakehouse import LakeTable
@@ -73,7 +74,15 @@ class SearchIndex:
 
     # ---------------------------------------------------------------- query
     def postings(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        return self.table.read(spark, snapshot_id)
+        """The LOGICAL postings: tombstones compacted away (sum tf per
+        (doc, term), keep positive) — one map-side-combined groupBy, the
+        same shape every read already pays for dl/df derivation."""
+        raw = self.table.read(spark, snapshot_id)
+        return (
+            raw.groupBy("doc_id", "term")
+            .agg(F.sum("tf").alias("tf"))
+            .where(F.col("tf") > 0)
+        )
 
     def search(
         self,
@@ -92,3 +101,27 @@ class SearchIndex:
             max_df_ratio=max_df_ratio,
             postings=self.postings(spark, snapshot_id),
         )
+
+    # ---------------------------------------------------------------- delete
+    def delete_documents(self, doc_ids: DataFrame, epoch_id: int | None = None) -> int:
+        """Retire documents with TOMBSTONE postings: append the retired
+        docs' postings with NEGATED tf. Every BM25 statistic is additive
+        over postings rows, so after the compacting read (sum tf per
+        (doc, term), keep > 0) the index is value-identical to one built
+        without the deleted docs — O(deleted docs) work, no rewrite of the
+        live postings files. The re-crawl path is delete(url) + add(url):
+        two appends, both exact. Periodic `table.compact()` folds
+        tombstones physically; correctness never depends on when."""
+        spark = SparkSession.getActiveSession()
+        live = self.postings_raw(spark)
+        victims = live.join(
+            F.broadcast(doc_ids.select("doc_id").distinct()), "doc_id", "left_semi"
+        )
+        tomb = victims.select("doc_id", "term", (-F.col("tf")).alias("tf"))
+        return self.table.append(
+            tomb, bucket_by="term", n_buckets=self.n_buckets, epoch_id=epoch_id
+        )
+
+    def postings_raw(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The physical postings INCLUDING tombstones (for maintenance)."""
+        return self.table.read(spark, snapshot_id)

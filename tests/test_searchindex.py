@@ -82,3 +82,58 @@ def test_epoch_idempotent_index_commits(spark, docs, queries, tmp_path):
     once = SearchIndex(str(tmp_path / "once"))
     once.build(docs.filter("doc_id < 40"))
     assert n == once.postings(spark).count()
+
+
+def test_delete_documents_tombstones_are_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.ranking import bm25_rank
+    from raptor_rag_spark.sources.searchindex import SearchIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma" if i % 2 else f"delta epsilon doc{i}") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    qs = spark.createDataFrame([(0, "alpha gamma"), (1, "delta")], "query_id INT, qtext STRING")
+    idx = SearchIndex(str(tmp_path / "idx"))
+    idx.build(docs)
+    idx.delete_documents(docs.where(F.col("doc_id") % 4 == 1).select("doc_id"))
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in idx.search(spark, qs, top_k=20).collect()
+    )
+    ref = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in bm25_rank(docs.where(F.col("doc_id") % 4 != 1), qs, top_k=20).collect()
+    )
+    assert got == ref  # score-exact, not just same doc set
+    # deleting an already-deleted doc is a net no-op
+    idx.delete_documents(spark.createDataFrame([(1,)], "doc_id LONG"))
+    again = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in idx.search(spark, qs, top_k=20).collect()
+    )
+    assert again == ref
+
+
+def test_delete_then_readd_recrawl_path(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.ranking import bm25_rank
+    from raptor_rag_spark.sources.searchindex import SearchIndex
+
+    v1 = spark.createDataFrame(
+        [(1, "old stale content"), (2, "stable other page")], "doc_id LONG, text STRING"
+    )
+    v2_doc1 = spark.createDataFrame([(1, "fresh recrawled content")], "doc_id LONG, text STRING")
+    idx = SearchIndex(str(tmp_path / "idx"))
+    idx.build(v1)
+    idx.delete_documents(v2_doc1.select("doc_id"))
+    idx.add_documents(v2_doc1)
+    qs = spark.createDataFrame([(0, "fresh content"), (1, "stale")], "query_id INT, qtext STRING")
+    union = spark.createDataFrame(
+        [(1, "fresh recrawled content"), (2, "stable other page")], "doc_id LONG, text STRING"
+    )
+    got = sorted(map(tuple, idx.search(spark, qs, top_k=10).collect()))
+    ref = sorted(map(tuple, bm25_rank(union, qs, top_k=10).collect()))
+    assert got == ref
