@@ -481,3 +481,151 @@ def pip_anti_join(
         id_col
     )
     return points.join(matched, id_col, "left_anti").select(id_col, "x", "y")
+
+
+def spherical_poly_area(polygons: DataFrame, poly_id_col: str = "cell_id") -> DataFrame:
+    """(cell_id, n_vertices, area_sr): SPHERICAL polygon area in steradians —
+    the geodesic measure a planet-scale tile engine needs where the planar
+    shoelace (:func:`poly_metrics`) distorts. Rings hold [lon, lat] radians.
+
+    Per polygon, fan triangles from vertex 0 and sum each triangle's signed
+    spherical excess via the numerically-stable triple-product form
+    (Van Oosterom & Strackee 1983):
+
+        tan(E/2) = a·(b×c) / (1 + a·b + b·c + c·a)
+        area = |Σ 2·atan2(a·(b×c), 1 + a·b + b·c + c·a)|
+
+    with a, b, c the vertices' unit vectors (twin sin/cos of lon/lat) and
+    atan2 the twin series — every float op is twin-pinned, excesses sum in
+    exact DECIMAL, so the DuckDB oracle hash-matches.
+
+    Scale shape: polygons are metadata-scale; vertex fan-out is one
+    posexplode + two per-polygon equi-joins (each triangle appears once);
+    the unit-vector stage is localCheckpointed so atan2's many argument
+    references don't re-inline the trig chains (the geo_bearing pattern)."""
+    from ..functions import trig as TR
+
+    verts = polygons.select(
+        F.col(poly_id_col).alias("pid"),
+        F.size("ring").alias("m"),
+        F.posexplode("ring").alias("pos", "p"),
+    ).select(
+        "pid",
+        "m",
+        "pos",
+        F.element_at("p", 1).alias("lon"),
+        F.element_at("p", 2).alias("lat"),
+    )
+    # unit vectors via twin trig; narrow barrier before the heavy reuse below
+    uv = verts.select(
+        "pid",
+        "m",
+        "pos",
+        (TR.cos_col(F.col("lat")) * TR.cos_col(F.col("lon"))).alias("ux"),
+        (TR.cos_col(F.col("lat")) * TR.sin_col(F.col("lon"))).alias("uy"),
+        TR.sin_col(F.col("lat")).alias("uz"),
+    ).localCheckpoint(eager=False)
+    a = uv.where(F.col("pos") == 0).select(
+        F.col("pid").alias("pa"),
+        F.col("m"),
+        F.col("ux").alias("ax"),
+        F.col("uy").alias("ay"),
+        F.col("uz").alias("az"),
+    )
+    b = uv.where(F.col("pos") >= 1).select(
+        F.col("pid").alias("pb"),
+        F.col("pos").alias("i"),
+        F.col("ux").alias("bx"),
+        F.col("uy").alias("by"),
+        F.col("uz").alias("bz"),
+    )
+    c = uv.select(
+        F.col("pid").alias("pc"),
+        F.col("pos").alias("j"),
+        F.col("ux").alias("cx"),
+        F.col("uy").alias("cy"),
+        F.col("uz").alias("cz"),
+    )
+    tri = (
+        a.join(b, F.col("pa") == F.col("pb"))
+        .join(
+            c,
+            (F.col("pa") == F.col("pc"))
+            & (F.col("j") == F.col("i") + 1),
+        )
+        .where(F.col("i") <= F.col("m") - 2)
+    )
+    num = (
+        F.col("ax") * (F.col("by") * F.col("cz") - F.col("bz") * F.col("cy"))
+        + F.col("ay") * (F.col("bz") * F.col("cx") - F.col("bx") * F.col("cz"))
+        + F.col("az") * (F.col("bx") * F.col("cy") - F.col("by") * F.col("cx"))
+    )
+    den = (
+        F.lit(1.0)
+        + (F.col("ax") * F.col("bx") + F.col("ay") * F.col("by") + F.col("az") * F.col("bz"))
+        + (F.col("bx") * F.col("cx") + F.col("by") * F.col("cy") + F.col("bz") * F.col("cz"))
+        + (F.col("cx") * F.col("ax") + F.col("cy") * F.col("ay") + F.col("cz") * F.col("az"))
+    )
+    staged = tri.select(
+        "pa", "m", num.alias("nu"), den.alias("de")
+    ).localCheckpoint(eager=False)
+    exc = staged.select(
+        "pa",
+        "m",
+        (F.lit(2.0) * TR.atan2_col(F.col("nu"), F.col("de"))).alias("e"),
+    )
+    dec = "decimal(28,15)"
+    agg = exc.groupBy("pa", "m").agg(
+        F.abs(F.sum(F.col("e").cast(dec)).cast("double")).alias("area_sr")
+    )
+    return agg.select(
+        F.col("pa").alias(poly_id_col),
+        F.col("m").cast("long").alias("n_vertices"),
+        "area_sr",
+    )
+
+
+def spherical_poly_area_sql(polys_sql: str) -> str:
+    """DuckDB twin of :func:`spherical_poly_area`. ``polys_sql`` must yield
+    (cell_id, ring) with ring = LIST of [lon, lat] radians."""
+    from ..functions import trig as TR
+
+    stage, result = TR.atan2_sql("nu", "de")
+    return f"""
+WITH polys AS (SELECT * FROM ({polys_sql})),
+v0 AS (
+  SELECT cell_id AS pid, len(ring) AS m,
+         generate_subscripts(ring, 1) - 1 AS pos, unnest(ring) AS p
+  FROM polys),
+verts AS (SELECT pid, m, pos, p[1] AS lon, p[2] AS lat FROM v0),
+uv AS MATERIALIZED (
+  SELECT pid, m, pos,
+         ({TR.cos_sql('lat')} * {TR.cos_sql('lon')}) AS ux,
+         ({TR.cos_sql('lat')} * {TR.sin_sql('lon')}) AS uy,
+         {TR.sin_sql('lat')} AS uz
+  FROM verts),
+tri AS (
+  SELECT a.pid, a.m,
+         a.ux AS ax, a.uy AS ay, a.uz AS az,
+         b.ux AS bx, b.uy AS by, b.uz AS bz,
+         c.ux AS cx, c.uy AS cy, c.uz AS cz
+  FROM uv a
+  JOIN uv b ON a.pid = b.pid AND b.pos >= 1
+  JOIN uv c ON a.pid = c.pid AND c.pos = b.pos + 1
+  WHERE a.pos = 0 AND b.pos <= a.m - 2),
+staged AS MATERIALIZED (
+  SELECT pid, m,
+         (ax * (by * cz - bz * cy)
+          + ay * (bz * cx - bx * cz)
+          + az * (bx * cy - by * cx)) AS nu,
+         (1.0
+          + (ax * bx + ay * by + az * bz)
+          + (bx * cx + by * cy + bz * cz)
+          + (cx * ax + cy * ay + cz * az)) AS de
+  FROM tri),
+s2 AS (SELECT pid, m, nu, de, {stage} AS atr FROM staged),
+exc AS (SELECT pid, m, (2.0 * {result}) AS e FROM s2)
+SELECT pid AS cell_id, CAST(m AS BIGINT) AS n_vertices,
+       abs(CAST(sum(CAST(e AS DECIMAL(28,15))) AS DOUBLE)) AS area_sr
+FROM exc GROUP BY pid, m
+"""

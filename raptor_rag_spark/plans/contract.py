@@ -1450,6 +1450,46 @@ def _sql_kde_pyramid() -> str:
     )
 
 
+def q_geo_poly_area(spark, sf_dir):
+    """Spherical polygon area (steradians) of the PIP fixture rings mapped
+    onto the globe — triangle-fan spherical excess via the twin-trig
+    triple-product atan2 form (operators/pipjoin.py spherical_poly_area);
+    the geodesic measure beside the planar shoelace (poly_metrics)."""
+    from ..functions.hexgen import flit  # noqa: F401  (twin-constant doc)
+    from ..operators.pipjoin import spherical_poly_area
+
+    polys = spark.createDataFrame(PIP_POLYS, "cell_id long, ring array<array<double>>")
+    two_pi = F.lit(2.0 * 3.141592653589793)
+    pi = F.lit(3.141592653589793)
+    geo = polys.select(
+        "cell_id",
+        F.transform(
+            "ring",
+            lambda p: F.array(
+                (p[0] - F.lit(0.5)) * two_pi, (p[1] - F.lit(0.5)) * pi
+            ),
+        ).alias("ring"),
+    )
+    return spherical_poly_area(geo)
+
+
+def _sql_geo_poly_area() -> str:
+    from ..functions.hexgen import flit
+    from ..operators.pipjoin import spherical_poly_area_sql
+
+    vals = ", ".join(
+        f"({pid}, [{', '.join(f'[{x!r}, {y!r}]' for x, y in ring)}])"
+        for pid, ring in PIP_POLYS
+    )
+    two_pi = flit(2.0 * 3.141592653589793)
+    pi = flit(3.141592653589793)
+    geo = f"""
+SELECT cell_id,
+       list_transform(ring, p -> [(p[1] - 0.5) * {two_pi}, (p[2] - 0.5) * {pi}]) AS ring
+FROM (VALUES {vals}) p(cell_id, ring)"""
+    return spherical_poly_area_sql(geo)
+
+
 def q_poly_metrics(spark, sf_dir):
     """Shoelace polygon metrics: signed area + centroid per ring (geometry
     loader surface: orientation check and label anchor)."""
@@ -4717,6 +4757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kde_pyramid": q_kde_pyramid,
     "zonal_stats": q_zonal_stats,
     "poly_metrics": q_poly_metrics,
+    "geo_poly_area": q_geo_poly_area,
     "stream_dedup": q_stream_dedup,
     "doc_split": q_doc_split,
     "doc_sample": q_doc_sample,
@@ -4940,6 +4981,7 @@ ORACLES: dict[str, str] = {
     "kde_pyramid": _sql_kde_pyramid(),
     "zonal_stats": _sql_zonal_stats(),
     "poly_metrics": _sql_poly_metrics(),
+    "geo_poly_area": _sql_geo_poly_area(),
     "stream_dedup": SQL_STREAM_DEDUP,
     "doc_split": _sql_doc_split(),
     "doc_sample": _sql_doc_sample(),

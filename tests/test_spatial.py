@@ -201,3 +201,35 @@ def test_bbox_overlay_join_exact(spark):
         .fetchall()
     )
     assert got == want
+
+
+def test_spherical_poly_area_octant(spark):
+    """The spherical triangle with vertices at (0,0), (90E,0), (N pole) is
+    exactly one octant: area = 4*pi/8 = pi/2 steradians."""
+    import math
+
+    from raptor_rag_spark.operators.pipjoin import spherical_poly_area
+
+    half_pi = math.pi / 2
+    polys = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [half_pi, 0.0], [0.0, half_pi]])],
+        "cell_id long, ring array<array<double>>",
+    )
+    r = spherical_poly_area(polys).collect()[0]
+    assert r["n_vertices"] == 3
+    assert abs(r["area_sr"] - half_pi) < 1e-9
+
+
+def test_spherical_poly_area_small_matches_planar(spark):
+    """A tiny polygon's spherical area converges to its planar area (times
+    cos(lat) for longitude compression; at the equator cos=1)."""
+    from raptor_rag_spark.operators.pipjoin import poly_metrics, spherical_poly_area
+
+    d = 1e-3
+    ring = [[0.0, 0.0], [d, 0.0], [d, d], [0.0, d]]
+    polys = spark.createDataFrame(
+        [(1, ring)], "cell_id long, ring array<array<double>>"
+    )
+    sph = spherical_poly_area(polys).collect()[0]["area_sr"]
+    planar = abs(poly_metrics(polys).collect()[0]["signed_area"])
+    assert abs(sph - planar) / planar < 1e-3
