@@ -336,3 +336,122 @@ SELECT count(*)::BIGINT AS n_probe,
        CAST(sum(CASE WHEN all_hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
 FROM audited
 """
+
+
+# ------------------------------------------------- per-cell HLL raster band
+
+def cell_hll_pyramid(
+    pts: DataFrame, value_col: str, res: int, min_res: int = 0
+) -> DataFrame:
+    """(level_res, cell_id, occupied, est_distinct): a DISTINCT-COUNT raster
+    band at every pyramid level — per-cell HyperLogLog registers computed
+    ONCE at the finest resolution from the point scan, then rolled upward by
+    register max-merge (HLL's defining property: max is associative, so
+    parent registers == registers computed directly from the parent's
+    points; the DuckDB twin recomputes every level from raw points and must
+    hash-match, which PROVES the merge). The "how many distinct hosts /
+    languages / fingerprints per tile" layer of the tile server, at any zoom,
+    without ever rescanning the corpus per level.
+
+    ``pts`` is (x, y, <value_col>); estimates use the same byte-exact
+    register layout + twin-ln linear-counting correction as
+    :func:`hll_distinct`.
+
+    Scale shape: ONE data-scale groupBy((cell, bucket)) with map-side
+    combine; each coarser level is a metadata-scale groupBy over ≤ 4^r·256
+    register rows; the per-cell fold is a 256-element array op."""
+    h = G.hash63_col(F.col(value_col))
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        pts.select(
+            G.cell_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+            h.alias("h"),
+        )
+        .select(
+            "cell_id",
+            (F.col("h") % F.lit(M_REGS)).alias("bucket"),
+            F.shiftrightunsigned(F.col("h"), P_BITS).alias("w"),
+        )
+        .withColumn("rho", rho)
+        .groupBy("cell_id", "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .localCheckpoint(eager=True)  # the level loop reuses each level twice
+    )
+
+    def _estimate(level_regs: DataFrame, level_res: int) -> DataFrame:
+        per = level_regs.withColumn(
+            "term", F.expr("1.0 / CAST(shiftleft(1L, mj) AS DOUBLE)")
+        )
+        terms = F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            lambda s: s["term"],
+        )
+        folded = per.groupBy("cell_id").agg(
+            F.count("*").alias("occ"),
+            F.aggregate(terms, F.lit(0.0), lambda a, b: a + b).alias("s_occ"),
+        )
+        s = (F.lit(M_REGS) - F.col("occ")).cast("double") + F.col("s_occ")
+        e_raw = F.lit(ALPHA_MM) / s
+        v_zero = (F.lit(M_REGS) - F.col("occ")).cast("double")
+        est = F.when(
+            (e_raw <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
+            F.lit(float(M_REGS)) * G.ln_col(F.lit(float(M_REGS)) / v_zero),
+        ).otherwise(e_raw)
+        return folded.select(
+            F.lit(level_res).cast("int").alias("level_res"),
+            "cell_id",
+            F.col("occ").cast("long").alias("occupied"),
+            est.alias("est_distinct"),
+        )
+
+    out = _estimate(regs, res)
+    cur = regs
+    for r in range(res - 1, min_res - 1, -1):
+        cur = (
+            cur.groupBy(
+                G.cell_parent_col(F.col("cell_id")).alias("cell_id"), F.col("bucket")
+            )
+            .agg(F.max("mj").alias("mj"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_estimate(cur, r))
+    return out
+
+
+def cell_hll_pyramid_sql(
+    pts_sql: str, value_col: str, res: int, min_res: int = 0
+) -> str:
+    """DuckDB twin of :func:`cell_hll_pyramid` — deliberately computes each
+    level's registers DIRECTLY from the raw points (no merge), so a hash
+    match proves the Spark side's register max-merge rollup correct."""
+    h = G.hash63_sql(value_col)
+    wb1 = W_BITS + 1
+    levels = []
+    for r in range(res, min_res - 1, -1):
+        cell = G.cell_sql("x", "y", r)
+        levels.append(
+            f"""(
+  SELECT {r} AS level_res, cell_id, CAST(count(*) AS BIGINT) AS occupied,
+         CASE WHEN ({ALPHA_MM!r} / (CAST({M_REGS} - count(*) AS DOUBLE) + list_reduce(
+                 list_prepend(0.0, list(1.0 / CAST(1::BIGINT << mj AS DOUBLE) ORDER BY bucket)),
+                 (a, b) -> a + b))) <= {2.5 * M_REGS!r}
+                 AND count(*) < {M_REGS}
+              THEN {float(M_REGS)!r} * {G.ln_sql(f"({float(M_REGS)!r} / CAST({M_REGS} - count(*) AS DOUBLE))")}
+              ELSE ({ALPHA_MM!r} / (CAST({M_REGS} - count(*) AS DOUBLE) + list_reduce(
+                 list_prepend(0.0, list(1.0 / CAST(1::BIGINT << mj AS DOUBLE) ORDER BY bucket)),
+                 (a, b) -> a + b)))
+         END AS est_distinct
+  FROM (
+    SELECT {cell} AS cell_id, h % {M_REGS} AS bucket,
+           max(CASE WHEN (h >> {P_BITS}) = 0 THEN {wb1}
+                    ELSE {wb1} - length(bin(h >> {P_BITS})) END) AS mj
+    FROM hv GROUP BY 1, 2)
+  GROUP BY cell_id)"""
+        )
+    union = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH hv AS MATERIALIZED (SELECT x, y, {h} AS h FROM ({pts_sql}))
+{union}
+"""

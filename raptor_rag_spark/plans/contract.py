@@ -1450,6 +1450,30 @@ def _sql_kde_pyramid() -> str:
     )
 
 
+def q_hll_pyramid(spark, sf_dir):
+    """Distinct-count raster band at every pyramid level: per-cell HLL
+    registers built once at res 5, rolled up by register max-merge
+    (operators/sketches.py cell_hll_pyramid). The oracle recomputes every
+    level directly from raw points, so the hash match PROVES the mergeable
+    rollup. Counted value: vec_id % 97 (a synthetic host bucket)."""
+    from ..operators.sketches import cell_hll_pyramid
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select(
+        x.alias("x"), y.alias("y"), (F.col("vec_id") % 97).alias("hostb")
+    )
+    return cell_hll_pyramid(pts, "hostb", res=5, min_res=2)
+
+
+def _sql_hll_pyramid() -> str:
+    from ..operators.sketches import cell_hll_pyramid_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    pts = f"SELECT {x} AS x, {y} AS y, (vec_id % 97) AS hostb FROM embeddings"
+    return cell_hll_pyramid_sql(pts, "hostb", res=5, min_res=2)
+
+
 def q_geo_poly_area(spark, sf_dir):
     """Spherical polygon area (steradians) of the PIP fixture rings mapped
     onto the globe — triangle-fan spherical excess via the twin-trig
@@ -4758,6 +4782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "poly_metrics": q_poly_metrics,
     "geo_poly_area": q_geo_poly_area,
+    "hll_pyramid": q_hll_pyramid,
     "stream_dedup": q_stream_dedup,
     "doc_split": q_doc_split,
     "doc_sample": q_doc_sample,
@@ -4982,6 +5007,7 @@ ORACLES: dict[str, str] = {
     "zonal_stats": _sql_zonal_stats(),
     "poly_metrics": _sql_poly_metrics(),
     "geo_poly_area": _sql_geo_poly_area(),
+    "hll_pyramid": _sql_hll_pyramid(),
     "stream_dedup": SQL_STREAM_DEDUP,
     "doc_split": _sql_doc_split(),
     "doc_sample": _sql_doc_sample(),

@@ -308,3 +308,26 @@ def test_link_ppr_mass_concentrates_near_seeds(spark):
     assert out["u.com"]["rank"] == 0.0 and out["v.com"]["rank"] == 0.0
     # mass decays with distance from the seed
     assert out["a.com"]["rank"] > out["m.com"]["rank"] > out["z.com"]["rank"] > 0.0
+
+
+def test_cell_hll_pyramid_merge_equals_direct(spark):
+    from raptor_rag_spark.operators.sketches import cell_hll_pyramid
+
+    pts = spark.range(3000).select(
+        ((F.hash(F.col("id")).cast("double") / 2147483647.0 + 1.0) / 2.0).alias("x"),
+        ((F.hash(F.col("id") * 7).cast("double") / 2147483647.0 + 1.0) / 2.0).alias("y"),
+        (F.col("id") % 50).alias("v"),
+    )
+    pyr = cell_hll_pyramid(pts, "v", res=4, min_res=2)
+    rows = {(r["level_res"], r["cell_id"]): r["est_distinct"] for r in pyr.collect()}
+    # level-4 rolled up two steps must equal building directly at res 2
+    direct2 = {
+        r["cell_id"]: r["est_distinct"]
+        for r in cell_hll_pyramid(pts, "v", res=2, min_res=2).collect()
+    }
+    got2 = {c: v for (lv, c), v in rows.items() if lv == 2}
+    assert got2 == direct2  # bit-identical, not approx: max-merge associativity
+    # root-ish level estimate is near the true distinct count (50)
+    lv2_total = cell_hll_pyramid(pts, "v", res=2, min_res=0)
+    root = [r for r in lv2_total.collect() if r["level_res"] == 0]
+    assert len(root) == 1 and abs(root[0]["est_distinct"] - 50) / 50 < 0.25
