@@ -3925,6 +3925,32 @@ def _sql_kde_terrain() -> str:
     )
 
 
+def q_kde_contours(spark, sf_dir):
+    """Marching-squares isolines of the KDE density raster at the hotspot
+    level (operators/contours.py): raster → vector line segments, the
+    web-map contour layer. One bounded 4× fan-out + one groupBy(window);
+    the 16-case lookup and endpoint interpolation are pure codegen."""
+    from ..operators.contours import contour_segments
+    from ..operators.heatmap import kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(
+        e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW
+    )
+    return contour_segments(raster, res=KDE_RES, level=KDE_HOT_T)
+
+
+def _sql_kde_contours() -> str:
+    from ..operators.contours import contour_segments_sql
+
+    return contour_segments_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})",
+        res=KDE_RES,
+        level=KDE_HOT_T,
+    )
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -4867,6 +4893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_rouge": q_tree_rouge,
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
+    "kde_contours": q_kde_contours,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
@@ -5090,6 +5117,7 @@ ORACLES: dict[str, str] = {
     "tree_rouge": _sql_tree_rouge(),
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
+    "kde_contours": _sql_kde_contours(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
