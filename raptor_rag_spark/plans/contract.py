@@ -3951,6 +3951,45 @@ def _sql_kde_contours() -> str:
     )
 
 
+def q_map_match(spark, sf_dir):
+    """Map matching (operators/mapmatch.py): snap every embedding-plane
+    point to the nearest segment of a deterministic 7-segment polyline
+    (waypoints = the 8 lowest vec_ids in vec_id order). Broadcast network,
+    clamped orthogonal projection, ONE per-point argmin window."""
+    from pyspark.sql import Window
+
+    from ..operators.mapmatch import snap_to_segments
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select("vec_id", x.alias("x"), y.alias("y"))
+    way = pts.where(F.col("vec_id") < 8)
+    w = Window.orderBy("vec_id")
+    segs = way.select(
+        F.col("vec_id").alias("seg_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.lead("x").over(w).alias("bx"),
+        F.lead("y").over(w).alias("by"),
+    ).where(F.col("bx").isNotNull())
+    return snap_to_segments(pts, segs)
+
+
+def _sql_map_match() -> str:
+    from ..operators.mapmatch import snap_to_segments_sql
+
+    vx, vy = G.xy_sql("embedding", DIM)
+    pts = f"SELECT vec_id, {vx} AS x, {vy} AS y FROM embeddings"
+    segs = f"""
+SELECT seg_id, ax, ay, bx, by FROM (
+  SELECT vec_id AS seg_id, x AS ax, y AS ay,
+         lead(x) OVER (ORDER BY vec_id) AS bx,
+         lead(y) OVER (ORDER BY vec_id) AS by
+  FROM ({pts}) WHERE vec_id < 8)
+WHERE bx IS NOT NULL"""
+    return snap_to_segments_sql(pts, segs)
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -4894,6 +4933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
     "kde_contours": q_kde_contours,
+    "map_match": q_map_match,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
@@ -5118,6 +5158,7 @@ ORACLES: dict[str, str] = {
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
     "kde_contours": _sql_kde_contours(),
+    "map_match": _sql_map_match(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
