@@ -3990,6 +3990,32 @@ WHERE bx IS NOT NULL"""
     return snap_to_segments_sql(pts, segs)
 
 
+def q_areal_transfer(spark, sf_dir):
+    """Areal-weighted interpolation (operators/areal.py): the KDE raster
+    re-aggregated onto a coarser grid shifted by half a source cell — the
+    non-nested-zoning rollup the quadkey pyramid cannot express. Mass is
+    conserved exactly; all overlap geometry is integer-lattice."""
+    from ..operators.areal import areal_transfer
+    from ..operators.heatmap import kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(
+        e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW
+    )
+    return areal_transfer(raster, res_src=KDE_RES, res_tgt=KDE_RES - 1)
+
+
+def _sql_areal_transfer() -> str:
+    from ..operators.areal import areal_transfer_sql
+
+    return areal_transfer_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})",
+        res_src=KDE_RES,
+        res_tgt=KDE_RES - 1,
+    )
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -4934,6 +4960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kde_terrain": q_kde_terrain,
     "kde_contours": q_kde_contours,
     "map_match": q_map_match,
+    "areal_transfer": q_areal_transfer,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
@@ -5159,6 +5186,7 @@ ORACLES: dict[str, str] = {
     "kde_terrain": _sql_kde_terrain(),
     "kde_contours": _sql_kde_contours(),
     "map_match": _sql_map_match(),
+    "areal_transfer": _sql_areal_transfer(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
