@@ -4016,6 +4016,26 @@ def _sql_areal_transfer() -> str:
     )
 
 
+FUZZY_TERMS = ["spqrk", "joiin", "windw", "mergee", "sor", "scanz", "merge", "qxyzz"]
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    """SymSpell-style spell correction (operators/fuzzy.py): query terms
+    matched to the corpus vocabulary at edit distance ≤ 1 via a
+    deletion-neighborhood equi-join (never all-pairs levenshtein), with
+    hot-key bucket caps and exact levenshtein verify."""
+    from ..operators.fuzzy import fuzzy_vocab_match
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    return fuzzy_vocab_match(docs, FUZZY_TERMS)
+
+
+def _sql_fuzzy_terms() -> str:
+    from ..operators.fuzzy import fuzzy_vocab_match_sql
+
+    return fuzzy_vocab_match_sql("SELECT doc_id, text FROM documents", FUZZY_TERMS)
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -4961,6 +4981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kde_contours": q_kde_contours,
     "map_match": q_map_match,
     "areal_transfer": q_areal_transfer,
+    "fuzzy_terms": q_fuzzy_terms,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
@@ -5187,6 +5208,7 @@ ORACLES: dict[str, str] = {
     "kde_contours": _sql_kde_contours(),
     "map_match": _sql_map_match(),
     "areal_transfer": _sql_areal_transfer(),
+    "fuzzy_terms": _sql_fuzzy_terms(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
