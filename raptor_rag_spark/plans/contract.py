@@ -4036,6 +4036,37 @@ def _sql_fuzzy_terms() -> str:
     return fuzzy_vocab_match_sql("SELECT doc_id, text FROM documents", FUZZY_TERMS)
 
 
+def q_viewshed(spark, sf_dir):
+    """Viewshed (operators/viewshed.py): line-of-sight over the KDE terrain
+    from its argmax cell — per-ray running-max windows keyed by primitive
+    lattice direction (unrolled-Euclid gcd in pure codegen)."""
+    from ..operators.heatmap import kde_heatmap
+    from ..operators.viewshed import viewshed
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(
+        e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW
+    )
+    vp = (
+        raster.orderBy(F.col("density").desc(), "ix", "iy")
+        .limit(1)
+        .select(F.col("ix").alias("vix"), F.col("iy").alias("viy"))
+    )
+    return viewshed(raster, vp)
+
+
+def _sql_viewshed() -> str:
+    from ..operators.viewshed import viewshed_sql
+
+    raster = f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})"
+    vp = (
+        f"SELECT ix AS vix, iy AS viy FROM ({raster}) "
+        "ORDER BY density DESC, ix, iy LIMIT 1"
+    )
+    return viewshed_sql(raster, vp)
+
+
 def q_host_pagerank(spark, sf_dir):
     """PageRank over the hash-derived host link graph (5 unrolled power
     iterations; operators/graph) — the crawl-authority prior of a web
@@ -4982,6 +5013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_match": q_map_match,
     "areal_transfer": q_areal_transfer,
     "fuzzy_terms": q_fuzzy_terms,
+    "viewshed": q_viewshed,
     "ripley_k": q_ripley_k,
     "kmeans_xy": q_kmeans_xy,
     "decontaminate": q_decontaminate,
@@ -5209,6 +5241,7 @@ ORACLES: dict[str, str] = {
     "map_match": _sql_map_match(),
     "areal_transfer": _sql_areal_transfer(),
     "fuzzy_terms": _sql_fuzzy_terms(),
+    "viewshed": _sql_viewshed(),
     "ripley_k": _sql_ripley_k(),
     "kmeans_xy": _sql_kmeans_xy(),
     "decontaminate": _sql_decontaminate(),
