@@ -5077,9 +5077,11 @@ _FLAGSHIP_ORDER = [
     "winnow_matches", "decontaminate", "bm25_incremental", "bm25_delete",
     "ql_rank", "rrf_hybrid", "rm3_rank", "mmr_diversify", "snippet_extract",
     "tile_incremental", "stream_tile_stats",
+    # round-3 additions get window slots ahead of queries already officially
+    # green in CORRECTNESS_r02 (emb_topk family, grid_knn, soft_assign)
+    "lake_scan", "lake_time_travel", "lake_changes", "viewshed",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
-    "pip_join", "emb_tile_rollup", "pages_extract",
-    "lake_scan", "lake_time_travel", "lake_changes", "lake_zorder_scan",
+    "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
     "gmm_cluster", "rouge_l", "token_f1",
     "stream_events_hourly",
