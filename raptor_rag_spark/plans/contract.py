@@ -3655,6 +3655,119 @@ JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
     return trajectory_stats_sql(ev_xy)
 
 
+TRAJ_USERS = 6  # trajectories compared pairwise (metadata-scale demo set)
+TRAJ_MAXLEN = 12  # per-trajectory point cap (sizes the twin's DP lists)
+
+
+def _traj_frames(spark, sf_dir):
+    """(trajs, pairs) for the trajectory-similarity queries: the 6 smallest
+    user_ids' event walks in the embedding plane (same xy derivation as
+    q_trajectories), capped at 12 points each, all 15 (a < b) pairs. At
+    scale the pairs side comes from blocking (shared cells / bbox overlap),
+    never all-pairs — the cap and the tiny id set keep the demo exact."""
+    from pyspark.sql import Window
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    ids = ev.select("user_id").distinct().orderBy("user_id").limit(TRAJ_USERS)
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = (
+        ev.join(F.broadcast(ids), "user_id")
+        .join(F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"])
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+            F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trajs = (
+        pts.select(
+            F.col("user_id").alias("traj_id"),
+            (F.row_number().over(w) - 1).alias("seq"),
+            "x",
+            "y",
+        )
+        .where(F.col("seq") < TRAJ_MAXLEN)
+    )
+    a = ids.select(F.col("user_id").alias("a_id"))
+    b = ids.select(F.col("user_id").alias("b_id"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            (F.col("a_id") * 100000 + F.col("b_id")).alias("pair_id"), "a_id", "b_id"
+        )
+    )
+    return trajs, pairs
+
+
+def q_traj_hausdorff(spark, sf_dir):
+    """Symmetric Hausdorff distance between user trajectories
+    (operators/trajsim.py): within-pair point join → per-point min →
+    per-pair max, both directions, sqrt once at the end."""
+    from ..operators.trajsim import traj_hausdorff
+
+    trajs, pairs = _traj_frames(spark, sf_dir)
+    return traj_hausdorff(trajs, pairs)
+
+
+def q_traj_frechet(spark, sf_dir):
+    """Discrete Fréchet + DTW between user trajectories
+    (operators/trajsim.py): O(n·m) DP per pair in ONE grouped Arrow pass;
+    the oracle runs the identical recurrence as a recursive CTE over
+    anti-diagonals — bit-identical float64 max/min/add both sides."""
+    from ..operators.trajsim import traj_dp_distances
+
+    trajs, pairs = _traj_frames(spark, sf_dir)
+    return traj_dp_distances(trajs, pairs)
+
+
+def _sql_traj_frames() -> tuple[str, str]:
+    x, y = G.xy_sql("embedding", DIM)
+    ids = f"SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT {TRAJ_USERS}"
+    trajs = f"""
+SELECT traj_id, seq, x, y FROM (
+  SELECT user_id AS traj_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq,
+         x, y
+  FROM (
+    SELECT e.user_id, e.event_id, e.ts,
+           greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+           greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+    FROM events e
+    JOIN ({ids}) u ON e.user_id = u.user_id
+    JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+      ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id))
+WHERE seq < {TRAJ_MAXLEN}
+"""
+    pairs = f"""
+SELECT a.user_id * 100000 + b.user_id AS pair_id, a.user_id AS a_id, b.user_id AS b_id
+FROM ({ids}) a JOIN ({ids}) b ON a.user_id < b.user_id
+"""
+    return trajs, pairs
+
+
+def _sql_traj_hausdorff() -> str:
+    from ..operators.trajsim import traj_hausdorff_sql
+
+    trajs, pairs = _sql_traj_frames()
+    return traj_hausdorff_sql(trajs, pairs)
+
+
+def _sql_traj_frechet() -> str:
+    from ..operators.trajsim import traj_dp_distances_sql
+
+    trajs, pairs = _sql_traj_frames()
+    return traj_dp_distances_sql(trajs, pairs, maxlen=TRAJ_MAXLEN)
+
+
 def q_stay_points(spark, sf_dir):
     """Dwell detection (stay points): maximal same-cell consecutive-event
     runs per user with ≥2 events — gaps-and-islands over user-partitioned
@@ -5019,6 +5132,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "emerging_hotspots": q_emerging_hotspots,
     "trajectories": q_trajectories,
+    "traj_hausdorff": q_traj_hausdorff,
+    "traj_frechet": q_traj_frechet,
     "host_pagerank": q_host_pagerank,
     # corpus curation / IR / vector geometry / stream enrichment
     "para_dedup": q_para_dedup,
@@ -5249,6 +5364,8 @@ ORACLES: dict[str, str] = {
     "decontaminate": _sql_decontaminate(),
     "emerging_hotspots": _sql_emerging_hotspots(),
     "trajectories": _sql_trajectories(),
+    "traj_hausdorff": _sql_traj_hausdorff(),
+    "traj_frechet": _sql_traj_frechet(),
     "host_pagerank": _sql_host_pagerank(),
     "phrase_search": _sql_phrase_search(),
     "cell_extremes": _sql_cell_extremes(),
