@@ -4038,6 +4038,69 @@ def _sql_kde_terrain() -> str:
     )
 
 
+def _kde_raster(spark, sf_dir):
+    from ..operators.heatmap import kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return kde_heatmap(
+        e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW
+    )
+
+
+def q_flow_dir(spark, sf_dir):
+    """D8 flow direction over the KDE density raster
+    (operators/hydrology.py): per populated cell the steepest
+    distance-weighted descent among its populated neighbors (Jenson &
+    Domingue stencil), pits = local minima. Bounded 8× fan-out + one
+    metadata-scale self-join; the hydrology head of the raster stack."""
+    from ..operators.hydrology import flow_direction
+
+    return flow_direction(_kde_raster(spark, sf_dir), res=KDE_RES)
+
+
+def _sql_flow_dir() -> str:
+    from ..operators.hydrology import flow_direction_sql
+
+    return flow_direction_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
+def q_flow_acc(spark, sf_dir):
+    """Flow accumulation (drainage network) over the KDE raster: upstream
+    cell count per cell via a bounded-round walk over the single-out-degree
+    flow edges — acyclic by strict descent, so the DuckDB twin's UNION ALL
+    recursion is exact."""
+    from ..operators.hydrology import flow_accumulation
+
+    return flow_accumulation(_kde_raster(spark, sf_dir), res=KDE_RES)
+
+
+def _sql_flow_acc() -> str:
+    from ..operators.hydrology import flow_accumulation_sql
+
+    return flow_accumulation_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
+def q_flow_basins(spark, sf_dir):
+    """Watershed delineation: every raster cell labeled with the pit its
+    D8 flow path terminates in (pits label themselves)."""
+    from ..operators.hydrology import flow_basins
+
+    return flow_basins(_kde_raster(spark, sf_dir), res=KDE_RES)
+
+
+def _sql_flow_basins() -> str:
+    from ..operators.hydrology import flow_basins_sql
+
+    return flow_basins_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
 def q_kde_contours(spark, sf_dir):
     """Marching-squares isolines of the KDE density raster at the hotspot
     level (operators/contours.py): raster → vector line segments, the
@@ -5122,6 +5185,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_rouge": q_tree_rouge,
     "crawl_frontier": q_crawl_frontier,
     "kde_terrain": q_kde_terrain,
+    "flow_dir": q_flow_dir,
+    "flow_acc": q_flow_acc,
+    "flow_basins": q_flow_basins,
     "kde_contours": q_kde_contours,
     "map_match": q_map_match,
     "areal_transfer": q_areal_transfer,
@@ -5354,6 +5420,9 @@ ORACLES: dict[str, str] = {
     "tree_rouge": _sql_tree_rouge(),
     "crawl_frontier": _sql_crawl_frontier(),
     "kde_terrain": _sql_kde_terrain(),
+    "flow_dir": _sql_flow_dir(),
+    "flow_acc": _sql_flow_acc(),
+    "flow_basins": _sql_flow_basins(),
     "kde_contours": _sql_kde_contours(),
     "map_match": _sql_map_match(),
     "areal_transfer": _sql_areal_transfer(),
