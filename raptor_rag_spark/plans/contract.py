@@ -4673,6 +4673,121 @@ SELECT vec_id, chord, (2.0 * {res}) AS arc FROM b
 """
 
 
+_RHUMB_EPS = 1e-12
+_PI = 3.141592653589793
+_TWO_PI = 6.283185307179586
+_PI_4 = 0.7853981633974483
+
+
+def _rhumb_consts():
+    """Plan-time loxodrome constants at the reference point, computed with
+    the SAME twin kernels the engines run — ψ₁ = ln tan(π/4 + φ₁/2) and
+    cos φ₁ — so both plans fold identical doubles."""
+    from ..functions import trig as TR
+    from ..functions.sqlgen import ln_py
+
+    hlat1 = _PI_4 + GEO_LAT0 * 0.5
+    psi1 = ln_py(TR.sin_py(hlat1) / TR.cos_py(hlat1))
+    return psi1, TR.cos_py(GEO_LAT0)
+
+
+def q_rhumb_line(spark, sf_dir):
+    """Rhumb-line (loxodrome) navigation from the reference point to every
+    vector: constant-bearing course θ = atan2(Δλ, Δψ) with the Mercator
+    meridian-parts stretch Δψ = ln tan(π/4+φ₂/2) − ln tan(π/4+φ₁/2), and
+    the rhumb distance √(Δφ² + q²Δλ²), q = Δφ/Δψ (cos φ₁ on the E-W
+    degenerate course) — the navigation twin of geo_bearing/geo_arc, built
+    entirely from the twin sin/cos/ln/atan2 so it hashes identically on
+    DuckDB. Zero shuffle: one projection chain over the embeddings scan
+    with narrow staging barriers (the same CollapseProject hazard handling
+    as geo_bearing)."""
+    from ..functions import trig as TR
+
+    psi1, cos1 = _rhumb_consts()
+    base = q_geo_chord(spark, sf_dir).select("vec_id", "lon", "lat")
+    dlon_raw = F.col("lon") - F.lit(GEO_LON0)
+    dlon = (
+        F.when(dlon_raw > F.lit(_PI), dlon_raw - F.lit(_TWO_PI))
+        .when(dlon_raw < F.lit(-_PI), dlon_raw + F.lit(_TWO_PI))
+        .otherwise(dlon_raw)
+    )
+    s1 = base.select(
+        "vec_id",
+        "lat",
+        dlon.alias("dlon"),
+        (F.lit(_PI_4) + F.col("lat") * F.lit(0.5)).alias("hlat"),
+    ).localCheckpoint(eager=False)
+    s2 = s1.select(
+        "vec_id",
+        "lat",
+        "dlon",
+        (TR.sin_col(F.col("hlat")) / TR.cos_col(F.col("hlat"))).alias("tanv"),
+    ).localCheckpoint(eager=False)
+    s3 = s2.select(
+        "vec_id",
+        "dlon",
+        (F.col("lat") - F.lit(GEO_LAT0)).alias("dphi"),
+        (G.ln_col(F.col("tanv")) - F.lit(psi1)).alias("dpsi"),
+    ).localCheckpoint(eager=False)
+    q = (
+        F.when(F.abs(F.col("dpsi")) > F.lit(_RHUMB_EPS), F.col("dphi") / F.col("dpsi"))
+        .otherwise(F.lit(cos1))
+    )
+    s4 = s3.select("vec_id", "dlon", "dphi", "dpsi", q.alias("q")).localCheckpoint(
+        eager=False
+    )
+    deg = TR.atan2_col(F.col("dlon"), F.col("dpsi")) * F.lit(RAD2DEG)
+    return s4.select(
+        "vec_id",
+        F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg).alias("bearing_deg"),
+        F.sqrt(
+            F.col("dphi") * F.col("dphi")
+            + (F.col("q") * F.col("q")) * (F.col("dlon") * F.col("dlon"))
+        ).alias("rhumb_dist"),
+    )
+
+
+def _sql_rhumb_line() -> str:
+    from ..functions import trig as TR
+    from ..functions.hexgen import flit
+    from ..functions.sqlgen import ln_sql
+
+    psi1, cos1 = _rhumb_consts()
+    x, y = G.xy_sql("embedding", DIM)
+    stage, result = TR.atan2_sql("dlon", "dpsi")
+    deg = f"({result} * {flit(RAD2DEG)})"
+    return f"""
+WITH pts AS (
+  SELECT vec_id,
+         (({x}) - 0.5) * {flit(2.0 * _PI)} AS lon,
+         (({y}) - 0.5) * {flit(_PI)} AS lat
+  FROM embeddings),
+d0 AS (SELECT vec_id, lat, (lon - {flit(GEO_LON0)}) AS dlr FROM pts),
+d AS (SELECT vec_id, lat,
+             CASE WHEN dlr > {flit(_PI)} THEN dlr - {flit(_TWO_PI)}
+                  WHEN dlr < {flit(-_PI)} THEN dlr + {flit(_TWO_PI)}
+                  ELSE dlr END AS dlon,
+             ({flit(_PI_4)} + lat * 0.5) AS hlat
+      FROM d0),
+t AS (SELECT vec_id, lat, dlon,
+             ({TR.sin_sql("hlat")} / {TR.cos_sql("hlat")}) AS tanv
+      FROM d),
+p AS (SELECT vec_id, dlon,
+             (lat - {flit(GEO_LAT0)}) AS dphi,
+             ({ln_sql("tanv")} - {flit(psi1)}) AS dpsi
+      FROM t),
+e AS (SELECT vec_id, dlon, dphi, dpsi,
+             CASE WHEN abs(dpsi) > {flit(_RHUMB_EPS)} THEN dphi / dpsi
+                  ELSE {flit(cos1)} END AS q
+      FROM p),
+s AS (SELECT vec_id, dlon, dphi, dpsi, q, {stage} AS atr FROM e)
+SELECT vec_id,
+       CASE WHEN {deg} < 0 THEN {deg} + 360.0 ELSE {deg} END AS bearing_deg,
+       sqrt(dphi * dphi + (q * q) * (dlon * dlon)) AS rhumb_dist
+FROM s
+"""
+
+
 def q_hex_viewport(spark, sf_dir):
     """Tile-server viewport read on the hex lattice: occupied hexes whose
     CENTER falls in the query bbox, with their ring-smoothed densities —
@@ -5173,6 +5288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_knn": q_geo_knn,
     "geo_bearing": q_geo_bearing,
     "geo_arc": q_geo_arc,
+    "rhumb_line": q_rhumb_line,
     "path_rollup": q_path_rollup,
     "host_distances": q_host_distances,
     "host_communities": q_host_communities,
@@ -5408,6 +5524,7 @@ ORACLES: dict[str, str] = {
     "geo_knn": _sql_geo_knn(),
     "geo_bearing": _sql_geo_bearing(),
     "geo_arc": _sql_geo_arc(),
+    "rhumb_line": _sql_rhumb_line(),
     "path_rollup": _sql_path_rollup(),
     "host_distances": _sql_host_distances(),
     "host_communities": _sql_host_communities(),

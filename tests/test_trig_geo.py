@@ -186,3 +186,37 @@ def test_inline_guard_rejects_compound_arguments():
     # the documented contract still works: simple refs and short literals
     assert "CASE" in T.sin_sql("lat")
     assert "power" in G.exp_sql("(-(s / CAST(n AS DOUBLE)))")
+
+
+def test_rhumb_line_matches_libm_navigation(spark):
+    """q_rhumb_line semantics vs the textbook loxodrome formulas computed
+    with libm (approx — the twin kernels agree with libm to ~4e-16): bearing
+    = atan2(Δλ, Δψ), distance = √(Δφ² + q²Δλ²) on the unit sphere."""
+    from raptor_rag_spark.plans.contract import (
+        GEO_LAT0,
+        GEO_LON0,
+        q_geo_chord,
+        q_rhumb_line,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = {
+        r["vec_id"]: (r["lon"], r["lat"])
+        for r in q_geo_chord(spark, sf_dir).select("vec_id", "lon", "lat").collect()
+    }
+    got = {r["vec_id"]: r for r in q_rhumb_line(spark, sf_dir).collect()}
+    assert set(got) == set(pts)
+    psi1 = math.log(math.tan(math.pi / 4 + GEO_LAT0 / 2))
+    for vid, (lon, lat) in list(pts.items())[:200]:
+        dlon = lon - GEO_LON0
+        if dlon > math.pi:
+            dlon -= 2 * math.pi
+        elif dlon < -math.pi:
+            dlon += 2 * math.pi
+        dpsi = math.log(math.tan(math.pi / 4 + lat / 2)) - psi1
+        dphi = lat - GEO_LAT0
+        brg = math.degrees(math.atan2(dlon, dpsi)) % 360.0
+        q = dphi / dpsi if abs(dpsi) > 1e-12 else math.cos(GEO_LAT0)
+        dist = math.sqrt(dphi * dphi + q * q * dlon * dlon)
+        assert abs(got[vid]["bearing_deg"] - brg) < 1e-9, vid
+        assert abs(got[vid]["rhumb_dist"] - dist) < 1e-12, vid
