@@ -342,3 +342,165 @@ SELECT {id_col}, min(cell_id) AS cell_id, count(*)::BIGINT AS n_events,
 FROM runs GROUP BY {id_col}, run_id
 HAVING count(*) >= {min_events}
 """
+
+
+def traj_resample(
+    events_xy: DataFrame, n_samples: int = 8, id_col: str = "user_id"
+) -> DataFrame:
+    """(id, sample_idx, sx, sy): each trajectory resampled to ``n_samples``
+    points at equal fractions of its cumulative arc length — the standard
+    normalization before cross-trajectory comparison (Frechet/DTW inputs
+    of equal length), and the polyline decimation a tile renderer applies
+    before drawing long paths.
+
+    Per trajectory (ordered by ts, event_id): vertex i carries the running
+    arc length cum_i, accumulated in DECIMAL(28,15) so the running sum is
+    order-exact and engine-identical (a double running sum would depend on
+    the engine's window-aggregation tree). Target j sits at distance
+    d_j = (j/(n-1))·L; the covering segment is the LOWEST-index segment
+    with cum_i ≤ d_j ≤ cum_{i+1}, and the sample is the linear interpolation
+    inside it (t = 0 on zero-length segments). Single-point trajectories
+    repeat their point n_samples times.
+
+    Scale shape: ONE shuffle (the per-trajectory window), then a bounded
+    n_samples× fan-out of the per-trajectory head row joined back to the
+    segment list — per-trajectory work is O(n_points · n_samples), never a
+    cross-trajectory product."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("ts", "event_id")
+    seg = F.sqrt(
+        (F.col("x") - F.lag("x").over(w)) * (F.col("x") - F.lag("x").over(w))
+        + (F.col("y") - F.lag("y").over(w)) * (F.col("y") - F.lag("y").over(w))
+    )
+    cum = F.sum(F.coalesce(seg.cast(DEC), F.lit(0).cast(DEC))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = events_xy.select(
+        F.col(id_col).alias("tid"),
+        "ts",
+        "event_id",
+        "x",
+        "y",
+        cum.cast("double").alias("cum"),
+        (F.row_number().over(w) - 1).alias("vidx"),
+    )
+    wv = Window.partitionBy("tid").orderBy("vidx")
+    segs = pts.select(
+        "tid",
+        "vidx",
+        F.col("x").alias("x0"),
+        F.col("y").alias("y0"),
+        F.col("cum").alias("c0"),
+        F.lead("x").over(wv).alias("x1"),
+        F.lead("y").over(wv).alias("y1"),
+        F.lead("cum").over(wv).alias("c1"),
+    ).where(F.col("x1").isNotNull())
+    heads = (
+        pts.where(F.col("vidx") == 0)
+        .join(
+            pts.groupBy("tid").agg(F.max("cum").alias("total")),
+            "tid",
+        )
+        .select("tid", F.col("x").alias("hx"), F.col("y").alias("hy"), "total")
+    )
+    jcol = F.explode(
+        F.array(*[F.lit(j) for j in range(n_samples)])
+    ).alias("sample_idx")
+    targets = heads.select("tid", "hx", "hy", "total", jcol).select(
+        "tid",
+        "hx",
+        "hy",
+        "sample_idx",
+        (
+            F.col("sample_idx").cast("double")
+            / F.lit(float(n_samples - 1))
+            * F.col("total")
+        ).alias("d"),
+    )
+    cand = targets.join(segs, "tid", "left").where(
+        F.col("vidx").isNull()
+        | ((F.col("c0") <= F.col("d")) & (F.col("d") <= F.col("c1")))
+    )
+    pick = Window.partitionBy("tid", "sample_idx").orderBy(
+        F.col("vidx").asc_nulls_last()
+    )
+    t = F.when(
+        F.col("c1") > F.col("c0"),
+        (F.col("d") - F.col("c0")) / (F.col("c1") - F.col("c0")),
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("tid").alias(id_col),
+            F.col("sample_idx").cast("long").alias("sample_idx"),
+            F.round(
+                F.coalesce(F.col("x0") + t * (F.col("x1") - F.col("x0")), F.col("hx")),
+                9,
+            ).alias("sx"),
+            F.round(
+                F.coalesce(F.col("y0") + t * (F.col("y1") - F.col("y0")), F.col("hy")),
+                9,
+            ).alias("sy"),
+        )
+    )
+
+
+def traj_resample_sql(
+    events_xy_sql: str, n_samples: int = 8, id_col: str = "user_id"
+) -> str:
+    """DuckDB twin of :func:`traj_resample`."""
+    return f"""
+WITH ev AS ({events_xy_sql}),
+p0 AS (
+  SELECT {id_col} AS tid, ts, event_id, x, y,
+         CAST(sqrt(
+             (x - lag(x) OVER w) * (x - lag(x) OVER w)
+             + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+           ) AS {DEC}) AS segd,
+         row_number() OVER w - 1 AS vidx
+  FROM ev
+  WINDOW w AS (PARTITION BY {id_col} ORDER BY ts, event_id)
+),
+pts AS (
+  SELECT tid, ts, event_id, x, y, vidx,
+         CAST(sum(coalesce(segd, CAST(0 AS {DEC})))
+           OVER (PARTITION BY tid ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+  FROM p0
+),
+segs AS (
+  SELECT tid, vidx, x AS x0, y AS y0, cum AS c0,
+         lead(x) OVER wv AS x1, lead(y) OVER wv AS y1, lead(cum) OVER wv AS c1
+  FROM pts
+  WINDOW wv AS (PARTITION BY tid ORDER BY vidx)
+  QUALIFY x1 IS NOT NULL
+),
+heads AS (
+  SELECT p.tid, p.x AS hx, p.y AS hy, tot.total
+  FROM pts p
+  JOIN (SELECT tid, max(cum) AS total FROM pts GROUP BY tid) tot ON tot.tid = p.tid
+  WHERE p.vidx = 0
+),
+targets AS (
+  SELECT tid, hx, hy, j.sample_idx,
+         (CAST(j.sample_idx AS DOUBLE) / {float(n_samples - 1)!r}) * total AS d
+  FROM heads,
+       (SELECT unnest(range({n_samples})) AS sample_idx) j
+),
+cand AS (
+  SELECT tg.tid, tg.sample_idx, tg.hx, tg.hy, tg.d,
+         s.vidx, s.x0, s.y0, s.c0, s.x1, s.y1, s.c1
+  FROM targets tg LEFT JOIN segs s ON s.tid = tg.tid
+  WHERE s.vidx IS NULL OR (s.c0 <= tg.d AND tg.d <= s.c1)
+  QUALIFY row_number() OVER (
+    PARTITION BY tg.tid, tg.sample_idx ORDER BY s.vidx ASC NULLS LAST) = 1
+)
+SELECT tid AS {id_col}, sample_idx,
+       round(coalesce(x0 + (CASE WHEN c1 > c0 THEN (d - c0) / (c1 - c0)
+                                 ELSE 0.0 END) * (x1 - x0), hx), 9) AS sx,
+       round(coalesce(y0 + (CASE WHEN c1 > c0 THEN (d - c0) / (c1 - c0)
+                                 ELSE 0.0 END) * (y1 - y0), hy), 9) AS sy
+FROM cand
+"""

@@ -3655,6 +3655,49 @@ JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
     return trajectory_stats_sql(ev_xy)
 
 
+def q_traj_resample(spark, sf_dir):
+    """Arc-length trajectory resampling (operators/spacetime.py:
+    traj_resample): every user's event walk reduced to 8 points at equal
+    fractions of its cumulative path length — the normalization step before
+    cross-trajectory similarity and the decimation a tile renderer applies
+    to long paths. DECIMAL-exact running arc length keeps the interpolation
+    engine-identical."""
+    from ..operators.spacetime import traj_resample
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    return traj_resample(pts, n_samples=8)
+
+
+def _sql_traj_resample() -> str:
+    from ..operators.spacetime import traj_resample_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    ev_xy = f"""
+SELECT e.user_id, e.event_id, e.ts,
+       greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+       greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+FROM events e
+JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+  ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id
+"""
+    return traj_resample_sql(ev_xy, n_samples=8)
+
+
 TRAJ_USERS = 6  # trajectories compared pairwise (metadata-scale demo set)
 TRAJ_MAXLEN = 12  # per-trajectory point cap (sizes the twin's DP lists)
 
@@ -5314,6 +5357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "emerging_hotspots": q_emerging_hotspots,
     "trajectories": q_trajectories,
+    "traj_resample": q_traj_resample,
     "traj_hausdorff": q_traj_hausdorff,
     "traj_frechet": q_traj_frechet,
     "host_pagerank": q_host_pagerank,
@@ -5550,6 +5594,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": _sql_decontaminate(),
     "emerging_hotspots": _sql_emerging_hotspots(),
     "trajectories": _sql_trajectories(),
+    "traj_resample": _sql_traj_resample(),
     "traj_hausdorff": _sql_traj_hausdorff(),
     "traj_frechet": _sql_traj_frechet(),
     "host_pagerank": _sql_host_pagerank(),

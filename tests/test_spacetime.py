@@ -143,3 +143,52 @@ def test_trajectory_stats(spark):
     )
     got = sorted(tuple(r) for r in trajectory_stats(df).collect())
     assert got == want
+
+
+def test_traj_resample_matches_dense_reference(spark):
+    """Arc-length resampling vs a pure-Python polyline walk: equal-fraction
+    targets, lowest covering segment, linear interpolation, single-point
+    trajectories repeat their point."""
+    import math
+
+    from raptor_rag_spark.operators.spacetime import traj_resample
+
+    trajs = {
+        1: [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)],          # L-shape
+        2: [(0.2, 0.3)],                                   # single point
+        3: [(0.0, 0.0), (0.0, 0.0), (0.5, 0.5)],           # zero-length seg
+        4: [(0.1, 0.9), (0.4, 0.5), (0.9, 0.6), (0.2, 0.2)],
+    }
+    rows = [
+        (uid, i, float(i), x, y)
+        for uid, pts in trajs.items()
+        for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, x double, y double"
+    )
+    k = 8
+    got = {
+        (r["user_id"], r["sample_idx"]): (r["sx"], r["sy"])
+        for r in traj_resample(df, n_samples=k).collect()
+    }
+    for uid, pts in trajs.items():
+        cum = [0.0]
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            cum.append(cum[-1] + math.hypot(x1 - x0, y1 - y0))
+        total = cum[-1]
+        for j in range(k):
+            d = (j / (k - 1)) * total
+            if len(pts) == 1:
+                ex, ey = pts[0]
+            else:
+                seg = next(
+                    i for i in range(len(pts) - 1) if cum[i] <= d <= cum[i + 1]
+                )
+                ln = cum[seg + 1] - cum[seg]
+                t = (d - cum[seg]) / ln if ln > 0 else 0.0
+                ex = pts[seg][0] + t * (pts[seg + 1][0] - pts[seg][0])
+                ey = pts[seg][1] + t * (pts[seg + 1][1] - pts[seg][1])
+            sx, sy = got[(uid, j)]
+            assert abs(sx - ex) < 1e-8 and abs(sy - ey) < 1e-8, (uid, j)
+    assert len(got) == len(trajs) * k
