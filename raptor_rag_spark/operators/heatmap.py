@@ -1040,3 +1040,278 @@ SELECT {cell} AS cell_id, tix AS ix, tiy AS iy,
          AS hillshade
 FROM sums JOIN r ON r.ix = sums.tix AND r.iy = sums.tiy
 """
+
+
+# ---------------------------------------------------------------- kriging
+
+def kriging_surface(
+    raster: DataFrame,
+    res: int,
+    rng: float = 0.08,
+    nugget: float = 0.05,
+    value_col: str = "density",
+) -> DataFrame:
+    """(cell_id, ix, iy, pred, kvar): SIMPLE KRIGING prediction at every
+    unsampled cell within Chebyshev distance 2 of a sampled cell — the
+    geostatistical tail of the variography stack (semivariogram →
+    variogram_fit → kriging), i.e. the statistically-weighted upgrade of
+    ``idw_surface``.
+
+    Model: exponential covariance C(h) = exp(−h/rng) with a nugget on the
+    diagonal, known mean = the global sample mean (simple kriging). Each
+    target uses its k = 3 nearest samples (ties broken on (dist, ix, iy));
+    targets with fewer than 3 candidate samples in the 5×5 window are
+    dropped. The 3×3 system C·w = c is solved in closed form by Cramer's
+    rule — determinants are explicit pinned-order polynomials and the
+    covariances come from the twin ``exp``, so the DuckDB twin
+    hash-matches bit-for-bit. ``kvar`` = (1+nugget) − wᵀc is the kriging
+    variance (the model's own uncertainty raster band).
+
+    Scale shape: one bounded 25× fan-out of the sample cells, one
+    metadata-scale window rank, one pivot groupBy — everything runs on the
+    ≤4^res cell table, never on the corpus; the mean is one exact-DECIMAL
+    global aggregate broadcast to the cell table."""
+    from ..functions.sqlgen import exp_col
+
+    n = 1 << res
+    s = 1.0 / float(n)
+    diag = 1.0 + nugget
+    samples = raster.select("ix", "iy", F.col(value_col).alias("z"))
+    mu_df = samples.agg(
+        (
+            F.sum(F.col("z").cast("decimal(28,15)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu")
+    )
+    offs = F.explode(F.sequence(F.lit(-2), F.lit(2)))
+    pairs = (
+        samples.select(F.col("ix").alias("six"), F.col("iy").alias("siy"), "z")
+        .select("six", "siy", "z", offs.alias("dx"))
+        .select("six", "siy", "z", "dx", offs.alias("dy"))
+        .select(
+            (F.col("six") + F.col("dx")).alias("tix"),
+            (F.col("siy") + F.col("dy")).alias("tiy"),
+            "six",
+            "siy",
+            "z",
+        )
+        .where(
+            (F.col("tix") >= 0)
+            & (F.col("tix") <= n - 1)
+            & (F.col("tiy") >= 0)
+            & (F.col("tiy") <= n - 1)
+        )
+    )
+    targets = (
+        pairs.select("tix", "tiy")
+        .distinct()
+        .join(
+            samples.select(
+                F.col("ix").alias("tix"), F.col("iy").alias("tiy")
+            ),
+            ["tix", "tiy"],
+            "left_anti",
+        )
+    )
+    ddx = F.col("tix") - F.col("six")
+    ddy = F.col("tiy") - F.col("siy")
+    dist = F.sqrt((ddx * ddx + ddy * ddy).cast("double")) * F.lit(s)
+    cand = pairs.join(targets, ["tix", "tiy"]).withColumn("d", dist)
+    from pyspark.sql import Window
+
+    rnw = Window.partitionBy("tix", "tiy").orderBy(
+        F.col("d").asc(), F.col("six").asc(), F.col("siy").asc()
+    )
+    top = cand.withColumn("rn", F.row_number().over(rnw)).where(F.col("rn") <= 3)
+    aggs = [F.count(F.lit(1)).alias("n_nb")]
+    for j in (1, 2, 3):
+        for c in ("six", "siy", "z", "d"):
+            aggs.append(
+                F.max(F.when(F.col("rn") == j, F.col(c))).alias(f"{c}{j}")
+            )
+    piv = top.groupBy("tix", "tiy").agg(*aggs).where(F.col("n_nb") == 3)
+
+    def _pd(i: int, j: int):
+        dx = F.col(f"six{i}") - F.col(f"six{j}")
+        dy = F.col(f"siy{i}") - F.col(f"siy{j}")
+        return F.sqrt((dx * dx + dy * dy).cast("double")) * F.lit(s)
+
+    staged = piv.select(
+        "tix",
+        "tiy",
+        "z1",
+        "z2",
+        "z3",
+        (-(F.col("d1") / F.lit(rng))).alias("h1"),
+        (-(F.col("d2") / F.lit(rng))).alias("h2"),
+        (-(F.col("d3") / F.lit(rng))).alias("h3"),
+        (-(_pd(1, 2) / F.lit(rng))).alias("g12"),
+        (-(_pd(1, 3) / F.lit(rng))).alias("g13"),
+        (-(_pd(2, 3) / F.lit(rng))).alias("g23"),
+    ).localCheckpoint(eager=False)
+    ex = staged.select(
+        "tix",
+        "tiy",
+        "z1",
+        "z2",
+        "z3",
+        exp_col(F.col("h1")).alias("c1"),
+        exp_col(F.col("h2")).alias("c2"),
+        exp_col(F.col("h3")).alias("c3"),
+        exp_col(F.col("g12")).alias("e12"),
+        exp_col(F.col("g13")).alias("e13"),
+        exp_col(F.col("g23")).alias("e23"),
+    ).localCheckpoint(eager=False)
+    dg = F.lit(diag)
+    det = (
+        dg * (dg * dg - F.col("e23") * F.col("e23"))
+        - F.col("e12") * (F.col("e12") * dg - F.col("e23") * F.col("e13"))
+        + F.col("e13") * (F.col("e12") * F.col("e23") - dg * F.col("e13"))
+    )
+    w1n = (
+        F.col("c1") * (dg * dg - F.col("e23") * F.col("e23"))
+        - F.col("e12") * (F.col("c2") * dg - F.col("e23") * F.col("c3"))
+        + F.col("e13") * (F.col("c2") * F.col("e23") - dg * F.col("c3"))
+    )
+    w2n = (
+        dg * (F.col("c2") * dg - F.col("e23") * F.col("c3"))
+        - F.col("c1") * (F.col("e12") * dg - F.col("e23") * F.col("e13"))
+        + F.col("e13") * (F.col("e12") * F.col("c3") - F.col("c2") * F.col("e13"))
+    )
+    w3n = (
+        dg * (dg * F.col("c3") - F.col("c2") * F.col("e23"))
+        - F.col("e12") * (F.col("e12") * F.col("c3") - F.col("c2") * F.col("e13"))
+        + F.col("c1") * (F.col("e12") * F.col("e23") - dg * F.col("e13"))
+    )
+    solved = ex.select(
+        "tix",
+        "tiy",
+        "z1",
+        "z2",
+        "z3",
+        "c1",
+        "c2",
+        "c3",
+        (w1n / det).alias("w1"),
+        (w2n / det).alias("w2"),
+        (w3n / det).alias("w3"),
+    )
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("tix"), COORD_BITS))
+        .bitwiseOR(F.col("tiy"))
+    )
+    pred = F.col("mu") + (
+        (
+            F.col("w1") * (F.col("z1") - F.col("mu"))
+            + F.col("w2") * (F.col("z2") - F.col("mu"))
+        )
+        + F.col("w3") * (F.col("z3") - F.col("mu"))
+    )
+    kvar = F.lit(diag) - (
+        (F.col("w1") * F.col("c1") + F.col("w2") * F.col("c2"))
+        + F.col("w3") * F.col("c3")
+    )
+    return solved.crossJoin(F.broadcast(mu_df)).select(
+        cell.alias("cell_id"),
+        F.col("tix").alias("ix"),
+        F.col("tiy").alias("iy"),
+        pred.alias("pred"),
+        kvar.alias("kvar"),
+    )
+
+
+def kriging_surface_sql(
+    raster_sql: str,
+    res: int,
+    rng: float = 0.08,
+    nugget: float = 0.05,
+    value_col: str = "density",
+) -> str:
+    """DuckDB twin of :func:`kriging_surface`."""
+    from ..functions.sqlgen import exp_sql
+
+    n = 1 << res
+    s = 1.0 / float(n)
+    diag = repr(1.0 + nugget)
+    cell = (
+        f"(({res}::BIGINT << {RES_SHIFT})"
+        f" | (CAST(tix AS BIGINT) << {COORD_BITS}) | tiy)"
+    )
+
+    def pd_(i: int, j: int) -> str:
+        return (
+            f"(sqrt(CAST((six{i} - six{j}) * (six{i} - six{j})"
+            f" + (siy{i} - siy{j}) * (siy{i} - siy{j}) AS DOUBLE)) * {s!r})"
+        )
+
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN rn = {j} THEN {c} END) AS {c}{j}"
+        for j in (1, 2, 3)
+        for c in ("six", "siy", "z", "d")
+    )
+    e = {k: exp_sql(k) for k in ("h1", "h2", "h3", "g12", "g13", "g23")}
+    return f"""
+WITH samples AS (SELECT ix, iy, {value_col} AS z FROM ({raster_sql})),
+m AS (SELECT CAST(sum(CAST(z AS DECIMAL(28,15))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mu FROM samples),
+pairs AS (
+  SELECT s.ix + dx.dx AS tix, s.iy + dy.dy AS tiy, s.ix AS six, s.iy AS siy, s.z
+  FROM samples s,
+       (SELECT unnest(generate_series(-2, 2)) AS dx) dx,
+       (SELECT unnest(generate_series(-2, 2)) AS dy) dy
+  WHERE s.ix + dx.dx BETWEEN 0 AND {n - 1} AND s.iy + dy.dy BETWEEN 0 AND {n - 1}),
+targets AS (
+  SELECT DISTINCT tix, tiy FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM samples q WHERE q.ix = p.tix AND q.iy = p.tiy)),
+cand AS (
+  SELECT p.tix, p.tiy, p.six, p.siy, p.z,
+         sqrt(CAST((p.tix - p.six) * (p.tix - p.six)
+                   + (p.tiy - p.siy) * (p.tiy - p.siy) AS DOUBLE)) * {s!r} AS d
+  FROM pairs p JOIN targets t ON t.tix = p.tix AND t.tiy = p.tiy),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY tix, tiy ORDER BY d ASC, six ASC, siy ASC) AS rn
+    FROM cand) WHERE rn <= 3),
+piv AS (
+  SELECT tix, tiy, count(*) AS n_nb, {pivot_cols}
+  FROM top GROUP BY tix, tiy HAVING count(*) = 3),
+staged AS (
+  SELECT tix, tiy, z1, z2, z3,
+         (-(d1 / {rng!r})) AS h1, (-(d2 / {rng!r})) AS h2, (-(d3 / {rng!r})) AS h3,
+         (-({pd_(1, 2)} / {rng!r})) AS g12,
+         (-({pd_(1, 3)} / {rng!r})) AS g13,
+         (-({pd_(2, 3)} / {rng!r})) AS g23
+  FROM piv),
+ex AS (
+  SELECT tix, tiy, z1, z2, z3,
+         {e['h1']} AS c1, {e['h2']} AS c2, {e['h3']} AS c3,
+         {e['g12']} AS e12, {e['g13']} AS e13, {e['g23']} AS e23
+  FROM staged),
+solved AS (
+  SELECT tix, tiy, z1, z2, z3, c1, c2, c3,
+         ((c1 * ({diag} * {diag} - e23 * e23)
+           - e12 * (c2 * {diag} - e23 * c3)
+           + e13 * (c2 * e23 - {diag} * c3))
+          / ({diag} * ({diag} * {diag} - e23 * e23)
+             - e12 * (e12 * {diag} - e23 * e13)
+             + e13 * (e12 * e23 - {diag} * e13))) AS w1,
+         (({diag} * (c2 * {diag} - e23 * c3)
+           - c1 * (e12 * {diag} - e23 * e13)
+           + e13 * (e12 * c3 - c2 * e13))
+          / ({diag} * ({diag} * {diag} - e23 * e23)
+             - e12 * (e12 * {diag} - e23 * e13)
+             + e13 * (e12 * e23 - {diag} * e13))) AS w2,
+         (({diag} * ({diag} * c3 - c2 * e23)
+           - e12 * (e12 * c3 - c2 * e13)
+           + c1 * (e12 * e23 - {diag} * e13))
+          / ({diag} * ({diag} * {diag} - e23 * e23)
+             - e12 * (e12 * {diag} - e23 * e13)
+             + e13 * (e12 * e23 - {diag} * e13))) AS w3
+  FROM ex)
+SELECT {cell} AS cell_id, tix AS ix, tiy AS iy,
+       (mu + ((w1 * (z1 - mu) + w2 * (z2 - mu)) + w3 * (z3 - mu))) AS pred,
+       ({diag} - ((w1 * c1 + w2 * c2) + w3 * c3)) AS kvar
+FROM solved, m
+"""

@@ -3321,6 +3321,25 @@ def _sql_variogram_fit() -> str:
     return variogram_fit_sql(_sql_semivariogram())
 
 
+def q_kriging(spark, sf_dir):
+    """Simple-kriging interpolation of the KDE raster onto its unsampled
+    halo cells (exponential covariance, 3 nearest samples, Cramer 3×3
+    closed form) with the kriging-variance band — the geostatistical end
+    of the variography stack (semivariogram → variogram_fit → kriging)."""
+    from ..operators.heatmap import kde_heatmap, kriging_surface
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW)
+    return kriging_surface(raster, res=KDE_RES)
+
+
+def _sql_kriging() -> str:
+    from ..operators.heatmap import kriging_surface_sql
+
+    return kriging_surface_sql(_sql_kde_heatmap(), res=KDE_RES)
+
+
 def q_region_boundary(spark, sf_dir):
     """Raster→vector outline extraction: the exact marching-squares edge set
     of the KDE hotspot region (density ≥ threshold) as unit-cell segments —
@@ -5303,6 +5322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kde_geary": q_kde_geary,
     "semivariogram": q_semivariogram,
     "variogram_fit": q_variogram_fit,
+    "kriging": q_kriging,
     "region_boundary": q_region_boundary,
     "distance_transform": q_distance_transform,
     "hilbert_layout": q_hilbert_layout,
@@ -5540,6 +5560,7 @@ ORACLES: dict[str, str] = {
     "kde_geary": _sql_kde_geary(),
     "semivariogram": _sql_semivariogram(),
     "variogram_fit": _sql_variogram_fit(),
+    "kriging": _sql_kriging(),
     "region_boundary": _sql_region_boundary(),
     "distance_transform": _sql_distance_transform(),
     "hilbert_layout": _sql_hilbert_layout(),

@@ -188,3 +188,56 @@ def test_triangle_count_matches_bruteforce(spark):
     assert set(got) == set(nbrs)
     for h in nbrs:
         assert got[h] == (len(nbrs[h]), exp_tri[h]), h
+
+
+# --------------------------------------------------------------- kriging
+
+
+def test_kriging_matches_numpy_solve(spark):
+    """Simple-kriging predictions equal the numpy linear-algebra reference:
+    for each unsampled target, solve C w = c with the exponential covariance
+    over its 3 nearest samples and check pred = mu + w.(z - mu) and
+    kvar = (1 + nugget) - w.c."""
+    from raptor_rag_spark.operators.heatmap import kriging_surface
+
+    res, rng_, nug = 4, 0.08, 0.05
+    n = 1 << res
+    s = 1.0 / n
+    samples = [(2, 3, 1.0), (3, 3, 2.0), (2, 5, 0.5), (6, 6, 3.0), (7, 6, 1.5),
+               (6, 8, 2.5), (12, 2, 4.0), (13, 2, 0.25), (12, 4, 1.75)]
+    df = spark.createDataFrame(samples, "ix long, iy long, density double")
+    got = {(r["ix"], r["iy"]): (r["pred"], r["kvar"])
+           for r in kriging_surface(df, res=res, rng=rng_, nugget=nug).collect()}
+
+    mu = float(np.mean([z for _, _, z in samples]))
+    spts = {(x, y): z for x, y, z in samples}
+    targets = set()
+    for (sx, sy), _ in spts.items():
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                t = (sx + dx, sy + dy)
+                if 0 <= t[0] < n and 0 <= t[1] < n and t not in spts:
+                    targets.add(t)
+    exp = {}
+    for tx, ty in sorted(targets):
+        cands = sorted(
+            ((np.hypot(tx - sx, ty - sy) * s, sx, sy, z)
+             for (sx, sy), z in spts.items()
+             if abs(tx - sx) <= 2 and abs(ty - sy) <= 2),
+        )[:3]
+        if len(cands) < 3:
+            continue
+        C = np.empty((3, 3))
+        for i in range(3):
+            for j in range(3):
+                h = np.hypot(cands[i][1] - cands[j][1], cands[i][2] - cands[j][2]) * s
+                C[i, j] = np.exp(-h / rng_) if i != j else 1.0 + nug
+        c = np.array([np.exp(-d / rng_) for d, *_ in cands])
+        z = np.array([cz for *_, cz in cands])
+        w = np.linalg.solve(C, c)
+        exp[(tx, ty)] = (mu + float(w @ (z - mu)), (1.0 + nug) - float(w @ c))
+    assert set(got) == set(exp)
+    for k, (p, v) in exp.items():
+        assert got[k][0] == pytest.approx(p, rel=1e-6, abs=1e-9), k
+        assert got[k][1] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+        assert got[k][1] > 0.0
