@@ -5204,6 +5204,21 @@ def _sql_bm25_delete() -> str:
     )
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keyword extraction: undirected adjacent-word co-occurrence
+    graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
+    fixed-round DECIMAL PageRank — top-20 corpus keywords."""
+    from ..operators.keywords import textrank_keywords
+
+    return textrank_keywords(ld(spark, sf_dir, "documents").select("text"))
+
+
+def _sql_textrank() -> str:
+    from ..operators.keywords import textrank_keywords_sql
+
+    return textrank_keywords_sql("SELECT text FROM documents")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5416,6 +5431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "covisit_topk": q_covisit_topk,
     "bm25_incremental": q_bm25_incremental,
     "bm25_delete": q_bm25_delete,
+    "textrank": q_textrank,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5649,5 +5665,6 @@ ORACLES: dict[str, str] = {
     # full-corpus BM25 twin (same params as bm25_rank)
     "bm25_incremental": _sql_bm25(10, (9, 10)),
     "bm25_delete": _sql_bm25_delete(),
+    "textrank": _sql_textrank(),
     **_sql_curation(),
 }
