@@ -504,3 +504,89 @@ SELECT tid AS {id_col}, sample_idx,
                                  ELSE 0.0 END) * (y1 - y0), hy), 9) AS sy
 FROM cand
 """
+
+
+def od_matrix(
+    events_xy: DataFrame,
+    res: int,
+    id_col: str = "user_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Origin–destination flow matrix: (o_cell, d_cell, n_trips, avg_len, rnk).
+
+    Each entity's trajectory (ordered by ts, event_id) is reduced to one
+    trip — first point → last point — and trips are aggregated into cell-
+    to-cell flows at resolution ``res``: the desire-line matrix of movement
+    analytics (commute flows, crawl-session drift between embedding-space
+    regions). ``avg_len`` is the mean straight-line (desire-line) length of
+    the flow's trips; the top-k flows by volume are returned with a dense
+    ordering rank.
+
+    Scale shape: ONE groupBy(id) with struct-ordered min/max picks each
+    trajectory's endpoints (no window, no second sort — same trick as
+    :func:`trajectory_stats`), then ONE groupBy on the (o_cell, d_cell)
+    pair — cell-pair cardinality, metadata scale. Trip lengths sum in
+    DECIMAL so the flow average is partition-order independent; top-k via
+    orderBy+limit plans as TakeOrderedAndProject.
+    """
+    pt = F.struct("ts", "event_id", "x", "y")
+    ends = events_xy.groupBy(id_col).agg(
+        F.min(pt).alias("p0"), F.max(pt).alias("p1")
+    )
+    length = F.sqrt(
+        (F.col("p1.x") - F.col("p0.x")) * (F.col("p1.x") - F.col("p0.x"))
+        + (F.col("p1.y") - F.col("p0.y")) * (F.col("p1.y") - F.col("p0.y"))
+    )
+    trips = ends.select(
+        G.cell_col(F.col("p0.x"), F.col("p0.y"), res).alias("o_cell"),
+        G.cell_col(F.col("p1.x"), F.col("p1.y"), res).alias("d_cell"),
+        length.cast(DEC).alias("len"),
+    )
+    flows = trips.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trips"),
+        F.sum("len").alias("len_sum"),
+    )
+    scored = flows.select(
+        "o_cell",
+        "d_cell",
+        "n_trips",
+        F.round(
+            F.col("len_sum").cast("double") / F.col("n_trips").cast("double"), 6
+        ).alias("avg_len"),
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("n_trips"), "o_cell", "d_cell").limit(top_k)
+    w = Window.orderBy(F.desc("n_trips"), "o_cell", "d_cell")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def od_matrix_sql(
+    events_xy_sql: str, res: int, id_col: str = "user_id", top_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`od_matrix`."""
+    return f"""
+WITH ev AS ({events_xy_sql}),
+ends AS (
+  SELECT {id_col},
+         min(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p0,
+         max(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p1
+  FROM ev GROUP BY 1),
+trips AS (
+  SELECT {G.cell_sql('p0.x', 'p0.y', res)} AS o_cell,
+         {G.cell_sql('p1.x', 'p1.y', res)} AS d_cell,
+         CAST(sqrt((p1.x - p0.x) * (p1.x - p0.x)
+                   + (p1.y - p0.y) * (p1.y - p0.y)) AS {DEC}) AS len
+  FROM ends),
+flows AS (
+  SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_trips, sum(len) AS len_sum
+  FROM trips GROUP BY 1, 2),
+scored AS (
+  SELECT o_cell, d_cell, n_trips,
+         round(CAST(len_sum AS DOUBLE) / CAST(n_trips AS DOUBLE), 6) AS avg_len
+  FROM flows)
+SELECT o_cell, d_cell, n_trips, avg_len, rnk FROM (
+  SELECT o_cell, d_cell, n_trips, avg_len,
+         CAST(row_number() OVER (ORDER BY n_trips DESC, o_cell, d_cell) AS BIGINT) AS rnk
+  FROM scored) WHERE rnk <= {top_k}
+"""

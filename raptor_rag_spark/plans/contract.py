@@ -5204,6 +5204,48 @@ def _sql_bm25_delete() -> str:
     )
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin–destination flow matrix (operators/spacetime.py: od_matrix):
+    each user's event trajectory reduced to first→last trip endpoints via
+    struct-ordered min/max (one groupBy, no window), flows aggregated on
+    (origin cell, destination cell) at res 4 — top-50 desire lines with
+    DECIMAL-exact mean trip length."""
+    from ..operators.spacetime import od_matrix
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    return od_matrix(pts, res=4)
+
+
+def _sql_od_matrix() -> str:
+    from ..operators.spacetime import od_matrix_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    ev_xy = f"""
+SELECT e.user_id, e.event_id, e.ts,
+       greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+       greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+FROM events e
+JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+  ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id
+"""
+    return od_matrix_sql(ev_xy, res=4)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5432,6 +5474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_incremental": q_bm25_incremental,
     "bm25_delete": q_bm25_delete,
     "textrank": q_textrank,
+    "od_matrix": q_od_matrix,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5666,5 +5709,6 @@ ORACLES: dict[str, str] = {
     "bm25_incremental": _sql_bm25(10, (9, 10)),
     "bm25_delete": _sql_bm25_delete(),
     "textrank": _sql_textrank(),
+    "od_matrix": _sql_od_matrix(),
     **_sql_curation(),
 }
