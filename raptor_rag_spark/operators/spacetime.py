@@ -590,3 +590,60 @@ SELECT o_cell, d_cell, n_trips, avg_len, rnk FROM (
          CAST(row_number() OVER (ORDER BY n_trips DESC, o_cell, d_cell) AS BIGINT) AS rnk
   FROM scored) WHERE rnk <= {top_k}
 """
+
+
+def traj_simplify(
+    events_xy: DataFrame,
+    min_area: float = 0.0005,
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Single-pass Visvalingam–Whyatt trajectory simplification:
+    (id, event_id, ts, x, y, area) — the points KEPT.
+
+    Every interior point gets its effective area — the area of the triangle
+    (prev, point, next) along the (ts, event_id)-ordered trajectory — and is
+    dropped when that area falls below ``min_area``; endpoints always
+    survive (area = NULL → kept). This is the one-pass variant (areas are
+    computed against the ORIGINAL neighbors, not recomputed after each
+    removal): deterministic, embarrassingly parallel, and the standard
+    choice when simplification must be a streaming map over a partitioned
+    corpus rather than an iterative heap algorithm. The decimation step a
+    tile renderer applies before drawing long paths at low zoom.
+
+    Scale shape: ONE shuffle — the window partitionBy(id); the area is six
+    subtractions and two multiplies of IEEE doubles evaluated in pinned
+    order on both engines, so the twin is hash-exact. No UDF, no iteration.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("ts", "event_id")
+    xp, yp = F.lag("x").over(w), F.lag("y").over(w)
+    xn, yn = F.lead("x").over(w), F.lead("y").over(w)
+    area = (
+        F.abs(
+            (F.col("x") - xp) * (yn - yp) - (xn - xp) * (F.col("y") - yp)
+        )
+        * 0.5
+    )
+    stepped = events_xy.select(
+        id_col, "event_id", "ts", "x", "y", F.round(area, 9).alias("area")
+    )
+    return stepped.where(F.col("area").isNull() | (F.col("area") >= min_area))
+
+
+def traj_simplify_sql(
+    events_xy_sql: str, min_area: float = 0.0005, id_col: str = "user_id"
+) -> str:
+    """DuckDB twin of :func:`traj_simplify`."""
+    return f"""
+WITH ev AS ({events_xy_sql}),
+stepped AS (
+  SELECT {id_col}, event_id, ts, x, y,
+         round(abs((x - lag(x) OVER w) * (lead(y) OVER w - lag(y) OVER w)
+                   - (lead(x) OVER w - lag(x) OVER w) * (y - lag(y) OVER w)) * 0.5,
+               9) AS area
+  FROM ev
+  WINDOW w AS (PARTITION BY {id_col} ORDER BY ts, event_id)
+)
+SELECT * FROM stepped WHERE area IS NULL OR area >= {min_area!r}
+"""

@@ -5246,6 +5246,48 @@ JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
     return od_matrix_sql(ev_xy, res=4)
 
 
+def q_traj_simplify(spark, sf_dir):
+    """Visvalingam–Whyatt one-pass trajectory simplification
+    (operators/spacetime.py: traj_simplify): per-point effective triangle
+    area along each user's (ts, event_id)-ordered walk; interior points
+    below the area threshold are dropped, endpoints survive. One window
+    shuffle, pinned-order IEEE arithmetic — hash-exact twin."""
+    from ..operators.spacetime import traj_simplify
+
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    pts = ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+    return traj_simplify(pts)
+
+
+def _sql_traj_simplify() -> str:
+    from ..operators.spacetime import traj_simplify_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    ev_xy = f"""
+SELECT e.user_id, e.event_id, e.ts,
+       greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+       greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+FROM events e
+JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+  ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id
+"""
+    return traj_simplify_sql(ev_xy)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5475,6 +5517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_delete": q_bm25_delete,
     "textrank": q_textrank,
     "od_matrix": q_od_matrix,
+    "traj_simplify": q_traj_simplify,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5710,5 +5753,6 @@ ORACLES: dict[str, str] = {
     "bm25_delete": _sql_bm25_delete(),
     "textrank": _sql_textrank(),
     "od_matrix": _sql_od_matrix(),
+    "traj_simplify": _sql_traj_simplify(),
     **_sql_curation(),
 }
