@@ -5288,6 +5288,47 @@ JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
     return traj_simplify_sql(ev_xy)
 
 
+def q_geohash_encode(spark, sf_dir):
+    """Geohash base32 cells (operators/geohash.py): per-point precision-8
+    geohash + its precision-4 prefix parent — zero-shuffle codegen encode
+    built on the Morton key; prefix truncation is the parent relation."""
+    from ..operators.geohash import geohash_cells
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = e.select("vec_id", x.alias("x"), y.alias("y"))
+    return geohash_cells(pts).select("vec_id", "gh", "gh_parent")
+
+
+def _sql_geohash_encode() -> str:
+    from ..operators.geohash import geohash_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    gh = geohash_sql("x", "y", 8)
+    return f"""
+WITH pts AS (SELECT vec_id, {x} AS x, {y} AS y FROM embeddings),
+enc AS (SELECT vec_id, {gh} AS gh FROM pts)
+SELECT vec_id, gh, substr(gh, 1, 4) AS gh_parent FROM enc
+"""
+
+
+def q_geohash_density(spark, sf_dir):
+    """Top-50 precision-4 geohash cells by point count — ONE map-side-
+    combined groupBy over the metadata-scale cell-string space."""
+    from ..operators.geohash import geohash_density
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return geohash_density(e.select(x.alias("x"), y.alias("y")))
+
+
+def _sql_geohash_density() -> str:
+    from ..operators.geohash import geohash_density_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return geohash_density_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings")
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5518,6 +5559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textrank": q_textrank,
     "od_matrix": q_od_matrix,
     "traj_simplify": q_traj_simplify,
+    "geohash_encode": q_geohash_encode,
+    "geohash_density": q_geohash_density,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5754,5 +5797,7 @@ ORACLES: dict[str, str] = {
     "textrank": _sql_textrank(),
     "od_matrix": _sql_od_matrix(),
     "traj_simplify": _sql_traj_simplify(),
+    "geohash_encode": _sql_geohash_encode(),
+    "geohash_density": _sql_geohash_density(),
     **_sql_curation(),
 }
