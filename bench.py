@@ -242,6 +242,13 @@ def main() -> None:
 
     timed("search_stack", _search_stack)
 
+    # sequential-dependence proximity retrieval (unigram + ordered-bigram +
+    # unordered-window components; positional pair join pre-filtered to the
+    # broadcast query-bigram vocabulary)
+    from raptor_rag_spark.operators.ranking import sdm_rank
+
+    timed("sdm_rank", lambda: sdm_rank(docs.select("doc_id", "text"), bq).count())
+
     # Gaussian KDE heatmap raster over the embedding plane (twin-exp kernel)
     from raptor_rag_spark.operators.heatmap import kde_heatmap
 

@@ -870,3 +870,306 @@ SELECT b.query_id, b.doc_id, CAST(b.start AS BIGINT) AS start, b.n_hits,
        array_to_string(list_slice(t.ws, b.start + 1, b.start + {window}), ' ') AS snippet
 FROM best b JOIN toks t USING (doc_id)
 """
+
+
+# ------------------------------------------------- sequential dependence model
+
+SDM_LT, SDM_LO, SDM_LU = 0.85, 0.1, 0.05  # Metzler & Croft (2005) defaults
+SDM_WINDOW = 8
+
+
+def sdm_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    mu: float = MU,
+    window: int = SDM_WINDOW,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): Markov-random-field sequential
+    dependence retrieval (Metzler & Croft 2005) — the proximity model that
+    beats bag-of-words BM25/QL on verbose web queries:
+
+        score = λT·QL(unigrams) + λO·QL(ordered bigrams, exact adjacency)
+                + λU·QL(unordered pairs within an 8-term window)
+
+    each component Dirichlet-smoothed and sparse-decomposed exactly like
+    :func:`ql_rank` (matched-gram sum + per-doc background correction), with
+    bigram/window "document length" = max(dl−1, 0) and collection size
+    |C₂| = Σ max(dl−1, 0). Query grams unseen in the corpus (cf = 0) drop
+    from that component's sums, mirroring the OOV-unigram rule.
+
+    Scale shape: ONE postings shuffle for unigrams; token positions are
+    semi-joined to the (broadcast, query-derived) bigram vocabulary BEFORE
+    the positional self-join, so the pair join touches only rows whose term
+    appears in some query bigram — bounded by query vocabulary df, never by
+    corpus width. Candidates = docs matching ≥1 unigram (a gram match
+    implies a unigram match, so nothing is lost). Sums in DECIMAL(28,15),
+    twin ln throughout → hash-exact DuckDB oracle.
+    """
+    words = docs.select(F.col("doc_id"), G.words_col(F.col("text")).alias("ws"))
+    dl = words.select("doc_id", F.size("ws").cast("long").alias("dl_l")).where(
+        F.col("dl_l") > 0
+    )
+    coll = dl.agg(
+        F.sum("dl_l").cast("double").alias("c_len"),
+        F.sum(F.greatest(F.col("dl_l") - 1, F.lit(0))).cast("double").alias("c2_len"),
+    )
+    postings = bm25_index(docs)
+
+    # ---- query grams
+    qws = queries.select("query_id", G.words_col(F.col("qtext")).alias("qs"))
+    qtf = (
+        qws.select("query_id", F.explode("qs").alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("long").alias("qtf"))
+    )
+    qbi = (
+        qws.select(
+            "query_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("qs"), 1, F.greatest(F.size("qs") - 1, F.lit(0))).alias("a"),
+                    F.slice(F.col("qs"), 2, F.greatest(F.size("qs") - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.a").alias("ta"), F.col("p.b").alias("tb"))
+        .groupBy("query_id", "ta", "tb")
+        .agg(F.count("*").cast("long").alias("qbf"))
+    )
+
+    # ---- unigram component (identical algebra to ql_rank)
+    cf = (
+        postings.join(F.broadcast(qtf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    qv = qtf.join(cf, "term")
+    qlen = qv.groupBy("query_id").agg(F.sum("qtf").cast("double").alias("qlen"))
+    m_t = (
+        postings.join(F.broadcast(qv), "term")
+        .join(F.broadcast(coll))
+        .withColumn(
+            "arg",
+            F.lit(1.0) + F.col("tf").cast("double") / (F.lit(mu) * (F.col("cf") / F.col("c_len"))),
+        )
+        .withColumn("contrib", F.col("qtf").cast("double") * G.ln_col(F.col("arg")))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("s_t"))
+    )
+
+    # ---- positional pairs restricted to the query-bigram vocabulary
+    vocab = (
+        qbi.select(F.col("ta").alias("term"))
+        .unionByName(qbi.select(F.col("tb").alias("term")))
+        .distinct()
+    )
+    toks = (
+        words.select("doc_id", F.posexplode("ws").alias("pos", "term"))
+        .join(F.broadcast(vocab), "term")
+    )
+    t1 = toks.select("doc_id", F.col("pos").alias("i"), F.col("term").alias("a"))
+    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("pos").alias("j"), F.col("term").alias("b"))
+    pairs = t1.join(
+        t2,
+        (F.col("doc_id") == F.col("d2"))
+        & (F.col("j") > F.col("i"))
+        & (F.col("j") - F.col("i") <= window - 1),
+    ).select("doc_id", "a", "b", (F.col("j") - F.col("i")).alias("diff"))
+    ob = (
+        pairs.where(F.col("diff") == 1)
+        .groupBy("doc_id", F.col("a").alias("ta"), F.col("b").alias("tb"))
+        .agg(F.count("*").cast("long").alias("otf"))
+    )
+    uw = (
+        pairs.groupBy(
+            "doc_id",
+            F.least("a", "b").alias("ua"),
+            F.greatest("a", "b").alias("ub"),
+        )
+        .agg(F.count("*").cast("long").alias("utf"))
+    )
+
+    def _component(grams_q, grams_d, keys, tf_col, s_name, qlen_name):
+        """Sparse QL component over gram table: matched sum + query gram mass."""
+        cfg = (
+            grams_d.join(F.broadcast(grams_q.select(*keys).distinct()), keys)
+            .groupBy(*keys)
+            .agg(F.sum(tf_col).cast("double").alias("cfg"))
+        )
+        gv = grams_q.join(cfg, keys)
+        glen = gv.groupBy("query_id").agg(F.sum("qbf").cast("double").alias(qlen_name))
+        m = (
+            grams_d.join(F.broadcast(gv), keys)
+            .join(F.broadcast(coll))
+            .withColumn(
+                "arg",
+                F.lit(1.0)
+                + F.col(tf_col).cast("double") / (F.lit(mu) * (F.col("cfg") / F.col("c2_len"))),
+            )
+            .withColumn("contrib", F.col("qbf").cast("double") * G.ln_col(F.col("arg")))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias(s_name))
+        )
+        return m, glen
+
+    m_o, qlen_o = _component(qbi, ob, ["ta", "tb"], "otf", "s_o", "qlen_o")
+    qbi_u = (
+        qbi.select(
+            "query_id",
+            F.least("ta", "tb").alias("ua"),
+            F.greatest("ta", "tb").alias("ub"),
+            "qbf",
+        )
+        .groupBy("query_id", "ua", "ub")
+        .agg(F.sum("qbf").cast("long").alias("qbf"))
+    )
+    m_u, qlen_u = _component(qbi_u, uw, ["ua", "ub"], "utf", "s_u", "qlen_u")
+
+    # ---- combine over candidate docs (≥1 unigram match)
+    dlo = F.greatest(F.col("dl_l") - 1, F.lit(0)).cast("double")
+    scored = (
+        m_t.join(m_o, ["query_id", "doc_id"], "left")
+        .join(m_u, ["query_id", "doc_id"], "left")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qlen), "query_id")
+        .join(F.broadcast(qlen_o), "query_id", "left")
+        .join(F.broadcast(qlen_u), "query_id", "left")
+        .withColumn("bg_t", F.lit(mu) / (F.col("dl_l").cast("double") + F.lit(mu)))
+        .withColumn("bg_g", F.lit(mu) / (dlo + F.lit(mu)))
+        .withColumn(
+            "score",
+            F.lit(SDM_LT)
+            * (F.col("s_t") + F.col("qlen") * G.ln_col(F.col("bg_t")))
+            + F.lit(SDM_LO)
+            * (
+                F.coalesce(F.col("s_o"), F.lit(0.0))
+                + F.coalesce(F.col("qlen_o"), F.lit(0.0)) * G.ln_col(F.col("bg_g"))
+            )
+            + F.lit(SDM_LU)
+            * (
+                F.coalesce(F.col("s_u"), F.lit(0.0))
+                + F.coalesce(F.col("qlen_u"), F.lit(0.0)) * G.ln_col(F.col("bg_g"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def sdm_rank_sql(
+    queries_values: list[tuple[int, str]],
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    top_k: int = 10,
+    mu: float = MU,
+    window: int = SDM_WINDOW,
+) -> str:
+    """DuckDB twin of :func:`sdm_rank`."""
+    ws = G.words_sql("text")
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in queries_values)
+    return f"""
+WITH words AS (SELECT doc_id, {ws} AS ws FROM ({docs_sql})),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM words) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl_l FROM words WHERE len(ws) > 0),
+coll AS (SELECT CAST(sum(dl_l) AS DOUBLE) AS c_len,
+                CAST(sum(greatest(dl_l - 1, 0)) AS DOUBLE) AS c2_len FROM dl),
+qws AS (SELECT query_id, {G.words_sql('qtext')} AS qs
+        FROM (VALUES {qvals}) q(query_id, qtext)),
+qtf AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+  FROM (SELECT query_id, unnest(qs) AS term FROM qws) GROUP BY query_id, term),
+qbi AS (
+  SELECT query_id, ta, tb, CAST(count(*) AS BIGINT) AS qbf FROM (
+    SELECT q.query_id, q.qs[i] AS ta, q.qs[i + 1] AS tb
+    FROM qws q, unnest(range(1, greatest(len(q.qs), 1))) r(i))
+  GROUP BY 1, 2, 3),
+cf AS (
+  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf
+  FROM postings WHERE term IN (SELECT DISTINCT term FROM qtf) GROUP BY term),
+qv AS (SELECT q.query_id, q.term, q.qtf, c.cf FROM qtf q JOIN cf c USING (term)),
+qlen AS (SELECT query_id, CAST(sum(qtf) AS DOUBLE) AS qlen FROM qv GROUP BY query_id),
+m_t_arg AS MATERIALIZED (
+  SELECT q.query_id, p.doc_id, CAST(q.qtf AS DOUBLE) AS qtfd,
+         (1.0 + CAST(p.tf AS DOUBLE) / ({mu!r} * (q.cf / c.c_len))) AS arg
+  FROM postings p JOIN qv q USING (term) CROSS JOIN coll c),
+m_t AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST((qtfd * {G.ln_sql('arg')}) AS DECIMAL(28,15))) AS DOUBLE) AS s_t
+  FROM m_t_arg GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM (
+  SELECT ta AS term FROM qbi UNION ALL SELECT tb AS term FROM qbi)),
+toks AS (
+  SELECT doc_id, i AS pos, ws[i] AS term
+  FROM words, unnest(range(1, len(ws) + 1)) r(i)
+  WHERE ws[i] IN (SELECT term FROM vocab)),
+pairs AS (
+  SELECT t1.doc_id, t1.term AS a, t2.term AS b, t2.pos - t1.pos AS diff
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos > t1.pos AND t2.pos - t1.pos <= {window - 1}),
+ob AS (
+  SELECT doc_id, a AS ta, b AS tb, CAST(count(*) AS BIGINT) AS otf
+  FROM pairs WHERE diff = 1 GROUP BY 1, 2, 3),
+uw AS (
+  SELECT doc_id, least(a, b) AS ua, greatest(a, b) AS ub, CAST(count(*) AS BIGINT) AS utf
+  FROM pairs GROUP BY 1, 2, 3),
+cf_o AS (
+  SELECT ta, tb, CAST(sum(otf) AS DOUBLE) AS cfg
+  FROM ob JOIN (SELECT DISTINCT ta, tb FROM qbi) USING (ta, tb) GROUP BY 1, 2),
+gv_o AS (SELECT q.query_id, q.ta, q.tb, q.qbf, c.cfg FROM qbi q JOIN cf_o c USING (ta, tb)),
+qlen_o AS (SELECT query_id, CAST(sum(qbf) AS DOUBLE) AS qlen_o FROM gv_o GROUP BY 1),
+m_o_arg AS MATERIALIZED (
+  SELECT g.query_id, o.doc_id, CAST(g.qbf AS DOUBLE) AS qbfd,
+         (1.0 + CAST(o.otf AS DOUBLE) / ({mu!r} * (g.cfg / c.c2_len))) AS arg
+  FROM ob o JOIN gv_o g USING (ta, tb) CROSS JOIN coll c),
+m_o AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST((qbfd * {G.ln_sql('arg')}) AS DECIMAL(28,15))) AS DOUBLE) AS s_o
+  FROM m_o_arg GROUP BY 1, 2),
+qbi_u AS (
+  SELECT query_id, least(ta, tb) AS ua, greatest(ta, tb) AS ub,
+         CAST(sum(qbf) AS BIGINT) AS qbf
+  FROM qbi GROUP BY 1, 2, 3),
+cf_u AS (
+  SELECT ua, ub, CAST(sum(utf) AS DOUBLE) AS cfg
+  FROM uw JOIN (SELECT DISTINCT ua, ub FROM qbi_u) USING (ua, ub) GROUP BY 1, 2),
+gv_u AS (SELECT q.query_id, q.ua, q.ub, q.qbf, c.cfg FROM qbi_u q JOIN cf_u c USING (ua, ub)),
+qlen_u AS (SELECT query_id, CAST(sum(qbf) AS DOUBLE) AS qlen_u FROM gv_u GROUP BY 1),
+m_u_arg AS MATERIALIZED (
+  SELECT g.query_id, u.doc_id, CAST(g.qbf AS DOUBLE) AS qbfd,
+         (1.0 + CAST(u.utf AS DOUBLE) / ({mu!r} * (g.cfg / c.c2_len))) AS arg
+  FROM uw u JOIN gv_u g USING (ua, ub) CROSS JOIN coll c),
+m_u AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST((qbfd * {G.ln_sql('arg')}) AS DECIMAL(28,15))) AS DOUBLE) AS s_u
+  FROM m_u_arg GROUP BY 1, 2),
+comb AS MATERIALIZED (
+  SELECT t.query_id, t.doc_id, t.s_t,
+         coalesce(o.s_o, 0.0) AS s_o, coalesce(u.s_u, 0.0) AS s_u,
+         l.dl_l, q.qlen,
+         coalesce(qo.qlen_o, 0.0) AS qlen_o, coalesce(qu.qlen_u, 0.0) AS qlen_u,
+         ({mu!r} / (CAST(l.dl_l AS DOUBLE) + {mu!r})) AS bg_t,
+         ({mu!r} / (CAST(greatest(l.dl_l - 1, 0) AS DOUBLE) + {mu!r})) AS bg_g
+  FROM m_t t
+  LEFT JOIN m_o o ON t.query_id = o.query_id AND t.doc_id = o.doc_id
+  LEFT JOIN m_u u ON t.query_id = u.query_id AND t.doc_id = u.doc_id
+  JOIN dl l ON t.doc_id = l.doc_id
+  JOIN qlen q ON t.query_id = q.query_id
+  LEFT JOIN qlen_o qo ON t.query_id = qo.query_id
+  LEFT JOIN qlen_u qu ON t.query_id = qu.query_id),
+fin AS (
+  SELECT query_id, doc_id,
+         ({SDM_LT!r} * (s_t + qlen * {G.ln_sql('bg_t')})
+          + {SDM_LO!r} * (s_o + qlen_o * {G.ln_sql('bg_g')})
+          + {SDM_LU!r} * (s_u + qlen_u * {G.ln_sql('bg_g')})) AS score
+  FROM comb)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM fin) WHERE rank <= {top_k}
+"""

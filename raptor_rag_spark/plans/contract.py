@@ -5329,6 +5329,25 @@ def _sql_geohash_density() -> str:
     return geohash_density_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_sdm_rank(spark, sf_dir):
+    """Sequential-dependence proximity retrieval (operators/ranking.py:
+    sdm_rank): λT·QL(unigrams) + λO·QL(exact-adjacency bigrams) +
+    λU·QL(unordered window-8 pairs), all Dirichlet-smoothed and
+    sparse-decomposed; positional pair join pre-filtered to the broadcast
+    query-bigram vocabulary."""
+    from ..operators.ranking import sdm_rank
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return sdm_rank(docs, qs)
+
+
+def _sql_sdm_rank() -> str:
+    from ..operators.ranking import sdm_rank_sql
+
+    return sdm_rank_sql(BM25_QUERIES)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5561,6 +5580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traj_simplify": q_traj_simplify,
     "geohash_encode": q_geohash_encode,
     "geohash_density": q_geohash_density,
+    "sdm_rank": q_sdm_rank,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5586,6 +5606,7 @@ _FLAGSHIP_ORDER = [
     # round-3 additions get window slots ahead of queries already officially
     # green in CORRECTNESS_r02 (emb_topk family, grid_knn, soft_assign)
     "lake_scan", "lake_time_travel", "lake_changes", "viewshed",
+    "sdm_rank",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -5799,5 +5820,6 @@ ORACLES: dict[str, str] = {
     "traj_simplify": _sql_traj_simplify(),
     "geohash_encode": _sql_geohash_encode(),
     "geohash_density": _sql_geohash_density(),
+    "sdm_rank": _sql_sdm_rank(),
     **_sql_curation(),
 }
