@@ -623,6 +623,34 @@ def main() -> None:
     timed("tile_view_maintain", _tile_view)
     shutil.rmtree(ts_dir, ignore_errors=True)
 
+    # classical spatial statistics: directional ellipse (one groupBy),
+    # Knox space-time interaction (cell + time-bucket pair joins),
+    # gravity-model OD fit (cell-pair metadata), head/tail breaks
+    from raptor_rag_spark.operators.geostats import (
+        gravity_model,
+        headtail_breaks,
+        knox_test,
+        sd_ellipse,
+    )
+
+    def _geostats():
+        sd_ellipse(hpts, res=2).count()
+        jx = ((F.col("event_id") % 199) - 99) / 1000.0
+        jy = ((F.col("event_id") % 211) - 105) / 1000.0
+        ev3 = events.join(
+            F.broadcast(embs.select("vec_id", x.alias("x0"), y.alias("y0"))),
+            events["user_id"] % 5000 == F.col("vec_id"),
+        ).select(
+            "user_id", "event_id", "ts",
+            F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+            F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+        )
+        knox_test(ev3, s_eps=0.02, t_eps=3600, res=5).count()
+        gravity_model(ev3, res=3).count()
+        headtail_breaks(docs, "n_chars", levels=4).count()
+
+    timed("geostats", _geostats)
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

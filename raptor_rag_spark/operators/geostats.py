@@ -1,0 +1,556 @@
+"""Classical spatial statistics over the embedding plane, twin-exact.
+
+Four operators the GIS/crime-analysis stack expects that the engine still
+lacked (complementing kde_moran/kde_geary/getis_ord/ripley_k in heatmap.py
+and stats.py):
+
+- :func:`sd_ellipse` — per-tile standard deviational ellipse (Yuill 1971):
+  mean center, orientation, major/minor axis dispersion. THE directional-
+  distribution summary (ArcGIS "Directional Distribution").
+- :func:`knox_test` — Knox (1964) space-time interaction: are events that
+  are close in space also close in time? The classic epidemiology /
+  disease-cluster statistic.
+- :func:`gravity_model` — spatial-interaction gravity fit over an
+  origin-destination flow matrix: expected flow K·m_o·m_d/d², residuals,
+  chi-square contributions (Wilson 1971 unconstrained form).
+- :func:`headtail_breaks` — Jiang (2013) head/tail-breaks classification
+  for heavy-tailed values: iterative mean splits, the cartographic
+  class-break scheme for scale-free data.
+
+Scale shape: every operator is aggregate-first. sd_ellipse is ONE groupBy
+(cell-cardinality output) and pure closed-form algebra on six DECIMAL
+moments — no second pass over points. knox_test buckets points by grid cell
+(space) and by τ-wide epoch bucket (time) and self-joins only the 3×3 / ±1
+neighborhoods, so pair work is bounded by local density, never n²; both
+probe sides carry the symmetric id1<id2 filter so each pair counts exactly
+once. gravity_model reduces trajectories to trips with the struct-min/max
+trick (no window), then runs on cell-pair metadata. headtail_breaks is a
+fixed unroll of tiny aggregate + broadcast-filter steps, kmeans-style.
+
+Determinism: DECIMAL(28,15) moment sums (partition-order independence),
+twin sin/cos/atan2 for the ellipse orientation, identical IEEE expression
+trees on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from ..functions import trig as TR
+from ..functions.hexgen import flit
+from ..kernels.grid import COORD_BITS, RES_SHIFT
+
+DEC = "DECIMAL(28,15)"
+PI = 3.141592653589793
+_MASK = (1 << COORD_BITS) - 1
+_OFFS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+# ------------------------------------------------ standard deviational ellipse
+
+
+def sd_ellipse(pts: DataFrame, res: int = 2) -> DataFrame:
+    """pts: (x, y) in [0,1)². Returns per-cell directional distribution:
+    (cell, n, mx, my, theta, sig1, sig2, area).
+
+    theta = ½·atan2(2·cxy, cxx−cyy) — the covariance eigen-rotation; sig1 /
+    sig2 are the dispersion along / across it (σ² rotated in closed form
+    from the three central moments, no second data pass); area = π·σ1·σ2.
+    Moments come from DECIMAL raw sums (Σx, Σy, Σx², Σy², Σxy), so the
+    result is partition-order independent and the DuckDB twin hash-matches.
+    """
+    cell = G.cell_col(F.col("x"), F.col("y"), res)
+    agg = pts.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    m = agg.select(
+        "cell",
+        "n",
+        (F.col("sx").cast("double") / nd).alias("mx"),
+        (F.col("sy").cast("double") / nd).alias("my"),
+        F.col("sxx").cast("double").alias("sxx_d"),
+        F.col("syy").cast("double").alias("syy_d"),
+        F.col("sxy").cast("double").alias("sxy_d"),
+    )
+    nd2 = F.col("n").cast("double")
+    c = m.select(
+        "cell",
+        "n",
+        "mx",
+        "my",
+        (F.col("sxx_d") / nd2 - F.col("mx") * F.col("mx")).alias("cxx"),
+        (F.col("syy_d") / nd2 - F.col("my") * F.col("my")).alias("cyy"),
+        (F.col("sxy_d") / nd2 - F.col("mx") * F.col("my")).alias("cxy"),
+    ).select(
+        "cell",
+        "n",
+        "mx",
+        "my",
+        "cxx",
+        "cyy",
+        "cxy",
+        (F.lit(2.0) * F.col("cxy")).alias("ty"),
+        (F.col("cxx") - F.col("cyy")).alias("tx"),
+    )
+    th = c.withColumn("theta", F.lit(0.5) * TR.atan2_col(F.col("ty"), F.col("tx")))
+    tr = th.withColumn("st", TR.sin_col(F.col("theta"))).withColumn(
+        "ct", TR.cos_col(F.col("theta"))
+    )
+    s1sq = F.greatest(
+        F.col("ct") * F.col("ct") * F.col("cxx")
+        + F.lit(2.0) * F.col("st") * F.col("ct") * F.col("cxy")
+        + F.col("st") * F.col("st") * F.col("cyy"),
+        F.lit(0.0),
+    )
+    s2sq = F.greatest(
+        F.col("st") * F.col("st") * F.col("cxx")
+        - F.lit(2.0) * F.col("st") * F.col("ct") * F.col("cxy")
+        + F.col("ct") * F.col("ct") * F.col("cyy"),
+        F.lit(0.0),
+    )
+    out = tr.select(
+        "cell",
+        "n",
+        F.round("mx", 6).alias("mx"),
+        F.round("my", 6).alias("my"),
+        F.round("theta", 6).alias("theta"),
+        F.round(F.sqrt(s1sq), 6).alias("sig1"),
+        F.round(F.sqrt(s2sq), 6).alias("sig2"),
+        F.round(F.lit(PI) * F.sqrt(s1sq) * F.sqrt(s2sq), 6).alias("area"),
+    )
+    return out
+
+
+def sd_ellipse_sql(pts_sql: str, res: int = 2) -> str:
+    """DuckDB twin of :func:`sd_ellipse`. ``pts_sql`` must yield (x, y)."""
+    stage, at2 = TR.atan2_sql("ty", "tx")
+    return f"""
+WITH pts AS ({pts_sql}),
+agg AS (
+  SELECT {G.cell_sql('x', 'y', res)} AS cell,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS {DEC})) AS sx, sum(CAST(y AS {DEC})) AS sy,
+         sum(CAST(x * x AS {DEC})) AS sxx,
+         sum(CAST(y * y AS {DEC})) AS syy,
+         sum(CAST(x * y AS {DEC})) AS sxy
+  FROM pts GROUP BY 1),
+m AS (
+  SELECT cell, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         CAST(sxx AS DOUBLE) AS sxx_d, CAST(syy AS DOUBLE) AS syy_d,
+         CAST(sxy AS DOUBLE) AS sxy_d
+  FROM agg),
+c AS (
+  SELECT cell, n, mx, my,
+         sxx_d / CAST(n AS DOUBLE) - mx * mx AS cxx,
+         syy_d / CAST(n AS DOUBLE) - my * my AS cyy,
+         sxy_d / CAST(n AS DOUBLE) - mx * my AS cxy
+  FROM m),
+c2 AS (SELECT *, (2.0 * cxy) AS ty, (cxx - cyy) AS tx FROM c),
+st AS (SELECT *, {stage} AS atr FROM c2),
+th AS (SELECT *, 0.5 * {at2} AS theta FROM st),
+tr AS (SELECT *, {TR.sin_sql('theta')} AS st, {TR.cos_sql('theta')} AS ct FROM th),
+sq AS (
+  SELECT cell, n, mx, my, theta,
+         greatest(ct * ct * cxx + 2.0 * st * ct * cxy + st * st * cyy, 0.0) AS s1sq,
+         greatest(st * st * cxx - 2.0 * st * ct * cxy + ct * ct * cyy, 0.0) AS s2sq
+  FROM tr)
+SELECT cell, n, round(mx, 6) AS mx, round(my, 6) AS my,
+       round(theta, 6) AS theta,
+       round(sqrt(s1sq), 6) AS sig1, round(sqrt(s2sq), 6) AS sig2,
+       round({flit(PI)} * sqrt(s1sq) * sqrt(s2sq), 6) AS area
+FROM sq
+"""
+
+
+# ---------------------------------------------------------------- Knox test
+
+
+def _neighbor9(cell, res: int):
+    n = 1 << res
+    ix = F.shiftrightunsigned(cell, COORD_BITS).bitwiseAND(F.lit(_MASK))
+    iy = cell.bitwiseAND(F.lit(_MASK))
+    ks = []
+    for dx, dy in _OFFS9:
+        nx, ny = ix + F.lit(dx), iy + F.lit(dy)
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        enc = (
+            F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+            .bitwiseOR(F.shiftleft(nx.cast("long"), COORD_BITS))
+            .bitwiseOR(ny.cast("long"))
+        )
+        ks.append(F.when(ok, enc))
+    return F.array_compact(F.array(*ks))
+
+
+def knox_test(
+    events_xy: DataFrame,
+    s_eps: float = 0.02,
+    t_eps: int = 3600,
+    res: int = 5,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """events_xy: (id_col, x, y, ts). ONE row:
+    (n, n_pairs, ns, nt, x_obs, x_exp, knox_ratio).
+
+    Knox space-time interaction: ns = #pairs within ``s_eps`` in space,
+    nt = #pairs within ``t_eps`` seconds in time, x_obs = #pairs close in
+    BOTH, x_exp = ns·nt / n_pairs (the independence expectation), ratio =
+    x_obs / x_exp (>1 ⇒ space-time clustering — contagion, burst crawling).
+
+    Pair enumeration never goes n²: the spatial side joins each point's
+    3×3 cell neighborhood at ``res`` (cell width must be ≥ s_eps so no
+    qualifying pair escapes the neighborhood), the temporal side joins
+    τ-wide epoch buckets ±1; both probe symmetrically and keep id1 < id2,
+    so every qualifying pair is counted exactly once. Hot cells/buckets
+    bound the worst case by local density — the same contract as
+    grid_dbscan and the LSH band joins.
+    """
+    assert 1.0 / (1 << res) >= s_eps, "cell width must cover s_eps"
+    t = F.unix_timestamp("ts")
+    pts = events_xy.select(
+        F.col(id_col).alias("pid"),
+        "x",
+        "y",
+        t.alias("t"),
+        G.cell_col(F.col("x"), F.col("y"), res).alias("cell"),
+        F.floor(t.cast("double") / F.lit(float(t_eps))).cast("long").alias("tb"),
+    )
+    n_row = pts.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    probe_s = pts.select(
+        F.col("pid").alias("pid1"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.col("t").alias("t1"),
+        F.explode(_neighbor9(F.col("cell"), res)).alias("k"),
+    )
+    d2 = (F.col("x1") - F.col("x")) * (F.col("x1") - F.col("x")) + (
+        F.col("y1") - F.col("y")
+    ) * (F.col("y1") - F.col("y"))
+    sp = (
+        probe_s.join(pts, probe_s["k"] == pts["cell"])
+        .where((F.col("pid1") < F.col("pid")) & (d2 <= F.lit(s_eps * s_eps)))
+        .select(
+            F.abs(F.col("t1") - F.col("t")).alias("dt"),
+        )
+    )
+    s_row = sp.agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum(F.when(F.col("dt") <= t_eps, 1).otherwise(0)).cast("long").alias("x_obs"),
+    )
+
+    probe_t = pts.select(
+        F.col("pid").alias("pid1"),
+        F.col("t").alias("t1"),
+        F.explode(
+            F.array(F.col("tb") - 1, F.col("tb"), F.col("tb") + 1)
+        ).alias("kb"),
+    )
+    tp = (
+        probe_t.join(pts, probe_t["kb"] == pts["tb"])
+        .where(
+            (F.col("pid1") < F.col("pid"))
+            & (F.abs(F.col("t1") - F.col("t")) <= t_eps)
+        )
+    )
+    t_row = tp.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+
+    comb = n_row.crossJoin(F.broadcast(s_row)).crossJoin(F.broadcast(t_row))
+    n_pairs = (F.col("n") * (F.col("n") - 1) / F.lit(2.0)).cast("long")
+    x_exp = (
+        F.col("ns").cast("double")
+        * F.col("nt").cast("double")
+        / F.col("n_pairs").cast("double")
+    )
+    return (
+        comb.withColumn("n_pairs", n_pairs)
+        .withColumn("x_exp", F.round(x_exp, 6))
+        .withColumn(
+            "knox_ratio",
+            F.round(F.col("x_obs").cast("double") / x_exp, 6),
+        )
+        .select("n", "n_pairs", "ns", "nt", "x_obs", "x_exp", "knox_ratio")
+    )
+
+
+def knox_test_sql(
+    events_xy_sql: str,
+    s_eps: float = 0.02,
+    t_eps: int = 3600,
+    res: int = 5,
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`knox_test`."""
+    n = 1 << res
+    key = (
+        f"(({res}::BIGINT << {RES_SHIFT}) | ((ix + dx)::BIGINT << {COORD_BITS})"
+        f" | (iy + dy)::BIGINT)"
+    )
+    ok = f"(ix + dx >= 0 AND ix + dx < {n} AND iy + dy >= 0 AND iy + dy < {n})"
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFS9)
+    return f"""
+WITH ev AS ({events_xy_sql}),
+pts AS (
+  SELECT {id_col} AS pid, x, y,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         {G.cell_sql('x', 'y', res)} AS cell,
+         CAST(floor(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
+                    / {flit(float(t_eps))}) AS BIGINT) AS tb
+  FROM ev),
+pc AS (
+  SELECT pid, x, y, t, cell, tb,
+         ((cell >> {COORD_BITS}) & {_MASK}) AS ix, (cell & {_MASK}) AS iy
+  FROM pts),
+offs(dx, dy) AS (VALUES {offs}),
+probe_s AS (
+  SELECT pid AS pid1, x AS x1, y AS y1, t AS t1, {key} AS k
+  FROM pc, offs WHERE {ok}),
+sp AS (
+  SELECT abs(p.t1 - q.t) AS dt
+  FROM probe_s p JOIN pts q ON p.k = q.cell
+  WHERE p.pid1 < q.pid
+    AND (p.x1 - q.x) * (p.x1 - q.x) + (p.y1 - q.y) * (p.y1 - q.y)
+        <= {flit(s_eps * s_eps)}),
+s_row AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns,
+         CAST(coalesce(sum(CASE WHEN dt <= {t_eps} THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS x_obs
+  FROM sp),
+probe_t AS (
+  SELECT pid AS pid1, t AS t1, tb + db AS kb
+  FROM pts, (VALUES (-1), (0), (1)) o(db)),
+t_row AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt
+  FROM probe_t p JOIN pts q ON p.kb = q.tb
+  WHERE p.pid1 < q.pid AND abs(p.t1 - q.t) <= {t_eps}),
+n_row AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+comb AS (
+  SELECT n, CAST(CAST(n AS DOUBLE) * (n - 1) / 2.0 AS BIGINT) AS n_pairs,
+         ns, nt, x_obs
+  FROM n_row, s_row, t_row)
+SELECT n, n_pairs, ns, nt, x_obs,
+       round(CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+         AS x_exp,
+       round(CAST(x_obs AS DOUBLE)
+             / (CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE) / CAST(n_pairs AS DOUBLE)), 6)
+         AS knox_ratio
+FROM comb
+"""
+
+
+# -------------------------------------------------------------- gravity model
+
+
+def gravity_model(
+    events_xy: DataFrame, res: int = 3, id_col: str = "user_id"
+) -> DataFrame:
+    """events_xy: (id_col, event_id, ts, x, y). Per OD pair (o ≠ d):
+    (o_cell, d_cell, flow, m_o, m_d, dist2, expected, resid, chi2).
+
+    Unconstrained gravity model: expected flow = K·m_o·m_d/d², with m_o /
+    m_d the cell's total out-/in-flow, d² the squared distance between cell
+    centers, and K the single scale fit so Σexpected = Σflow (Wilson 1971).
+    resid = flow − expected; chi2 = resid²/expected — the hot desire lines
+    a pure distance-decay model cannot explain.
+
+    Scale shape: trips via ONE struct-min/max groupBy per entity (the
+    od_matrix trick), then everything runs on cell-pair metadata; masses
+    and the 1-row K join back by broadcast. DECIMAL sums make K exact.
+    """
+    pt = F.struct("ts", "event_id", "x", "y")
+    ends = events_xy.groupBy(id_col).agg(
+        F.min(pt).alias("p0"), F.max(pt).alias("p1")
+    )
+    trips = ends.select(
+        G.cell_col(F.col("p0.x"), F.col("p0.y"), res).alias("o_cell"),
+        G.cell_col(F.col("p1.x"), F.col("p1.y"), res).alias("d_cell"),
+    )
+    flows = (
+        trips.groupBy("o_cell", "d_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("flow"))
+        .where(F.col("o_cell") != F.col("d_cell"))
+    )
+    m_o = flows.groupBy("o_cell").agg(F.sum("flow").cast("long").alias("m_o"))
+    m_d = flows.groupBy("d_cell").agg(F.sum("flow").cast("long").alias("m_d"))
+
+    def center(cell, part):
+        ix = F.shiftrightunsigned(cell, COORD_BITS).bitwiseAND(F.lit(_MASK))
+        iy = cell.bitwiseAND(F.lit(_MASK))
+        c = ix if part == "x" else iy
+        return (c.cast("double") + F.lit(0.5)) / F.lit(float(1 << res))
+
+    j = flows.join(F.broadcast(m_o), "o_cell").join(F.broadcast(m_d), "d_cell")
+    dx = center(F.col("o_cell"), "x") - center(F.col("d_cell"), "x")
+    dy = center(F.col("o_cell"), "y") - center(F.col("d_cell"), "y")
+    base = j.withColumn("dist2", dx * dx + dy * dy).withColumn(
+        "g", F.col("m_o").cast("double") * F.col("m_d").cast("double") / F.col("dist2")
+    )
+    k_row = base.agg(
+        (
+            F.sum(F.col("flow").cast(DEC)).cast("double")
+            / F.sum(F.col("g").cast(DEC)).cast("double")
+        ).alias("k")
+    )
+    out = base.crossJoin(F.broadcast(k_row)).withColumn(
+        "expected", F.col("k") * F.col("g")
+    )
+    return out.select(
+        "o_cell",
+        "d_cell",
+        "flow",
+        "m_o",
+        "m_d",
+        F.round("dist2", 6).alias("dist2"),
+        F.round("expected", 6).alias("expected"),
+        F.round(F.col("flow").cast("double") - F.col("expected"), 6).alias("resid"),
+        F.round(
+            (F.col("flow").cast("double") - F.col("expected"))
+            * (F.col("flow").cast("double") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def gravity_model_sql(
+    events_xy_sql: str, res: int = 3, id_col: str = "user_id"
+) -> str:
+    """DuckDB twin of :func:`gravity_model`."""
+
+    def center(cell: str, part: str) -> str:
+        c = (
+            f"(({cell} >> {COORD_BITS}) & {_MASK})"
+            if part == "x"
+            else f"({cell} & {_MASK})"
+        )
+        return f"((CAST({c} AS DOUBLE) + 0.5) / {flit(float(1 << res))})"
+
+    dx = f"({center('o_cell', 'x')} - {center('d_cell', 'x')})"
+    dy = f"({center('o_cell', 'y')} - {center('d_cell', 'y')})"
+    return f"""
+WITH ev AS ({events_xy_sql}),
+ends AS (
+  SELECT {id_col},
+         min(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p0,
+         max(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p1
+  FROM ev GROUP BY 1),
+trips AS (
+  SELECT {G.cell_sql('p0.x', 'p0.y', res)} AS o_cell,
+         {G.cell_sql('p1.x', 'p1.y', res)} AS d_cell
+  FROM ends),
+flows AS (
+  SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS flow
+  FROM trips GROUP BY 1, 2 HAVING o_cell <> d_cell),
+m_o AS (SELECT o_cell, CAST(sum(flow) AS BIGINT) AS m_o FROM flows GROUP BY 1),
+m_d AS (SELECT d_cell, CAST(sum(flow) AS BIGINT) AS m_d FROM flows GROUP BY 1),
+base AS (
+  SELECT f.o_cell, f.d_cell, f.flow, o.m_o, d.m_d,
+         {dx} * {dx} + {dy} * {dy} AS dist2,
+         CAST(o.m_o AS DOUBLE) * CAST(d.m_d AS DOUBLE)
+           / ({dx} * {dx} + {dy} * {dy}) AS g
+  FROM flows f JOIN m_o o USING (o_cell) JOIN m_d d USING (d_cell)),
+k_row AS (
+  SELECT CAST(sum(CAST(flow AS {DEC})) AS DOUBLE)
+         / CAST(sum(CAST(g AS {DEC})) AS DOUBLE) AS k
+  FROM base)
+SELECT o_cell, d_cell, flow, m_o, m_d,
+       round(dist2, 6) AS dist2,
+       round(k * g, 6) AS expected,
+       round(CAST(flow AS DOUBLE) - k * g, 6) AS resid,
+       round((CAST(flow AS DOUBLE) - k * g) * (CAST(flow AS DOUBLE) - k * g)
+             / (k * g), 6) AS chi2
+FROM base, k_row
+"""
+
+
+# ----------------------------------------------------------- head/tail breaks
+
+
+def headtail_breaks(
+    df: DataFrame, value_col: str, levels: int = 4
+) -> DataFrame:
+    """(level, n, mean, n_head, head_frac): Jiang's head/tail-breaks class
+    boundaries for a heavy-tailed column — split at the mean, recurse on the
+    head, ``levels`` times (fixed unroll; levels where the head emptied are
+    dropped on both engines identically).
+
+    Each level is a 1-row DECIMAL aggregate + a broadcast filter — the
+    kmeans-style declarative loop; no collect, no window, no sort.
+    """
+    v = F.col(value_col).cast("double")
+    cur = df.select(v.alias("v")).where(F.col("v").isNotNull())
+    outs = []
+    for lvl in range(1, levels + 1):
+        m = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.col("v").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean"),
+        )
+        stats = (
+            cur.crossJoin(F.broadcast(m))
+            .agg(
+                F.max("n").alias("n"),
+                F.max("mean").alias("mean"),
+                F.sum(F.when(F.col("v") > F.col("mean"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_head"),
+            )
+            .select(
+                F.lit(lvl).cast("int").alias("level"),
+                "n",
+                F.round("mean", 6).alias("mean"),
+                "n_head",
+                F.round(
+                    F.col("n_head").cast("double") / F.col("n").cast("double"), 6
+                ).alias("head_frac"),
+            )
+        )
+        outs.append(stats)
+        cur = cur.crossJoin(F.broadcast(m)).where(F.col("v") > F.col("mean")).select("v")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.where(F.col("n") > 0)
+
+
+def headtail_breaks_sql(src_sql: str, value_col: str, levels: int = 4) -> str:
+    """DuckDB twin of :func:`headtail_breaks`. ``src_sql`` yields ``value_col``."""
+    ctes = [
+        f"l1 AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({src_sql})"
+        f" WHERE {value_col} IS NOT NULL)"
+    ]
+    selects = []
+    for lvl in range(1, levels + 1):
+        ctes.append(
+            f"""m{lvl} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS {DEC})) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+  FROM l{lvl})"""
+        )
+        selects.append(
+            f"""SELECT CAST({lvl} AS INT) AS level, n, round(mean, 6) AS mean,
+       n_head, round(CAST(n_head AS DOUBLE) / CAST(n AS DOUBLE), 6) AS head_frac
+FROM (
+  SELECT max(m.n) AS n, max(m.mean) AS mean,
+         CAST(coalesce(sum(CASE WHEN l.v > m.mean THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_head
+  FROM l{lvl} l, m{lvl} m)
+WHERE n > 0"""
+        )
+        if lvl < levels:
+            ctes.append(
+                f"l{lvl + 1} AS (SELECT v FROM l{lvl}, m{lvl} WHERE v > mean)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -5348,6 +5348,111 @@ def _sql_sdm_rank() -> str:
     return sdm_rank_sql(BM25_QUERIES)
 
 
+_EV_XY_SQL: str | None = None
+
+
+def _ev_xy_sql() -> str:
+    """Shared jittered events→plane mapping (same as od_matrix's)."""
+    x, y = G.xy_sql("embedding", DIM)
+    return f"""
+SELECT e.user_id, e.event_id, e.ts,
+       greatest(least(l.x0 + ((e.event_id % 199) - 99) / 1000.0, 1.0), 0.0) AS x,
+       greatest(least(l.y0 + ((e.event_id % 211) - 105) / 1000.0, 1.0), 0.0) AS y
+FROM events e
+JOIN (SELECT vec_id, {x} AS x0, {y} AS y0 FROM embeddings) l
+  ON e.user_id % (SELECT max(vec_id) + 1 FROM embeddings) = l.vec_id
+"""
+
+
+def _ev_xy(spark, sf_dir):
+    """Spark side of :func:`_ev_xy_sql`."""
+    ev = ld(spark, sf_dir, "events")
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    locs = em.select("vec_id", x.alias("x0"), y.alias("y0"))
+    n_locs = em.agg(F.max("vec_id")).collect()[0][0] + 1  # metadata scalar
+    jx = ((F.col("event_id") % 199) - 99) / 1000.0
+    jy = ((F.col("event_id") % 211) - 105) / 1000.0
+    return ev.join(
+        F.broadcast(locs), ev["user_id"] % n_locs == locs["vec_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+        F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+    )
+
+
+def q_sd_ellipse(spark, sf_dir):
+    """Standard deviational ellipse per tile (operators/geostats.py:
+    sd_ellipse): mean center, covariance eigen-rotation via twin atan2,
+    major/minor dispersion in closed form from six DECIMAL moments — ONE
+    groupBy, no second pass."""
+    from ..operators.geostats import sd_ellipse
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return sd_ellipse(em.select(x.alias("x"), y.alias("y")), res=2)
+
+
+def _sql_sd_ellipse() -> str:
+    from ..operators.geostats import sd_ellipse_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return sd_ellipse_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=2)
+
+
+def q_knox_test(spark, sf_dir):
+    """Knox space-time interaction test (operators/geostats.py: knox_test):
+    pairs close in space (3×3 cell-neighborhood join at res 5) × pairs close
+    in time (±1 τ-bucket join), symmetric probing with id1<id2 so each pair
+    counts once; observed-vs-expected ratio >1 ⇒ space-time clustering."""
+    from ..operators.geostats import knox_test
+
+    return knox_test(_ev_xy(spark, sf_dir), s_eps=0.02, t_eps=3600, res=5)
+
+
+def _sql_knox_test() -> str:
+    from ..operators.geostats import knox_test_sql
+
+    return knox_test_sql(_ev_xy_sql(), s_eps=0.02, t_eps=3600, res=5)
+
+
+def q_gravity_model(spark, sf_dir):
+    """Gravity spatial-interaction fit over the OD flow matrix
+    (operators/geostats.py: gravity_model): expected = K·m_o·m_d/d² with K
+    fit so Σexpected = Σflow; residuals + chi-square per desire line. Trips
+    via struct-min/max groupBy; everything after runs on cell-pair
+    metadata."""
+    from ..operators.geostats import gravity_model
+
+    return gravity_model(_ev_xy(spark, sf_dir), res=3)
+
+
+def _sql_gravity_model() -> str:
+    from ..operators.geostats import gravity_model_sql
+
+    return gravity_model_sql(_ev_xy_sql(), res=3)
+
+
+def q_headtail_breaks(spark, sf_dir):
+    """Jiang head/tail-breaks classification of the heavy-tailed document
+    length distribution (operators/geostats.py: headtail_breaks): iterative
+    mean splits, each level one DECIMAL aggregate + broadcast filter —
+    declarative unroll, no collect."""
+    from ..operators.geostats import headtail_breaks
+
+    docs = ld(spark, sf_dir, "documents")
+    return headtail_breaks(docs, "n_chars", levels=4)
+
+
+def _sql_headtail_breaks() -> str:
+    from ..operators.geostats import headtail_breaks_sql
+
+    return headtail_breaks_sql("SELECT n_chars FROM documents", "n_chars", levels=4)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5581,6 +5686,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geohash_encode": q_geohash_encode,
     "geohash_density": q_geohash_density,
     "sdm_rank": q_sdm_rank,
+    "sd_ellipse": q_sd_ellipse,
+    "knox_test": q_knox_test,
+    "gravity_model": q_gravity_model,
+    "headtail_breaks": q_headtail_breaks,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5606,7 +5715,7 @@ _FLAGSHIP_ORDER = [
     # round-3 additions get window slots ahead of queries already officially
     # green in CORRECTNESS_r02 (emb_topk family, grid_knn, soft_assign)
     "lake_scan", "lake_time_travel", "lake_changes", "viewshed",
-    "sdm_rank",
+    "sdm_rank", "sd_ellipse", "knox_test", "gravity_model", "headtail_breaks",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -5821,5 +5930,9 @@ ORACLES: dict[str, str] = {
     "geohash_encode": _sql_geohash_encode(),
     "geohash_density": _sql_geohash_density(),
     "sdm_rank": _sql_sdm_rank(),
+    "sd_ellipse": _sql_sd_ellipse(),
+    "knox_test": _sql_knox_test(),
+    "gravity_model": _sql_gravity_model(),
+    "headtail_breaks": _sql_headtail_breaks(),
     **_sql_curation(),
 }
