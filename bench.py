@@ -651,6 +651,18 @@ def main() -> None:
 
     timed("geostats", _geostats)
 
+    # adaptive quadtree: variable-resolution leaf partition from per-level
+    # counts (one corpus groupBy + metadata rollups), then point→leaf routing
+    from raptor_rag_spark.operators.quadtree import adaptive_tiles, quadtree_assign
+
+    def _quadtree():
+        leaves = adaptive_tiles(hpts, max_pts=200, min_res=2, max_res=10)
+        quadtree_assign(
+            pts.withColumnRenamed("node_id", "vec_id"), leaves, min_res=2, max_res=10
+        ).count()
+
+    timed("quadtree", _quadtree)
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

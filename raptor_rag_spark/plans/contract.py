@@ -5453,6 +5453,68 @@ def _sql_headtail_breaks() -> str:
     return headtail_breaks_sql("SELECT n_chars FROM documents", "n_chars", levels=4)
 
 
+def q_quadtree_leaves(spark, sf_dir):
+    """Adaptive quadtree leaf partition (operators/quadtree.py:
+    adaptive_tiles): split tiles holding > max_pts points down to max_res;
+    leaves derived from per-level counts alone (one corpus groupBy at
+    max_res, then metadata-scale parent rollups + one split-parent join)."""
+    from ..operators.quadtree import adaptive_tiles
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return adaptive_tiles(
+        em.select(x.alias("x"), y.alias("y")), max_pts=20, min_res=1, max_res=6
+    )
+
+
+def _sql_quadtree_leaves() -> str:
+    from ..operators.quadtree import adaptive_tiles_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return adaptive_tiles_sql(
+        f"SELECT {x} AS x, {y} AS y FROM embeddings",
+        max_pts=20,
+        min_res=1,
+        max_res=6,
+    )
+
+
+def q_quadtree_assign(spark, sf_dir):
+    """Point→leaf routing over the adaptive quadtree (operators/quadtree.py:
+    quadtree_assign): each point computes its cell at every level (pure bit
+    math) and keeps the one in the broadcast leaf set — the lookup an
+    adaptively-partitioned spatial join runs before co-locating work."""
+    from ..operators.quadtree import adaptive_tiles, quadtree_assign
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select("vec_id", x.alias("x"), y.alias("y"))
+    leaves = adaptive_tiles(pts.select("x", "y"), max_pts=20, min_res=1, max_res=6)
+    return quadtree_assign(pts, leaves, min_res=1, max_res=6)
+
+
+def _sql_quadtree_assign() -> str:
+    from ..operators.quadtree import adaptive_tiles_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    leaves = adaptive_tiles_sql(
+        f"SELECT {x} AS x, {y} AS y FROM embeddings",
+        max_pts=20,
+        min_res=1,
+        max_res=6,
+    )
+    expl = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {r} AS res, {G.cell_sql(x, y, r)} AS cell FROM embeddings"
+        for r in range(1, 7)
+    )
+    return f"""
+WITH leaves AS ({leaves}),
+expl AS ({expl})
+SELECT e.vec_id, e.res, e.cell
+FROM expl e JOIN leaves l ON e.res = l.res AND e.cell = l.cell
+"""
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5690,6 +5752,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knox_test": q_knox_test,
     "gravity_model": q_gravity_model,
     "headtail_breaks": q_headtail_breaks,
+    "quadtree_leaves": q_quadtree_leaves,
+    "quadtree_assign": q_quadtree_assign,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5716,6 +5780,7 @@ _FLAGSHIP_ORDER = [
     # green in CORRECTNESS_r02 (emb_topk family, grid_knn, soft_assign)
     "lake_scan", "lake_time_travel", "lake_changes", "viewshed",
     "sdm_rank", "sd_ellipse", "knox_test", "gravity_model", "headtail_breaks",
+    "quadtree_leaves", "quadtree_assign",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -5934,5 +5999,7 @@ ORACLES: dict[str, str] = {
     "knox_test": _sql_knox_test(),
     "gravity_model": _sql_gravity_model(),
     "headtail_breaks": _sql_headtail_breaks(),
+    "quadtree_leaves": _sql_quadtree_leaves(),
+    "quadtree_assign": _sql_quadtree_assign(),
     **_sql_curation(),
 }
