@@ -663,6 +663,35 @@ def main() -> None:
 
     timed("quadtree", _quadtree)
 
+    # Voronoi service areas + point routing through the precomputed raster;
+    # k-means cluster-quality silhouette; directional containment dedup
+    from raptor_rag_spark.operators.dedup import containment_pairs
+    from raptor_rag_spark.operators.kmeans import kmeans_silhouette
+    from raptor_rag_spark.operators.voronoi import nearest_site_join, voronoi_raster
+
+    def _voronoi():
+        seeds = (
+            embs.orderBy("vec_id")
+            .limit(32)
+            .select(F.col("vec_id").alias("sid"), x.alias("sx"), y.alias("sy"))
+        )
+        voronoi_raster(seeds, res=6).count()
+        nearest_site_join(
+            pts.withColumnRenamed("node_id", "vec_id"), seeds, res=6
+        ).count()
+
+    timed("voronoi", _voronoi)
+    timed(
+        "kmeans_silhouette",
+        lambda: kmeans_silhouette(
+            pts.withColumnRenamed("node_id", "vec_id"), k=8, iters=3
+        ).count(),
+    )
+    timed(
+        "containment",
+        lambda: containment_pairs(docs.select("doc_id", "text"), 0.3).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

@@ -210,6 +210,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, n_inter, cont_ab, cont_ba): DIRECTIONAL
+    shingle containment — cont_ab = |A∩B|/|A| (how much of A lies inside B).
+
+    Jaccard (and MinHash, which estimates it) misses asymmetric duplication:
+    a paragraph quoted inside a 100× longer page has Jaccard ≈ 0.01 but
+    containment ≈ 1.0 from the short side. This is the quote/mirror/
+    subset-page detector (Broder's "roughly contained" relation) a crawl
+    curation pass runs next to the symmetric near-dup family. Pairs are kept
+    when EITHER direction ≥ ``threshold``.
+
+    Scale shape: identical inverted-index join as :func:`ngram_jaccard_pairs`
+    — df-capped shingles (boilerplate shingles carry no containment signal
+    either), candidate pairs only where ≥1 rare shingle is shared, sizes
+    joined back from the uncapped per-doc shingle counts (so the denominator
+    is exact; capped overlap only UNDERestimates — misses stay misses)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(G.shingles_col(F.col("text")))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+        .select("shingle")
+    )
+    idx = sh.join(rare, "shingle")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("cont_ab", F.round(F.col("n_inter") / F.col("n_a"), 6))
+        .withColumn("cont_ba", F.round(F.col("n_inter") / F.col("n_b"), 6))
+    )
+    return scored.filter(
+        (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "n_inter",
+        "cont_ab",
+        "cont_ba",
+    )
+
+
+def containment_pairs_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs`."""
+    sh = G.shingles_sql("text")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM ({docs_sql})
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {max_shingle_df}
+), idx AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b, CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+         n_inter,
+         round(n_inter / sa.n_sh, 6) AS cont_ab,
+         round(n_inter / sb.n_sh, 6) AS cont_ba
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, n_a, n_b, n_inter, cont_ab, cont_ba
+FROM scored WHERE cont_ab >= {threshold} OR cont_ba >= {threshold}
+"""
+
+
 def embedding_neardup_pairs(
     vecs: DataFrame,
     threshold: float = 0.95,

@@ -101,16 +101,11 @@ def kmeans_xy(
     )
 
 
-def kmeans_xy_sql(
-    pts_sql: str,
-    k: int = 4,
-    iters: int = 3,
-    id_col: str = "vec_id",
-) -> str:
-    """DuckDB twin of :func:`kmeans_xy` — the iteration loop unrolled into
-    one CTE pair (assign, recenter) per Lloyd step. The window argmin
-    (ORDER BY d, c, pick first) is the set formulation of the Spark side's
-    first-strict-minimum array scan."""
+def _lloyd_sql_ctes(
+    pts_sql: str, k: int, iters: int, id_col: str
+) -> tuple[list[str], str]:
+    """Shared CTE chain for the Lloyd twins: pts → c0 → (assign, recenter)×
+    iters → afinal. Returns (ctes, final-centroid cte name)."""
 
     def assign(cent_cte: str, name: str) -> str:
         return f"""{name} AS (
@@ -146,10 +141,112 @@ def kmeans_xy_sql(
         ctes.append(recenter(f"a{i}", f"c{i}"))
         cent = f"c{i}"
     ctes.append(assign(cent, "afinal"))
+    return ctes, cent
+
+
+def kmeans_xy_sql(
+    pts_sql: str,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`kmeans_xy` — the iteration loop unrolled into
+    one CTE pair (assign, recenter) per Lloyd step. The window argmin
+    (ORDER BY d, c, pick first) is the set formulation of the Spark side's
+    first-strict-minimum array scan."""
+    ctes, cent = _lloyd_sql_ctes(pts_sql, k, iters, id_col)
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
 SELECT a.{id_col}, a.c AS cluster, round(a.d, 6) AS dist,
        round(t.cx, 6) AS cx, round(t.cy, 6) AS cy
 FROM afinal a JOIN {cent} t USING (c)
+"""
+
+
+def kmeans_silhouette(
+    pts: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(cluster, n, mean_sil): simplified (centroid-based) silhouette per
+    final Lloyd cluster — a(i) = distance to the owning centroid, b(i) =
+    distance to the nearest OTHER centroid, s = (b−a)/max(a,b) (0 when the
+    point sits exactly on its centroid). The medoid-free variant every
+    distributed evaluator uses: full silhouette is all-pairs; this is one
+    broadcast argmin + one k-key groupBy, exact enough to rank k choices.
+
+    Determinism: distances in doubles with the same first-strict-minimum
+    scan as assignment; per-cluster means sum s in DECIMAL(28,15)."""
+    seeds = pts.orderBy(id_col).limit(k)
+    cents = seeds.withColumn(
+        "c", F.row_number().over(Window.orderBy(id_col)).cast("long") - 1
+    ).select("c", F.col("x").alias("cx"), F.col("y").alias("cy"))
+    for _ in range(iters):
+        cents = _recenter(_assign(pts, cents, id_col))
+    assigned = _assign(pts, cents, id_col)
+
+    packed = cents.agg(
+        F.array_sort(F.collect_list(F.struct("c", "cx", "cy"))).alias("cs")
+    )
+
+    def step(acc, s):
+        d = (
+            (F.col("x") - s["cx"]) * (F.col("x") - s["cx"])
+            + (F.col("y") - s["cy"]) * (F.col("y") - s["cy"])
+        )
+        better = (d < acc["d"]) & (s["c"] != F.col("c"))
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+        )
+
+    b2 = F.aggregate(
+        F.col("cs"), F.struct(F.lit(_FAR).alias("d")), step
+    )["d"]
+    ab = (
+        assigned.crossJoin(F.broadcast(packed))
+        .withColumn("a_d", F.sqrt(F.col("d")))
+        .withColumn("b_d", F.sqrt(b2))
+    )
+    sil = ab.withColumn(
+        "s",
+        F.when(F.greatest("a_d", "b_d") == 0.0, F.lit(0.0)).otherwise(
+            (F.col("b_d") - F.col("a_d")) / F.greatest("a_d", "b_d")
+        ),
+    )
+    return sil.groupBy(F.col("c").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("s").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_sil"),
+    )
+
+
+def kmeans_silhouette_sql(
+    pts_sql: str,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`kmeans_silhouette` — reuses the Lloyd CTE chain,
+    then b(i) = min distance over the other centroids via a filtered min."""
+    ctes, cent = _lloyd_sql_ctes(pts_sql, k, iters, id_col)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+ab AS (
+  SELECT a.{id_col}, a.c, sqrt(a.d) AS a_d,
+         sqrt(min(CASE WHEN t.c <> a.c
+                       THEN (a.x - t.cx) * (a.x - t.cx) + (a.y - t.cy) * (a.y - t.cy)
+                       ELSE {_FAR!r} END)) AS b_d
+  FROM afinal a, {cent} t
+  GROUP BY a.{id_col}, a.c, a.d, a.x, a.y),
+sil AS (
+  SELECT c, CASE WHEN greatest(a_d, b_d) = 0.0 THEN 0.0
+                 ELSE (b_d - a_d) / greatest(a_d, b_d) END AS s
+  FROM ab)
+SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(s AS {DEC})) AS DOUBLE) / count(*), 6) AS mean_sil
+FROM sil GROUP BY c
 """

@@ -5515,6 +5515,105 @@ FROM expl e JOIN leaves l ON e.res = l.res AND e.cell = l.cell
 """
 
 
+def q_kmeans_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per Lloyd cluster
+    (operators/kmeans.py: kmeans_silhouette): a = dist to own centroid, b =
+    dist to nearest other centroid, s = (b−a)/max(a,b) — one broadcast
+    argmin + one k-key groupBy; the all-pairs classic collapsed to the
+    distributed-evaluator form."""
+    from ..operators.kmeans import kmeans_silhouette
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select("vec_id", x.alias("x"), y.alias("y"))
+    return kmeans_silhouette(pts, k=8, iters=3)
+
+
+def _sql_kmeans_silhouette() -> str:
+    from ..operators.kmeans import kmeans_silhouette_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return kmeans_silhouette_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", k=8, iters=3
+    )
+
+
+def _voronoi_seeds(spark, sf_dir):
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return (
+        em.orderBy("vec_id")
+        .limit(12)
+        .select(F.col("vec_id").alias("sid"), x.alias("sx"), y.alias("sy"))
+    )
+
+
+def _voronoi_seeds_sql() -> str:
+    x, y = G.xy_sql("embedding", DIM)
+    return (
+        f"SELECT vec_id AS sid, {x} AS sx, {y} AS sy FROM embeddings "
+        "ORDER BY vec_id LIMIT 12"
+    )
+
+
+def q_voronoi_raster(spark, sf_dir):
+    """Rasterized Voronoi partition (operators/voronoi.py: voronoi_raster):
+    every res-5 cell — occupied or empty — assigned to its nearest of 12
+    seed sites via ONE broadcast argmin over a spark.range cell universe;
+    per-seed service-area stats. Zero corpus scan."""
+    from ..operators.voronoi import voronoi_raster
+
+    return voronoi_raster(_voronoi_seeds(spark, sf_dir), res=5)
+
+
+def _sql_voronoi_raster() -> str:
+    from ..operators.voronoi import voronoi_raster_sql
+
+    return voronoi_raster_sql(_voronoi_seeds_sql(), res=5)
+
+
+def q_voronoi_route(spark, sf_dir):
+    """Point→Voronoi-owner routing through the precomputed raster
+    (operators/voronoi.py: nearest_site_join): broadcast (ix,iy)→sid lookup
+    instead of per-point k-way argmin — the map-side join a 100-TB stream
+    pays once the owner table is materialized."""
+    from ..operators.voronoi import nearest_site_join
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select("vec_id", x.alias("x"), y.alias("y"))
+    return nearest_site_join(pts, _voronoi_seeds(spark, sf_dir), res=5)
+
+
+def _sql_voronoi_route() -> str:
+    from ..operators.voronoi import nearest_site_join_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return nearest_site_join_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings",
+        _voronoi_seeds_sql(),
+        res=5,
+    )
+
+
+def q_containment(spark, sf_dir):
+    """Directional shingle containment |A∩B|/|A| (operators/dedup.py:
+    containment_pairs): the quote/mirror/subset-page detector Jaccard and
+    MinHash miss on asymmetric sizes; df-capped inverted-index join, exact
+    denominators from uncapped per-doc shingle counts."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        ld(spark, sf_dir, "documents").select("doc_id", "text"), threshold=0.3
+    )
+
+
+def _sql_containment() -> str:
+    from ..operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(threshold=0.3)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5754,6 +5853,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "headtail_breaks": q_headtail_breaks,
     "quadtree_leaves": q_quadtree_leaves,
     "quadtree_assign": q_quadtree_assign,
+    "kmeans_silhouette": q_kmeans_silhouette,
+    "voronoi_raster": q_voronoi_raster,
+    "voronoi_route": q_voronoi_route,
+    "containment": q_containment,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5781,6 +5884,7 @@ _FLAGSHIP_ORDER = [
     "lake_scan", "lake_time_travel", "lake_changes", "viewshed",
     "sdm_rank", "sd_ellipse", "knox_test", "gravity_model", "headtail_breaks",
     "quadtree_leaves", "quadtree_assign",
+    "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -6001,5 +6105,9 @@ ORACLES: dict[str, str] = {
     "headtail_breaks": _sql_headtail_breaks(),
     "quadtree_leaves": _sql_quadtree_leaves(),
     "quadtree_assign": _sql_quadtree_assign(),
+    "kmeans_silhouette": _sql_kmeans_silhouette(),
+    "voronoi_raster": _sql_voronoi_raster(),
+    "voronoi_route": _sql_voronoi_route(),
+    "containment": _sql_containment(),
     **_sql_curation(),
 }
