@@ -692,6 +692,31 @@ def main() -> None:
         lambda: containment_pairs(docs.select("doc_id", "text"), 0.3).count(),
     )
 
+    # co-presence contact join + Clark-Evans NN verdict over the corpus plane
+    from raptor_rag_spark.operators.spacetime import colocation_pairs
+    from raptor_rag_spark.operators.stats import clark_evans
+
+    def _colocation():
+        jx = ((F.col("event_id") % 199) - 99) / 1000.0
+        jy = ((F.col("event_id") % 211) - 105) / 1000.0
+        ev4 = events.join(
+            F.broadcast(embs.select("vec_id", x.alias("x0"), y.alias("y0"))),
+            events["user_id"] % 5000 == F.col("vec_id"),
+        ).select(
+            "user_id", "event_id", "ts",
+            F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+            F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+        )
+        colocation_pairs(ev4, res=5, t_eps=3600, min_contacts=2).count()
+
+    timed("colocation", _colocation)
+    timed(
+        "clark_evans",
+        lambda: clark_evans(
+            pts.withColumnRenamed("node_id", "vec_id"), res=6
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

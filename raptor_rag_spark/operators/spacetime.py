@@ -592,6 +592,92 @@ SELECT o_cell, d_cell, n_trips, avg_len, rnk FROM (
 """
 
 
+def colocation_pairs(
+    events_xy: DataFrame,
+    res: int = 5,
+    t_eps: int = 3600,
+    id_col: str = "user_id",
+    min_contacts: int = 1,
+) -> DataFrame:
+    """(user_a, user_b, n_contacts, n_cells, first_t): co-presence join —
+    pairs of DISTINCT entities with events in the SAME res-cell within
+    ``t_eps`` seconds (the contact-tracing / co-location-pattern primitive;
+    cell width IS the contact radius, the quantization every proximity
+    product ships).
+
+    Scale shape: events are keyed by (cell, τ-bucket); each event probes its
+    cell at buckets {b−1, b, b+1} and the probe side must carry the LOWER
+    user id, so every qualifying event pair is counted exactly once, and the
+    join is bounded by per-(cell, bucket) density — never n². first_t is the
+    earlier event's epoch second of the earliest contact.
+    """
+    t = F.unix_timestamp("ts")
+    pts = events_xy.select(
+        F.col(id_col).alias("uid"),
+        t.alias("t"),
+        G.cell_col(F.col("x"), F.col("y"), res).alias("cell"),
+        F.floor(t.cast("double") / F.lit(float(t_eps))).cast("long").alias("tb"),
+    )
+    probe = pts.select(
+        F.col("uid").alias("uid1"),
+        F.col("t").alias("t1"),
+        F.col("cell").alias("cell1"),
+        F.explode(F.array(F.col("tb") - 1, F.col("tb"), F.col("tb") + 1)).alias("kb"),
+    )
+    contacts = probe.join(
+        pts,
+        (F.col("cell1") == F.col("cell"))
+        & (F.col("kb") == F.col("tb"))
+        & (F.col("uid1") < F.col("uid"))
+        & (F.abs(F.col("t1") - F.col("t")) <= t_eps),
+    )
+    return (
+        contacts.groupBy(
+            F.col("uid1").alias("user_a"), F.col("uid").alias("user_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contacts"),
+            F.countDistinct("cell1").cast("long").alias("n_cells"),
+            F.min(F.least("t1", "t")).alias("first_t"),
+        )
+        .where(F.col("n_contacts") >= min_contacts)
+    )
+
+
+def colocation_pairs_sql(
+    events_xy_sql: str,
+    res: int = 5,
+    t_eps: int = 3600,
+    id_col: str = "user_id",
+    min_contacts: int = 1,
+) -> str:
+    """DuckDB twin of :func:`colocation_pairs`."""
+    return f"""
+WITH ev AS ({events_xy_sql}),
+pts AS (
+  SELECT {id_col} AS uid,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         {G.cell_sql('x', 'y', res)} AS cell,
+         CAST(floor(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
+                    / {float(t_eps)!r}) AS BIGINT) AS tb
+  FROM ev),
+probe AS (
+  SELECT uid AS uid1, t AS t1, cell AS cell1, tb + db AS kb
+  FROM pts, (VALUES (-1), (0), (1)) o(db)),
+contacts AS (
+  SELECT p.uid1, q.uid, p.cell1, p.t1, q.t
+  FROM probe p JOIN pts q
+    ON p.cell1 = q.cell AND p.kb = q.tb AND p.uid1 < q.uid
+       AND abs(p.t1 - q.t) <= {t_eps})
+SELECT uid1 AS user_a, uid AS user_b,
+       CAST(count(*) AS BIGINT) AS n_contacts,
+       CAST(count(DISTINCT cell1) AS BIGINT) AS n_cells,
+       min(least(t1, t)) AS first_t
+FROM contacts GROUP BY 1, 2
+HAVING count(*) >= {min_contacts}
+"""
+
+
 def traj_simplify(
     events_xy: DataFrame,
     min_area: float = 0.0005,

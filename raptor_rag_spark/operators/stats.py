@@ -172,3 +172,77 @@ SELECT r, n_pairs, round(k_est, 9) AS k_est,
        round(sqrt(k_est / {math.pi!r}) - r, 9) AS l_minus_r
 FROM scored
 """
+
+
+# ------------------------------------------------- Clark-Evans NN index
+
+_CE_SE = 0.26136  # SE constant of the mean NN distance under CSR
+
+
+def clark_evans(pts: DataFrame, res: int = 6, id_col: str = "vec_id") -> DataFrame:
+    """ONE row (n, mean_nn, expected, r_index, z): Clark & Evans (1954)
+    nearest-neighbor index over the unit square — THE first-glance
+    clustered/random/dispersed verdict (R < 1 clustered, ≈ 1 CSR, → 2.15
+    perfectly dispersed). expected = 0.5/√λ, z = (mean−expected)/SE with
+    SE = 0.26136/√(n·λ); edge correction omitted (documented — the torus
+    term matters below n ≈ 100).
+
+    Scale shape: the per-point NN distance rides the PROVABLY-EXACT grid
+    ring search (operators/knn.py: grid_knn, k = 2 self-included — the true
+    neighbor is always inside the covering radius), so the all-pairs n²
+    the textbook formula implies never materializes; the final reduce is
+    one DECIMAL aggregate. The DuckDB oracle IS the brute-force n² twin —
+    agreement doubles as a recall proof for the ring search."""
+    from .knn import grid_knn
+
+    q = pts.select(F.col(id_col).alias("query_id"), "x", "y")
+    nn = (
+        grid_knn(pts, q, res=res, k=2, id_col=id_col)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("dist").alias("nn_dist"))
+    )
+    agg = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("nn_dist").cast("decimal(28,15)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_nn"),
+    )
+    nd = F.col("n").cast("double")
+    expected = F.lit(0.5) / F.sqrt(nd)  # λ = n / unit area
+    se = F.lit(_CE_SE) / F.sqrt(nd * nd)  # 0.26136 / sqrt(n·λ)
+    return agg.select(
+        "n",
+        F.round("mean_nn", 6).alias("mean_nn"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.col("mean_nn") / expected, 6).alias("r_index"),
+        F.round((F.col("mean_nn") - expected) / se, 6).alias("z"),
+    )
+
+
+def clark_evans_sql(pts_sql: str, id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`clark_evans` — deliberately the brute-force n²
+    nearest neighbor (fine at oracle scale), so a hash match certifies the
+    Spark side's ring search found the TRUE nearest neighbor for every
+    point."""
+    return f"""
+WITH pts AS ({pts_sql}),
+nn AS (
+  SELECT a.{id_col} AS query_id,
+         round(min(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))), 6)
+           AS nn_dist
+  FROM pts a JOIN pts b ON a.{id_col} <> b.{id_col}
+  GROUP BY 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(nn_dist AS DECIMAL(28,15))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_nn
+  FROM nn)
+SELECT n, round(mean_nn, 6) AS mean_nn,
+       round(0.5 / sqrt(CAST(n AS DOUBLE)), 6) AS expected,
+       round(mean_nn / (0.5 / sqrt(CAST(n AS DOUBLE))), 6) AS r_index,
+       round((mean_nn - 0.5 / sqrt(CAST(n AS DOUBLE)))
+             / ({_CE_SE!r} / sqrt(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS z
+FROM agg
+"""

@@ -5614,6 +5614,44 @@ def _sql_containment() -> str:
     return containment_pairs_sql(threshold=0.3)
 
 
+def q_colocation(spark, sf_dir):
+    """Co-presence (contact-tracing) join (operators/spacetime.py:
+    colocation_pairs): distinct users with events in the same res-5 cell
+    within 1h; (cell, τ-bucket)-keyed probe with the lower user id on the
+    probe side so each event pair counts once — bounded by local density,
+    never n²."""
+    from ..operators.spacetime import colocation_pairs
+
+    return colocation_pairs(
+        _ev_xy(spark, sf_dir), res=5, t_eps=3600, min_contacts=2
+    )
+
+
+def _sql_colocation() -> str:
+    from ..operators.spacetime import colocation_pairs_sql
+
+    return colocation_pairs_sql(_ev_xy_sql(), res=5, t_eps=3600, min_contacts=2)
+
+
+def q_clark_evans(spark, sf_dir):
+    """Clark-Evans nearest-neighbor index (operators/stats.py: clark_evans):
+    per-point NN distance via the provably-exact grid ring search (k=2 self-
+    included), one DECIMAL reduce; the oracle is the brute-force n² twin, so
+    the hash match doubles as a recall proof for the ring search."""
+    from ..operators.stats import clark_evans
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return clark_evans(em.select("vec_id", x.alias("x"), y.alias("y")), res=5)
+
+
+def _sql_clark_evans() -> str:
+    from ..operators.stats import clark_evans_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return clark_evans_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5857,6 +5895,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "voronoi_raster": q_voronoi_raster,
     "voronoi_route": q_voronoi_route,
     "containment": q_containment,
+    "colocation": q_colocation,
+    "clark_evans": q_clark_evans,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5885,6 +5925,7 @@ _FLAGSHIP_ORDER = [
     "sdm_rank", "sd_ellipse", "knox_test", "gravity_model", "headtail_breaks",
     "quadtree_leaves", "quadtree_assign",
     "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
+    "colocation", "clark_evans",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -6109,5 +6150,7 @@ ORACLES: dict[str, str] = {
     "voronoi_raster": _sql_voronoi_raster(),
     "voronoi_route": _sql_voronoi_route(),
     "containment": _sql_containment(),
+    "colocation": _sql_colocation(),
+    "clark_evans": _sql_clark_evans(),
     **_sql_curation(),
 }
