@@ -968,18 +968,49 @@ def sdm_rank(
         words.select("doc_id", F.posexplode("ws").alias("pos", "term"))
         .join(F.broadcast(vocab), "term")
     )
-    t1 = toks.select("doc_id", F.col("pos").alias("i"), F.col("term").alias("a"))
-    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("pos").alias("j"), F.col("term").alias("b"))
-    pairs = t1.join(
-        t2,
-        (F.col("doc_id") == F.col("d2"))
-        & (F.col("j") > F.col("i"))
-        & (F.col("j") - F.col("i") <= window - 1),
-    ).select("doc_id", "a", "b", (F.col("j") - F.col("i")).alias("diff"))
+    # window-lead pairing instead of a per-doc theta join: a qualifying pair
+    # (i, j), j−i ≤ window−1, has ≤ window−2 vocab tokens strictly between
+    # its endpoints, so over the vocab-filtered position-ordered stream the
+    # partner is within lead distance window−1 — ONE per-doc sort, zero join,
+    # no per-doc n² candidate blowup (measured 20 s → join-free at sf0.1)
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        "doc_id",
+        F.col("term").alias("a"),
+        "pos",
+        *[F.lead("term", d).over(wl).alias(f"b{d}") for d in range(1, window)],
+        *[F.lead("pos", d).over(wl).alias(f"j{d}") for d in range(1, window)],
+    )
+    partners = F.array(
+        *[
+            F.struct(F.col(f"b{d}").alias("b"), F.col(f"j{d}").alias("j"))
+            for d in range(1, window)
+        ]
+    )
+    pairs = (
+        led.select("doc_id", "a", "pos", F.explode(partners).alias("p"))
+        .where(
+            F.col("p.j").isNotNull()
+            & ((F.col("p.j") - F.col("pos")) <= window - 1)
+        )
+        .select(
+            "doc_id",
+            "a",
+            F.col("p.b").alias("b"),
+            (F.col("p.j") - F.col("pos")).alias("diff"),
+        )
+    )
+    # ob and uw are each consumed TWICE inside _component (collection mass +
+    # matched sum), which without a lineage cut re-runs the whole tokenize →
+    # posexplode → window-lead → explode chain FOUR times. They are gram-
+    # aggregate tables (bounded by query-vocab × docs, far smaller than the
+    # corpus), so an eager localCheckpoint here is a metadata-scale
+    # materialization, not a corpus copy.
     ob = (
         pairs.where(F.col("diff") == 1)
         .groupBy("doc_id", F.col("a").alias("ta"), F.col("b").alias("tb"))
         .agg(F.count("*").cast("long").alias("otf"))
+        .localCheckpoint(eager=True)
     )
     uw = (
         pairs.groupBy(
@@ -988,6 +1019,7 @@ def sdm_rank(
             F.greatest("a", "b").alias("ub"),
         )
         .agg(F.count("*").cast("long").alias("utf"))
+        .localCheckpoint(eager=True)
     )
 
     def _component(grams_q, grams_d, keys, tf_col, s_name, qlen_name):
