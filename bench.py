@@ -717,6 +717,45 @@ def main() -> None:
         ).count(),
     )
 
+    # OLS trend surface (one aggregate) + cost-distance raster (bounded-round
+    # relaxation over the implicit 8-neighbor cell graph)
+    from raptor_rag_spark.operators.costdist import cost_distance
+    from raptor_rag_spark.operators.geostats import trend_surface
+
+    def _costdist():
+        trend_surface(
+            embs.select(
+                x.alias("x"), y.alias("y"),
+                F.element_at("embedding", 3).cast("double").alias("z"),
+            )
+        ).count()
+        n16 = 16
+        counts = (
+            pts.select(
+                F.greatest(
+                    F.least(F.floor(F.col("x") * n16).cast("long"), F.lit(n16 - 1)),
+                    F.lit(0),
+                ).alias("ix"),
+                F.greatest(
+                    F.least(F.floor(F.col("y") * n16).cast("long"), F.lit(n16 - 1)),
+                    F.lit(0),
+                ).alias("iy"),
+            )
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        cells16 = spark.range(n16 * n16).select(
+            (F.col("id") / n16).cast("long").alias("ix"),
+            (F.col("id") % n16).cast("long").alias("iy"),
+        )
+        grid = cells16.join(counts, ["ix", "iy"], "left").select(
+            "ix", "iy",
+            (F.lit(1.0) + F.coalesce(F.col("c"), F.lit(0)).cast("double")).alias("cost"),
+        )
+        cost_distance(grid, src_ix=8, src_iy=8, res=4, rounds=24).count()
+
+    timed("trend_costdist", _costdist)
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

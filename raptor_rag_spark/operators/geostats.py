@@ -554,3 +554,126 @@ WHERE n > 0"""
                 f"l{lvl + 1} AS (SELECT v FROM l{lvl}, m{lvl} WHERE v > mean)"
             )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ------------------------------------------------------------ trend surface
+
+
+def trend_surface(pts: DataFrame) -> DataFrame:
+    """pts: (x, y, z). ONE row (n, a, b, c, r2): first-order trend surface
+    z ≈ a + b·x + c·y by ordinary least squares — the classic GIS global-
+    trend fit (is document quality / crawl recency / density sloping across
+    the embedding plane?). Solved in CLOSED FORM from nine DECIMAL moment
+    sums via Cramer's rule, so the whole regression is one map-side-
+    combinable aggregate — no iteration, no matrix library, no second pass:
+    SSE = Σz² − a·Σz − b·Σxz − c·Σyz gives R² from the same moments.
+
+    Determinism: moments sum in DECIMAL(28,15); the 3×3 determinants expand
+    in a pinned multiplication order, identical in the DuckDB twin."""
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum(F.col("z").cast(DEC)).alias("sz"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast(DEC)).alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast(DEC)).alias("syz"),
+        F.sum((F.col("z") * F.col("z")).cast(DEC)).alias("szz"),
+    )
+    d = agg.select(
+        "n",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("sx", "sy", "sz", "sxx", "syy", "sxy", "sxz", "syz", "szz")
+        ],
+    ).withColumn("nd", F.col("n").cast("double"))
+    det = (
+        F.col("nd") * (F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy"))
+        - F.col("sx") * (F.col("sx") * F.col("syy") - F.col("sxy") * F.col("sy"))
+        + F.col("sy") * (F.col("sx") * F.col("sxy") - F.col("sxx") * F.col("sy"))
+    )
+    det_a = (
+        F.col("sz") * (F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy"))
+        - F.col("sx") * (F.col("sxz") * F.col("syy") - F.col("sxy") * F.col("syz"))
+        + F.col("sy") * (F.col("sxz") * F.col("sxy") - F.col("sxx") * F.col("syz"))
+    )
+    det_b = (
+        F.col("nd") * (F.col("sxz") * F.col("syy") - F.col("sxy") * F.col("syz"))
+        - F.col("sz") * (F.col("sx") * F.col("syy") - F.col("sxy") * F.col("sy"))
+        + F.col("sy") * (F.col("sx") * F.col("syz") - F.col("sxz") * F.col("sy"))
+    )
+    det_c = (
+        F.col("nd") * (F.col("sxx") * F.col("syz") - F.col("sxz") * F.col("sxy"))
+        - F.col("sx") * (F.col("sx") * F.col("syz") - F.col("sxz") * F.col("sy"))
+        + F.col("sz") * (F.col("sx") * F.col("sxy") - F.col("sxx") * F.col("sy"))
+    )
+    co = d.select(
+        "n", "sz", "sxz", "syz", "szz", "nd",
+        (det_a / det).alias("ca"),
+        (det_b / det).alias("cb"),
+        (det_c / det).alias("cc"),
+    )
+    sse = (
+        F.col("szz")
+        - F.col("ca") * F.col("sz")
+        - F.col("cb") * F.col("sxz")
+        - F.col("cc") * F.col("syz")
+    )
+    sst = F.col("szz") - F.col("sz") * F.col("sz") / F.col("nd")
+    return co.select(
+        "n",
+        F.round("ca", 6).alias("a"),
+        F.round("cb", 6).alias("b"),
+        F.round("cc", 6).alias("c"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+def trend_surface_sql(pts_sql: str) -> str:
+    """DuckDB twin of :func:`trend_surface`. ``pts_sql`` yields (x, y, z)."""
+    return f"""
+WITH pts AS ({pts_sql}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS {DEC})) AS sx, sum(CAST(y AS {DEC})) AS sy,
+         sum(CAST(z AS {DEC})) AS sz,
+         sum(CAST(x * x AS {DEC})) AS sxx, sum(CAST(y * y AS {DEC})) AS syy,
+         sum(CAST(x * y AS {DEC})) AS sxy, sum(CAST(x * z AS {DEC})) AS sxz,
+         sum(CAST(y * z AS {DEC})) AS syz, sum(CAST(z * z AS {DEC})) AS szz
+  FROM pts),
+d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sz AS DOUBLE) AS sz, CAST(sxx AS DOUBLE) AS sxx,
+         CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(sxz AS DOUBLE) AS sxz, CAST(syz AS DOUBLE) AS syz,
+         CAST(szz AS DOUBLE) AS szz
+  FROM agg),
+co AS (
+  SELECT n, sz, sxz, syz, szz, nd,
+         (sz * (sxx * syy - sxy * sxy)
+          - sx * (sxz * syy - sxy * syz)
+          + sy * (sxz * sxy - sxx * syz))
+         / (nd * (sxx * syy - sxy * sxy)
+            - sx * (sx * syy - sxy * sy)
+            + sy * (sx * sxy - sxx * sy)) AS ca,
+         (nd * (sxz * syy - sxy * syz)
+          - sz * (sx * syy - sxy * sy)
+          + sy * (sx * syz - sxz * sy))
+         / (nd * (sxx * syy - sxy * sxy)
+            - sx * (sx * syy - sxy * sy)
+            + sy * (sx * sxy - sxx * sy)) AS cb,
+         (nd * (sxx * syz - sxz * sxy)
+          - sx * (sx * syz - sxz * sy)
+          + sz * (sx * sxy - sxx * sy))
+         / (nd * (sxx * syy - sxy * sxy)
+            - sx * (sx * syy - sxy * sy)
+            + sy * (sx * sxy - sxx * sy)) AS cc
+  FROM d)
+SELECT n, round(ca, 6) AS a, round(cb, 6) AS b, round(cc, 6) AS c,
+       round(1.0 - (szz - ca * sz - cb * sxz - cc * syz)
+                   / (szz - sz * sz / nd), 6) AS r2
+FROM co
+"""

@@ -5652,6 +5652,86 @@ def _sql_clark_evans() -> str:
     return clark_evans_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_trend_surface(spark, sf_dir):
+    """First-order OLS trend surface z ≈ a + b·x + c·y
+    (operators/geostats.py: trend_surface): closed-form Cramer solve from
+    nine DECIMAL moment sums — the whole regression is ONE map-side-
+    combinable aggregate, R² from the same moments."""
+    from ..operators.geostats import trend_surface
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select(
+        x.alias("x"),
+        y.alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    return trend_surface(pts)
+
+
+def _sql_trend_surface() -> str:
+    from ..operators.geostats import trend_surface_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return trend_surface_sql(
+        f"SELECT {x} AS x, {y} AS y, CAST(embedding[3] AS DOUBLE) AS z"
+        " FROM embeddings"
+    )
+
+
+def q_cost_distance(spark, sf_dir):
+    """Accumulated cost-distance raster from the grid center
+    (operators/costdist.py: cost_distance): 24 Bellman-Ford relaxation
+    rounds over the implicit 8-neighbor cell graph, cost = 1 + point count
+    per res-4 cell; state is one row per reached cell (metadata scale),
+    lineage cut every 4 rounds."""
+    from ..operators.costdist import cost_distance
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    n = 1 << 4
+    counts = (
+        em.select(
+            F.greatest(
+                F.least(F.floor(x * n).cast("long"), F.lit(n - 1)), F.lit(0)
+            ).alias("ix"),
+            F.greatest(
+                F.least(F.floor(y * n).cast("long"), F.lit(n - 1)), F.lit(0)
+            ).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("ix"),
+        (F.col("id") % n).cast("long").alias("iy"),
+    )
+    grid = cells.join(counts, ["ix", "iy"], "left").select(
+        "ix",
+        "iy",
+        (F.lit(1.0) + F.coalesce(F.col("c"), F.lit(0)).cast("double")).alias("cost"),
+    )
+    return cost_distance(grid, src_ix=8, src_iy=8, res=4, rounds=24)
+
+
+def _sql_cost_distance() -> str:
+    from ..operators.costdist import cost_distance_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    n = 16
+    grid = f"""
+SELECT c.ix, c.iy, 1.0 + coalesce(k.c, 0) AS cost
+FROM (SELECT CAST(i // {n} AS BIGINT) AS ix, CAST(i % {n} AS BIGINT) AS iy
+      FROM range(0, {n * n}) r(i)) c
+LEFT JOIN (
+  SELECT greatest(least(CAST(floor(({x}) * {n}) AS BIGINT), {n - 1}), 0) AS ix,
+         greatest(least(CAST(floor(({y}) * {n}) AS BIGINT), {n - 1}), 0) AS iy,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM embeddings GROUP BY 1, 2) k USING (ix, iy)
+"""
+    return cost_distance_sql(grid, src_ix=8, src_iy=8, res=4, rounds=24)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -5897,6 +5977,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment": q_containment,
     "colocation": q_colocation,
     "clark_evans": q_clark_evans,
+    "trend_surface": q_trend_surface,
+    "cost_distance": q_cost_distance,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -5925,7 +6007,7 @@ _FLAGSHIP_ORDER = [
     "sdm_rank", "sd_ellipse", "knox_test", "gravity_model", "headtail_breaks",
     "quadtree_leaves", "quadtree_assign",
     "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
-    "colocation", "clark_evans",
+    "colocation", "clark_evans", "trend_surface", "cost_distance",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -6152,5 +6234,7 @@ ORACLES: dict[str, str] = {
     "containment": _sql_containment(),
     "colocation": _sql_colocation(),
     "clark_evans": _sql_clark_evans(),
+    "trend_surface": _sql_trend_surface(),
+    "cost_distance": _sql_cost_distance(),
     **_sql_curation(),
 }
