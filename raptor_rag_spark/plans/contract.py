@@ -5679,14 +5679,11 @@ def _sql_trend_surface() -> str:
     )
 
 
-def q_cost_distance(spark, sf_dir):
-    """Accumulated cost-distance raster from the grid center
-    (operators/costdist.py: cost_distance): 24 Bellman-Ford relaxation
-    rounds over the implicit 8-neighbor cell graph, cost = 1 + point count
-    per res-4 cell; state is one row per reached cell (metadata scale),
-    lineage cut every 4 rounds."""
-    from ..operators.costdist import cost_distance
-
+def _cost_grid(spark, sf_dir):
+    """Shared cost raster for the cost-distance family: cost = 1 + point
+    count per res-4 cell over the embedding plane (dense 16×16 grid; a
+    hostile/crowded cell is expensive to traverse). ONE groupBy over the
+    corpus, then metadata scale."""
     em = ld(spark, sf_dir, "embeddings")
     x, y = G.xy_cols(F.col("embedding"), DIM)
     n = 1 << 4
@@ -5706,20 +5703,17 @@ def q_cost_distance(spark, sf_dir):
         (F.col("id") / n).cast("long").alias("ix"),
         (F.col("id") % n).cast("long").alias("iy"),
     )
-    grid = cells.join(counts, ["ix", "iy"], "left").select(
+    return cells.join(counts, ["ix", "iy"], "left").select(
         "ix",
         "iy",
         (F.lit(1.0) + F.coalesce(F.col("c"), F.lit(0)).cast("double")).alias("cost"),
     )
-    return cost_distance(grid, src_ix=8, src_iy=8, res=4, rounds=24)
 
 
-def _sql_cost_distance() -> str:
-    from ..operators.costdist import cost_distance_sql
-
+def _cost_grid_sql() -> str:
     x, y = G.xy_sql("embedding", DIM)
     n = 16
-    grid = f"""
+    return f"""
 SELECT c.ix, c.iy, 1.0 + coalesce(k.c, 0) AS cost
 FROM (SELECT CAST(i // {n} AS BIGINT) AS ix, CAST(i % {n} AS BIGINT) AS iy
       FROM range(0, {n * n}) r(i)) c
@@ -5729,7 +5723,89 @@ LEFT JOIN (
          CAST(count(*) AS DOUBLE) AS c
   FROM embeddings GROUP BY 1, 2) k USING (ix, iy)
 """
-    return cost_distance_sql(grid, src_ix=8, src_iy=8, res=4, rounds=24)
+
+
+def q_cost_distance(spark, sf_dir):
+    """Accumulated cost-distance raster from the grid center
+    (operators/costdist.py: cost_distance): 24 Bellman-Ford relaxation
+    rounds over the implicit 8-neighbor cell graph, cost = 1 + point count
+    per res-4 cell; state is one row per reached cell (metadata scale),
+    lineage cut every 4 rounds."""
+    from ..operators.costdist import cost_distance
+
+    return cost_distance(
+        _cost_grid(spark, sf_dir), src_ix=8, src_iy=8, res=4, rounds=24
+    )
+
+
+def _sql_cost_distance() -> str:
+    from ..operators.costdist import cost_distance_sql
+
+    return cost_distance_sql(_cost_grid_sql(), src_ix=8, src_iy=8, res=4, rounds=24)
+
+
+def q_cost_backlink(spark, sf_dir):
+    """Cost back-link raster (operators/costdist.py: cost_backlink): per-cell
+    predecessor direction code on a least-cost path back to the source —
+    ONE predecessor-identity self-join over the shared cost surface, ties
+    broken by a packed-BIGINT min so both engines agree bit-for-bit."""
+    from ..operators.costdist import cost_backlink
+
+    return cost_backlink(
+        _cost_grid(spark, sf_dir), src_ix=8, src_iy=8, res=4, rounds=24
+    )
+
+
+def _sql_cost_backlink() -> str:
+    from ..operators.costdist import cost_backlink_sql
+
+    return cost_backlink_sql(_cost_grid_sql(), src_ix=8, src_iy=8, res=4, rounds=24)
+
+
+def q_cost_corridor(spark, sf_dir):
+    """Least-cost corridor between opposite grid corners
+    (operators/costdist.py: cost_corridor): cells whose best A→u→B cost is
+    within a slack band of the optimal route — two shared surfaces, one
+    equi-join, one window min; on_path marks the exact optimum."""
+    from ..operators.costdist import cost_corridor
+
+    return cost_corridor(
+        _cost_grid(spark, sf_dir), a=(1, 1), b=(14, 14), res=4, rounds=30,
+        slack=20.0,
+    )
+
+
+def _sql_cost_corridor() -> str:
+    from ..operators.costdist import cost_corridor_sql
+
+    return cost_corridor_sql(
+        _cost_grid_sql(), a=(1, 1), b=(14, 14), res=4, rounds=30, slack=20.0
+    )
+
+
+_ISO_BREAKS = [60.0, 180.0, 540.0]
+
+
+def q_isochrones(spark, sf_dir):
+    """Isochrone bands over the cost surface (operators/costdist.py:
+    isochrones): band by travel-cost breaks, per band the cell count, dist
+    range, and perimeter (4-neighbor exposed edges — the raster→vector
+    isoline length)."""
+    from ..operators.costdist import isochrones
+
+    return isochrones(
+        _cost_grid(spark, sf_dir), src_ix=8, src_iy=8, res=4,
+        breaks=_ISO_BREAKS, rounds=24,
+    )
+
+
+def _sql_isochrones() -> str:
+    from ..operators.costdist import isochrones_sql
+
+    return isochrones_sql(
+        _cost_grid_sql(), src_ix=8, src_iy=8, res=4, breaks=_ISO_BREAKS,
+        rounds=24,
+    )
 
 
 def q_textrank(spark, sf_dir):
@@ -5979,6 +6055,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clark_evans": q_clark_evans,
     "trend_surface": q_trend_surface,
     "cost_distance": q_cost_distance,
+    "cost_backlink": q_cost_backlink,
+    "cost_corridor": q_cost_corridor,
+    "isochrones": q_isochrones,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -6008,6 +6087,7 @@ _FLAGSHIP_ORDER = [
     "quadtree_leaves", "quadtree_assign",
     "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
     "colocation", "clark_evans", "trend_surface", "cost_distance",
+    "cost_backlink", "cost_corridor", "isochrones",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -6236,5 +6316,8 @@ ORACLES: dict[str, str] = {
     "clark_evans": _sql_clark_evans(),
     "trend_surface": _sql_trend_surface(),
     "cost_distance": _sql_cost_distance(),
+    "cost_backlink": _sql_cost_backlink(),
+    "cost_corridor": _sql_cost_corridor(),
+    "isochrones": _sql_isochrones(),
     **_sql_curation(),
 }
