@@ -5808,6 +5808,25 @@ def _sql_isochrones() -> str:
     )
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall/ANF over the real extracted link graph
+    (operators/hyperball.py): per-host HLL ball sketches (m = 64 portable-
+    hash registers) merged register-wise along in-edges for 4 rounds →
+    estimated 4-hop reach + truncated harmonic centrality, bit-identical to
+    the DuckDB twin including the float estimates."""
+    from ..operators.curation import extract_links
+    from ..operators.hyperball import hyperball
+
+    return hyperball(extract_links(_pages(spark)), rounds=4)
+
+
+def _sql_hyperball() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.hyperball import hyperball_sql
+
+    return hyperball_sql(extract_links_sql(_PAGES_SQL), rounds=4)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -6058,6 +6077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cost_backlink": q_cost_backlink,
     "cost_corridor": q_cost_corridor,
     "isochrones": q_isochrones,
+    "hyperball": q_hyperball,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -6087,7 +6107,7 @@ _FLAGSHIP_ORDER = [
     "quadtree_leaves", "quadtree_assign",
     "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
     "colocation", "clark_evans", "trend_surface", "cost_distance",
-    "cost_backlink", "cost_corridor", "isochrones",
+    "cost_backlink", "cost_corridor", "isochrones", "hyperball",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -6319,5 +6339,6 @@ ORACLES: dict[str, str] = {
     "cost_backlink": _sql_cost_backlink(),
     "cost_corridor": _sql_cost_corridor(),
     "isochrones": _sql_isochrones(),
+    "hyperball": _sql_hyperball(),
     **_sql_curation(),
 }
