@@ -5827,6 +5827,30 @@ def _sql_hyperball() -> str:
     return hyperball_sql(extract_links_sql(_PAGES_SQL), rounds=4)
 
 
+def q_lof(spark, sf_dir):
+    """Grid-bounded Local Outlier Factor over the embedding plane
+    (operators/lof.py): k = 8 nearest within the 3×3 adaptive-resolution
+    cell block → k-distance, reachability, lrd, LOF — every float sum an
+    ordered fold, exact to the DuckDB twin."""
+    from ..operators.lof import lof
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select("vec_id", x.alias("x"), y.alias("y"))
+    return lof(pts, k=8, id_col="vec_id")
+
+
+def _sql_lof() -> str:
+    from ..operators.lof import lof_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return lof_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings",
+        k=8,
+        id_col="vec_id",
+    )
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -6078,6 +6102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cost_corridor": q_cost_corridor,
     "isochrones": q_isochrones,
     "hyperball": q_hyperball,
+    "lof": q_lof,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -6107,7 +6132,7 @@ _FLAGSHIP_ORDER = [
     "quadtree_leaves", "quadtree_assign",
     "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
     "colocation", "clark_evans", "trend_surface", "cost_distance",
-    "cost_backlink", "cost_corridor", "isochrones", "hyperball",
+    "cost_backlink", "cost_corridor", "isochrones", "hyperball", "lof",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -6340,5 +6365,6 @@ ORACLES: dict[str, str] = {
     "cost_corridor": _sql_cost_corridor(),
     "isochrones": _sql_isochrones(),
     "hyperball": _sql_hyperball(),
+    "lof": _sql_lof(),
     **_sql_curation(),
 }
