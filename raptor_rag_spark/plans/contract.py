@@ -5851,6 +5851,41 @@ def _sql_lof() -> str:
     )
 
 
+def q_spatial_scan(spark, sf_dir):
+    """Kulldorff Poisson spatial scan statistic (operators/scanstat.py):
+    case mark = a planted disk near (0.3, 0.45) plus an 1/11 hash
+    background; one corpus groupBy to cells at res 4, then Chebyshev-ring
+    zones via a 25-offset stencil over occupied-cell metadata, cumulative
+    window over radius, twin-ln LLR, top-15 zones."""
+    from ..operators.scanstat import spatial_scan
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    dx = x - F.lit(0.3)
+    dy = y - F.lit(0.45)
+    is_case = (dx * dx + dy * dy < F.lit(0.008)) | (
+        F.pmod(G.hash63_col(F.col("vec_id")), F.lit(11)) == 0
+    )
+    pts = em.select(x.alias("x"), y.alias("y"), is_case.alias("is_case"))
+    return spatial_scan(pts, res=4, rmax=2, top_k=15)
+
+
+def _sql_spatial_scan() -> str:
+    from ..operators.scanstat import spatial_scan_sql
+
+    from ..functions.hexgen import flit
+
+    x, y = G.xy_sql("embedding", DIM)
+    h = G.hash63_sql("vec_id")
+    c3, c45, r2 = flit(0.3), flit(0.45), flit(0.008)
+    src = (
+        f"SELECT {x} AS x, {y} AS y, "
+        f"((({x}) - {c3}) * (({x}) - {c3}) + (({y}) - {c45}) * (({y}) - {c45}) < {r2}"
+        f" OR ({h}) % 11 = 0) AS is_case FROM embeddings"
+    )
+    return spatial_scan_sql(src, res=4, rmax=2, top_k=15)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -6103,6 +6138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "isochrones": q_isochrones,
     "hyperball": q_hyperball,
     "lof": q_lof,
+    "spatial_scan": q_spatial_scan,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -6133,6 +6169,7 @@ _FLAGSHIP_ORDER = [
     "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
     "colocation", "clark_evans", "trend_surface", "cost_distance",
     "cost_backlink", "cost_corridor", "isochrones", "hyperball", "lof",
+    "spatial_scan",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
     "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
@@ -6366,5 +6403,6 @@ ORACLES: dict[str, str] = {
     "isochrones": _sql_isochrones(),
     "hyperball": _sql_hyperball(),
     "lof": _sql_lof(),
+    "spatial_scan": _sql_spatial_scan(),
     **_sql_curation(),
 }
