@@ -120,24 +120,19 @@ SELECT doc_id, term, tfidf, rank FROM (
 """
 
 
-def bm25_rank(
+def _bm25_matched(
     docs: DataFrame | None,
     queries: DataFrame,
-    top_k: int = 10,
     k1: float = K1,
     b: float = B,
     df_cap: int | None = None,
     max_df_ratio: tuple[int, int] | None = None,
     postings: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, doc_id, score, rank): BM25 top-k docs per query.
-
-    docs: (doc_id, text); queries: (query_id, qtext). Pass a prebuilt
-    (persisted) ``postings`` index to skip tokenization entirely. ``df_cap``
-    drops terms with document frequency above an absolute cap;
-    ``max_df_ratio=(num, den)`` is the corpus-relative form (keep terms with
-    df·den ≤ N·num — pure-integer, engine-portable); e.g. (1, 2) drops terms
-    appearing in more than half the corpus."""
+    """Shared front half of BM25 scoring: (query_id, term, doc_id, contrib)
+    for every query-term posting that survives the df guards. Both
+    :func:`bm25_rank` (full scoring) and :func:`maxscore_rank` (pruned
+    scoring) consume this — the pruned path must produce identical top-k."""
     if postings is None:
         postings = bm25_index(docs)
         # doc length from the raw token arrays (scan + size(), no shuffle):
@@ -204,18 +199,124 @@ def bm25_rank(
             * (F.lit(1.0 - b) + F.lit(b) * (F.col("dld") / F.col("avgdl")))
         )
     )
-    scored = (
-        matched.withColumn("contrib", contrib)
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("score")
-        )
+    return matched.withColumn("contrib", contrib).select(
+        "query_id", "term", "doc_id", "contrib"
+    )
+
+
+def _rank_scored(matched: DataFrame, top_k: int) -> DataFrame:
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_rank(
+    docs: DataFrame | None,
+    queries: DataFrame,
+    top_k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    df_cap: int | None = None,
+    max_df_ratio: tuple[int, int] | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k docs per query.
+
+    docs: (doc_id, text); queries: (query_id, qtext). Pass a prebuilt
+    (persisted) ``postings`` index to skip tokenization entirely. ``df_cap``
+    drops terms with document frequency above an absolute cap;
+    ``max_df_ratio=(num, den)`` is the corpus-relative form (keep terms with
+    df·den ≤ N·num — pure-integer, engine-portable); e.g. (1, 2) drops terms
+    appearing in more than half the corpus."""
+    matched = _bm25_matched(docs, queries, k1, b, df_cap, max_df_ratio, postings)
+    return _rank_scored(matched, top_k)
+
+
+def maxscore_rank(
+    docs: DataFrame | None,
+    queries: DataFrame,
+    top_k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    df_cap: int | None = None,
+    max_df_ratio: tuple[int, int] | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k via MaxScore upper-bound pruning (Turtle & Flood 1995) —
+    EXACT: returns bit-identical (query_id, doc_id, score, rank) to
+    :func:`bm25_rank`, but only fully scores documents that can possibly
+    enter the top-k. The oracle for this operator is the UNPRUNED BM25 SQL
+    twin, so any lossy pruning shows up as a hash mismatch.
+
+    How the pruning stays lossless:
+
+    1. ub(q, t) = max posting contribution of term t — one metadata-scale
+       agg over the (already query-vocabulary-bounded) matched postings.
+    2. θ(q) = the ``top_k``-th largest contribution within the single
+       highest-ub term's posting list. Postings are unique per (term, doc),
+       so those are ``top_k`` DISTINCT docs whose final scores are each
+       ≥ their own single-term contribution ≥ θ — hence the true k-th best
+       final score is ≥ θ. Fewer than k postings ⇒ θ = 0 (no pruning).
+    3. Terms sorted by ub ascending; the maximal prefix with inclusive
+       cumulative ub < θ (strict) is non-essential. A doc matching ONLY
+       non-essential terms scores ≤ Σ ub over a subset of that prefix
+       < θ ≤ k-th best, and the strict inequality means it cannot even tie
+       into the top-k under any tiebreak.
+    4. Candidates = distinct docs with ≥1 essential-term posting (the
+       highest-ub term is always essential — its inclusive cumsum includes
+       itself and θ ≤ its ub); candidates are fully scored, ranked, cut.
+
+    At 100-TB scale the win is step 4's semi-join: postings lists of
+    stopword-ish low-impact terms are never aggregated per doc — the same
+    lists a document-at-a-time WAND would skip. Everything is declarative:
+    two windows over per-query term metadata, no driver loop, no collect.
+    """
+    matched = _bm25_matched(docs, queries, k1, b, df_cap, max_df_ratio, postings)
+    mc = matched.localCheckpoint(eager=True)
+    candidates = _maxscore_candidates(mc, top_k)
+    pruned = mc.join(candidates, ["query_id", "doc_id"], "left_semi")
+    return _rank_scored(pruned, top_k)
+
+
+def _maxscore_candidates(mc: DataFrame, top_k: int) -> DataFrame:
+    """(query_id, doc_id) docs that can possibly reach the top-k — steps
+    1-4 of the :func:`maxscore_rank` docstring, split out so tests can
+    assert the candidate set really is smaller than the matched set."""
+    ub = mc.groupBy("query_id", "term").agg(F.max("contrib").alias("ub"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ub"), "term")
+    top_term = (
+        ub.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") == 1)
+        .select("query_id", "term")
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("contrib"), "doc_id")
+    theta = (
+        mc.join(F.broadcast(top_term), ["query_id", "term"])
+        .withColumn("_r", F.row_number().over(wt))
+        .where(F.col("_r") == top_k)
+        .select("query_id", F.col("contrib").alias("theta"))
+    )
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy("ub", "term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    essential = (
+        ub.withColumn("cum", F.sum("ub").over(wc))
+        .join(F.broadcast(theta), "query_id", "left")
+        .where(F.col("cum") >= F.coalesce(F.col("theta"), F.lit(0.0)))
+        .select("query_id", "term")
+    )
+    return (
+        mc.join(F.broadcast(essential), ["query_id", "term"])
+        .select("query_id", "doc_id")
+        .distinct()
     )
 
 

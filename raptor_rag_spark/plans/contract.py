@@ -1228,6 +1228,18 @@ def q_bm25_rank(spark, sf_dir):
     return bm25_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
 
 
+def q_wand_rank(spark, sf_dir):
+    """MaxScore-pruned BM25 (operators/ranking.py: maxscore_rank): exact
+    top-k while skipping per-doc aggregation for documents that match only
+    non-essential (low upper-bound) terms. The oracle is the UNPRUNED BM25
+    twin — lossless pruning is the contract, not an approximation."""
+    from ..operators.ranking import maxscore_rank
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return maxscore_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
+
+
 def _sql_bm25(top_k: int = 10, ratio: tuple[int, int] = (9, 10)) -> str:
     from ..operators.ranking import B, K1
 
@@ -5961,6 +5973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rerank / metrics / streaming / clustering
     "rerank_docs": q_rerank_docs,
     "bm25_rank": q_bm25_rank,
+    "wand_rank": q_wand_rank,
     "ql_rank": q_ql_rank,
     "rrf_hybrid": q_rrf_hybrid,
     "mmr_diversify": q_mmr_diversify,
@@ -6172,7 +6185,7 @@ _FLAGSHIP_ORDER = [
     "spatial_scan",
     "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
     "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
-    "bm25_rank", "link_ppr", "link_hits", "covisit_topk",
+    "bm25_rank", "wand_rank", "link_ppr", "link_hits", "covisit_topk",
     "gmm_cluster", "rouge_l", "token_f1",
     "stream_events_hourly",
 ]
@@ -6233,6 +6246,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "rerank_docs": _sql_rerank(),
     "bm25_rank": _sql_bm25(),
+    "wand_rank": _sql_bm25(),
     "ql_rank": _sql_ql_rank(),
     "rrf_hybrid": _sql_rrf_hybrid(),
     "mmr_diversify": _sql_mmr_diversify(),
