@@ -1,0 +1,335 @@
+"""Point-pattern statistics: join counts, quadrat CSR test, radius of gyration.
+
+Three classical tests the spatial-stats family (kde_moran / kde_geary /
+getis_ord / ripley_k / clark_evans) still lacked:
+
+- :func:`join_counts` — Cliff-Ord join-count statistics for a BINARY mark
+  (the categorical sibling of Moran's I): count Black-Black / White-White /
+  Black-White rook-adjacent cell pairs and compare with the nonfree-sampling
+  CSR expectation E[BB] = J·n_B(n_B−1)/(n(n−1)). BB ≫ E[BB] ⇒ the marked
+  class clusters spatially (e.g. spam pages concentrating in embedding
+  tiles).
+- :func:`quadrat_test` — the quadrat-count chi-square test of complete
+  spatial randomness: partition the study square into ALL 4^res quadrats
+  (empty ones included — that is what distinguishes it from the sparse-
+  raster stats), χ² = Σ(c_i − λ)²/λ with λ = N/m; the variance-mean ratio
+  VMR = χ²/(m−1) reads >1 clustered, <1 dispersed.
+- :func:`radius_gyration` — per-entity mobility summary (González et al.
+  2008): centroid, r_g = √(Σ‖p−c‖²/n), plus the visit-location Shannon
+  entropy over grid cells (twin ln ⇒ engine-exact).
+
+Scale shape: join_counts and quadrat_test reduce the corpus with ONE
+groupBy to ≤ 4^res cell rows and run everything after on that metadata
+(quadrat_test folds the empty quadrats into the closed form
+Σ(c−λ)² = Σc² − N²/m, so the full grid is never even generated).
+radius_gyration is two groupBys per entity
+(moments, then cell-visit entropy) with DECIMAL(28,15) sums so every float
+is partition-order independent. No windows over the corpus, no self-joins
+over points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+from ..kernels.grid import COORD_BITS
+
+DEC = "decimal(28,15)"
+_MASK = (1 << COORD_BITS) - 1
+
+
+# ------------------------------------------------------------- join counts
+
+
+def join_counts(pts: DataFrame, res: int = 4) -> DataFrame:
+    """pts: (x, y, mark BOOLEAN). ONE row:
+    (n_cells, n_b, n_w, j_tot, bb, ww, bw, e_bb, e_bw, bb_ratio, bw_ratio).
+
+    Cell color: Black iff marked points are at least half the cell's points
+    (2·Σmark ≥ n — pure integer, no float threshold). Adjacency: rook
+    (4-neighbor) edges between POPULATED cells, each counted once via the
+    east/south probe. CSR expectations use nonfree sampling on the observed
+    (n_B, n_W) over the realized edge set J."""
+    cells = (
+        pts.select(
+            G.cell_col(F.col("x"), F.col("y"), res).alias("cell"),
+            F.col("mark").cast("long").alias("m"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("m").alias("nm"), F.count(F.lit(1)).alias("nt"))
+        .select(
+            F.shiftrightunsigned(F.col("cell"), COORD_BITS)
+            .bitwiseAND(F.lit(_MASK))
+            .alias("ix"),
+            F.col("cell").bitwiseAND(F.lit(_MASK)).alias("iy"),
+            (F.col("nm") * 2 >= F.col("nt")).alias("black"),
+        )
+    )
+    # east + south probes: each undirected rook edge appears exactly once
+    probes = cells.select(
+        "ix", "iy", F.col("black").alias("b1"),
+        F.explode(
+            F.array(
+                F.struct((F.col("ix") + 1).alias("tx"), F.col("iy").alias("ty")),
+                F.struct(F.col("ix").alias("tx"), (F.col("iy") + 1).alias("ty")),
+            )
+        ).alias("t"),
+    ).select("b1", F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty"))
+    edges = probes.join(
+        cells.select(
+            F.col("ix").alias("tx"), F.col("iy").alias("ty"), F.col("black").alias("b2")
+        ),
+        ["tx", "ty"],
+    )
+    edge_agg = edges.agg(
+        F.count(F.lit(1)).alias("j_tot"),
+        F.sum((F.col("b1") & F.col("b2")).cast("long")).alias("bb"),
+        F.sum(((~F.col("b1")) & (~F.col("b2"))).cast("long")).alias("ww"),
+        F.sum((F.col("b1") != F.col("b2")).cast("long")).alias("bw"),
+    )
+    cell_agg = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("black").cast("long")).alias("n_b"),
+    )
+    z = cell_agg.crossJoin(F.broadcast(edge_agg))
+    n = F.col("n_cells").cast("double")
+    nb = F.col("n_b").cast("double")
+    nw = (F.col("n_cells") - F.col("n_b")).cast("double")
+    j = F.col("j_tot").cast("double")
+    e_bb = j * nb * (nb - F.lit(1.0)) / (n * (n - F.lit(1.0)))
+    e_bw = j * F.lit(2.0) * nb * nw / (n * (n - F.lit(1.0)))
+    return z.select(
+        "n_cells",
+        "n_b",
+        (F.col("n_cells") - F.col("n_b")).alias("n_w"),
+        "j_tot",
+        "bb",
+        "ww",
+        "bw",
+        F.round(e_bb, 6).alias("e_bb"),
+        F.round(e_bw, 6).alias("e_bw"),
+        F.round(F.col("bb").cast("double") / e_bb, 6).alias("bb_ratio"),
+        F.round(F.col("bw").cast("double") / e_bw, 6).alias("bw_ratio"),
+    )
+
+
+def join_counts_sql(pts_sql: str, res: int = 4) -> str:
+    """DuckDB twin of :func:`join_counts`. ``pts_sql`` yields (x, y, mark)."""
+    return f"""
+WITH p AS ({pts_sql}),
+cells AS (
+  SELECT ({G.cell_sql('x', 'y', res)} >> {COORD_BITS}) & {_MASK} AS ix,
+         {G.cell_sql('x', 'y', res)} & {_MASK} AS iy,
+         (2 * sum(CASE WHEN mark THEN 1 ELSE 0 END) >= count(*)) AS black
+  FROM p GROUP BY 1, 2),
+probes AS (
+  SELECT black AS b1, ix + dx AS tx, iy + dy AS ty
+  FROM cells, (VALUES (1, 0), (0, 1)) o(dx, dy)),
+edges AS (
+  SELECT p.b1, c.black AS b2
+  FROM probes p JOIN cells c ON p.tx = c.ix AND p.ty = c.iy),
+edge_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS j_tot,
+         CAST(coalesce(sum(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bb,
+         CAST(coalesce(sum(CASE WHEN NOT b1 AND NOT b2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ww,
+         CAST(coalesce(sum(CASE WHEN b1 <> b2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bw
+  FROM edges),
+cell_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN black THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM cells)
+SELECT n_cells, n_b, n_cells - n_b AS n_w, j_tot, bb, ww, bw,
+       round(CAST(j_tot AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)
+             / (CAST(n_cells AS DOUBLE) * (CAST(n_cells AS DOUBLE) - 1.0)), 6) AS e_bb,
+       round(CAST(j_tot AS DOUBLE) * 2.0 * CAST(n_b AS DOUBLE)
+             * CAST(n_cells - n_b AS DOUBLE)
+             / (CAST(n_cells AS DOUBLE) * (CAST(n_cells AS DOUBLE) - 1.0)), 6) AS e_bw,
+       round(CAST(bb AS DOUBLE)
+             / (CAST(j_tot AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)
+                / (CAST(n_cells AS DOUBLE) * (CAST(n_cells AS DOUBLE) - 1.0))), 6) AS bb_ratio,
+       round(CAST(bw AS DOUBLE)
+             / (CAST(j_tot AS DOUBLE) * 2.0 * CAST(n_b AS DOUBLE)
+                * CAST(n_cells - n_b AS DOUBLE)
+                / (CAST(n_cells AS DOUBLE) * (CAST(n_cells AS DOUBLE) - 1.0))), 6) AS bw_ratio
+FROM cell_agg, edge_agg
+"""
+
+
+# ------------------------------------------------------------ quadrat test
+
+
+def quadrat_test(pts: DataFrame, res: int = 3) -> DataFrame:
+    """pts: (x, y). ONE row: (n_pts, n_quadrats, lambda, chi2, vmr).
+
+    All 4^res quadrats participate — empty quadrats contribute (0−λ)²/λ
+    each, which is exactly what makes the test sensitive to clustering."""
+    m = 1 << (2 * res)
+    counts = (
+        pts.select(G.cell_col(F.col("x"), F.col("y"), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("n_pts"),
+        F.sum((F.col("c") * F.col("c")).cast("long")).alias("s2"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    # chi2 = Σ(c−λ)²/λ over ALL m quadrats = (Σc² − N²/m)/λ — the Σ over
+    # empty quadrats folds into the closed form, so no grid join is needed
+    # and the whole test is one groupBy + scalar algebra.
+    n = F.col("n_pts").cast("double")
+    lam = n / F.lit(float(m))
+    chi2 = (F.col("s2").cast("double") - n * n / F.lit(float(m))) / lam
+    return tot.select(
+        "n_pts",
+        F.lit(m).cast("long").alias("n_quadrats"),
+        F.round(lam, 6).alias("lambda"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(chi2 / F.lit(float(m - 1)), 6).alias("vmr"),
+    )
+
+
+def quadrat_test_sql(pts_sql: str, res: int = 3) -> str:
+    """DuckDB twin of :func:`quadrat_test`. ``pts_sql`` yields (x, y)."""
+    m = 1 << (2 * res)
+    return f"""
+WITH p AS ({pts_sql}),
+counts AS (
+  SELECT {G.cell_sql('x', 'y', res)} AS cell, CAST(count(*) AS BIGINT) AS c
+  FROM p GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_pts, CAST(sum(c * c) AS BIGINT) AS s2
+  FROM counts)
+SELECT n_pts, CAST({m} AS BIGINT) AS n_quadrats,
+       round(CAST(n_pts AS DOUBLE) / {float(m)!r}, 6) AS lambda,
+       round((CAST(s2 AS DOUBLE)
+              - CAST(n_pts AS DOUBLE) * CAST(n_pts AS DOUBLE) / {float(m)!r})
+             / (CAST(n_pts AS DOUBLE) / {float(m)!r}), 6) AS chi2,
+       round(((CAST(s2 AS DOUBLE)
+               - CAST(n_pts AS DOUBLE) * CAST(n_pts AS DOUBLE) / {float(m)!r})
+              / (CAST(n_pts AS DOUBLE) / {float(m)!r})) / {float(m - 1)!r}, 6) AS vmr
+FROM tot
+"""
+
+
+# -------------------------------------------------------- radius of gyration
+
+
+def radius_gyration(
+    events_xy: DataFrame, res: int = 5, id_col: str = "user_id", top_k: int = 200
+) -> DataFrame:
+    """events_xy: (id_col, x, y). Per entity, the ``top_k`` most-travelled:
+    (user_id, n_ev, cx, cy, rg, n_cells, h_cells, rank).
+
+    r_g = √(Σ‖p−c‖²/n) via the moment identity Σ‖p−c‖²/n = (Σx²+Σy²)/n −
+    (c_x²+c_y²) — ONE pass, DECIMAL moment sums. h_cells = −Σ p·ln p over
+    the entity's grid-cell visit distribution (twin ln). Ranked by r_g
+    descending (ties → user_id) so the output is a stable top-k."""
+    from pyspark.sql import Window
+
+    m = events_xy.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n_ev").cast("double")
+    cx = F.col("sx") / n
+    cy = F.col("sy") / n
+    msd = (F.col("sxx") + F.col("syy")) / n - (cx * cx + cy * cy)
+    mo = m.select(
+        id_col,
+        "n_ev",
+        cx.alias("cx"),
+        cy.alias("cy"),
+        F.sqrt(F.greatest(msd, F.lit(0.0))).alias("rg"),
+    )
+
+    visits = (
+        events_xy.select(
+            id_col, G.cell_col(F.col("x"), F.col("y"), res).alias("cell")
+        )
+        .groupBy(id_col, "cell")
+        .agg(F.count(F.lit(1)).alias("cv"))
+    )
+    vt = visits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("cv").alias("tv")
+    )
+    ent = (
+        visits.join(vt, id_col)
+        .withColumn("p", F.col("cv").cast("double") / F.col("tv").cast("double"))
+        .withColumn("lp", G.ln_col(F.col("p")))
+        .groupBy(id_col)
+        .agg(
+            F.max("n_cells").alias("n_cells"),
+            (-F.sum((F.col("p") * F.col("lp")).cast(DEC)).cast("double")).alias("h_raw"),
+        )
+    )
+    w = Window.orderBy(F.desc("rg"), id_col)
+    return (
+        mo.join(ent, id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "n_ev",
+            F.round("cx", 6).alias("cx"),
+            F.round("cy", 6).alias("cy"),
+            F.round("rg", 6).alias("rg"),
+            "n_cells",
+            F.round("h_raw", 6).alias("h_cells"),
+            "rank",
+        )
+    )
+
+
+def radius_gyration_sql(
+    events_xy_sql: str, res: int = 5, id_col: str = "user_id", top_k: int = 200
+) -> str:
+    """DuckDB twin of :func:`radius_gyration`."""
+    return f"""
+WITH ev AS ({events_xy_sql}),
+m AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(28,15))) AS DOUBLE) AS syy
+  FROM ev GROUP BY 1),
+mo AS (
+  SELECT {id_col}, n_ev,
+         sx / CAST(n_ev AS DOUBLE) AS cx, sy / CAST(n_ev AS DOUBLE) AS cy,
+         sqrt(greatest(
+           (sxx + syy) / CAST(n_ev AS DOUBLE)
+           - ((sx / CAST(n_ev AS DOUBLE)) * (sx / CAST(n_ev AS DOUBLE))
+              + (sy / CAST(n_ev AS DOUBLE)) * (sy / CAST(n_ev AS DOUBLE))), 0.0))
+           AS rg
+  FROM m),
+visits AS (
+  SELECT {id_col}, {G.cell_sql('x', 'y', res)} AS cell,
+         CAST(count(*) AS BIGINT) AS cv
+  FROM ev GROUP BY 1, 2),
+vt AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(cv) AS BIGINT) AS tv
+  FROM visits GROUP BY 1),
+pv AS (
+  SELECT v.{id_col}, vt.n_cells,
+         CAST(v.cv AS DOUBLE) / CAST(vt.tv AS DOUBLE) AS p
+  FROM visits v JOIN vt ON v.{id_col} = vt.{id_col}),
+ent AS (
+  SELECT {id_col}, max(n_cells) AS n_cells,
+         -CAST(sum(CAST(p * {G.ln_sql('p')} AS DECIMAL(28,15))) AS DOUBLE) AS h_raw
+  FROM pv GROUP BY 1),
+ranked AS (
+  SELECT mo.{id_col}, mo.n_ev, mo.cx, mo.cy, mo.rg, ent.n_cells, ent.h_raw,
+         row_number() OVER (ORDER BY mo.rg DESC, mo.{id_col}) AS rank
+  FROM mo JOIN ent ON mo.{id_col} = ent.{id_col})
+SELECT {id_col}, n_ev, round(cx, 6) AS cx, round(cy, 6) AS cy,
+       round(rg, 6) AS rg, n_cells, round(h_raw, 6) AS h_cells,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {top_k}
+"""

@@ -5898,6 +5898,70 @@ def _sql_spatial_scan() -> str:
     return spatial_scan_sql(src, res=4, rmax=2, top_k=15)
 
 
+def q_join_counts(spark, sf_dir):
+    """Cliff-Ord join-count statistics (operators/pointpattern.py):
+    binary cell coloring from the spam-ish hash mark, rook-edge BB/WW/BW
+    counts vs the nonfree-sampling CSR expectation — the categorical
+    sibling of Moran's I, over cell metadata only."""
+    from ..operators.pointpattern import join_counts
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    mark = F.pmod(G.hash63_col(F.col("vec_id")), F.lit(3)) == 0
+    return join_counts(
+        em.select(x.alias("x"), y.alias("y"), mark.alias("mark")), res=4
+    )
+
+
+def _sql_join_counts() -> str:
+    from ..operators.pointpattern import join_counts_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    h = G.hash63_sql("vec_id")
+    return join_counts_sql(
+        f"SELECT {x} AS x, {y} AS y, ({h}) % 3 = 0 AS mark FROM embeddings",
+        res=4,
+    )
+
+
+def q_quadrat_test(spark, sf_dir):
+    """Quadrat-count chi-square CSR test (operators/pointpattern.py): all
+    4^res quadrats via the closed form Σ(c−λ)² = Σc² − N²/m — one corpus
+    groupBy, then scalar algebra; VMR > 1 reads clustered."""
+    from ..operators.pointpattern import quadrat_test
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return quadrat_test(em.select(x.alias("x"), y.alias("y")), res=3)
+
+
+def _sql_quadrat_test() -> str:
+    from ..operators.pointpattern import quadrat_test_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return quadrat_test_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=3)
+
+
+def q_radius_gyration(spark, sf_dir):
+    """Per-user radius of gyration + visit-cell entropy
+    (operators/pointpattern.py): the González-Hidalgo-Barabási mobility
+    summary via one-pass DECIMAL moments and twin-ln entropy; top-200 most
+    dispersed users."""
+    from ..operators.pointpattern import radius_gyration
+
+    return radius_gyration(
+        _ev_xy(spark, sf_dir).select("user_id", "x", "y"), res=5, top_k=200
+    )
+
+
+def _sql_radius_gyration() -> str:
+    from ..operators.pointpattern import radius_gyration_sql
+
+    return radius_gyration_sql(
+        f"SELECT user_id, x, y FROM ({_ev_xy_sql()})", res=5, top_k=200
+    )
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction: undirected adjacent-word co-occurrence
     graph (vocabulary-cardinality, min-count-pruned) + the engine's exact
@@ -6152,6 +6216,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyperball": q_hyperball,
     "lof": q_lof,
     "spatial_scan": q_spatial_scan,
+    "join_counts": q_join_counts,
+    "quadrat_test": q_quadrat_test,
+    "radius_gyration": q_radius_gyration,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -6418,5 +6485,8 @@ ORACLES: dict[str, str] = {
     "hyperball": _sql_hyperball(),
     "lof": _sql_lof(),
     "spatial_scan": _sql_spatial_scan(),
+    "join_counts": _sql_join_counts(),
+    "quadrat_test": _sql_quadrat_test(),
+    "radius_gyration": _sql_radius_gyration(),
     **_sql_curation(),
 }
