@@ -1,0 +1,287 @@
+"""Corpus-evolution statistics across crawl weeks: drift, trend, concentration.
+
+Three monitoring operators a continuously-recrawled corpus needs
+(complementing term_bursts / crawl_diff / host_anomaly in webops.py):
+
+- :func:`term_drift` — Jensen-Shannon divergence between the term
+  distributions of consecutive crawl weeks: THE distribution-shift alarm
+  for a training-data pipeline (vocabulary drift, scraper breakage, topic
+  shocks). Symmetric, bounded [0, ln 2], and exact here: twin ln, DECIMAL
+  contribution sums.
+- :func:`theil_sen_hosts` — per-host Theil-Sen robust trend of weekly page
+  counts: the median of all pairwise slopes. Unlike OLS (trend_surface) a
+  single outlier week cannot move it; the estimator of choice for noisy
+  per-host crawl volumes.
+- :func:`host_gini` — Gini coefficient of the host page-count
+  distribution: one number for "how concentrated is the crawl" (0 =
+  egalitarian, →1 = a few megahosts dominate), computed exactly from the
+  closed form G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) over rank-ordered hosts.
+
+Scale shape: each starts with ONE corpus-scale groupBy — (term, week),
+(host, week), (host) — and everything after runs on vocabulary/host/week
+metadata. term_drift's week pairing is a lead() over the tiny distinct-week
+list; theil_sen's pair fan-out is K²/2 per host where K = #weeks (a crawl
+has tens of weeks, not thousands); host_gini's rank window orders host
+metadata, never pages. Integer sums stay integer (Σi·x is exact), float
+sums go through DECIMAL(28,15), divisions are pinned and mirrored in the
+DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as G
+
+DEC = "decimal(28,15)"
+_WEEK = "yyyy-MM-dd"
+
+
+def _week_counts(pages: DataFrame) -> DataFrame:
+    wk = F.date_format(F.date_trunc("week", F.col("warc_ts")), _WEEK)
+    return (
+        pages.select(wk.alias("week"), F.explode(G.words_col(F.col("text"))).alias("term"))
+        .groupBy("week", "term")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def term_drift(pages: DataFrame) -> DataFrame:
+    """pages: (warc_ts, text). One row per consecutive week pair:
+    (week1, week2, n_terms, jsd) — n_terms = union vocabulary size of the
+    pair, jsd = JS divergence in nats between the weeks' term frequencies.
+    """
+    tw = _week_counts(pages).localCheckpoint(eager=False)
+    wtot = tw.groupBy("week").agg(F.sum("c").cast("long").alias("t"))
+    wlead = Window.orderBy("week")
+    pairs = (
+        wtot.select("week", "t", F.lead("week").over(wlead).alias("week2"),
+                    F.lead("t").over(wlead).alias("t2"))
+        .where(F.col("week2").isNotNull())
+        .select(F.col("week").alias("week1"), F.col("week2"),
+                F.col("t").alias("t1"), F.col("t2"))
+    )
+    a = tw.join(
+        F.broadcast(pairs), tw["week"] == pairs["week1"]
+    ).select("week1", "week2", "t1", "t2", "term", F.col("c").alias("c1"))
+    b = tw.join(
+        F.broadcast(pairs.select("week1", "week2")), tw["week"] == F.col("week2")
+    ).select("week1", F.col("week2"), "term", F.col("c").alias("c2"))
+    m = a.join(b, ["week1", "week2", "term"], "full_outer").select(
+        "week1",
+        "week2",
+        "term",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    # totals re-attached (full-outer rows from the b side lost t1/t2)
+    m = m.join(F.broadcast(pairs), ["week1", "week2"])
+    p = F.col("c1").cast("double") / F.col("t1").cast("double")
+    q = F.col("c2").cast("double") / F.col("t2").cast("double")
+    staged = m.select(
+        "week1", "week2", "c1", "c2", p.alias("p"), q.alias("q"),
+        ((p + q) * F.lit(0.5)).alias("mid"),
+    ).select(
+        "week1",
+        "week2",
+        "p",
+        "q",
+        F.when(F.col("c1") > 0, F.col("p") / F.col("mid")).otherwise(F.lit(1.0)).alias("a1"),
+        F.when(F.col("c2") > 0, F.col("q") / F.col("mid")).otherwise(F.lit(1.0)).alias("a2"),
+    )
+    contrib = (
+        F.lit(0.5) * (F.col("p") * G.ln_col(F.col("a1")))
+        + F.lit(0.5) * (F.col("q") * G.ln_col(F.col("a2")))
+    )
+    return (
+        staged.withColumn("contrib", contrib)
+        .groupBy("week1", "week2")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(F.col("contrib").cast(DEC)).cast("double"), 6).alias("jsd"),
+        )
+    )
+
+
+def term_drift_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`term_drift`; ``pages_sql`` yields (warc_ts, text)."""
+    return f"""
+WITH tw AS (
+  SELECT week, term, count(*)::BIGINT AS c FROM (
+    SELECT strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS week,
+           unnest({G.words_sql("text")}) AS term
+    FROM ({pages_sql}))
+  GROUP BY week, term),
+wtot AS (SELECT week, CAST(sum(c) AS BIGINT) AS t FROM tw GROUP BY week),
+pairs AS (
+  SELECT week AS week1, lead(week) OVER (ORDER BY week) AS week2,
+         t AS t1, lead(t) OVER (ORDER BY week) AS t2
+  FROM wtot QUALIFY week2 IS NOT NULL),
+a AS (
+  SELECT p.week1, p.week2, tw.term, tw.c AS c1
+  FROM tw JOIN pairs p ON tw.week = p.week1),
+b AS (
+  SELECT p.week1, p.week2, tw.term, tw.c AS c2
+  FROM tw JOIN pairs p ON tw.week = p.week2),
+m AS (
+  SELECT coalesce(a.week1, b.week1) AS week1, coalesce(a.week2, b.week2) AS week2,
+         coalesce(a.term, b.term) AS term,
+         coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2
+  FROM a FULL OUTER JOIN b
+    ON a.week1 = b.week1 AND a.week2 = b.week2 AND a.term = b.term),
+mt AS (
+  SELECT m.*, p.t1, p.t2 FROM m JOIN pairs p
+    ON m.week1 = p.week1 AND m.week2 = p.week2),
+pq AS (
+  SELECT week1, week2, c1, c2,
+         CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS p,
+         CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS q,
+         (CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+          + CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) * 0.5 AS mid
+  FROM mt),
+args AS (
+  SELECT week1, week2, p, q,
+         CASE WHEN c1 > 0 THEN p / mid ELSE 1.0 END AS a1,
+         CASE WHEN c2 > 0 THEN q / mid ELSE 1.0 END AS a2
+  FROM pq),
+scored AS (
+  SELECT week1, week2,
+         (0.5 * (p * {G.ln_sql('a1')}) + 0.5 * (q * {G.ln_sql('a2')})) AS contrib
+  FROM args)
+SELECT week1, week2, CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(CAST(contrib AS DECIMAL(28,15))) AS DOUBLE), 6) AS jsd
+FROM scored GROUP BY week1, week2
+"""
+
+
+# ------------------------------------------------------------- Theil-Sen
+
+
+def theil_sen_hosts(
+    pages: DataFrame, url_re: str, min_weeks: int = 3
+) -> DataFrame:
+    """pages: (url, warc_ts). Per host with ≥ ``min_weeks`` active weeks:
+    (host, n_weeks, n_pairs, slope_med) — the exact lower median of all
+    pairwise weekly-count slopes Δcount/Δweek (pages/week units)."""
+    wk = F.date_trunc("week", F.col("warc_ts"))
+    hw = (
+        pages.select(
+            F.regexp_extract("url", url_re, 2).alias("host"),
+            F.floor(
+                F.datediff(wk.cast("date"), F.to_date(F.lit("1970-01-05")))
+                / F.lit(7)
+            ).cast("long").alias("wi"),
+        )
+        .groupBy("host", "wi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nw = hw.groupBy("host").agg(F.count(F.lit(1)).alias("n_weeks")).where(
+        F.col("n_weeks") >= min_weeks
+    )
+    hwf = hw.join(F.broadcast(nw), "host")
+    a = hwf.select("host", "n_weeks", F.col("wi").alias("w1"), F.col("c").alias("c1"))
+    b = hwf.select("host", F.col("wi").alias("w2"), F.col("c").alias("c2"))
+    slopes = (
+        a.join(b, "host")
+        .where(F.col("w1") < F.col("w2"))
+        .select(
+            "host",
+            "n_weeks",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("w2") - F.col("w1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    ws = Window.partitionBy("host").orderBy("slope")
+    wc = Window.partitionBy("host")
+    r = slopes.withColumn("_rn", F.row_number().over(ws)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        r.where(F.col("_rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "host",
+            "n_weeks",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("slope_med"),
+        )
+    )
+
+
+def theil_sen_hosts_sql(pages_sql: str, url_re: str, min_weeks: int = 3) -> str:
+    """DuckDB twin of :func:`theil_sen_hosts`; yields (url, warc_ts)."""
+    return f"""
+WITH hw AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host,
+         CAST(floor(datediff('day', DATE '1970-01-05',
+                             CAST(date_trunc('week', warc_ts) AS DATE)) / 7)
+              AS BIGINT) AS wi,
+         count(*)::BIGINT AS c
+  FROM ({pages_sql}) GROUP BY 1, 2),
+nw AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_weeks FROM hw GROUP BY host
+  HAVING count(*) >= {min_weeks}),
+slopes AS (
+  SELECT a.host, nw.n_weeks,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.wi - a.wi AS DOUBLE) AS slope
+  FROM hw a JOIN hw b ON a.host = b.host AND a.wi < b.wi
+  JOIN nw ON a.host = nw.host),
+r AS (
+  SELECT host, n_weeks, slope,
+         row_number() OVER (PARTITION BY host ORDER BY slope) AS _rn,
+         count(*) OVER (PARTITION BY host) AS n_pairs
+  FROM slopes)
+SELECT host, n_weeks, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(slope, 6) AS slope_med
+FROM r WHERE _rn = (n_pairs + 1) // 2
+"""
+
+
+# ---------------------------------------------------------------- host Gini
+
+
+def host_gini(pages: DataFrame, url_re: str) -> DataFrame:
+    """pages: (url,). ONE row (n_hosts, total_pages, gini): the Gini
+    coefficient of pages-per-host. Integer numerator ⇒ exact."""
+    counts = (
+        pages.select(F.regexp_extract("url", url_re, 2).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("x", "host")
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("x").cast("long").alias("total_pages"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("siw"),
+    )
+    n = F.col("n_hosts").cast("double")
+    sx = F.col("total_pages").cast("double")
+    gini = (F.lit(2.0) * F.col("siw").cast("double") - (n + F.lit(1.0)) * sx) / (
+        n * sx
+    )
+    return agg.select("n_hosts", "total_pages", F.round(gini, 6).alias("gini"))
+
+
+def host_gini_sql(pages_sql: str, url_re: str) -> str:
+    """DuckDB twin of :func:`host_gini`; yields (url)."""
+    return f"""
+WITH counts AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host, count(*)::BIGINT AS x
+  FROM ({pages_sql}) GROUP BY host),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, host) AS BIGINT) AS i
+  FROM counts),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(x) AS BIGINT) AS total_pages,
+         CAST(sum(i * x) AS BIGINT) AS siw
+  FROM ranked)
+SELECT n_hosts, total_pages,
+       round((2.0 * CAST(siw AS DOUBLE)
+              - (CAST(n_hosts AS DOUBLE) + 1.0) * CAST(total_pages AS DOUBLE))
+             / (CAST(n_hosts AS DOUBLE) * CAST(total_pages AS DOUBLE)), 6) AS gini
+FROM agg
+"""

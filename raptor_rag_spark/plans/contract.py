@@ -5898,6 +5898,56 @@ def _sql_spatial_scan() -> str:
     return spatial_scan_sql(src, res=4, rmax=2, top_k=15)
 
 
+def q_term_drift(spark, sf_dir):
+    """Jensen-Shannon divergence between consecutive crawl weeks' term
+    distributions (operators/drift.py): one (term, week) groupBy, lead()
+    pairing over the tiny week list, twin-ln KL halves, DECIMAL sums —
+    the distribution-shift alarm for a recrawled corpus."""
+    from ..operators.drift import term_drift
+
+    return term_drift(_pages(spark))
+
+
+def _sql_term_drift() -> str:
+    from ..operators.drift import term_drift_sql
+
+    return term_drift_sql(f"SELECT warc_ts, text FROM {_PAGES_PQ}")
+
+
+def q_theil_sen(spark, sf_dir):
+    """Per-host Theil-Sen robust trend of weekly crawl volume
+    (operators/drift.py): exact lower median of all pairwise slopes over
+    host-week metadata — outlier weeks cannot move it."""
+    from ..operators.drift import theil_sen_hosts
+    from ..operators.webops import URL_RE
+
+    return theil_sen_hosts(_pages(spark), URL_RE)
+
+
+def _sql_theil_sen() -> str:
+    from ..operators.drift import theil_sen_hosts_sql
+    from ..operators.webops import URL_RE
+
+    return theil_sen_hosts_sql(f"SELECT url, warc_ts FROM {_PAGES_PQ}", URL_RE)
+
+
+def q_host_gini(spark, sf_dir):
+    """Gini coefficient of pages-per-host (operators/drift.py): closed-form
+    rank formula over host metadata with an all-integer numerator — the
+    crawl-concentration dial."""
+    from ..operators.drift import host_gini
+    from ..operators.webops import URL_RE
+
+    return host_gini(_pages(spark), URL_RE)
+
+
+def _sql_host_gini() -> str:
+    from ..operators.drift import host_gini_sql
+    from ..operators.webops import URL_RE
+
+    return host_gini_sql(f"SELECT url FROM {_PAGES_PQ}", URL_RE)
+
+
 def q_join_counts(spark, sf_dir):
     """Cliff-Ord join-count statistics (operators/pointpattern.py):
     binary cell coloring from the spam-ish hash mark, rook-edge BB/WW/BW
@@ -6219,6 +6269,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
+    "term_drift": q_term_drift,
+    "theil_sen": q_theil_sen,
+    "host_gini": q_host_gini,
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
@@ -6488,5 +6541,8 @@ ORACLES: dict[str, str] = {
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
+    "term_drift": _sql_term_drift(),
+    "theil_sen": _sql_theil_sen(),
+    "host_gini": _sql_host_gini(),
     **_sql_curation(),
 }
