@@ -294,3 +294,103 @@ SELECT {id_col}, ix, iy,
        ({chars}) AS geohash
 FROM h
 """
+
+
+# ------------------------------------------------------- STR R-tree packing
+
+
+def str_layout(
+    points: DataFrame,
+    page_cap: int = 64,
+    buckets_bits: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, slice_id, page_id): Sort-Tile-Recursive R-tree bulk-load packing
+    (Leutenegger-Lopez-Edgington 1997) — the third layout option next to
+    :func:`zorder_layout` / :func:`hilbert_layout`. STR produces near-square
+    leaf pages with ~100% fill, the layout an R-tree bulk loader or a
+    spatial parquet writer wants: P = ceil(n/B) pages, S = ceil(sqrt(P))
+    x-sorted slices of S·B points, each slice y-sorted and cut into pages
+    of B.
+
+    The x-phase global rank uses the two-level value-bucket prefix-sum
+    (quality_rank's trick): 2^``buckets_bits`` value buckets on x,
+    within-bucket windows + broadcast cumulative offsets reproduce the
+    exact global row_number over (x, id) with NO global sort. The y-phase
+    rank is a slice-partitioned window — S parallel sorts of n/S points,
+    which is the honest STR cost and scales with the slice count. All
+    integer page math; the DuckDB twin is the PLAIN two-sort STR, proving
+    the distributed reconstruction exact."""
+    from pyspark.sql import Window
+
+    nb = 1 << buckets_bits
+    base = points.select(
+        id_col, "x", "y",
+        F.least(F.floor(F.col("x") * F.lit(float(nb))).cast("long"), F.lit(nb - 1))
+        .alias("vb"),
+    )
+    w_in = Window.partitionBy("vb").orderBy("x", id_col)
+    within = base.withColumn("rn_in", F.row_number().over(w_in).cast("long"))
+    totals = base.groupBy("vb").agg(F.count("*").alias("tot"))
+    w_off = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.withColumn("off", F.sum("tot").over(w_off) - F.col("tot")).select(
+        "vb", "off"
+    )
+    n_pages = F.expr(f"(n_total + {page_cap - 1}) div {page_cap}")
+    n_agg = points.agg(F.count("*").cast("long").alias("n_total")).select(
+        "n_total",
+        F.ceil(F.sqrt(n_pages.cast("double"))).cast("long").alias("s_slices"),
+    )
+    ranked = (
+        within.join(F.broadcast(offsets), "vb")
+        .crossJoin(F.broadcast(n_agg))
+        .select(
+            id_col, "x", "y",
+            (F.col("off") + F.col("rn_in") - F.lit(1)).alias("rx"),
+            "s_slices",
+        )
+        .withColumn("slice_id", F.expr(f"rx div (s_slices * {page_cap})"))
+    )
+    w_y = Window.partitionBy("slice_id").orderBy("y", id_col)
+    return (
+        ranked.withColumn("ry", F.row_number().over(w_y).cast("long") - F.lit(1))
+        .select(
+            id_col,
+            "slice_id",
+            (
+                F.col("slice_id") * F.col("s_slices")
+                + F.expr(f"ry div {page_cap}")
+            ).alias("page_id"),
+        )
+    )
+
+
+def str_layout_sql(
+    points_sql: str, page_cap: int = 64, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`str_layout` — plain two-sort STR with global
+    row_numbers; ``points_sql`` yields (id, x, y)."""
+    return f"""
+WITH p AS ({points_sql}),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(ceil(sqrt(CAST((count(*) + {page_cap - 1}) // {page_cap} AS DOUBLE)))
+              AS BIGINT) AS s_slices
+  FROM p),
+rx AS (
+  SELECT {id_col}, y,
+         CAST(row_number() OVER (ORDER BY x, {id_col}) AS BIGINT) - 1 AS rx,
+         (SELECT s_slices FROM n) AS s_slices
+  FROM p),
+sl AS (
+  SELECT {id_col}, y, s_slices, rx // (s_slices * {page_cap}) AS slice_id
+  FROM rx),
+ry AS (
+  SELECT {id_col}, slice_id, s_slices,
+         CAST(row_number() OVER (PARTITION BY slice_id ORDER BY y, {id_col})
+              AS BIGINT) - 1 AS ry
+  FROM sl)
+SELECT {id_col}, slice_id,
+       slice_id * s_slices + ry // {page_cap} AS page_id
+FROM ry
+"""

@@ -5898,6 +5898,29 @@ def _sql_spatial_scan() -> str:
     return spatial_scan_sql(src, res=4, rmax=2, top_k=15)
 
 
+def q_str_layout(spark, sf_dir):
+    """Sort-Tile-Recursive R-tree bulk-load packing (operators/layout.py:
+    str_layout): x-phase global rank via the two-level value-bucket prefix
+    sum (no global sort), slice-partitioned y-phase, integer page math.
+    Oracle = the plain two-sort STR."""
+    from ..operators.layout import str_layout
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return str_layout(
+        em.select("vec_id", x.alias("x"), y.alias("y")), page_cap=64
+    )
+
+
+def _sql_str_layout() -> str:
+    from ..operators.layout import str_layout_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return str_layout_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", page_cap=64
+    )
+
+
 def q_term_drift(spark, sf_dir):
     """Jensen-Shannon divergence between consecutive crawl weeks' term
     distributions (operators/drift.py): one (term, week) groupBy, lead()
@@ -6269,6 +6292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
+    "str_layout": q_str_layout,
     "term_drift": q_term_drift,
     "theil_sen": q_theil_sen,
     "host_gini": q_host_gini,
@@ -6541,6 +6565,7 @@ ORACLES: dict[str, str] = {
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
+    "str_layout": _sql_str_layout(),
     "term_drift": _sql_term_drift(),
     "theil_sen": _sql_theil_sen(),
     "host_gini": _sql_host_gini(),
