@@ -756,6 +756,53 @@ def main() -> None:
 
     timed("trend_costdist", _costdist)
 
+    # Kulldorff scan + join counts + quadrat CSR (cell-metadata statistics)
+    from raptor_rag_spark.operators.pointpattern import join_counts, quadrat_test
+    from raptor_rag_spark.operators.scanstat import spatial_scan
+
+    def _scanstats():
+        p3 = pts.select(
+            "x", "y", (F.pmod(F.col("node_id"), F.lit(11)) == 0).alias("is_case")
+        )
+        spatial_scan(p3, res=4, rmax=2, top_k=15).count()
+        join_counts(p3.withColumnRenamed("is_case", "mark"), res=4).count()
+        quadrat_test(p3.select("x", "y"), res=3).count()
+
+    timed("scan_pointpattern", _scanstats)
+
+    # MaxScore-pruned BM25 (exact vs full scoring, skipping non-essential
+    # postings) — same queries as the bm25 leg
+    from raptor_rag_spark.operators.ranking import maxscore_rank
+
+    def _maxscore():
+        from raptor_rag_spark.plans.contract import BM25_QUERIES
+
+        qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+        maxscore_rank(
+            docs.select("doc_id", "text"), qs, top_k=10, max_df_ratio=(9, 10)
+        ).count()
+
+    timed("maxscore_rank", _maxscore)
+
+    # crawl evolution (term-drift JSD, Theil-Sen trends, host Gini) and the
+    # STR R-tree packing layout
+    from raptor_rag_spark.operators.drift import host_gini, term_drift, theil_sen_hosts
+    from raptor_rag_spark.operators.layout import str_layout
+    from raptor_rag_spark.operators.webops import URL_RE
+
+    def _drift():
+        term_drift(pages).count()
+        theil_sen_hosts(pages, URL_RE).count()
+        host_gini(pages, URL_RE).count()
+
+    timed("crawl_drift", _drift)
+    timed(
+        "str_layout",
+        lambda: str_layout(
+            pts.withColumnRenamed("node_id", "vec_id"), page_cap=64
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

@@ -333,3 +333,94 @@ SELECT {id_col}, n_ev, round(cx, 6) AS cx, round(cy, 6) AS cy,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {top_k}
 """
+
+
+# ------------------------------------------------------------ skew diagnostic
+
+
+def cell_skew(pts: DataFrame, res: int = 6) -> DataFrame:
+    """ONE row (n_pts, n_cells, avg_c, max_c, p50_c, p99_c, skew_ratio,
+    top_share, salt_factor): the hot-cell skew report for a tiling run —
+    the number the salting / adaptive-split machinery (operators/rollup.py,
+    quadtree.adaptive_tiles) needs BEFORE deciding how to partition.
+
+    skew_ratio = max/avg occupancy; top_share = hottest cell's fraction of
+    all points; salt_factor = ceil(max_c / p99_c) — splitting the hottest
+    cell into that many salt buckets levels it to the p99 cell. Quantiles
+    are exact type-1 picks (rank window over occupied-cell metadata, ≤ 4^res
+    rows — the corpus itself is reduced by ONE groupBy)."""
+    from pyspark.sql import Window
+
+    cells = (
+        pts.select(G.cell_col(F.col("x"), F.col("y"), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("c", "cell")
+    ranked = cells.withColumn("_rn", F.row_number().over(w).cast("long"))
+    # quantile picks need the total next to each rank — broadcast the
+    # 1-row count against the ≤4^res metadata instead of a nested window
+    tot = cells.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    picks = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.max(
+                F.when(F.col("_rn") == F.expr("(nc - 1) * 50 div 100 + 1"), F.col("c"))
+            ).alias("p50_c"),
+            F.max(
+                F.when(F.col("_rn") == F.expr("(nc - 1) * 99 div 100 + 1"), F.col("c"))
+            ).alias("p99_c"),
+        )
+    )
+    base = (
+        cells.agg(
+            F.sum("c").cast("long").alias("n_pts"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("c").cast("long").alias("max_c"),
+        )
+        .crossJoin(F.broadcast(picks))
+    )
+    avg = F.col("n_pts").cast("double") / F.col("n_cells").cast("double")
+    return base.select(
+        "n_pts",
+        "n_cells",
+        F.round(avg, 6).alias("avg_c"),
+        "max_c",
+        F.col("p50_c").cast("long").alias("p50_c"),
+        F.col("p99_c").cast("long").alias("p99_c"),
+        F.round(F.col("max_c").cast("double") / avg, 6).alias("skew_ratio"),
+        F.round(
+            F.col("max_c").cast("double") / F.col("n_pts").cast("double"), 6
+        ).alias("top_share"),
+        F.expr("(max_c + p99_c - 1) div p99_c").cast("long").alias("salt_factor"),
+    )
+
+
+def cell_skew_sql(pts_sql: str, res: int = 6) -> str:
+    """DuckDB twin of :func:`cell_skew`. ``pts_sql`` yields (x, y)."""
+    return f"""
+WITH p AS ({pts_sql}),
+cells AS (
+  SELECT {G.cell_sql('x', 'y', res)} AS cell, count(*)::BIGINT AS c
+  FROM p GROUP BY 1),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, cell) AS BIGINT) AS _rn,
+         CAST(count(*) OVER () AS BIGINT) AS nc
+  FROM cells),
+picks AS (
+  SELECT max(CASE WHEN _rn = (nc - 1) * 50 // 100 + 1 THEN c END) AS p50_c,
+         max(CASE WHEN _rn = (nc - 1) * 99 // 100 + 1 THEN c END) AS p99_c
+  FROM ranked),
+base AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_pts, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM cells)
+SELECT n_pts, n_cells,
+       round(CAST(n_pts AS DOUBLE) / CAST(n_cells AS DOUBLE), 6) AS avg_c,
+       max_c, CAST(p50_c AS BIGINT) AS p50_c, CAST(p99_c AS BIGINT) AS p99_c,
+       round(CAST(max_c AS DOUBLE)
+             / (CAST(n_pts AS DOUBLE) / CAST(n_cells AS DOUBLE)), 6) AS skew_ratio,
+       round(CAST(max_c AS DOUBLE) / CAST(n_pts AS DOUBLE), 6) AS top_share,
+       CAST((max_c + p99_c - 1) // p99_c AS BIGINT) AS salt_factor
+FROM base, picks
+"""

@@ -246,3 +246,95 @@ SELECT n, round(mean_nn, 6) AS mean_nn,
              / ({_CE_SE!r} / sqrt(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS z
 FROM agg
 """
+
+
+# ---------------------------------------------------------------- G-function
+
+_PI = 3.141592653589793
+
+
+def gfunction(
+    pts: DataFrame,
+    radii: Sequence[float] = (0.005, 0.01, 0.02, 0.04),
+    res: int = 6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-neighbor distance ECDF — Diggle's G-function, the
+    distributional refinement of :func:`clark_evans` (which only tests the
+    MEAN NN distance). Per radius: (r, n_le, g_emp, g_csr) with
+    g_emp = P(NN dist ≤ r) and the CSR reference g_csr = 1 − exp(−λπr²)
+    (twin exp ⇒ engine-exact); g_emp ≫ g_csr at small r ⇒ clustering.
+
+    Scale shape: per-point NN distance rides the provably-exact grid ring
+    search (grid_knn, k=2), so no n² pair join ever materializes; the ECDF
+    is one broadcast radii fan-out + groupBy over per-point minima. The
+    DuckDB oracle is the brute-force n² twin — agreement doubles as a
+    recall proof, same contract as clark_evans."""
+    from pyspark.sql import functions as F
+
+    from ..functions import sqlgen as G
+    from .knn import grid_knn
+
+    q = pts.select(F.col(id_col).alias("query_id"), "x", "y")
+    nn = (
+        grid_knn(pts, q, res=res, k=2, id_col=id_col)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("dist").alias("nn_dist"))
+    )
+    n_row = nn.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    radii_df = pts.sparkSession.createDataFrame(
+        [(float(r),) for r in radii], "r double"
+    )
+    per_r = (
+        nn.crossJoin(F.broadcast(radii_df))
+        .groupBy("r")
+        .agg(F.sum((F.col("nn_dist") <= F.col("r")).cast("long")).alias("n_le"))
+    )
+    z = per_r.crossJoin(F.broadcast(n_row))
+    lam_arg = (
+        -F.col("n").cast("double") * F.lit(_PI) * (F.col("r") * F.col("r"))
+    )
+    return z.select(
+        "r",
+        "n_le",
+        F.round(F.col("n_le").cast("double") / F.col("n").cast("double"), 6).alias(
+            "g_emp"
+        ),
+        F.round(F.lit(1.0) - G.exp_col(lam_arg), 6).alias("g_csr"),
+    )
+
+
+def gfunction_sql(
+    pts_sql: str,
+    radii: Sequence[float] = (0.005, 0.01, 0.02, 0.04),
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`gfunction` — brute-force n² nearest neighbor."""
+    from ..functions import sqlgen as G
+    from ..functions.hexgen import flit
+
+    rvals = ", ".join(f"({flit(r)})" for r in radii)
+    return f"""
+WITH pts AS ({pts_sql}),
+nn AS (
+  SELECT a.{id_col} AS query_id,
+         round(min(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))), 6)
+           AS nn_dist
+  FROM pts a JOIN pts b ON a.{id_col} <> b.{id_col}
+  GROUP BY 1),
+n_row AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
+radii(r) AS (VALUES {rvals}),
+per_r AS (
+  SELECT r, CAST(coalesce(sum(CASE WHEN nn_dist <= r THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_le
+  FROM nn, radii GROUP BY r),
+z AS (
+  SELECT r, n_le, n,
+         -CAST(n AS DOUBLE) * {_PI!r} * (r * r) AS lam_arg
+  FROM per_r, n_row)
+SELECT r, n_le,
+       round(CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE), 6) AS g_emp,
+       round(1.0 - {G.exp_sql('lam_arg')}, 6) AS g_csr
+FROM z
+"""

@@ -5898,6 +5898,44 @@ def _sql_spatial_scan() -> str:
     return spatial_scan_sql(src, res=4, rmax=2, top_k=15)
 
 
+def q_gfunction(spark, sf_dir):
+    """Diggle's G-function — nearest-neighbor distance ECDF vs the CSR
+    reference 1−exp(−λπr²) (operators/stats.py: gfunction). NN distances
+    ride the provably-exact grid ring search; the oracle is the brute-force
+    n² twin, so a hash match doubles as a recall proof."""
+    from ..operators.stats import gfunction
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return gfunction(em.select("vec_id", x.alias("x"), y.alias("y")), res=6)
+
+
+def _sql_gfunction() -> str:
+    from ..operators.stats import gfunction_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
+
+
+def q_cell_skew(spark, sf_dir):
+    """Hot-cell skew report (operators/pointpattern.py: cell_skew): exact
+    occupancy quantiles, max/avg skew ratio, hottest-cell share and the
+    salt factor the rollup salting machinery would apply — the partition-
+    planning diagnostic, computed from one corpus groupBy."""
+    from ..operators.pointpattern import cell_skew
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return cell_skew(em.select(x.alias("x"), y.alias("y")), res=6)
+
+
+def _sql_cell_skew() -> str:
+    from ..operators.pointpattern import cell_skew_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return cell_skew_sql(f"SELECT {x} AS x, {y} AS y FROM embeddings", res=6)
+
+
 def q_str_layout(spark, sf_dir):
     """Sort-Tile-Recursive R-tree bulk-load packing (operators/layout.py:
     str_layout): x-phase global rank via the two-level value-bucket prefix
@@ -6292,6 +6330,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
+    "gfunction": q_gfunction,
+    "cell_skew": q_cell_skew,
     "str_layout": q_str_layout,
     "term_drift": q_term_drift,
     "theil_sen": q_theil_sen,
@@ -6565,6 +6605,8 @@ ORACLES: dict[str, str] = {
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
+    "gfunction": _sql_gfunction(),
+    "cell_skew": _sql_cell_skew(),
     "str_layout": _sql_str_layout(),
     "term_drift": _sql_term_drift(),
     "theil_sen": _sql_theil_sen(),
