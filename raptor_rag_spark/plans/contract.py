@@ -4747,6 +4747,185 @@ SELECT vec_id, chord, (2.0 * {res}) AS arc FROM b
 """
 
 
+def q_geo_destination(spark, sf_dir):
+    """Direct geodesic problem — destination point from (reference, initial
+    bearing, arc distance), the inverse of geo_bearing/geo_arc:
+    φ₂ = asin(sin φ₁ cos δ + cos φ₁ sin δ cos θ), λ₂ = λ₁ + atan2(sin θ
+    sin δ cos φ₁, cos δ − sin φ₁ sin φ₂). Bearing and arc are taken from
+    the inverse solutions, so the reconstructed destination must equal the
+    original point — the output's err column carries the round-trip
+    residual (≈1e-15; the identity is the correctness proof). Every
+    transcendental is the twin kernel (functions/trig.py), every stage a
+    narrow localCheckpoint barrier to keep CollapseProject from duplicating
+    the trig chains."""
+    from ..functions import trig as TR
+
+    s1, c1 = TR.sin_py(GEO_LAT0), TR.cos_py(GEO_LAT0)
+    # materialize (lat, lon, chord) BEFORE any trig: sin/cos inline their
+    # argument ~20×, and lat/lon are themselves wide expressions over the
+    # 64-dim embedding — unmaterialized, the first stage's tree multiplies
+    # those out (measured 280 s analysis+codegen for 500 rows; 3 s with the
+    # barrier)
+    base = q_geo_chord(spark, sf_dir).localCheckpoint(eager=False)
+    dlon = F.col("lon") - F.lit(GEO_LON0)
+    c0 = base.select(
+        "vec_id",
+        "lat",
+        "lon",
+        (TR.sin_col(dlon) * TR.cos_col(F.col("lat"))).alias("yc"),
+        (
+            F.lit(c1) * TR.sin_col(F.col("lat"))
+            - F.lit(s1) * (TR.cos_col(F.col("lat")) * TR.cos_col(dlon))
+        ).alias("xc"),
+        (F.col("chord") * F.lit(0.5)).alias("z"),
+    ).localCheckpoint(eager=False)
+    # one twin atan per projection, always over STAGED ratio columns: two
+    # atan chains in one projection blow whole-stage codegen past janino's
+    # 64 KB method limit (measured: 65 s interpreted fallback for the fused
+    # stage vs ~1 s split). _q2 applies atan2's quadrant CASE to a staged
+    # atan result — identical IEEE ops to TR.atan2_col, just pre-staged.
+    def _q2(base, y, x):
+        return (
+            F.when(x > F.lit(0.0), base)
+            .when((x < F.lit(0.0)) & (y >= F.lit(0.0)), base + F.lit(TR.PI))
+            .when(x < F.lit(0.0), base - F.lit(TR.PI))
+            .when(y > F.lit(0.0), F.lit(TR.PI_2))
+            .when(y < F.lit(0.0), F.lit(-TR.PI_2))
+            .otherwise(F.lit(0.0))
+        )
+
+    keep = ["vec_id", "lat", "lon"]
+    ca = c0.select(
+        *keep, "yc", "xc", "z",
+        (F.col("yc") / F.col("xc")).alias("atr_t"),
+        F.sqrt(
+            F.greatest((F.lit(1.0) - F.col("z")) * (F.lit(1.0) + F.col("z")), F.lit(0.0))
+        ).alias("asx"),
+    ).localCheckpoint(eager=False)
+    cb = ca.select(
+        *keep, "z", "asx",
+        _q2(TR.atan_col(F.col("atr_t")), F.col("yc"), F.col("xc")).alias("theta"),
+        (F.col("z") / F.col("asx")).alias("atr_d"),
+    ).localCheckpoint(eager=False)
+    cc = cb.select(
+        *keep, "theta",
+        (F.lit(2.0) * _q2(TR.atan_col(F.col("atr_d")), F.col("z"), F.col("asx"))).alias(
+            "delta"
+        ),
+    ).localCheckpoint(eager=False)
+    cd_ = cc.select(
+        *keep,
+        TR.sin_col(F.col("theta")).alias("st"),
+        TR.cos_col(F.col("theta")).alias("ct"),
+        TR.sin_col(F.col("delta")).alias("sd"),
+        TR.cos_col(F.col("delta")).alias("cd"),
+    ).localCheckpoint(eager=False)
+    ce = cd_.select(
+        *keep, "st", "sd", "cd",
+        (F.lit(s1) * F.col("cd") + F.lit(c1) * (F.col("sd") * F.col("ct"))).alias("a2"),
+    ).select(
+        *keep, "st", "sd", "cd", "a2",
+        F.sqrt(
+            F.greatest(
+                (F.lit(1.0) - F.col("a2")) * (F.lit(1.0) + F.col("a2")), F.lit(0.0)
+            )
+        ).alias("asx_p"),
+    ).localCheckpoint(eager=False)
+    cf = ce.select(
+        *keep, "st", "sd", "cd",
+        _q2(
+            TR.atan_col(F.col("a2") / F.col("asx_p")), F.col("a2"), F.col("asx_p")
+        ).alias("phi2"),
+    ).localCheckpoint(eager=False)
+    c5 = cf.select(
+        *keep, "phi2",
+        ((F.col("st") * F.col("sd")) * F.lit(c1)).alias("y2"),
+        (F.col("cd") - F.lit(s1) * TR.sin_col(F.col("phi2"))).alias("x2"),
+    ).select(
+        *keep, "phi2", "y2", "x2", (F.col("y2") / F.col("x2")).alias("atr_l")
+    ).localCheckpoint(eager=False)
+    lon2 = F.lit(GEO_LON0) + _q2(
+        TR.atan_col(F.col("atr_l")), F.col("y2"), F.col("x2")
+    )
+    lon2w = (
+        F.when(lon2 <= F.lit(-_PI), lon2 + F.lit(_TWO_PI))
+        .when(lon2 > F.lit(_PI), lon2 - F.lit(_TWO_PI))
+        .otherwise(lon2)
+    )
+    staged = c5.select("vec_id", "lat", "lon", "phi2", lon2w.alias("lon2w"))
+    return staged.select(
+        "vec_id",
+        F.round("phi2", 9).alias("lat2"),
+        F.round("lon2w", 9).alias("lon2"),
+        F.round(
+            F.abs(F.col("phi2") - F.col("lat")) + F.abs(F.col("lon2w") - F.col("lon")),
+            9,
+        ).alias("err"),
+    )
+
+
+def _sql_geo_destination() -> str:
+    from ..functions import trig as TR
+    from ..functions.hexgen import flit
+
+    s1, c1 = TR.sin_py(GEO_LAT0), TR.cos_py(GEO_LAT0)
+    t_stage, t_res = TR.atan2_sql("yc", "xc", ratio_alias="atr_t")
+    d_xs, d_rs, d_res = TR.asin_sql("z", x_alias="asx_d", ratio_alias="atr_d")
+    p_xs, p_rs, p_res = TR.asin_sql("a2", x_alias="asx_p", ratio_alias="atr_p")
+    l_stage, l_res = TR.atan2_sql("y2", "x2", ratio_alias="atr_l")
+    lon2 = f"({flit(GEO_LON0)} + {l_res})"
+    return f"""
+WITH base AS ({_sql_geo_chord()}),
+c0 AS (
+  SELECT vec_id, lat, lon,
+         ({TR.sin_sql("dlon")} * {TR.cos_sql("lat")}) AS yc,
+         ({flit(c1)} * {TR.sin_sql("lat")}
+          - {flit(s1)} * ({TR.cos_sql("lat")} * {TR.cos_sql("dlon")})) AS xc,
+         (chord * 0.5) AS z
+  FROM (SELECT vec_id, lat, lon, chord, (lon - {flit(GEO_LON0)}) AS dlon FROM base)),
+s_t AS (SELECT *, {t_stage} AS atr_t FROM c0),
+s_d AS (SELECT *, {d_xs} AS asx_d FROM s_t),
+s_d2 AS (SELECT *, {d_rs} AS atr_d FROM s_d),
+c1_ AS (
+  SELECT vec_id, lat, lon,
+         {t_res} AS theta,
+         (2.0 * {d_res}) AS delta
+  FROM s_d2),
+c2 AS (
+  SELECT vec_id, lat, lon,
+         {TR.sin_sql("theta")} AS st, {TR.cos_sql("theta")} AS ct,
+         {TR.sin_sql("delta")} AS sd, {TR.cos_sql("delta")} AS cd
+  FROM c1_),
+c3 AS (
+  SELECT vec_id, lat, lon, st, sd, cd,
+         ({flit(s1)} * cd + {flit(c1)} * (sd * ct)) AS a2
+  FROM c2),
+s_p AS (SELECT *, {p_xs} AS asx_p FROM c3),
+s_p2 AS (SELECT *, {p_rs} AS atr_p FROM s_p),
+c4 AS (
+  SELECT vec_id, lat, lon, st, sd, cd,
+         {p_res} AS phi2
+  FROM s_p2),
+c5 AS (
+  SELECT vec_id, lat, lon, phi2,
+         ((st * sd) * {flit(c1)}) AS y2,
+         (cd - {flit(s1)} * {TR.sin_sql("phi2")}) AS x2
+  FROM c4),
+s_l AS (SELECT *, {l_stage} AS atr_l FROM c5),
+fin AS (
+  SELECT vec_id, lat, lon, phi2,
+         CASE WHEN {lon2} <= {flit(-_PI)}
+              THEN {lon2} + {flit(_TWO_PI)}
+              WHEN {lon2} > {flit(_PI)}
+              THEN {lon2} - {flit(_TWO_PI)}
+              ELSE {lon2} END AS lon2w
+  FROM s_l)
+SELECT vec_id, round(phi2, 9) AS lat2, round(lon2w, 9) AS lon2,
+       round(abs(phi2 - lat) + abs(lon2w - lon), 9) AS err
+FROM fin
+"""
+
+
 _RHUMB_EPS = 1e-12
 _PI = 3.141592653589793
 _TWO_PI = 6.283185307179586
@@ -6330,6 +6509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
+    "geo_destination": q_geo_destination,
     "gfunction": q_gfunction,
     "cell_skew": q_cell_skew,
     "str_layout": q_str_layout,
@@ -6605,6 +6785,7 @@ ORACLES: dict[str, str] = {
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
+    "geo_destination": _sql_geo_destination(),
     "gfunction": _sql_gfunction(),
     "cell_skew": _sql_cell_skew(),
     "str_layout": _sql_str_layout(),
