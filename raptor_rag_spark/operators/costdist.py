@@ -72,6 +72,12 @@ def _surface(
     isochrones. d is bit-identical across engines: a min over an identical
     candidate multiset of fixed-order float expressions."""
     n = 1 << res
+    # Materialize the cost raster ONCE: it is bounded by 4^res rows, but the
+    # caller usually passes an UNMATERIALIZED plan (a corpus groupBy + grid
+    # join). tgt is referenced in every relaxation round, and Catalyst does
+    # not reuse subplans — without this barrier each round re-executes the
+    # corpus aggregation (measured: 24 corpus scans, 60 s vs 9 s at sf0.001).
+    grid = grid.localCheckpoint(eager=True)
     d = grid.where(
         (F.col("ix") == src_ix) & (F.col("iy") == src_iy)
     ).select("ix", "iy", "cost", F.lit(0.0).alias("d"))
