@@ -88,9 +88,13 @@ def hyperball(links: DataFrame, rounds: int = 4) -> DataFrame:
     rounded to 6 dp. Bounded rounds: like the engine's other fixed-K
     iterations, both engines compute the identical truncated value whether
     or not the sketches have converged."""
+    # materialize once: edges join the state EVERY round, and `links` is
+    # usually an unmaterialized corpus scan (extract_links regexp over raw
+    # pages) — without the barrier each round re-executes it (same defect
+    # class as cost-distance's grid re-aggregation)
     edges = links.select(
         F.col("src_host").alias("es"), F.col("dst_host").alias("ed")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     hosts = (
         edges.select(F.col("es").alias("v"))
         .unionByName(edges.select(F.col("ed").alias("v")))
