@@ -178,12 +178,15 @@ def _walk(flows: DataFrame, max_rounds: int) -> DataFrame:
     edges, paths capped at ``max_rounds`` hops. Strict descent makes the
     edge relation acyclic with out-degree ≤ 1, so each pair appears once
     and the loop terminates when every path has reached a pit."""
+    # materialized once: joined by every hop round below, and `flows` is
+    # usually an unmaterialized stencil plan over the raster (same
+    # re-execution defect class as cost-distance's grid)
     edges = flows.where(F.col("dir") >= 0).select(
         F.col("ix").alias("six"),
         F.col("iy").alias("siy"),
         F.col("nix").alias("tix"),
         F.col("niy").alias("tiy"),
-    )
+    ).localCheckpoint(eager=True)
     paths = edges.select(
         F.col("six").alias("oix"),
         F.col("siy").alias("oiy"),

@@ -51,9 +51,13 @@ def adaptive_tiles(
     (res, cell, n_pts, overflow) — ``overflow`` marks max_res leaves still
     above ``max_pts`` (the "overzoom" tiles a server would page)."""
     assert min_res < max_res
+    # ONE corpus groupBy, materialized: every per-resolution leaf select
+    # below references some counts[r], and each counts[r] references
+    # counts[r+1] — unmaterialized, Catalyst would re-execute the corpus
+    # aggregation once per resolution (max_res−min_res corpus scans)
     base = pts.groupBy(
         G.cell_col(F.col("x"), F.col("y"), max_res).alias("cell")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_pts"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pts")).localCheckpoint(eager=True)
 
     counts = {max_res: base}
     for r in range(max_res - 1, min_res - 1, -1):
@@ -61,6 +65,7 @@ def adaptive_tiles(
             counts[r + 1]
             .groupBy(G.cell_parent_col(F.col("cell")).alias("cell"))
             .agg(F.sum("n_pts").cast("long").alias("n_pts"))
+            .localCheckpoint(eager=False)  # ≤ occupied-cell metadata
         )
 
     leaves = []
