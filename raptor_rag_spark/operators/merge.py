@@ -98,3 +98,122 @@ SELECT {select_bits},
             ELSE 'unchanged' END AS action
 FROM b FULL OUTER JOIN u USING ({using})
 """
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 maintenance — the versioned-history
+    counterpart of :func:`merge_upsert` (Kimball SCD2; what Delta/Iceberg
+    users hand-roll with two MERGEs).
+
+    dim: (key…, value…, valid_from, valid_to) — current rows have
+    valid_to IS NULL. updates: (key…, value…, ts_col) — the change batch,
+    at most one row per key. Per key:
+
+    - changed value, key exists → CLOSE the current row (valid_to = ts)
+      and OPEN a new one (valid_from = ts, valid_to NULL)
+    - new key → OPEN (valid_from = ts)
+    - equal values or absent from batch → row passes through unchanged
+    - already-closed history rows always pass through untouched
+
+    Output: the full new SCD2 table (key…, value…, valid_from, valid_to,
+    action ∈ open/close/carry). Scale shape: ONE full-outer join of the
+    CURRENT slice against the batch (the history slice never shuffles —
+    it is unioned through), null-safe value comparison, no windows."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+    history = dim.where(F.col("valid_to").isNotNull()).select(
+        *keys, *vals, "valid_from", "valid_to", F.lit("carry").alias("action")
+    )
+    current = dim.where(F.col("valid_to").isNull()).select(
+        *keys,
+        *[F.col(v).alias(f"_b_{v}") for v in vals],
+        F.col("valid_from").alias("_b_from"),
+        F.lit(1).alias("_in_base"),
+    )
+    u = updates.select(
+        *keys,
+        *[F.col(v).alias(f"_u_{v}") for v in vals],
+        F.col(ts_col).alias("_u_ts"),
+        F.lit(1).alias("_in_upd"),
+    )
+    j = current.join(u, keys, "full_outer")
+    changed = (
+        (F.col("_in_base") == 1)
+        & (F.col("_in_upd") == 1)
+        & ~F.expr(" AND ".join(f"(_b_{v} <=> _u_{v})" for v in vals))
+    )
+    closed = j.where(changed).select(
+        *keys,
+        *[F.col(f"_b_{v}").alias(v) for v in vals],
+        F.col("_b_from").alias("valid_from"),
+        F.col("_u_ts").alias("valid_to"),
+        F.lit("close").alias("action"),
+    )
+    opened = j.where(changed | F.col("_in_base").isNull()).select(
+        *keys,
+        *[F.col(f"_u_{v}").alias(v) for v in vals],
+        F.col("_u_ts").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit("open").alias("action"),
+    )
+    carried = j.where(~F.coalesce(changed, F.lit(False)) & (F.col("_in_base") == 1)).select(
+        *keys,
+        *[F.col(f"_b_{v}").alias(v) for v in vals],
+        F.col("_b_from").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit("carry").alias("action"),
+    )
+    return history.unionByName(closed).unionByName(opened).unionByName(carried)
+
+
+def scd2_apply_sql(
+    dim_sql: str,
+    updates_sql: str,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`scd2_apply`."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+    kl = ", ".join(keys)
+    vl = ", ".join(vals)
+    keq = " AND ".join(f"c.{k} IS NOT DISTINCT FROM u.{k}" for k in keys)
+    veq = " AND ".join(f"(c.{v} IS NOT DISTINCT FROM u.{v})" for v in vals)
+    kco = ", ".join(f"coalesce(c.{k}, u.{k}) AS {k}" for k in keys)
+    bvals = ", ".join(f"c.{v} AS b_{v}" for v in vals)
+    uvals = ", ".join(f"u.{v} AS u_{v}" for v in vals)
+    bsel = ", ".join(f"b_{v} AS {v}" for v in vals)
+    usel = ", ".join(f"u_{v} AS {v}" for v in vals)
+    return f"""
+WITH dim AS ({dim_sql}),
+upd AS ({updates_sql}),
+cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+hist AS (
+  SELECT {kl}, {vl}, valid_from, valid_to, 'carry' AS action
+  FROM dim WHERE valid_to IS NOT NULL),
+j AS (
+  SELECT {kco}, {bvals}, {uvals},
+         c.valid_from AS b_from, u.{ts_col} AS u_ts,
+         (CASE WHEN c.valid_from IS NOT NULL AND u.{ts_col} IS NOT NULL
+                    AND NOT ({veq}) THEN 1 ELSE 0 END) AS changed,
+         (CASE WHEN c.valid_from IS NOT NULL THEN 1 ELSE 0 END) AS in_base,
+         (CASE WHEN u.{ts_col} IS NOT NULL THEN 1 ELSE 0 END) AS in_upd
+  FROM cur c FULL OUTER JOIN upd u ON {keq})
+SELECT * FROM hist
+UNION ALL
+SELECT {kl}, {bsel}, b_from AS valid_from, u_ts AS valid_to, 'close' AS action
+FROM j WHERE changed = 1
+UNION ALL
+SELECT {kl}, {usel}, u_ts AS valid_from, NULL AS valid_to, 'open' AS action
+FROM j WHERE changed = 1 OR in_base = 0
+UNION ALL
+SELECT {kl}, {bsel}, b_from AS valid_from, NULL AS valid_to, 'carry' AS action
+FROM j WHERE changed = 0 AND in_base = 1
+"""

@@ -6077,6 +6077,107 @@ def _sql_spatial_scan() -> str:
     return spatial_scan_sql(src, res=4, rmax=2, top_k=15)
 
 
+def q_mercator(spark, sf_dir):
+    """Web-Mercator forward projection + slippy tile/pixel addressing at
+    zoom 6 (operators/projection.py): twin sin/cos tangent, twin-ln
+    Mercator stretch — bit-identical projected coordinates across engines;
+    zero shuffles, pure codegen."""
+    from ..operators.projection import mercator_project
+
+    base = q_geo_chord(spark, sf_dir).select("vec_id", "lon", "lat")
+    return mercator_project(base, zoom=6)
+
+
+def _sql_mercator() -> str:
+    from ..functions.hexgen import flit
+    from ..operators.projection import mercator_project_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    src = f"""
+SELECT vec_id,
+       (({x}) - 0.5) * {flit(2.0 * 3.141592653589793)} AS lon,
+       (({y}) - 0.5) * {flit(3.141592653589793)} AS lat
+FROM embeddings"""
+    return mercator_project_sql(src, zoom=6)
+
+
+def q_scd2(spark, sf_dir):
+    """SCD type-2 dimension maintenance (operators/merge.py: scd2_apply):
+    versioned history — close-and-open on change, insert on new key,
+    pass-through otherwise; ONE full-outer join of the current slice
+    against the batch, the history slice never shuffles."""
+    from ..operators.merge import scd2_apply
+
+    cust = ld(spark, sf_dir, "customer")
+    t0 = F.to_timestamp(F.lit("2024-01-01"))
+    cur = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = cust.where(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("double") - F.lit(50.0)).alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.to_timestamp(F.lit("2023-01-01")).alias("valid_from"),
+        t0.alias("valid_to"),
+    )
+    dim = cur.unionByName(hist)
+    ts = F.to_timestamp(F.lit("2025-06-01"))
+    upd_changed = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("double") + F.lit(100.0)).alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        ts.alias("ts"),
+    )
+    upd_same = cust.where(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        ts.alias("ts"),
+    )
+    upd_new = cust.where(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        ts.alias("ts"),
+    )
+    updates = upd_changed.unionByName(upd_same).unionByName(upd_new)
+    return scd2_apply(dim, updates, ["c_custkey"], ["acctbal", "seg"])
+
+
+def _sql_scd2() -> str:
+    from ..operators.merge import scd2_apply_sql
+
+    dim = """
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment AS seg,
+       TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) - 50.0 AS acctbal, c_mktsegment AS seg,
+       TIMESTAMP '2023-01-01' AS valid_from, TIMESTAMP '2024-01-01' AS valid_to
+FROM customer WHERE c_custkey % 13 = 0
+"""
+    upd = """
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 100.0 AS acctbal, c_mktsegment AS seg,
+       TIMESTAMP '2025-06-01' AS ts
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment AS seg,
+       TIMESTAMP '2025-06-01' AS ts
+FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+       c_mktsegment AS seg, TIMESTAMP '2025-06-01' AS ts
+FROM customer WHERE c_custkey % 97 = 0
+"""
+    return scd2_apply_sql(dim, upd, ["c_custkey"], ["acctbal", "seg"])
+
+
 def q_gfunction(spark, sf_dir):
     """Diggle's G-function — nearest-neighbor distance ECDF vs the CSR
     reference 1−exp(−λπr²) (operators/stats.py: gfunction). NN distances
@@ -6510,6 +6611,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
     "geo_destination": q_geo_destination,
+    "scd2_upsert": q_scd2,
+    "mercator_tiles": q_mercator,
     "gfunction": q_gfunction,
     "cell_skew": q_cell_skew,
     "str_layout": q_str_layout,
@@ -6786,6 +6889,8 @@ ORACLES: dict[str, str] = {
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
     "geo_destination": _sql_geo_destination(),
+    "scd2_upsert": _sql_scd2(),
+    "mercator_tiles": _sql_mercator(),
     "gfunction": _sql_gfunction(),
     "cell_skew": _sql_cell_skew(),
     "str_layout": _sql_str_layout(),
