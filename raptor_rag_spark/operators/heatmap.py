@@ -1315,3 +1315,164 @@ SELECT {cell} AS cell_id, tix AS ix, tiy AS iy,
        ({diag} - ((w1 * c1 + w2 * c2) + w3 * c3)) AS kvar
 FROM solved, m
 """
+
+
+def curvature_surface(
+    raster: DataFrame,
+    res: int,
+    value_col: str = "density",
+) -> DataFrame:
+    """(cell_id, ix, iy, plan_c, prof_c): Zevenbergen-Thorne (1987) surface
+    curvature — the second-derivative companion to :func:`terrain_surface`
+    (ArcGIS "Curvature"): planform curvature (across-slope; + = diverging
+    flow, ridges) and profile curvature (along-slope; + = accelerating
+    flow) from the standard 9-term quadric fit on the 3×3 window:
+
+        D=((z4+z6)/2−z5)/L², E=((z2+z8)/2−z5)/L², F=(−z1+z3+z7−z9)/4L²,
+        G=(−z4+z6)/2L, H=(z2−z8)/2L
+        plan = 2(DH²+EG²−FGH)/(G²+H²),  prof = −2(DG²+EH²+FGH)/(G²+H²)
+
+    Flat cells (G²+H² = 0) report 0 — the ArcGIS convention. Missing
+    neighbors read 0 (dense-zero). Same scatter shape as terrain_surface:
+    each populated cell mails its value to the 9 window positions, ONE
+    groupBy picks each z_k with max() (at most one source per slot — no
+    float accumulation order at all), inner join keeps populated centers.
+    """
+    n = 1 << res
+    inv_l = float(1 << res)        # 1/L, exact power of two
+    inv_l2 = float(1 << (2 * res))  # 1/L²
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+                for ox in (-1, 0, 1)
+                for oy in (-1, 0, 1)
+            ]
+        )
+    )
+    base = raster.select("ix", "iy", F.col(value_col).cast("double").alias("v"))
+    nb = (
+        base.select("ix", "iy", "v", offs.alias("o"))
+        .select(
+            (F.col("ix") + F.col("o.ox")).alias("tix"),
+            (F.col("iy") + F.col("o.oy")).alias("tiy"),
+            F.col("o.ox").alias("ox"),
+            F.col("o.oy").alias("oy"),
+            "v",
+        )
+        .where(
+            (F.col("tix") >= 0) & (F.col("tix") < n)
+            & (F.col("tiy") >= 0) & (F.col("tiy") < n)
+        )
+    )
+
+    def slot(ox, oy):
+        # source offset (ox,oy) relative to target: source = target+(ox,oy)
+        # mails with o = -(ox,oy); at most one source per slot -> max()
+        return F.coalesce(
+            F.max(F.when((F.col("ox") == -ox) & (F.col("oy") == -oy), F.col("v"))),
+            F.lit(0.0),
+        )
+
+    win = nb.groupBy("tix", "tiy").agg(
+        slot(-1, 1).alias("z1"), slot(0, 1).alias("z2"), slot(1, 1).alias("z3"),
+        slot(-1, 0).alias("z4"), slot(0, 0).alias("z5"), slot(1, 0).alias("z6"),
+        slot(-1, -1).alias("z7"), slot(0, -1).alias("z8"), slot(1, -1).alias("z9"),
+    )
+    pop = base.select(F.col("ix").alias("tix"), F.col("iy").alias("tiy"))
+    w = win.join(pop, ["tix", "tiy"])
+    d_ = ((F.col("z4") + F.col("z6")) * F.lit(0.5) - F.col("z5")) * F.lit(inv_l2)
+    e_ = ((F.col("z2") + F.col("z8")) * F.lit(0.5) - F.col("z5")) * F.lit(inv_l2)
+    f_ = (
+        (-F.col("z1") + F.col("z3") + F.col("z7") - F.col("z9"))
+        * F.lit(0.25)
+        * F.lit(inv_l2)
+    )
+    g_ = (-F.col("z4") + F.col("z6")) * F.lit(0.5) * F.lit(inv_l)
+    h_ = (F.col("z2") - F.col("z8")) * F.lit(0.5) * F.lit(inv_l)
+    staged = w.select(
+        "tix", "tiy",
+        d_.alias("dd"), e_.alias("ee"), f_.alias("ff"),
+        g_.alias("gg"), h_.alias("hh"),
+    )
+    g2h2 = F.col("gg") * F.col("gg") + F.col("hh") * F.col("hh")
+    plan = (
+        F.lit(2.0)
+        * (
+            F.col("dd") * (F.col("hh") * F.col("hh"))
+            + F.col("ee") * (F.col("gg") * F.col("gg"))
+            - F.col("ff") * (F.col("gg") * F.col("hh"))
+        )
+        / g2h2
+    )
+    prof = (
+        F.lit(-2.0)
+        * (
+            F.col("dd") * (F.col("gg") * F.col("gg"))
+            + F.col("ee") * (F.col("hh") * F.col("hh"))
+            + F.col("ff") * (F.col("gg") * F.col("hh"))
+        )
+        / g2h2
+    )
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("tix"), COORD_BITS))
+        .bitwiseOR(F.col("tiy"))
+    )
+    zero = g2h2 == F.lit(0.0)
+    return staged.select(
+        cell.alias("cell_id"),
+        F.col("tix").alias("ix"),
+        F.col("tiy").alias("iy"),
+        F.round(F.when(zero, F.lit(0.0)).otherwise(plan), 6).alias("plan_c"),
+        F.round(F.when(zero, F.lit(0.0)).otherwise(prof), 6).alias("prof_c"),
+    )
+
+
+def curvature_surface_sql(
+    raster_sql: str, res: int, value_col: str = "density"
+) -> str:
+    """DuckDB twin of :func:`curvature_surface`."""
+    n = 1 << res
+    inv_l = float(1 << res)
+    inv_l2 = float(1 << (2 * res))
+    offs = ", ".join(
+        f"({ox}, {oy})" for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+    )
+    slots = ",\n         ".join(
+        f"coalesce(max(CASE WHEN ox = {-ox} AND oy = {-oy} THEN v END), 0.0) AS z{k}"
+        for k, (ox, oy) in enumerate(
+            [(-1, 1), (0, 1), (1, 1), (-1, 0), (0, 0), (1, 0), (-1, -1), (0, -1), (1, -1)],
+            start=1,
+        )
+    )
+    cell = f"(({res}::BIGINT << {RES_SHIFT}) | (tix::BIGINT << {COORD_BITS}) | tiy::BIGINT)"
+    return f"""
+WITH base AS (SELECT ix, iy, CAST({value_col} AS DOUBLE) AS v FROM ({raster_sql})),
+nb AS (
+  SELECT ix + ox AS tix, iy + oy AS tiy, ox, oy, v
+  FROM base, (VALUES {offs}) o(ox, oy)
+  WHERE ix + ox >= 0 AND ix + ox < {n} AND iy + oy >= 0 AND iy + oy < {n}),
+win AS (
+  SELECT tix, tiy,
+         {slots}
+  FROM nb GROUP BY tix, tiy),
+w AS (
+  SELECT win.* FROM win JOIN base ON win.tix = base.ix AND win.tiy = base.iy),
+staged AS (
+  SELECT tix, tiy,
+         (((z4 + z6) * 0.5 - z5) * {inv_l2!r}) AS dd,
+         (((z2 + z8) * 0.5 - z5) * {inv_l2!r}) AS ee,
+         ((-z1 + z3 + z7 - z9) * 0.25 * {inv_l2!r}) AS ff,
+         ((-z4 + z6) * 0.5 * {inv_l!r}) AS gg,
+         ((z2 - z8) * 0.5 * {inv_l!r}) AS hh
+  FROM w)
+SELECT {cell} AS cell_id, tix AS ix, tiy AS iy,
+       round(CASE WHEN gg * gg + hh * hh = 0.0 THEN 0.0
+                  ELSE 2.0 * (dd * (hh * hh) + ee * (gg * gg) - ff * (gg * hh))
+                       / (gg * gg + hh * hh) END, 6) AS plan_c,
+       round(CASE WHEN gg * gg + hh * hh = 0.0 THEN 0.0
+                  ELSE -2.0 * (dd * (gg * gg) + ee * (hh * hh) + ff * (gg * hh))
+                       / (gg * gg + hh * hh) END, 6) AS prof_c
+FROM staged
+"""

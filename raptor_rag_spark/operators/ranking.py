@@ -1306,3 +1306,86 @@ SELECT query_id, doc_id, score, rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM fin) WHERE rank <= {top_k}
 """
+
+
+def index_size(docs: DataFrame | None, postings: DataFrame | None = None) -> DataFrame:
+    """ONE row (n_terms, n_postings, raw_bytes, varint_bytes, ratio): the
+    d-gap + varint size estimate for the inverted index — the
+    index-engineering number (Lucene/PISA-style compression) that decides
+    how many bytes/posting the persisted search index
+    (sources/searchindex.py) would pay.
+
+    Per term the postings list is delta-encoded in doc_id order (first id
+    stored raw, then gaps) and every value varint-coded: bytes(v) =
+    ceil(bits(v)/7) with bits taken as length(bin(v)) — pure integer/string
+    ops, identical in both engines (no float log2 whose ulp could flip a
+    floor at power-of-two boundaries). tf values are varint-coded raw.
+    raw_bytes = 16/posting (two int64s).
+
+    Scale shape: ONE term-partitioned window over the postings (the same
+    shuffle the index build itself pays — this IS the layout job), then a
+    single global aggregate."""
+    if postings is None:
+        postings = bm25_index(docs)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gapped = postings.select(
+        "term",
+        "tf",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id")
+        ).alias("gap"),
+    )
+    vb_gap = (F.length(F.bin(F.col("gap"))) - 1) / F.lit(7)
+    vb_tf = (F.length(F.bin(F.col("tf"))) - 1) / F.lit(7)
+    sized = gapped.select(
+        "term",
+        (F.floor(vb_gap).cast("long") + 1 + F.floor(vb_tf).cast("long") + 1).alias(
+            "vbytes"
+        ),
+    )
+    agg = sized.agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("vbytes").cast("long").alias("varint_bytes"),
+    )
+    return agg.select(
+        "n_terms",
+        "n_postings",
+        (F.col("n_postings") * F.lit(16)).alias("raw_bytes"),
+        "varint_bytes",
+        F.round(
+            F.col("varint_bytes").cast("double")
+            / (F.col("n_postings") * F.lit(16)).cast("double"),
+            6,
+        ).alias("ratio"),
+    )
+
+
+def index_size_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`index_size`; ``docs_sql`` yields (doc_id, text)."""
+    ws = G.words_sql("text")
+    return f"""
+WITH postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({ws}) AS term FROM ({docs_sql}))
+  GROUP BY doc_id, term),
+gapped AS (
+  SELECT term, tf,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id) AS gap
+  FROM postings),
+sized AS (
+  SELECT term,
+         ((length(bin(gap)) - 1) // 7 + 1 + (length(bin(tf)) - 1) // 7 + 1)
+           AS vbytes
+  FROM gapped),
+agg AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(sum(vbytes) AS BIGINT) AS varint_bytes
+  FROM sized)
+SELECT n_terms, n_postings, n_postings * 16 AS raw_bytes, varint_bytes,
+       round(CAST(varint_bytes AS DOUBLE) / CAST(n_postings * 16 AS DOUBLE), 6)
+         AS ratio
+FROM agg
+"""

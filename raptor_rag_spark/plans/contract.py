@@ -6077,6 +6077,46 @@ def _sql_spatial_scan() -> str:
     return spatial_scan_sql(src, res=4, rmax=2, top_k=15)
 
 
+def q_index_size(spark, sf_dir):
+    """d-gap + varint inverted-index size estimate (operators/ranking.py:
+    index_size): delta-encoded doc_ids per term, varint byte counts via
+    integer bit lengths (length(bin(v)) — no float log2), one postings
+    window + one aggregate. The Lucene-style compression planning number
+    for the persisted search index."""
+    from ..operators.ranking import index_size
+
+    return index_size(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_index_size() -> str:
+    from ..operators.ranking import index_size_sql
+
+    return index_size_sql("SELECT doc_id, text FROM documents")
+
+
+def q_kde_curvature(spark, sf_dir):
+    """Zevenbergen-Thorne plan/profile curvature over the KDE raster
+    (operators/heatmap.py: curvature_surface) — the second-derivative
+    terrain band (ridges/channels, converging/diverging flow) completing
+    heatmap → focal → terrain → curvature."""
+    from ..operators.heatmap import curvature_surface, kde_heatmap
+
+    e = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    raster = kde_heatmap(
+        e.select(x.alias("x"), y.alias("y")), res=KDE_RES, bandwidth=KDE_BW
+    )
+    return curvature_surface(raster, res=KDE_RES)
+
+
+def _sql_kde_curvature() -> str:
+    from ..operators.heatmap import curvature_surface_sql
+
+    return curvature_surface_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
 def q_mercator(spark, sf_dir):
     """Web-Mercator forward projection + slippy tile/pixel addressing at
     zoom 6 (operators/projection.py): twin sin/cos tangent, twin-ln
@@ -6613,6 +6653,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_destination": q_geo_destination,
     "scd2_upsert": q_scd2,
     "mercator_tiles": q_mercator,
+    "kde_curvature": q_kde_curvature,
+    "index_size": q_index_size,
     "gfunction": q_gfunction,
     "cell_skew": q_cell_skew,
     "str_layout": q_str_layout,
@@ -6891,6 +6933,8 @@ ORACLES: dict[str, str] = {
     "geo_destination": _sql_geo_destination(),
     "scd2_upsert": _sql_scd2(),
     "mercator_tiles": _sql_mercator(),
+    "kde_curvature": _sql_kde_curvature(),
+    "index_size": _sql_index_size(),
     "gfunction": _sql_gfunction(),
     "cell_skew": _sql_cell_skew(),
     "str_layout": _sql_str_layout(),
