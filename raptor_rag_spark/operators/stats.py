@@ -338,3 +338,130 @@ SELECT r, n_le,
        round(1.0 - {G.exp_sql('lam_arg')}, 6) AS g_csr
 FROM z
 """
+
+
+def jfunction(
+    pts: DataFrame,
+    radii: Sequence[float] = (0.005, 0.01, 0.02, 0.04),
+    res: int = 6,
+    grid_n: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """F-function (empty-space) + J-function, completing the G/F/J point-
+    process trio. F(r) = P(dist from a REGULAR probe grid point to the
+    nearest data point ≤ r); J(r) = (1 − G(r))/(1 − F(r)) — the
+    van Lieshout-Baddeley ratio: J < 1 clustered, ≈ 1 CSR, > 1 dispersed,
+    with the sampling-intensity dependence of G and F cancelling out.
+
+    Per radius: (r, g_emp, f_emp, csr, j). Probe points are the ``grid_n``²
+    cell centers ((i+0.5)/g, (j+0.5)/g) — deterministic, no RNG. Both NN
+    passes ride the exact grid ring search; the DuckDB oracle is brute
+    force n², so agreement again doubles as a recall proof."""
+    from pyspark.sql import functions as F
+
+    from ..functions import sqlgen as G
+    from .knn import grid_knn
+
+    # G: nearest data-data neighbor distances
+    q_data = pts.select(F.col(id_col).alias("query_id"), "x", "y")
+    nn_g = (
+        grid_knn(pts, q_data, res=res, k=2, id_col=id_col)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("dist").alias("nn_dist"))
+    )
+    # F: nearest data neighbor from the probe grid
+    g = grid_n
+    probes = pts.sparkSession.range(g * g).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") / g).cast("long").cast("double") + F.lit(0.5)) / F.lit(float(g)),
+        ((F.col("id") % g).cast("double") + F.lit(0.5)) / F.lit(float(g)),
+    ).toDF("query_id", "x", "y")
+    nn_f = (
+        grid_knn(pts, probes, res=res, k=1, id_col=id_col)
+        .groupBy("query_id")
+        .agg(F.min("dist").alias("nn_dist"))
+    )
+    n_row = nn_g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    radii_df = pts.sparkSession.createDataFrame(
+        [(float(r),) for r in radii], "r double"
+    )
+    per_g = (
+        nn_g.crossJoin(F.broadcast(radii_df))
+        .groupBy("r")
+        .agg(F.sum((F.col("nn_dist") <= F.col("r")).cast("long")).alias("n_le_g"))
+    )
+    per_f = (
+        nn_f.crossJoin(F.broadcast(radii_df))
+        .groupBy("r")
+        .agg(F.sum((F.col("nn_dist") <= F.col("r")).cast("long")).alias("n_le_f"))
+    )
+    z = per_g.join(per_f, "r").crossJoin(F.broadcast(n_row))
+    g_emp = F.col("n_le_g").cast("double") / F.col("n").cast("double")
+    f_emp = F.col("n_le_f").cast("double") / F.lit(float(g * g))
+    lam_arg = -F.col("n").cast("double") * F.lit(_PI) * (F.col("r") * F.col("r"))
+    jv = (F.lit(1.0) - g_emp) / (F.lit(1.0) - f_emp)
+    return z.select(
+        "r",
+        F.round(g_emp, 6).alias("g_emp"),
+        F.round(f_emp, 6).alias("f_emp"),
+        F.round(F.lit(1.0) - G.exp_col(lam_arg), 6).alias("csr"),
+        F.round(
+            F.when(f_emp < F.lit(1.0), jv).otherwise(F.lit(0.0)), 6
+        ).alias("j"),
+    )
+
+
+def jfunction_sql(
+    pts_sql: str,
+    radii: Sequence[float] = (0.005, 0.01, 0.02, 0.04),
+    grid_n: int = 20,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`jfunction` — brute-force n² NN on both sides."""
+    from ..functions import sqlgen as G
+    from ..functions.hexgen import flit
+
+    g = grid_n
+    rvals = ", ".join(f"({flit(r)})" for r in radii)
+    return f"""
+WITH pts AS ({pts_sql}),
+nn_g AS (
+  SELECT a.{id_col} AS query_id,
+         round(min(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))), 6)
+           AS nn_dist
+  FROM pts a JOIN pts b ON a.{id_col} <> b.{id_col}
+  GROUP BY 1),
+probes AS (
+  SELECT i AS query_id,
+         (CAST(CAST(i // {g} AS BIGINT) AS DOUBLE) + 0.5) / {flit(float(g))} AS x,
+         (CAST(i % {g} AS DOUBLE) + 0.5) / {flit(float(g))} AS y
+  FROM range({g * g}) t(i)),
+nn_f AS (
+  SELECT p.query_id,
+         round(min(sqrt((p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y))), 6)
+           AS nn_dist
+  FROM probes p JOIN pts b ON TRUE
+  GROUP BY 1),
+n_row AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn_g),
+radii(r) AS (VALUES {rvals}),
+per_g AS (
+  SELECT r, CAST(coalesce(sum(CASE WHEN nn_dist <= r THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_le_g
+  FROM nn_g, radii GROUP BY r),
+per_f AS (
+  SELECT r, CAST(coalesce(sum(CASE WHEN nn_dist <= r THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_le_f
+  FROM nn_f, radii GROUP BY r),
+z AS (
+  SELECT per_g.r, n_le_g, n_le_f, n,
+         CAST(n_le_g AS DOUBLE) / CAST(n AS DOUBLE) AS g_emp,
+         CAST(n_le_f AS DOUBLE) / {flit(float(g * g))} AS f_emp,
+         -CAST(n AS DOUBLE) * {_PI!r} * (per_g.r * per_g.r) AS lam_arg
+  FROM per_g JOIN per_f ON per_g.r = per_f.r, n_row)
+SELECT r, round(g_emp, 6) AS g_emp, round(f_emp, 6) AS f_emp,
+       round(1.0 - {G.exp_sql('lam_arg')}, 6) AS csr,
+       round(CASE WHEN f_emp < 1.0 THEN (1.0 - g_emp) / (1.0 - f_emp)
+                  ELSE 0.0 END, 6) AS j
+FROM z
+"""

@@ -6237,6 +6237,49 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_spacetime_scan(spark, sf_dir):
+    """Prospective space-time scan (operators/scanstat.py: spacetime_scan):
+    cylinders = Chebyshev zone × trailing day window ending at the latest
+    day, Poisson LLR over (cell, day) metadata — SaTScan's emerging-cluster
+    mode; cases = error events."""
+    from ..operators.scanstat import spacetime_scan
+
+    ev = ld(spark, sf_dir, "events").select("event_id", "event_type")
+    pts = _ev_xy(spark, sf_dir).join(ev, "event_id").select(
+        "x", "y", "ts", (F.col("event_type") == "error").alias("is_case")
+    )
+    return spacetime_scan(pts, res=4, rmax=2, wmax=7, top_k=15)
+
+
+def _sql_spacetime_scan() -> str:
+    from ..operators.scanstat import spacetime_scan_sql
+
+    src = (
+        f"SELECT t.x, t.y, t.ts, (e.event_type = 'error') AS is_case "
+        f"FROM ({_ev_xy_sql()}) t JOIN events e ON t.event_id = e.event_id"
+    )
+    return spacetime_scan_sql(src, res=4, rmax=2, wmax=7, top_k=15)
+
+
+def q_jfunction(spark, sf_dir):
+    """F-function (empty space from a deterministic probe grid) and the
+    van Lieshout-Baddeley J = (1−G)/(1−F) (operators/stats.py: jfunction)
+    — completes the G/F/J point-process trio; both NN passes ride the
+    exact grid ring search, oracle is brute-force n²."""
+    from ..operators.stats import jfunction
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return jfunction(em.select("vec_id", x.alias("x"), y.alias("y")), res=6)
+
+
+def _sql_jfunction() -> str:
+    from ..operators.stats import jfunction_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return jfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
+
+
 def q_cell_skew(spark, sf_dir):
     """Hot-cell skew report (operators/pointpattern.py: cell_skew): exact
     occupancy quantiles, max/avg skew ratio, hottest-cell share and the
@@ -6647,6 +6690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyperball": q_hyperball,
     "lof": q_lof,
     "spatial_scan": q_spatial_scan,
+    "spacetime_scan": q_spacetime_scan,
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
@@ -6656,6 +6700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kde_curvature": q_kde_curvature,
     "index_size": q_index_size,
     "gfunction": q_gfunction,
+    "jfunction": q_jfunction,
     "cell_skew": q_cell_skew,
     "str_layout": q_str_layout,
     "term_drift": q_term_drift,
@@ -6927,6 +6972,7 @@ ORACLES: dict[str, str] = {
     "hyperball": _sql_hyperball(),
     "lof": _sql_lof(),
     "spatial_scan": _sql_spatial_scan(),
+    "spacetime_scan": _sql_spacetime_scan(),
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
@@ -6936,6 +6982,7 @@ ORACLES: dict[str, str] = {
     "kde_curvature": _sql_kde_curvature(),
     "index_size": _sql_index_size(),
     "gfunction": _sql_gfunction(),
+    "jfunction": _sql_jfunction(),
     "cell_skew": _sql_cell_skew(),
     "str_layout": _sql_str_layout(),
     "term_drift": _sql_term_drift(),
