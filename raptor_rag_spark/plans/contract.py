@@ -41,6 +41,7 @@ from ..operators.traverse import traversal_retrieve
 
 DIM = 64  # driver testdata embeddings dim (embeddings.parquet)
 DEC = "decimal(28,6)"
+DEC2 = "decimal(28,15)"
 
 
 def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -6237,6 +6238,141 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_kde_twi(spark, sf_dir):
+    """Topographic wetness index TWI = ln((acc+1) / max(tanβ, ε)) — the
+    hydrology composite joining flow accumulation (operators/hydrology.py)
+    with the Horn slope (operators/heatmap.py: terrain_surface) through the
+    twin ln; high TWI = accumulation zones (valleys of the density
+    surface). One cell-metadata join over two already-exact bands."""
+    from ..operators.heatmap import terrain_surface
+    from ..operators.hydrology import flow_accumulation
+
+    raster = _kde_raster(spark, sf_dir)
+    acc = flow_accumulation(raster, res=KDE_RES).select("cell_id", "ix", "iy", "acc")
+    slope = terrain_surface(raster, res=KDE_RES).select("ix", "iy", "tan_slope")
+    j = acc.join(slope, ["ix", "iy"])
+    arg = (F.col("acc") + F.lit(1)).cast("double") / F.greatest(
+        F.col("tan_slope"), F.lit(0.001)
+    )
+    staged = j.select("cell_id", "ix", "iy", "acc", "tan_slope", arg.alias("arg"))
+    return staged.select(
+        "cell_id",
+        "ix",
+        "iy",
+        "acc",
+        "tan_slope",
+        F.round(G.ln_col(F.col("arg")), 6).alias("twi"),
+    )
+
+
+def _sql_kde_twi() -> str:
+    from ..operators.heatmap import terrain_surface_sql
+    from ..operators.hydrology import flow_accumulation_sql
+
+    raster = f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})"
+    return f"""
+WITH acc AS (SELECT cell_id, ix, iy, acc FROM ({flow_accumulation_sql(raster, KDE_RES)})),
+slope AS (SELECT ix, iy, tan_slope FROM ({terrain_surface_sql(raster, KDE_RES)})),
+j AS (
+  SELECT a.cell_id, a.ix, a.iy, a.acc, s.tan_slope,
+         CAST(a.acc + 1 AS DOUBLE) / greatest(s.tan_slope, 0.001) AS arg
+  FROM acc a JOIN slope s ON a.ix = s.ix AND a.iy = s.iy)
+SELECT cell_id, ix, iy, acc, tan_slope, round({G.ln_sql('arg')}, 6) AS twi
+FROM j
+"""
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+    ln(rank) for the top-200 terms — slope ≈ −1 is the classic signature;
+    drift in the slope flags scraper breakage or template spam. Twin ln +
+    DECIMAL moment sums; ranking ties broken by term."""
+    from pyspark.sql import Window
+
+    docs = ld(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(G.words_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    top = freqs.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= 200
+    )
+    staged = top.select(
+        F.col("rnk").cast("double").alias("xr"),
+        F.col("freq").cast("double").alias("yf"),
+    )
+    lx = G.ln_col(F.col("xr"))
+    ly = G.ln_col(F.col("yf"))
+    pts = staged.select(lx.alias("lx"), ly.alias("ly"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("lx").cast(DEC2)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(DEC2)).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast(DEC2)).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(DEC2)).cast("double").alias("sxx"),
+        F.sum((F.col("ly") * F.col("ly")).cast(DEC2)).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    s2 = s.select("n", "sx", "sy", "sxy", "sxx", "syy", slope.alias("slope"))
+    intercept = (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n").cast("double")
+    s3 = s2.select("n", "sx", "sy", "sxy", "sxx", "syy", "slope", intercept.alias("b0"))
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n").cast("double")
+    ss_res = (
+        F.col("syy")
+        + F.col("slope") * F.col("slope") * F.col("sxx")
+        + F.col("n").cast("double") * F.col("b0") * F.col("b0")
+        - F.lit(2.0) * F.col("slope") * F.col("sxy")
+        - F.lit(2.0) * F.col("b0") * F.col("sy")
+        + F.lit(2.0) * F.col("slope") * F.col("b0") * F.col("sx")
+    )
+    return s3.select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("b0", 6).alias("intercept"),
+        F.round(F.lit(1.0) - ss_res / ss_tot, 6).alias("r2"),
+    )
+
+
+def _sql_zipf_fit() -> str:
+    ws = G.words_sql("text")
+    return f"""
+WITH freqs AS (
+  SELECT term, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({ws}) AS term FROM documents)
+  GROUP BY term),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rnk, freq
+  FROM freqs QUALIFY rnk <= 200),
+staged AS (
+  SELECT CAST(rnk AS DOUBLE) AS xr, CAST(freq AS DOUBLE) AS yf FROM top),
+pts AS (
+  SELECT {G.ln_sql('xr')} AS lx, {G.ln_sql('yf')} AS ly FROM staged),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(lx AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ly AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(lx * ly AS DECIMAL(28,15))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(lx * lx AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ly * ly AS DECIMAL(28,15))) AS DOUBLE) AS syy
+  FROM pts),
+s2 AS (
+  SELECT *, (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+  FROM s),
+s3 AS (SELECT *, (sy - slope * sx) / CAST(n AS DOUBLE) AS b0 FROM s2)
+SELECT n, round(slope, 6) AS slope, round(b0, 6) AS intercept,
+       round(1.0 - (syy + slope * slope * sxx + CAST(n AS DOUBLE) * b0 * b0
+                    - 2.0 * slope * sxy - 2.0 * b0 * sy + 2.0 * slope * b0 * sx)
+                   / (syy - sy * sy / CAST(n AS DOUBLE)), 6) AS r2
+FROM s3
+"""
+
+
 def q_spacetime_scan(spark, sf_dir):
     """Prospective space-time scan (operators/scanstat.py: spacetime_scan):
     cylinders = Chebyshev zone × trailing day window ending at the latest
@@ -6691,6 +6827,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lof": q_lof,
     "spatial_scan": q_spatial_scan,
     "spacetime_scan": q_spacetime_scan,
+    "kde_twi": q_kde_twi,
+    "zipf_fit": q_zipf_fit,
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
@@ -6973,6 +7111,8 @@ ORACLES: dict[str, str] = {
     "lof": _sql_lof(),
     "spatial_scan": _sql_spatial_scan(),
     "spacetime_scan": _sql_spacetime_scan(),
+    "kde_twi": _sql_kde_twi(),
+    "zipf_fit": _sql_zipf_fit(),
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
