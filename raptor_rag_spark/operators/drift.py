@@ -285,3 +285,74 @@ SELECT n_hosts, total_pages,
              / (CAST(n_hosts AS DOUBLE) * CAST(total_pages AS DOUBLE)), 6) AS gini
 FROM agg
 """
+
+
+# ------------------------------------------------------------- burstiness
+
+
+def term_burstiness(
+    docs: DataFrame, min_df: int = 5, top_k: int = 25
+) -> DataFrame:
+    """Church-Gale term burstiness: the Fano factor var/mean of a term's
+    per-document count over ALL documents (zeros included). Function words
+    spread Poisson-like (fano ≈ 1); content/topic words "burst" — they
+    concentrate in few documents (fano ≫ 1). The top-k burstiest terms are
+    the corpus's topical vocabulary, extracted with zero linguistics.
+
+    (term, df, total_tf, mean_tf, fano, rnk) for the ``top_k`` highest-fano
+    terms with df ≥ ``min_df`` (ties → term). Moments come from postings
+    aggregates alone — the zero documents fold into the closed form
+    E[x] = Σtf/N, E[x²] = Σtf²/N — so the corpus is scanned once; integer
+    DECIMAL sums, pinned divisions."""
+    from ..operators.ranking import bm25_index
+
+    postings = bm25_index(docs)
+    n_row = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_term = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("s1"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+    )
+    z = per_term.where(F.col("df") >= min_df).crossJoin(F.broadcast(n_row))
+    nd = F.col("n_docs").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mean * mean
+    scored = z.select(
+        "term",
+        "df",
+        F.col("s1").alias("total_tf"),
+        F.round(mean, 6).alias("mean_tf"),
+        F.round(var / mean, 6).alias("fano"),
+    )
+    w = Window.orderBy(F.desc("fano"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_k)
+    )
+
+
+def term_burstiness_sql(docs_sql: str, min_df: int = 5, top_k: int = 25) -> str:
+    """DuckDB twin of :func:`term_burstiness`; yields (doc_id, text)."""
+    ws = G.words_sql("text")
+    return f"""
+WITH postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({ws}) AS term FROM ({docs_sql}))
+  GROUP BY doc_id, term),
+n_row AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ({docs_sql})),
+per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS s1, CAST(sum(tf * tf) AS BIGINT) AS s2
+  FROM postings GROUP BY term),
+scored AS (
+  SELECT term, df, s1 AS total_tf,
+         round(CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tf,
+         round((CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+               / (CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS fano
+  FROM per_term, n_row WHERE df >= {min_df})
+SELECT term, df, total_tf, mean_tf, fano,
+       CAST(row_number() OVER (ORDER BY fano DESC, term) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= {top_k}
+"""

@@ -677,3 +677,111 @@ SELECT n, round(ca, 6) AS a, round(cb, 6) AS b, round(cc, 6) AS c,
                    / (szz - sz * sz / nd), 6) AS r2
 FROM co
 """
+
+
+# ----------------------------------------------------------------- Huff model
+
+
+def huff_model(
+    pts: DataFrame,
+    sites: DataFrame,
+    res: int = 4,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Huff (1963) retail-gravity catchment model — the probabilistic
+    sibling of the deterministic Voronoi partition: demand cell i patronizes
+    site j with probability P_ij = (w_j/d²_ij) / Σ_k (w_k/d²_k), so every
+    site captures a SHARE of every cell instead of owning a hard region.
+
+    pts: (x, y) demand points; sites: (sid, sx, sy, w). Returns per site:
+    (sid, demand, share) — expected captured demand Σ_i pop_i·P_ij and its
+    corpus share. Scale shape: ONE corpus groupBy to (cell, pop), then a
+    cells × |sites| broadcast fan-out over cell metadata; both the per-cell
+    utility normalizer and the per-site demand are DECIMAL sums (order-
+    free); d² gets +eps so co-located site/cell centers stay finite, in
+    pinned order on both engines."""
+    half = 0.5 / (1 << res)
+    cells = (
+        pts.select(G.cell_col(F.col("x"), F.col("y"), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("pop"))
+        .select(
+            "cell",
+            "pop",
+            (
+                (F.shiftrightunsigned(F.col("cell"), COORD_BITS).bitwiseAND(F.lit(_MASK)))
+                .cast("double")
+                / F.lit(float(1 << res))
+                + F.lit(half)
+            ).alias("cx"),
+            (
+                F.col("cell").bitwiseAND(F.lit(_MASK)).cast("double")
+                / F.lit(float(1 << res))
+                + F.lit(half)
+            ).alias("cy"),
+        )
+    )
+    u = cells.crossJoin(F.broadcast(sites)).select(
+        "cell",
+        "pop",
+        "sid",
+        (
+            F.col("w")
+            / (
+                (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+                + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+                + F.lit(eps)
+            )
+        ).alias("u"),
+    )
+    tot = u.groupBy("cell").agg(
+        F.sum(F.col("u").cast(DEC)).cast("double").alias("u_tot")
+    )
+    p = u.join(tot, "cell").select(
+        "sid",
+        ((F.col("pop").cast("double") * F.col("u")) / F.col("u_tot")).alias("cap"),
+    )
+    n_row = cells.agg(F.sum("pop").cast("double").alias("n_pts"))
+    return (
+        p.groupBy("sid")
+        .agg(F.sum(F.col("cap").cast(DEC)).cast("double").alias("demand_raw"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "sid",
+            F.round("demand_raw", 6).alias("demand"),
+            F.round(F.col("demand_raw") / F.col("n_pts"), 6).alias("share"),
+        )
+    )
+
+
+def huff_model_sql(
+    pts_sql: str, sites_sql: str, res: int = 4, eps: float = 1e-9
+) -> str:
+    """DuckDB twin of :func:`huff_model`."""
+    half = 0.5 / (1 << res)
+    n = float(1 << res)
+    return f"""
+WITH p AS ({pts_sql}),
+sites AS ({sites_sql}),
+cells AS (
+  SELECT cell, pop,
+         CAST((cell >> {COORD_BITS}) & {_MASK} AS DOUBLE) / {flit(n)} + {flit(half)} AS cx,
+         CAST(cell & {_MASK} AS DOUBLE) / {flit(n)} + {flit(half)} AS cy
+  FROM (
+    SELECT {G.cell_sql('x', 'y', res)} AS cell, CAST(count(*) AS BIGINT) AS pop
+    FROM p GROUP BY 1)),
+u AS (
+  SELECT cell, pop, sid,
+         (w / ((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) + {flit(eps)})) AS u
+  FROM cells, sites),
+tot AS (
+  SELECT cell, CAST(sum(CAST(u AS {DEC})) AS DOUBLE) AS u_tot FROM u GROUP BY cell),
+cap AS (
+  SELECT u.sid, (CAST(u.pop AS DOUBLE) * u.u) / t.u_tot AS cap
+  FROM u JOIN tot t ON u.cell = t.cell),
+n_row AS (SELECT CAST(sum(pop) AS DOUBLE) AS n_pts FROM cells)
+SELECT sid, round(CAST(sum(CAST(cap AS {DEC})) AS DOUBLE), 6) AS demand,
+       round(CAST(sum(CAST(cap AS {DEC})) AS DOUBLE) / (SELECT n_pts FROM n_row), 6)
+         AS share
+FROM cap GROUP BY sid
+"""

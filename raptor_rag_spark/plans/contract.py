@@ -6238,6 +6238,50 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_huff_model(spark, sf_dir):
+    """Huff probabilistic catchment model (operators/geostats.py:
+    huff_model): per-site expected captured demand under P_ij ∝ w_j/d² —
+    the probabilistic sibling of the Voronoi partition; cells × 12-site
+    broadcast fan-out over cell metadata, DECIMAL normalizers."""
+    from ..operators.geostats import huff_model
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select(x.alias("x"), y.alias("y"))
+    sites = _voronoi_seeds(spark, sf_dir).select(
+        "sid", "sx", "sy", (F.lit(1.0) + (F.col("sid") % 5).cast("double")).alias("w")
+    )
+    return huff_model(pts, sites, res=4)
+
+
+def _sql_huff_model() -> str:
+    from ..operators.geostats import huff_model_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    sites = (
+        f"SELECT sid, sx, sy, 1.0 + CAST(sid % 5 AS DOUBLE) AS w "
+        f"FROM ({_voronoi_seeds_sql()})"
+    )
+    return huff_model_sql(
+        f"SELECT {x} AS x, {y} AS y FROM embeddings", sites, res=4
+    )
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church-Gale burstiness (operators/drift.py: term_burstiness): Fano
+    factor of per-document term counts with the zero documents folded into
+    closed-form moments — topical vocabulary with zero linguistics."""
+    from ..operators.drift import term_burstiness
+
+    return term_burstiness(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_term_burstiness() -> str:
+    from ..operators.drift import term_burstiness_sql
+
+    return term_burstiness_sql("SELECT doc_id, text FROM documents")
+
+
 def q_kde_twi(spark, sf_dir):
     """Topographic wetness index TWI = ln((acc+1) / max(tanβ, ε)) — the
     hydrology composite joining flow accumulation (operators/hydrology.py)
@@ -6829,6 +6873,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spacetime_scan": q_spacetime_scan,
     "kde_twi": q_kde_twi,
     "zipf_fit": q_zipf_fit,
+    "huff_model": q_huff_model,
+    "term_burstiness": q_term_burstiness,
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
@@ -7113,6 +7159,8 @@ ORACLES: dict[str, str] = {
     "spacetime_scan": _sql_spacetime_scan(),
     "kde_twi": _sql_kde_twi(),
     "zipf_fit": _sql_zipf_fit(),
+    "huff_model": _sql_huff_model(),
+    "term_burstiness": _sql_term_burstiness(),
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
