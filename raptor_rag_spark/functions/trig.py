@@ -59,6 +59,24 @@ def _poly_col(y2: Column, coef: list[float]) -> Column:
     return p
 
 
+def _quadrant_mix(q: Column, s: Column, c: Column, a_map, b_map) -> Column:
+    """a·s + b·c with per-quadrant flags — bit-identical to the 4-branch
+    CASE (1·x = x, −1·x = −x, 0·x = ±0, and the inactive term's +0.0 is
+    absorbed; the only representable difference is −0.0 → +0.0 at exact
+    zeros, applied consistently in all three twins) while referencing each
+    polynomial ONCE instead of twice — the same tree-size rationale as
+    atan_col's flag arithmetic."""
+    a = (
+        F.when(q == 0, F.lit(a_map[0])).when(q == 1, F.lit(a_map[1]))
+        .when(q == 2, F.lit(a_map[2])).otherwise(F.lit(a_map[3]))
+    )
+    b = (
+        F.when(q == 0, F.lit(b_map[0])).when(q == 1, F.lit(b_map[1]))
+        .when(q == 2, F.lit(b_map[2])).otherwise(F.lit(b_map[3]))
+    )
+    return a * s + b * c
+
+
 def sin_col(x: Column) -> Column:
     """Twin sine for |x| <= 4 as a Spark Column."""
     k, y = _fold_col(x)
@@ -66,9 +84,7 @@ def sin_col(x: Column) -> Column:
     s = y * _poly_col(y2, _SIN_COEF)
     c = _poly_col(y2, _COS_COEF)
     q = ((k % 4) + 4) % 4
-    return (
-        F.when(q == 0, s).when(q == 1, c).when(q == 2, -s).otherwise(-c)
-    )
+    return _quadrant_mix(q, s, c, (1.0, 0.0, -1.0, 0.0), (0.0, 1.0, 0.0, -1.0))
 
 
 def cos_col(x: Column) -> Column:
@@ -78,9 +94,7 @@ def cos_col(x: Column) -> Column:
     s = y * _poly_col(y2, _SIN_COEF)
     c = _poly_col(y2, _COS_COEF)
     q = ((k % 4) + 4) % 4
-    return (
-        F.when(q == 0, c).when(q == 1, -s).when(q == 2, -c).otherwise(s)
-    )
+    return _quadrant_mix(q, s, c, (0.0, -1.0, 0.0, 1.0), (1.0, 0.0, -1.0, 0.0))
 
 
 def chord_dist_col(
@@ -119,10 +133,10 @@ def sin_sql(x: str) -> str:
     s = f"({y} * {_poly_sql(y2, _SIN_COEF)})"
     c = _poly_sql(y2, _COS_COEF)
     q = f"((({k} % 4) + 4) % 4)"
-    return (
-        f"(CASE WHEN {q} = 0 THEN {s} WHEN {q} = 1 THEN {c} "
-        f"WHEN {q} = 2 THEN -{s} ELSE -{c} END)"
-    )
+    # flag arithmetic (see _quadrant_mix): each polynomial appears ONCE
+    a = f"(CASE WHEN {q} = 0 THEN 1.0 WHEN {q} = 1 THEN 0.0 WHEN {q} = 2 THEN -1.0 ELSE 0.0 END)"
+    b = f"(CASE WHEN {q} = 0 THEN 0.0 WHEN {q} = 1 THEN 1.0 WHEN {q} = 2 THEN 0.0 ELSE -1.0 END)"
+    return f"({a} * {s} + {b} * {c})"
 
 
 def cos_sql(x: str) -> str:
@@ -135,10 +149,9 @@ def cos_sql(x: str) -> str:
     s = f"({y} * {_poly_sql(y2, _SIN_COEF)})"
     c = _poly_sql(y2, _COS_COEF)
     q = f"((({k} % 4) + 4) % 4)"
-    return (
-        f"(CASE WHEN {q} = 0 THEN {c} WHEN {q} = 1 THEN -{s} "
-        f"WHEN {q} = 2 THEN -{c} ELSE {s} END)"
-    )
+    a = f"(CASE WHEN {q} = 0 THEN 0.0 WHEN {q} = 1 THEN -1.0 WHEN {q} = 2 THEN 0.0 ELSE 1.0 END)"
+    b = f"(CASE WHEN {q} = 0 THEN 1.0 WHEN {q} = 1 THEN 0.0 WHEN {q} = 2 THEN -1.0 ELSE 0.0 END)"
+    return f"({a} * {s} + {b} * {c})"
 
 
 # ---------------------------------------------------------------- Python side
@@ -163,7 +176,10 @@ def sin_py(x: float) -> float:
     y2 = y * y
     s = y * _poly_py(y2, _SIN_COEF)
     c = _poly_py(y2, _COS_COEF)
-    return (s, c, -s, -c)[((k % 4) + 4) % 4]
+    q = ((k % 4) + 4) % 4
+    a = (1.0, 0.0, -1.0, 0.0)[q]
+    b = (0.0, 1.0, 0.0, -1.0)[q]
+    return a * s + b * c  # flag arithmetic — mirrors sin_col/sin_sql exactly
 
 
 def cos_py(x: float) -> float:
@@ -171,7 +187,10 @@ def cos_py(x: float) -> float:
     y2 = y * y
     s = y * _poly_py(y2, _SIN_COEF)
     c = _poly_py(y2, _COS_COEF)
-    return (c, -s, -c, s)[((k % 4) + 4) % 4]
+    q = ((k % 4) + 4) % 4
+    a = (0.0, -1.0, 0.0, 1.0)[q]
+    b = (1.0, 0.0, -1.0, 0.0)[q]
+    return a * s + b * c
 
 
 def chord_dist_sql(lat1: str, lon1: str, lat2: str, lon2: str, radius: float = 1.0) -> str:
