@@ -356,3 +356,112 @@ SELECT term, df, total_tf, mean_tf, fano,
        CAST(row_number() OVER (ORDER BY fano DESC, term) AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= {top_k}
 """
+
+
+# ---------------------------------------------------------------- CUSUM
+
+
+def host_cusum(
+    pages: DataFrame, url_re: str, min_weeks: int = 4
+) -> DataFrame:
+    """Page-CUSUM change-point detection per host: over the weekly count
+    series, S_t = Σ_{i≤t}(c_i − mean), and the change point is the week
+    where |S_t| peaks (Page 1954 / binary-segmentation step 1). Output per
+    host with ≥ ``min_weeks`` weeks:
+    (host, n_weeks, mean_c, cusum_max, change_wi, rel_shift) —
+    rel_shift = cusum_max / (mean·n_weeks) normalizes so hosts of any size
+    compare. A host whose crawl volume stepped up/down mid-study scores
+    high; flat hosts score ~0.
+
+    Scale shape: one (host, week) groupBy, then host-partitioned windows
+    over week metadata (tens of rows per host); exact DECIMAL mean, pinned
+    deviations; change week tie → earliest."""
+    wk = F.date_trunc("week", F.col("warc_ts"))
+    hw = (
+        pages.select(
+            F.regexp_extract("url", url_re, 2).alias("host"),
+            F.floor(
+                F.datediff(wk.cast("date"), F.to_date(F.lit("1970-01-05")))
+                / F.lit(7)
+            ).cast("long").alias("wi"),
+        )
+        .groupBy("host", "wi")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = hw.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        (
+            F.sum(F.col("c").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_c"),
+        F.sum("c").cast("long").alias("tot"),
+    ).where(F.col("n_weeks") >= min_weeks)
+    wcum = (
+        Window.partitionBy("host")
+        .orderBy("wi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = hw.join(F.broadcast(stats), "host").select(
+        "host",
+        "wi",
+        "n_weeks",
+        "mean_c",
+        "tot",
+        (F.col("c").cast("double") - F.col("mean_c")).alias("d"),
+    )
+    cum = dev.withColumn(
+        "s_t",
+        F.sum(F.col("d").cast(DEC)).over(wcum).cast("double"),
+    )
+    wpick = Window.partitionBy("host").orderBy(
+        F.abs(F.col("s_t")).desc(), F.col("wi")
+    )
+    return (
+        cum.withColumn("_rn", F.row_number().over(wpick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "host",
+            "n_weeks",
+            F.round("mean_c", 6).alias("mean_c"),
+            F.round(F.abs(F.col("s_t")), 6).alias("cusum_max"),
+            F.col("wi").alias("change_wi"),
+            F.round(
+                F.abs(F.col("s_t")) / F.col("tot").cast("double"), 6
+            ).alias("rel_shift"),
+        )
+    )
+
+
+def host_cusum_sql(pages_sql: str, url_re: str, min_weeks: int = 4) -> str:
+    """DuckDB twin of :func:`host_cusum`; yields (url, warc_ts)."""
+    return f"""
+WITH hw AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host,
+         CAST(floor(datediff('day', DATE '1970-01-05',
+                             CAST(date_trunc('week', warc_ts) AS DATE)) / 7)
+              AS BIGINT) AS wi,
+         count(*)::BIGINT AS c
+  FROM ({pages_sql}) GROUP BY 1, 2),
+stats AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_weeks,
+         CAST(sum(CAST(c AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_c,
+         CAST(sum(c) AS BIGINT) AS tot
+  FROM hw GROUP BY host HAVING count(*) >= {min_weeks}),
+dev AS (
+  SELECT hw.host, hw.wi, s.n_weeks, s.mean_c, s.tot,
+         (CAST(hw.c AS DOUBLE) - s.mean_c) AS d
+  FROM hw JOIN stats s ON hw.host = s.host),
+cum AS (
+  SELECT host, wi, n_weeks, mean_c, tot,
+         CAST(sum(CAST(d AS DECIMAL(28,15))) OVER (PARTITION BY host ORDER BY wi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s_t
+  FROM dev),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY abs(s_t) DESC, wi) AS _rn
+  FROM cum)
+SELECT host, n_weeks, round(mean_c, 6) AS mean_c,
+       round(abs(s_t), 6) AS cusum_max, wi AS change_wi,
+       round(abs(s_t) / CAST(tot AS DOUBLE), 6) AS rel_shift
+FROM pick WHERE _rn = 1
+"""

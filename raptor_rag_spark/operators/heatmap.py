@@ -1476,3 +1476,88 @@ SELECT {cell} AS cell_id, tix AS ix, tiy AS iy,
                        / (gg * gg + hh * hh) END, 6) AS prof_c
 FROM staged
 """
+
+
+def raster_upsample(
+    raster: DataFrame,
+    res: int,
+    value_col: str = "density",
+) -> DataFrame:
+    """(ix, iy, v): bilinear 2× upsample of a raster — res → res+1, the
+    smooth "overzoom" a tile server renders when a client zooms past the
+    deepest materialized level (GDAL/magic-kernel weights). Each fine cell
+    center sits between its 2×2 coarse neighbors; the separable weights are
+    (3/4, 1/4) per axis, so one coarse cell scatters to the 4×4 fine cells
+    it influences with weights {9,3,3,1}/16.
+
+    Scatter shape: 16× bounded fan-out over coarse-cell metadata, ONE
+    groupBy with exact DECIMAL weight sums (weights are dyadic rationals —
+    exact in binary), fine cells with no populated coarse neighbor are
+    absent (sparse-raster convention)."""
+    n_fine = 1 << (res + 1)
+    # fine cell 2i+p (p∈{0,1}) receives from coarse i with axis weight 3/4
+    # and from coarse i−1+2p (the neighbor on p's side) with weight 1/4.
+    offs = []
+    for px in (0, 1):
+        for py in (0, 1):
+            for (sx, wx) in ((0, 0.75), (2 * px - 1, 0.25)):
+                for (sy, wy) in ((0, 0.75), (2 * py - 1, 0.25)):
+                    offs.append((px, py, sx, sy, wx * wy))
+    o = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(px).alias("px"), F.lit(py).alias("py"),
+                    F.lit(sx).alias("sx"), F.lit(sy).alias("sy"),
+                    F.lit(w).alias("w"),
+                )
+                for px, py, sx, sy, w in offs
+            ]
+        )
+    )
+    base = raster.select("ix", "iy", F.col(value_col).cast("double").alias("v"))
+    fan = (
+        base.select("ix", "iy", "v", o.alias("o"))
+        .select(
+            (2 * (F.col("ix") - F.col("o.sx")) + F.col("o.px")).alias("fx"),
+            (2 * (F.col("iy") - F.col("o.sy")) + F.col("o.py")).alias("fy"),
+            (F.col("v") * F.col("o.w")).alias("wv"),
+        )
+        .where(
+            (F.col("fx") >= 0) & (F.col("fx") < n_fine)
+            & (F.col("fy") >= 0) & (F.col("fy") < n_fine)
+        )
+    )
+    return (
+        fan.groupBy(F.col("fx").alias("ix"), F.col("fy").alias("iy"))
+        .agg(
+            F.round(
+                F.sum(F.col("wv").cast("decimal(28,15)")).cast("double"), 6
+            ).alias("v")
+        )
+    )
+
+
+def raster_upsample_sql(
+    raster_sql: str, res: int, value_col: str = "density"
+) -> str:
+    """DuckDB twin of :func:`raster_upsample`."""
+    n_fine = 1 << (res + 1)
+    offs = []
+    for px in (0, 1):
+        for py in (0, 1):
+            for (sx, wx) in ((0, 0.75), (2 * px - 1, 0.25)):
+                for (sy, wy) in ((0, 0.75), (2 * py - 1, 0.25)):
+                    offs.append(f"({px}, {py}, {sx}, {sy}, {wx * wy!r})")
+    vals = ", ".join(offs)
+    return f"""
+WITH base AS (SELECT ix, iy, CAST({value_col} AS DOUBLE) AS v FROM ({raster_sql})),
+fan AS (
+  SELECT 2 * (ix - sx) + px AS fx, 2 * (iy - sy) + py AS fy, v * w AS wv
+  FROM base, (VALUES {vals}) o(px, py, sx, sy, w)
+  WHERE 2 * (ix - sx) + px >= 0 AND 2 * (ix - sx) + px < {n_fine}
+    AND 2 * (iy - sy) + py >= 0 AND 2 * (iy - sy) + py < {n_fine})
+SELECT fx AS ix, fy AS iy,
+       round(CAST(sum(CAST(wv AS DECIMAL(28,15))) AS DOUBLE), 6) AS v
+FROM fan GROUP BY fx, fy
+"""

@@ -6238,6 +6238,69 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_tile_quantiles(spark, sf_dir):
+    """Per-tile exact token-count quantiles (operators/stats.py:
+    group_quantiles grouped by res-2 cell): the tile-level distribution
+    band a corpus-balance dashboard reads — p50/p90/p99 per tile with
+    type-1 integer rank picks, no sketches."""
+    from ..operators.stats import group_quantiles
+
+    em = ld(spark, sf_dir, "embeddings")
+    docs = ld(spark, sf_dir, "documents")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    j = em.select(
+        F.col("vec_id"), G.cell_col(x, y, 2).alias("cell")
+    ).join(docs.select("doc_id", G.token_count_col(F.col("text")).alias("ntok")),
+           em["vec_id"] == F.col("doc_id"))
+    return group_quantiles(j.select("cell", "ntok"), "cell", "ntok")
+
+
+def _sql_tile_quantiles() -> str:
+    from ..operators.stats import group_quantiles_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    src = (
+        f"SELECT {G.cell_sql(x, y, 2)} AS cell, {G.token_count_sql('text')} AS ntok "
+        f"FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id"
+    )
+    return group_quantiles_sql(src, "cell", "ntok")
+
+
+def q_host_cusum(spark, sf_dir):
+    """Page-CUSUM change-point detection on per-host weekly crawl volume
+    (operators/drift.py: host_cusum): S_t = Σ(c_i − mean), change week at
+    the |S| peak — the step-change alarm complementing Theil-Sen's trend
+    and host_anomaly's z-scores."""
+    from ..operators.drift import host_cusum
+    from ..operators.webops import URL_RE
+
+    return host_cusum(_pages(spark), URL_RE)
+
+
+def _sql_host_cusum() -> str:
+    from ..operators.drift import host_cusum_sql
+    from ..operators.webops import URL_RE
+
+    return host_cusum_sql(f"SELECT url, warc_ts FROM {_PAGES_PQ}", URL_RE)
+
+
+def q_raster_upsample(spark, sf_dir):
+    """Bilinear 2× raster upsample (operators/heatmap.py: raster_upsample):
+    the tile-server overzoom render — separable (3/4, 1/4) weights, 16×
+    bounded scatter over coarse-cell metadata, exact dyadic weight sums."""
+    from ..operators.heatmap import raster_upsample
+
+    return raster_upsample(_kde_raster(spark, sf_dir), res=KDE_RES)
+
+
+def _sql_raster_upsample() -> str:
+    from ..operators.heatmap import raster_upsample_sql
+
+    return raster_upsample_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES
+    )
+
+
 def q_huff_model(spark, sf_dir):
     """Huff probabilistic catchment model (operators/geostats.py:
     huff_model): per-site expected captured demand under P_ij ∝ w_j/d² —
@@ -6875,6 +6938,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "huff_model": q_huff_model,
     "term_burstiness": q_term_burstiness,
+    "tile_quantiles": q_tile_quantiles,
+    "host_cusum": q_host_cusum,
+    "raster_upsample": q_raster_upsample,
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
@@ -7161,6 +7227,9 @@ ORACLES: dict[str, str] = {
     "zipf_fit": _sql_zipf_fit(),
     "huff_model": _sql_huff_model(),
     "term_burstiness": _sql_term_burstiness(),
+    "tile_quantiles": _sql_tile_quantiles(),
+    "host_cusum": _sql_host_cusum(),
+    "raster_upsample": _sql_raster_upsample(),
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
