@@ -465,3 +465,67 @@ SELECT host, n_weeks, round(mean_c, 6) AS mean_c,
        round(abs(s_t) / CAST(tot AS DOUBLE), 6) AS rel_shift
 FROM pick WHERE _rn = 1
 """
+
+
+# ------------------------------------------------------------- novelty
+
+
+def doc_novelty(pages: DataFrame) -> DataFrame:
+    """Per-page shingle novelty: the fraction of a page's distinct word
+    3-gram shingles whose FIRST appearance in the whole crawl is the
+    page's own week — "how much genuinely new text does this capture add".
+    The freshness score a training-data pipeline uses to prioritize new
+    content over recrawled boilerplate (complement of the dup/containment
+    family, which scores sameness).
+
+    (url, week, n_shingles, n_novel, novelty). Scale shape: one
+    (url, shingle) distinct + one shingle-keyed groupBy for first weeks +
+    ONE shuffle join back on shingle — the inverted-index shape every
+    dedup operator here already pays; per-page counts are map-side
+    combinable."""
+    wk = F.date_format(F.date_trunc("week", F.col("warc_ts")), _WEEK)
+    ps = (
+        pages.select(
+            "url", wk.alias("week"), F.explode(G.shingles_col(F.col("text"))).alias("sh")
+        )
+        .distinct()
+    ).localCheckpoint(eager=False)  # two consumers: first-week + per-page
+    first = ps.groupBy("sh").agg(F.min("week").alias("first_week"))
+    joined = ps.join(first, "sh")
+    return (
+        joined.groupBy("url", "week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_week") == F.col("week")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "url",
+            "week",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def doc_novelty_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`doc_novelty`; yields (url, warc_ts, text)."""
+    return f"""
+WITH ps AS (
+  SELECT DISTINCT url, week, sh FROM (
+    SELECT url, strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS week,
+           unnest({G.shingles_sql("text")}) AS sh
+    FROM ({pages_sql}))),
+first AS (SELECT sh, min(week) AS first_week FROM ps GROUP BY sh),
+joined AS (SELECT ps.url, ps.week, f.first_week FROM ps JOIN first f ON ps.sh = f.sh)
+SELECT url, week, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first_week = week THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN first_week = week THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM joined GROUP BY url, week
+"""

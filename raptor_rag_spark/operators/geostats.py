@@ -785,3 +785,109 @@ SELECT sid, round(CAST(sum(CAST(cap AS {DEC})) AS DOUBLE), 6) AS demand,
          AS share
 FROM cap GROUP BY sid
 """
+
+
+# ----------------------------------------------------------------- 2SFCA
+
+
+def accessibility_2sfca(
+    pts: DataFrame,
+    sites: DataFrame,
+    d0: float = 0.25,
+    res: int = 4,
+) -> DataFrame:
+    """Two-step floating catchment area accessibility (Luo & Wang 2003) —
+    THE spatial-accessibility index (healthcare/service planning): step 1
+    gives each site a supply-demand ratio R_j = s_j / Σ_{cells within d0}
+    pop_i; step 2 sums those ratios back onto each demand cell:
+    A_i = Σ_{sites within d0} R_j. Zero-access cells (no site in reach)
+    report 0.
+
+    pts: (x, y); sites: (sid, sx, sy, s). Returns per cell:
+    (cell, pop, n_sites, access). Scale shape: ONE corpus groupBy to
+    (cell, pop), then TWO cells × |sites| broadcast fan-outs filtered by
+    the d0 circle — both over cell metadata; DECIMAL demand and access
+    sums. Distances are cell-center to site (consistent in both engines).
+    """
+    half = 0.5 / (1 << res)
+    cells = (
+        pts.select(G.cell_col(F.col("x"), F.col("y"), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("pop"))
+        .select(
+            "cell",
+            "pop",
+            (
+                (F.shiftrightunsigned(F.col("cell"), COORD_BITS).bitwiseAND(F.lit(_MASK)))
+                .cast("double")
+                / F.lit(float(1 << res))
+                + F.lit(half)
+            ).alias("cx"),
+            (
+                F.col("cell").bitwiseAND(F.lit(_MASK)).cast("double")
+                / F.lit(float(1 << res))
+                + F.lit(half)
+            ).alias("cy"),
+        )
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    within = cells.crossJoin(F.broadcast(sites)).where(d2 <= F.lit(d0 * d0))
+    ratios = within.groupBy("sid", "s").agg(
+        F.sum(F.col("pop").cast(DEC)).cast("double").alias("demand")
+    ).select("sid", (F.col("s") / F.col("demand")).alias("r_j"))
+    access = (
+        within.select("cell", "sid")
+        .join(F.broadcast(ratios), "sid")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sites"),
+            F.sum(F.col("r_j").cast(DEC)).cast("double").alias("a_raw"),
+        )
+    )
+    return (
+        cells.select("cell", "pop")
+        .join(access, "cell", "left")
+        .select(
+            "cell",
+            "pop",
+            F.coalesce(F.col("n_sites"), F.lit(0).cast("long")).alias("n_sites"),
+            F.round(F.coalesce(F.col("a_raw"), F.lit(0.0)), 9).alias("access"),
+        )
+    )
+
+
+def accessibility_2sfca_sql(
+    pts_sql: str, sites_sql: str, d0: float = 0.25, res: int = 4
+) -> str:
+    """DuckDB twin of :func:`accessibility_2sfca`."""
+    half = 0.5 / (1 << res)
+    n = float(1 << res)
+    return f"""
+WITH p AS ({pts_sql}),
+sites AS ({sites_sql}),
+cells AS (
+  SELECT cell, pop,
+         CAST((cell >> {COORD_BITS}) & {_MASK} AS DOUBLE) / {flit(n)} + {flit(half)} AS cx,
+         CAST(cell & {_MASK} AS DOUBLE) / {flit(n)} + {flit(half)} AS cy
+  FROM (
+    SELECT {G.cell_sql('x', 'y', res)} AS cell, CAST(count(*) AS BIGINT) AS pop
+    FROM p GROUP BY 1)),
+within AS (
+  SELECT cell, pop, cx, cy, sid, s
+  FROM cells, sites
+  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= {flit(d0 * d0)}),
+ratios AS (
+  SELECT sid, s / CAST(sum(CAST(pop AS {DEC})) AS DOUBLE) AS r_j
+  FROM within GROUP BY sid, s),
+access AS (
+  SELECT w.cell, CAST(count(*) AS BIGINT) AS n_sites,
+         CAST(sum(CAST(r.r_j AS {DEC})) AS DOUBLE) AS a_raw
+  FROM within w JOIN ratios r ON w.sid = r.sid
+  GROUP BY w.cell)
+SELECT c.cell, c.pop,
+       coalesce(a.n_sites, 0) AS n_sites,
+       round(coalesce(a.a_raw, 0.0), 9) AS access
+FROM cells c LEFT JOIN access a ON c.cell = a.cell
+"""

@@ -6238,6 +6238,50 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_accessibility(spark, sf_dir):
+    """Two-step floating catchment accessibility (operators/geostats.py:
+    accessibility_2sfca): per-site supply/demand ratios within d0, summed
+    back per demand cell — the service-planning index; two cells × sites
+    broadcast fan-outs over cell metadata."""
+    from ..operators.geostats import accessibility_2sfca
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select(x.alias("x"), y.alias("y"))
+    sites = _voronoi_seeds(spark, sf_dir).select(
+        "sid", "sx", "sy", (F.lit(10.0) + (F.col("sid") % 3).cast("double")).alias("s")
+    )
+    return accessibility_2sfca(pts, sites, d0=0.25, res=4)
+
+
+def _sql_accessibility() -> str:
+    from ..operators.geostats import accessibility_2sfca_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    sites = (
+        f"SELECT sid, sx, sy, 10.0 + CAST(sid % 3 AS DOUBLE) AS s "
+        f"FROM ({_voronoi_seeds_sql()})"
+    )
+    return accessibility_2sfca_sql(
+        f"SELECT {x} AS x, {y} AS y FROM embeddings", sites, d0=0.25, res=4
+    )
+
+
+def q_doc_novelty(spark, sf_dir):
+    """Per-page shingle novelty vs the whole crawl history
+    (operators/drift.py: doc_novelty): share of a page's 3-gram shingles
+    first seen in its own week — the freshness prioritization signal."""
+    from ..operators.drift import doc_novelty
+
+    return doc_novelty(_pages(spark))
+
+
+def _sql_doc_novelty() -> str:
+    from ..operators.drift import doc_novelty_sql
+
+    return doc_novelty_sql(f"SELECT url, warc_ts, text FROM {_PAGES_PQ}")
+
+
 def q_tile_quantiles(spark, sf_dir):
     """Per-tile exact token-count quantiles (operators/stats.py:
     group_quantiles grouped by res-2 cell): the tile-level distribution
@@ -6938,6 +6982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "huff_model": q_huff_model,
     "term_burstiness": q_term_burstiness,
+    "accessibility_2sfca": q_accessibility,
+    "doc_novelty": q_doc_novelty,
     "tile_quantiles": q_tile_quantiles,
     "host_cusum": q_host_cusum,
     "raster_upsample": q_raster_upsample,
@@ -7227,6 +7273,8 @@ ORACLES: dict[str, str] = {
     "zipf_fit": _sql_zipf_fit(),
     "huff_model": _sql_huff_model(),
     "term_burstiness": _sql_term_burstiness(),
+    "accessibility_2sfca": _sql_accessibility(),
+    "doc_novelty": _sql_doc_novelty(),
     "tile_quantiles": _sql_tile_quantiles(),
     "host_cusum": _sql_host_cusum(),
     "raster_upsample": _sql_raster_upsample(),
