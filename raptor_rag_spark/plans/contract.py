@@ -6238,6 +6238,42 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_dasymetric(spark, sf_dir):
+    """Dasymetric disaggregation (operators/areal.py: dasymetric): res-2
+    zone document totals redistributed onto the nested KDE res-5 cells in
+    proportion to density — mass-conserving per zone; pure raster-to-raster
+    metadata algebra."""
+    from ..operators.areal import dasymetric
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    cell2 = G.cell_col(x, y, 2)
+    zones = (
+        em.select(cell2.alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+        .select(
+            F.shiftrightunsigned(F.col("c"), 29).bitwiseAND(F.lit((1 << 29) - 1)).alias("zx"),
+            F.col("c").bitwiseAND(F.lit((1 << 29) - 1)).alias("zy"),
+            "total",
+        )
+    )
+    mask = _kde_raster(spark, sf_dir).select("ix", "iy", F.col("density").alias("w"))
+    return dasymetric(zones, mask, res_zone=2, res_mask=KDE_RES)
+
+
+def _sql_dasymetric() -> str:
+    from ..operators.areal import dasymetric_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    zones = f"""
+SELECT (c >> 29) & {(1 << 29) - 1} AS zx, c & {(1 << 29) - 1} AS zy, total FROM (
+  SELECT {G.cell_sql(x, y, 2)} AS c, CAST(count(*) AS BIGINT) AS total
+  FROM embeddings GROUP BY 1)"""
+    mask = f"SELECT ix, iy, density AS w FROM ({_sql_kde_heatmap()})"
+    return dasymetric_sql(zones, mask, res_zone=2, res_mask=KDE_RES)
+
+
 def q_accessibility(spark, sf_dir):
     """Two-step floating catchment accessibility (operators/geostats.py:
     accessibility_2sfca): per-site supply/demand ratios within d0, summed
@@ -6982,6 +7018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "huff_model": q_huff_model,
     "term_burstiness": q_term_burstiness,
+    "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
     "doc_novelty": q_doc_novelty,
     "tile_quantiles": q_tile_quantiles,
@@ -7273,6 +7310,7 @@ ORACLES: dict[str, str] = {
     "zipf_fit": _sql_zipf_fit(),
     "huff_model": _sql_huff_model(),
     "term_burstiness": _sql_term_burstiness(),
+    "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
     "doc_novelty": _sql_doc_novelty(),
     "tile_quantiles": _sql_tile_quantiles(),
