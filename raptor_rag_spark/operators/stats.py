@@ -465,3 +465,100 @@ SELECT r, round(g_emp, 6) AS g_emp, round(f_emp, 6) AS f_emp,
                   ELSE 0.0 END, 6) AS j
 FROM z
 """
+
+
+def colocation_quotient(
+    pts: DataFrame,
+    res: int = 6,
+    id_col: str = "vec_id",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """Colocation quotient CLQ(A→B) (Leslie & Kronenfeld 2011): of the
+    points in category A, what fraction have their nearest neighbor in
+    category B, relative to B's global share?
+
+        CLQ(A→B) = (C_{A→B} / N_A) / (N_B' / (N−1))
+
+    with N_B' = N_B − 1 when A = B (a point cannot be its own neighbor).
+    CLQ > 1: A points sit disproportionately next to B — the categorical
+    colocation matrix (which languages/types cluster next to which).
+
+    Returns one row per ordered (cat_a, cat_b) pair with ≥1 NN link:
+    (cat_a, cat_b, n_a, n_b, c_ab, clq). The NN search rides the exact
+    grid ring search (k=2, self excluded); everything after is a
+    category-pair groupBy over metadata."""
+    from pyspark.sql import functions as F
+
+    from .knn import grid_knn
+
+    base = pts.select(F.col(id_col).alias("pid"), "x", "y", F.col(cat_col).alias("cat"))
+    q = base.select(F.col("pid").alias("query_id"), "x", "y")
+    nn = (
+        grid_knn(base.select(F.col("pid").alias(id_col), "x", "y"), q, res=res, k=2,
+                 id_col=id_col)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    nn1 = nn.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    cats = base.select("pid", "cat")
+    links = (
+        nn1.join(cats.withColumnRenamed("pid", "query_id").withColumnRenamed("cat", "cat_a"),
+                 "query_id")
+        .join(cats.withColumnRenamed("pid", "neighbor_id").withColumnRenamed("cat", "cat_b"),
+              "neighbor_id")
+    )
+    counts = links.groupBy("cat_a", "cat_b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    sizes = cats.groupBy("cat").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_row = cats.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    z = (
+        counts.join(F.broadcast(sizes.select(F.col("cat").alias("cat_a"), F.col("n").alias("n_a"))), "cat_a")
+        .join(F.broadcast(sizes.select(F.col("cat").alias("cat_b"), F.col("n").alias("n_b"))), "cat_b")
+        .crossJoin(F.broadcast(n_row))
+    )
+    nb_eff = F.when(F.col("cat_a") == F.col("cat_b"), F.col("n_b") - 1).otherwise(
+        F.col("n_b")
+    ).cast("double")
+    clq = (F.col("c_ab").cast("double") / F.col("n_a").cast("double")) / (
+        nb_eff / (F.col("n_tot") - F.lit(1)).cast("double")
+    )
+    return z.select(
+        "cat_a", "cat_b", "n_a", "n_b", "c_ab", F.round(clq, 6).alias("clq")
+    )
+
+
+def colocation_quotient_sql(
+    pts_sql: str, id_col: str = "vec_id", cat_col: str = "cat"
+) -> str:
+    """DuckDB twin of :func:`colocation_quotient` — brute-force n² nearest
+    neighbor with the identical (dist, neighbor_id) tiebreak."""
+    return f"""
+WITH pts AS ({pts_sql}),
+nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.{id_col} AS query_id, b.{id_col} AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.{id_col}
+             ORDER BY round(sqrt((a.x - b.x) * (a.x - b.x)
+                                 + (a.y - b.y) * (a.y - b.y)), 6), b.{id_col})
+             AS _rn
+    FROM pts a JOIN pts b ON a.{id_col} <> b.{id_col})
+  WHERE _rn = 1),
+links AS (
+  SELECT ca.{cat_col} AS cat_a, cb.{cat_col} AS cat_b
+  FROM nn JOIN pts ca ON nn.query_id = ca.{id_col}
+  JOIN pts cb ON nn.neighbor_id = cb.{id_col}),
+counts AS (
+  SELECT cat_a, cat_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM links GROUP BY cat_a, cat_b),
+sizes AS (SELECT {cat_col} AS cat, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1),
+n_row AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM pts)
+SELECT c.cat_a, c.cat_b, sa.n AS n_a, sb.n AS n_b, c.c_ab,
+       round((CAST(c.c_ab AS DOUBLE) / CAST(sa.n AS DOUBLE))
+             / (CAST(CASE WHEN c.cat_a = c.cat_b THEN sb.n - 1 ELSE sb.n END AS DOUBLE)
+                / CAST(n_tot - 1 AS DOUBLE)), 6) AS clq
+FROM counts c
+JOIN sizes sa ON c.cat_a = sa.cat
+JOIN sizes sb ON c.cat_b = sb.cat, n_row
+"""

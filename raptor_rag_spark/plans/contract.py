@@ -6238,6 +6238,33 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_colocation_quotient(spark, sf_dir):
+    """Colocation quotient matrix (operators/stats.py:
+    colocation_quotient): which languages sit next to which in embedding
+    space — categorical NN statistic over the exact grid ring search;
+    oracle is the brute-force n² twin with identical tiebreaks."""
+    from ..operators.stats import colocation_quotient
+
+    em = ld(spark, sf_dir, "embeddings")
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "lang")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.select("vec_id", x.alias("x"), y.alias("y")).join(
+        docs, em["vec_id"] == docs["doc_id"]
+    ).select("vec_id", "x", "y", F.col("lang").alias("cat"))
+    return colocation_quotient(pts, res=6)
+
+
+def _sql_colocation_quotient() -> str:
+    from ..operators.stats import colocation_quotient_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    src = (
+        f"SELECT vec_id, {x} AS x, {y} AS y, lang AS cat "
+        f"FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id"
+    )
+    return colocation_quotient_sql(src)
+
+
 def q_dasymetric(spark, sf_dir):
     """Dasymetric disaggregation (operators/areal.py: dasymetric): res-2
     zone document totals redistributed onto the nested KDE res-5 cells in
@@ -7018,6 +7045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "huff_model": q_huff_model,
     "term_burstiness": q_term_burstiness,
+    "colocation_quotient": q_colocation_quotient,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
     "doc_novelty": q_doc_novelty,
@@ -7310,6 +7338,7 @@ ORACLES: dict[str, str] = {
     "zipf_fit": _sql_zipf_fit(),
     "huff_model": _sql_huff_model(),
     "term_burstiness": _sql_term_burstiness(),
+    "colocation_quotient": _sql_colocation_quotient(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
     "doc_novelty": _sql_doc_novelty(),
