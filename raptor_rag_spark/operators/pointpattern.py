@@ -424,3 +424,285 @@ SELECT n_pts, n_cells,
        CAST((max_c + p99_c - 1) // p99_c AS BIGINT) AS salt_factor
 FROM base, picks
 """
+
+
+# ------------------------------------------------------------ segregation
+
+
+def segregation(
+    pts: DataFrame, res: int = 4
+) -> DataFrame:
+    """Residential-segregation indices over tiles, for a categorical mark:
+    ONE row (n_groups, n_cells, dissimilarity, theil_h).
+
+    - dissimilarity D (Duncan & Duncan 1955) between the two LARGEST
+      groups: D = ½ Σ_cells |a_i/A − b_i/B| — share of either group that
+      would have to move for an even spread.
+    - Theil's multigroup entropy index H (Theil 1972):
+      H = Σ_cells (t_i/T)·(E − E_i)/E with E the global and E_i the
+      per-cell category entropy (twin ln) — 0 = every tile mirrors the
+      corpus mix, 1 = total separation.
+
+    pts: (x, y, cat). Scale shape: ONE corpus groupBy to (cell, cat)
+    counts; both indices are then DECIMAL reductions over cell×category
+    metadata; the two largest groups come from a broadcast top-2."""
+    from pyspark.sql import Window
+
+    cc = (
+        pts.select(G.cell_col(F.col("x"), F.col("y"), res).alias("cell"), "cat")
+        .groupBy("cell", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    gtot = cc.groupBy("cat").agg(F.sum("c").cast("long").alias("g"))
+    wtop = Window.orderBy(F.desc("g"), "cat")
+    top2 = gtot.withColumn("_r", F.row_number().over(wtop)).where(F.col("_r") <= 2)
+    # dissimilarity over the top-2 groups
+    ab = (
+        cc.join(F.broadcast(top2.select("cat", "g", "_r")), "cat")
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("_r") == 1, F.col("c")).otherwise(0)).alias("a_i"),
+            F.max(F.when(F.col("_r") == 1, F.col("g"))).alias("a_tot"),
+            F.sum(F.when(F.col("_r") == 2, F.col("c")).otherwise(0)).alias("b_i"),
+            F.max(F.when(F.col("_r") == 2, F.col("g"))).alias("b_tot"),
+        )
+    )
+    # a_tot/b_tot are constant; re-broadcast the global values to fill the
+    # NULLs on cells that lack one of the groups
+    tots = top2.groupBy().agg(
+        F.max(F.when(F.col("_r") == 1, F.col("g"))).alias("a_all"),
+        F.max(F.when(F.col("_r") == 2, F.col("g"))).alias("b_all"),
+    )
+    d_row = (
+        ab.crossJoin(F.broadcast(tots))
+        .select(
+            (
+                F.abs(
+                    F.col("a_i").cast("double") / F.col("a_all").cast("double")
+                    - F.col("b_i").cast("double") / F.col("b_all").cast("double")
+                )
+            ).alias("term")
+        )
+        .agg(
+            (F.lit(0.5) * F.sum(F.col("term").cast(DEC)).cast("double")).alias("dissim")
+        )
+    )
+
+    # Theil H: global entropy E and per-cell E_i, both via twin ln
+    n_row = cc.agg(F.sum("c").cast("long").alias("n_tot"))
+    ge = (
+        gtot.crossJoin(F.broadcast(n_row))
+        .select(
+            (F.col("g").cast("double") / F.col("n_tot").cast("double")).alias("p")
+        )
+        .select((F.col("p") * G.ln_col(F.col("p"))).alias("plp"))
+        .agg((-F.sum(F.col("plp").cast(DEC)).cast("double")).alias("e_glob"))
+    )
+    ct = cc.groupBy("cell").agg(F.sum("c").cast("long").alias("t_i"))
+    ce = (
+        cc.join(ct, "cell")
+        .select(
+            "cell",
+            "t_i",
+            (F.col("c").cast("double") / F.col("t_i").cast("double")).alias("p"),
+        )
+        .select("cell", "t_i", (F.col("p") * G.ln_col(F.col("p"))).alias("plp"))
+        .groupBy("cell")
+        .agg(
+            F.max("t_i").alias("t_i"),
+            (-F.sum(F.col("plp").cast(DEC)).cast("double")).alias("e_i"),
+        )
+    )
+    h_row = (
+        ce.crossJoin(F.broadcast(ge))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            (
+                (F.col("t_i").cast("double") / F.col("n_tot").cast("double"))
+                * ((F.col("e_glob") - F.col("e_i")) / F.col("e_glob"))
+            ).alias("term")
+        )
+        .agg(F.sum(F.col("term").cast(DEC)).cast("double").alias("theil_h"))
+    )
+    counts_row = cc.agg(
+        F.countDistinct("cat").cast("long").alias("n_groups"),
+        F.countDistinct("cell").cast("long").alias("n_cells"),
+    )
+    return (
+        counts_row.crossJoin(F.broadcast(d_row))
+        .crossJoin(F.broadcast(h_row))
+        .select(
+            "n_groups",
+            "n_cells",
+            F.round("dissim", 6).alias("dissimilarity"),
+            F.round("theil_h", 6).alias("theil_h"),
+        )
+    )
+
+
+def segregation_sql(pts_sql: str, res: int = 4) -> str:
+    """DuckDB twin of :func:`segregation`. ``pts_sql`` yields (x, y, cat)."""
+    return f"""
+WITH p AS ({pts_sql}),
+cc AS (
+  SELECT {G.cell_sql('x', 'y', res)} AS cell, cat, CAST(count(*) AS BIGINT) AS c
+  FROM p GROUP BY 1, 2),
+gtot AS (SELECT cat, CAST(sum(c) AS BIGINT) AS g FROM cc GROUP BY cat),
+top2 AS (
+  SELECT cat, g, row_number() OVER (ORDER BY g DESC, cat) AS _r
+  FROM gtot QUALIFY _r <= 2),
+ab AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN _r = 1 THEN c ELSE 0 END) AS BIGINT) AS a_i,
+         CAST(sum(CASE WHEN _r = 2 THEN c ELSE 0 END) AS BIGINT) AS b_i
+  FROM cc JOIN top2 USING (cat) GROUP BY cell),
+tots AS (
+  SELECT max(CASE WHEN _r = 1 THEN g END) AS a_all,
+         max(CASE WHEN _r = 2 THEN g END) AS b_all
+  FROM top2),
+d_row AS (
+  SELECT 0.5 * CAST(sum(CAST(abs(CAST(a_i AS DOUBLE) / CAST(a_all AS DOUBLE)
+                                 - CAST(b_i AS DOUBLE) / CAST(b_all AS DOUBLE))
+                           AS DECIMAL(28,15))) AS DOUBLE) AS dissim
+  FROM ab, tots),
+n_row AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM cc),
+gp AS (
+  SELECT CAST(g AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p FROM gtot, n_row),
+ge AS (
+  SELECT -CAST(sum(CAST(p * {G.ln_sql('p')} AS DECIMAL(28,15))) AS DOUBLE) AS e_glob
+  FROM gp),
+ct AS (SELECT cell, CAST(sum(c) AS BIGINT) AS t_i FROM cc GROUP BY cell),
+cp AS (
+  SELECT cc.cell, ct.t_i, CAST(cc.c AS DOUBLE) / CAST(ct.t_i AS DOUBLE) AS p
+  FROM cc JOIN ct ON cc.cell = ct.cell),
+ce AS (
+  SELECT cell, max(t_i) AS t_i,
+         -CAST(sum(CAST(p * {G.ln_sql('p')} AS DECIMAL(28,15))) AS DOUBLE) AS e_i
+  FROM cp GROUP BY cell),
+h_row AS (
+  SELECT CAST(sum(CAST((CAST(t_i AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                       * ((e_glob - e_i) / e_glob) AS DECIMAL(28,15))) AS DOUBLE)
+           AS theil_h
+  FROM ce, ge, n_row),
+counts_row AS (
+  SELECT CAST(count(DISTINCT cat) AS BIGINT) AS n_groups,
+         CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+  FROM cc)
+SELECT n_groups, n_cells, round(dissim, 6) AS dissimilarity,
+       round(theil_h, 6) AS theil_h
+FROM counts_row, d_row, h_row
+"""
+
+
+# ------------------------------------------------------- box-counting dim
+
+
+def box_dimension(
+    pts: DataFrame, res_lo: int = 2, res_hi: int = 8
+) -> DataFrame:
+    """Box-counting (Minkowski) fractal dimension of the point pattern:
+    occupied-cell counts N(s) at every resolution res_lo..res_hi, then the
+    OLS slope of ln N against res·ln 2 (box size s = 2^−res). Dimension ≈ 2
+    for space-filling scatter, ≈ 0 for a few point masses; web-corpus
+    embeddings typically land in between — a one-number summary of how
+    "surface-like" the embedding manifold's 2-D shadow is.
+
+    ONE row (n_res, dim, intercept, r2). Scale shape: one corpus groupBy at
+    the FINEST resolution, then integer parent rollups (the pyramid trick)
+    for every coarser count — the corpus is scanned once; the OLS runs on
+    (res_hi − res_lo + 1) metadata rows with twin ln + DECIMAL moments."""
+    base = (
+        pts.select(G.cell_col(F.col("x"), F.col("y"), res_hi).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cur = base.select("cell")
+    levels = [base.agg(F.lit(res_hi).alias("res"), F.count(F.lit(1)).cast("long").alias("n_cells"))]
+    for r in range(res_hi - 1, res_lo - 1, -1):
+        cur = cur.select(G.cell_parent_col(F.col("cell")).alias("cell")).distinct()
+        cur = cur.localCheckpoint(eager=False)
+        levels.append(
+            cur.agg(F.lit(r).alias("res"), F.count(F.lit(1)).cast("long").alias("n_cells"))
+        )
+    lv = levels[0]
+    for nxt in levels[1:]:
+        lv = lv.unionByName(nxt)
+    ln2 = 0.6931471805599453
+    staged = lv.select(
+        (F.col("res").cast("double") * F.lit(ln2)).alias("xr"),
+        F.col("n_cells").cast("double").alias("nc"),
+    )
+    pts2 = staged.select("xr", G.ln_col(F.col("nc")).alias("ly"))
+    s = pts2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xr").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("xr") * F.col("ly")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("xr") * F.col("xr")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("ly") * F.col("ly")).cast(DEC)).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    s2 = s.select("n", "sx", "sy", "sxy", "sxx", "syy", slope.alias("dim"))
+    b0 = (F.col("sy") - F.col("dim") * F.col("sx")) / F.col("n").cast("double")
+    s3 = s2.select("n", "sx", "sy", "sxy", "sxx", "syy", "dim", b0.alias("b0"))
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n").cast("double")
+    ss_res = (
+        F.col("syy")
+        + F.col("dim") * F.col("dim") * F.col("sxx")
+        + F.col("n").cast("double") * F.col("b0") * F.col("b0")
+        - F.lit(2.0) * F.col("dim") * F.col("sxy")
+        - F.lit(2.0) * F.col("b0") * F.col("sy")
+        + F.lit(2.0) * F.col("dim") * F.col("b0") * F.col("sx")
+    )
+    return s3.select(
+        F.col("n").alias("n_res"),
+        F.round("dim", 6).alias("dim"),
+        F.round("b0", 6).alias("intercept"),
+        F.round(F.lit(1.0) - ss_res / ss_tot, 6).alias("r2"),
+    )
+
+
+def box_dimension_sql(pts_sql: str, res_lo: int = 2, res_hi: int = 8) -> str:
+    """DuckDB twin of :func:`box_dimension`."""
+    ln2 = 0.6931471805599453
+    selects = []
+    for r in range(res_lo, res_hi + 1):
+        shift = res_hi - r
+        selects.append(
+            f"SELECT {r} AS res, CAST(count(DISTINCT "
+            f"((((cell >> {COORD_BITS}) & {_MASK}) >> {shift}) << 32) "
+            f"| ((cell & {_MASK}) >> {shift})) AS BIGINT) AS n_cells FROM base"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (
+  SELECT {G.cell_sql('x', 'y', res_hi)} AS cell FROM ({pts_sql}) GROUP BY 1),
+lv AS ({union}),
+staged AS (
+  SELECT CAST(res AS DOUBLE) * {ln2!r} AS xr, CAST(n_cells AS DOUBLE) AS nc
+  FROM lv),
+pts2 AS (SELECT xr, {G.ln_sql('nc')} AS ly FROM staged),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(xr AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ly AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xr * ly AS DECIMAL(28,15))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xr * xr AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ly * ly AS DECIMAL(28,15))) AS DOUBLE) AS syy
+  FROM pts2),
+s2 AS (
+  SELECT *, (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS dim
+  FROM s),
+s3 AS (SELECT *, (sy - dim * sx) / CAST(n AS DOUBLE) AS b0 FROM s2)
+SELECT n AS n_res, round(dim, 6) AS dim, round(b0, 6) AS intercept,
+       round(1.0 - (syy + dim * dim * sxx + CAST(n AS DOUBLE) * b0 * b0
+                    - 2.0 * dim * sxy - 2.0 * b0 * sy + 2.0 * dim * b0 * sx)
+                   / (syy - sy * sy / CAST(n AS DOUBLE)), 6) AS r2
+FROM s3
+"""

@@ -6238,6 +6238,54 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_segregation(spark, sf_dir):
+    """Segregation indices over res-4 tiles (operators/pointpattern.py:
+    segregation): Duncan dissimilarity between the two largest language
+    groups + Theil's multigroup entropy H (twin ln) — one corpus groupBy,
+    DECIMAL reductions over cell×category metadata."""
+    from ..operators.pointpattern import segregation
+
+    em = ld(spark, sf_dir, "embeddings")
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "lang")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.join(docs, em["vec_id"] == docs["doc_id"]).select(
+        x.alias("x"), y.alias("y"), F.col("lang").alias("cat")
+    )
+    return segregation(pts, res=4)
+
+
+def _sql_segregation() -> str:
+    from ..operators.pointpattern import segregation_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    src = (
+        f"SELECT {x} AS x, {y} AS y, lang AS cat "
+        f"FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id"
+    )
+    return segregation_sql(src, res=4)
+
+
+def q_box_dimension(spark, sf_dir):
+    """Box-counting fractal dimension of the embedding point pattern
+    (operators/pointpattern.py: box_dimension): occupied-cell counts at
+    res 2..8 from ONE corpus groupBy + parent rollups, twin-ln OLS over
+    the 7 metadata rows."""
+    from ..operators.pointpattern import box_dimension
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return box_dimension(em.select(x.alias("x"), y.alias("y")), res_lo=2, res_hi=8)
+
+
+def _sql_box_dimension() -> str:
+    from ..operators.pointpattern import box_dimension_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return box_dimension_sql(
+        f"SELECT {x} AS x, {y} AS y FROM embeddings", res_lo=2, res_hi=8
+    )
+
+
 def q_colocation_quotient(spark, sf_dir):
     """Colocation quotient matrix (operators/stats.py:
     colocation_quotient): which languages sit next to which in embedding
@@ -7046,6 +7094,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "huff_model": q_huff_model,
     "term_burstiness": q_term_burstiness,
     "colocation_quotient": q_colocation_quotient,
+    "segregation": q_segregation,
+    "box_dimension": q_box_dimension,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
     "doc_novelty": q_doc_novelty,
@@ -7339,6 +7389,8 @@ ORACLES: dict[str, str] = {
     "huff_model": _sql_huff_model(),
     "term_burstiness": _sql_term_burstiness(),
     "colocation_quotient": _sql_colocation_quotient(),
+    "segregation": _sql_segregation(),
+    "box_dimension": _sql_box_dimension(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
     "doc_novelty": _sql_doc_novelty(),
