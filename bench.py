@@ -770,6 +770,36 @@ def main() -> None:
 
     timed("scan_pointpattern", _scanstats)
 
+    # space-time scan cylinders + box-counting dimension + Web-Mercator
+    from raptor_rag_spark.operators.pointpattern import box_dimension
+    from raptor_rag_spark.operators.projection import mercator_project
+    from raptor_rag_spark.operators.scanstat import spacetime_scan
+
+    def _scan2():
+        jx = ((F.col("event_id") % 199) - 99) / 1000.0
+        jy = ((F.col("event_id") % 211) - 105) / 1000.0
+        ev5 = events.join(
+            F.broadcast(embs.select("vec_id", x.alias("x0"), y.alias("y0"))),
+            events["user_id"] % 5000 == F.col("vec_id"),
+        ).select(
+            "ts",
+            F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+            F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+            (F.col("event_type") == "error").alias("is_case"),
+        )
+        spacetime_scan(ev5, res=4, rmax=2, wmax=7, top_k=15).count()
+        box_dimension(pts.select("x", "y"), res_lo=2, res_hi=8).count()
+        lon = (F.col("x") - 0.5) * F.lit(2.0 * 3.141592653589793)
+        lat = (F.col("y") - 0.5) * F.lit(3.141592653589793)
+        mercator_project(
+            pts.select(
+                F.col("node_id").alias("vec_id"), lon.alias("lon"), lat.alias("lat")
+            ),
+            zoom=6,
+        ).count()
+
+    timed("scan_spacetime_fractal", _scan2)
+
     # MaxScore-pruned BM25 (exact vs full scoring, skipping non-essential
     # postings) — same queries as the bm25 leg
     from raptor_rag_spark.operators.ranking import maxscore_rank
