@@ -69,3 +69,41 @@ def test_cdc_and_quality_rank_partition_invariant(spark):
     qa = {tuple(r) for r in quality_rank(_docs(spark, 120, 1)).collect()}
     qb = {tuple(r) for r in quality_rank(_docs(spark, 120, 16)).collect()}
     assert qa == qb
+
+
+def test_round3_ops_partition_invariant(spark):
+    """The round-3 statistics are aggregate-first with DECIMAL sums and
+    unique-key tiebreaks — identical rows at 1 vs 16 partitions."""
+    from raptor_rag_spark.operators.layout import str_layout
+    from raptor_rag_spark.operators.pointpattern import cell_skew
+    from raptor_rag_spark.operators.ranking import maxscore_rank
+    from raptor_rag_spark.operators.scanstat import spatial_scan
+
+    def scan(df):
+        return spatial_scan(
+            df.select(
+                "x", "y", (F.pmod(F.col("vec_id"), F.lit(7)) == 0).alias("is_case")
+            ),
+            res=4,
+            rmax=2,
+            top_k=10,
+        )
+
+    a = {tuple(r) for r in scan(_pts(spark, 500, 1)).collect()}
+    b = {tuple(r) for r in scan(_pts(spark, 500, 16)).collect()}
+    assert a == b and len(a) == 10
+
+    sa = {tuple(r) for r in str_layout(_pts(spark, 500, 1), page_cap=32).collect()}
+    sb = {tuple(r) for r in str_layout(_pts(spark, 500, 16), page_cap=32).collect()}
+    assert sa == sb and len(sa) == 500
+
+    ka = cell_skew(_pts(spark, 500, 1).select("x", "y"), res=5).collect()
+    kb = cell_skew(_pts(spark, 500, 16).select("x", "y"), res=5).collect()
+    assert [tuple(r) for r in ka] == [tuple(r) for r in kb]
+
+    qs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma tail")], "query_id INT, qtext STRING"
+    )
+    ma = {tuple(r) for r in maxscore_rank(_docs(spark, 120, 1), qs, top_k=5).collect()}
+    mb = {tuple(r) for r in maxscore_rank(_docs(spark, 120, 16), qs, top_k=5).collect()}
+    assert ma == mb and ma
