@@ -1561,3 +1561,111 @@ SELECT fx AS ix, fy AS iy,
        round(CAST(sum(CAST(wv AS DECIMAL(28,15))) AS DOUBLE), 6) AS v
 FROM fan GROUP BY fx, fy
 """
+
+
+def global_autocorr(
+    raster: DataFrame,
+    res: int,
+    value_col: str = "density",
+) -> DataFrame:
+    """ONE row (n_cells, w_sum, moran_i, geary_c): the GLOBAL Moran's I and
+    Geary's C over rook-adjacent populated raster cells — the single-number
+    companions of the local LISA bands (local_moran / local_geary):
+
+        I = (n/W)·Σ w_ij·z_i·z_j / Σ z²          (z = v − mean)
+        C = ((n−1)/2W)·Σ w_ij·(v_i − v_j)² / Σ z²
+
+    I → +1 clustered / −1 checkerboard; C < 1 clustered, > 1 dispersed.
+    Adjacency: rook edges between POPULATED cells via the east/south probe
+    (each undirected edge once; W counts both directions, so W = 2·edges).
+
+    Scale shape: the raster is already cell metadata; two global DECIMAL
+    aggregates broadcast back, one edge probe join, one final reduce."""
+    base = raster.select("ix", "iy", F.col(value_col).cast("double").alias("v"))
+    g1 = base.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.col("v").cast("decimal(28,15)")).cast("double").alias("sv"),
+    )
+    withz = (
+        base.crossJoin(F.broadcast(g1))
+        .withColumn("z", F.col("v") - F.col("sv") / F.col("n_cells").cast("double"))
+        .select("ix", "iy", "v", "z", "n_cells")
+    )
+    g2 = withz.agg(
+        F.sum((F.col("z") * F.col("z")).cast("decimal(28,15)")).cast("double").alias("szz"),
+        F.max("n_cells").alias("n_cells"),
+    )
+    probes = withz.select(
+        F.col("v").alias("v1"), F.col("z").alias("z1"),
+        F.explode(
+            F.array(
+                F.struct((F.col("ix") + 1).alias("tx"), F.col("iy").alias("ty")),
+                F.struct(F.col("ix").alias("tx"), (F.col("iy") + 1).alias("ty")),
+            )
+        ).alias("t"),
+    ).select("v1", "z1", F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty"))
+    edges = probes.join(
+        withz.select(
+            F.col("ix").alias("tx"), F.col("iy").alias("ty"),
+            F.col("v").alias("v2"), F.col("z").alias("z2"),
+        ),
+        ["tx", "ty"],
+    )
+    e_agg = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("z1") * F.col("z2")).cast("decimal(28,15)")).cast("double").alias("szz12"),
+        F.sum(
+            ((F.col("v1") - F.col("v2")) * (F.col("v1") - F.col("v2"))).cast("decimal(28,15)")
+        ).cast("double").alias("sdd"),
+    )
+    z = g2.crossJoin(F.broadcast(e_agg))
+    n = F.col("n_cells").cast("double")
+    w = F.lit(2.0) * F.col("n_edges").cast("double")
+    # symmetric W: each undirected edge contributes both directions
+    moran = (n / w) * (F.lit(2.0) * F.col("szz12")) / F.col("szz")
+    geary = ((n - F.lit(1.0)) / (F.lit(2.0) * w)) * (
+        F.lit(2.0) * F.col("sdd")
+    ) / F.col("szz")
+    return z.select(
+        "n_cells",
+        (F.col("n_edges") * 2).alias("w_sum"),
+        F.round(moran, 6).alias("moran_i"),
+        F.round(geary, 6).alias("geary_c"),
+    )
+
+
+def global_autocorr_sql(
+    raster_sql: str, value_col: str = "density"
+) -> str:
+    """DuckDB twin of :func:`global_autocorr`."""
+    return f"""
+WITH base AS (SELECT ix, iy, CAST({value_col} AS DOUBLE) AS v FROM ({raster_sql})),
+g1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CAST(v AS DECIMAL(28,15))) AS DOUBLE) AS sv
+  FROM base),
+withz AS (
+  SELECT ix, iy, v, v - sv / CAST(n_cells AS DOUBLE) AS z, n_cells
+  FROM base, g1),
+g2 AS (
+  SELECT CAST(sum(CAST(z * z AS DECIMAL(28,15))) AS DOUBLE) AS szz,
+         max(n_cells) AS n_cells
+  FROM withz),
+probes AS (
+  SELECT v AS v1, z AS z1, ix + dx AS tx, iy + dy AS ty
+  FROM withz, (VALUES (1, 0), (0, 1)) o(dx, dy)),
+edges AS (
+  SELECT p.v1, p.z1, w.v AS v2, w.z AS z2
+  FROM probes p JOIN withz w ON p.tx = w.ix AND p.ty = w.iy),
+e_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CAST(z1 * z2 AS DECIMAL(28,15))) AS DOUBLE) AS szz12,
+         CAST(sum(CAST((v1 - v2) * (v1 - v2) AS DECIMAL(28,15))) AS DOUBLE) AS sdd
+  FROM edges)
+SELECT n_cells, n_edges * 2 AS w_sum,
+       round((CAST(n_cells AS DOUBLE) / (2.0 * CAST(n_edges AS DOUBLE)))
+             * (2.0 * szz12) / szz, 6) AS moran_i,
+       round(((CAST(n_cells AS DOUBLE) - 1.0) / (2.0 * (2.0 * CAST(n_edges AS DOUBLE))))
+             * (2.0 * sdd) / szz, 6) AS geary_c
+FROM g2, e_agg
+"""

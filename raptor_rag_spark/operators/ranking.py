@@ -1389,3 +1389,94 @@ SELECT n_terms, n_postings, n_postings * 16 AS raw_bytes, varint_bytes,
          AS ratio
 FROM agg
 """
+
+
+def rbo_compare(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    p: float = 0.9,
+    depth: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap (Webber-Moffat-Zobel 2010) between two ranked
+    runs — THE top-weighted ranking-similarity measure (Kendall/Spearman
+    need identical item sets; RBO doesn't): truncated at ``depth``,
+
+        RBO = (1−p) · Σ_{d=1..D} p^{d−1} · |A_d ∩ B_d| / d.
+
+    runs: (query_id, doc_id, rank). Returns (query_id, n_common, rbo) —
+    how much two engines/configurations agree per query (e.g. BM25 vs QL,
+    or pre/post an index rebuild).
+
+    Engine-exactness: the geometric weights p^{d−1} are PLAN-TIME Python
+    doubles broadcast as a depth-literal table, so no runtime pow/libm is
+    involved; the overlap-at-depth counts are pure integers (a matched doc
+    enters every depth ≥ max(rank_a, rank_b) — one cumulative window over
+    ≤ depth metadata rows per query); the final weighted sum is DECIMAL.
+    """
+    a = run_a.select("query_id", "doc_id", F.col("rank").alias("ra")).where(
+        F.col("ra") <= depth
+    )
+    b = run_b.select("query_id", "doc_id", F.col("rank").alias("rb")).where(
+        F.col("rb") <= depth
+    )
+    m = a.join(b, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("ra", "rb").alias("m")
+    )
+    per_m = m.groupBy("query_id", "m").agg(F.count(F.lit(1)).alias("c"))
+    depths = run_a.sparkSession.createDataFrame(
+        [(d, (1.0 - p) * p ** (d - 1)) for d in range(1, depth + 1)],
+        "d INT, wt DOUBLE",
+    )
+    qs = a.select("query_id").distinct()
+    grid = qs.crossJoin(F.broadcast(depths))
+    pm = per_m.select(F.col("query_id").alias("mq"), "m", "c")
+    cum = (
+        grid.join(pm, (grid["query_id"] == pm["mq"]) & (pm["m"] <= grid["d"]), "left")
+        .groupBy("query_id", "d", "wt")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("x_d"))
+    )
+    contrib = (F.col("wt") * (F.col("x_d").cast("double") / F.col("d").cast("double")))
+    scored = cum.withColumn("contrib", contrib)
+    common = m.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return (
+        scored.groupBy("query_id")
+        .agg(F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double").alias("rbo_raw"))
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round("rbo_raw", 6).alias("rbo"),
+        )
+    )
+
+
+def rbo_compare_sql(
+    run_a_sql: str, run_b_sql: str, p: float = 0.9, depth: int = 10
+) -> str:
+    """DuckDB twin of :func:`rbo_compare`; runs yield (query_id, doc_id,
+    rank)."""
+    wts = ", ".join(f"({d}, {(1.0 - p) * p ** (d - 1)!r})" for d in range(1, depth + 1))
+    return f"""
+WITH a AS (SELECT query_id, doc_id, rank AS ra FROM ({run_a_sql}) WHERE rank <= {depth}),
+b AS (SELECT query_id, doc_id, rank AS rb FROM ({run_b_sql}) WHERE rank <= {depth}),
+m AS (
+  SELECT a.query_id, greatest(a.ra, b.rb) AS m
+  FROM a JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+per_m AS (SELECT query_id, m, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1, 2),
+depths(d, wt) AS (VALUES {wts}),
+qs AS (SELECT DISTINCT query_id FROM a),
+grid AS (SELECT query_id, d, wt FROM qs, depths),
+cum AS (
+  SELECT g.query_id, g.d, g.wt,
+         CAST(coalesce(sum(p.c), 0) AS BIGINT) AS x_d
+  FROM grid g LEFT JOIN per_m p ON g.query_id = p.query_id AND p.m <= g.d
+  GROUP BY g.query_id, g.d, g.wt),
+common AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common FROM m GROUP BY 1),
+scored AS (
+  SELECT query_id,
+         CAST(sum(CAST(wt * (CAST(x_d AS DOUBLE) / CAST(d AS DOUBLE))
+                  AS DECIMAL(28,15))) AS DOUBLE) AS rbo_raw
+  FROM cum GROUP BY query_id)
+SELECT s.query_id, coalesce(c.n_common, 0) AS n_common, round(s.rbo_raw, 6) AS rbo
+FROM scored s LEFT JOIN common c ON s.query_id = c.query_id
+"""

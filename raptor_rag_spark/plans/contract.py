@@ -6238,6 +6238,47 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_global_autocorr(spark, sf_dir):
+    """Global Moran's I + Geary's C over the KDE raster
+    (operators/heatmap.py: global_autocorr): the one-number
+    autocorrelation verdicts completing the local LISA family; rook-edge
+    probe join over cell metadata, DECIMAL cross-products."""
+    from ..operators.heatmap import global_autocorr
+
+    return global_autocorr(_kde_raster(spark, sf_dir), res=KDE_RES)
+
+
+def _sql_global_autocorr() -> str:
+    from ..operators.heatmap import global_autocorr_sql
+
+    return global_autocorr_sql(f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})")
+
+
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap between the BM25 and query-likelihood runs
+    (operators/ranking.py: rbo_compare): top-weighted ranking agreement per
+    query with plan-time geometric weights — the engine-regression metric
+    for the search stack."""
+    from ..operators.ranking import bm25_rank, ql_rank, rbo_compare
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    a = bm25_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
+    b = ql_rank(docs, qs, top_k=10)
+    return rbo_compare(a, b, p=0.9, depth=10)
+
+
+def _sql_rbo() -> str:
+    from ..operators.ranking import ql_rank_sql, rbo_compare_sql
+
+    return rbo_compare_sql(
+        _sql_bm25(top_k=10, ratio=(9, 10)),
+        ql_rank_sql(BM25_QUERIES, top_k=10),
+        p=0.9,
+        depth=10,
+    )
+
+
 def q_segregation(spark, sf_dir):
     """Segregation indices over res-4 tiles (operators/pointpattern.py:
     segregation): Duncan dissimilarity between the two largest language
@@ -7096,6 +7137,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "colocation_quotient": q_colocation_quotient,
     "segregation": q_segregation,
     "box_dimension": q_box_dimension,
+    "global_autocorr": q_global_autocorr,
+    "rbo_agreement": q_rbo,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
     "doc_novelty": q_doc_novelty,
@@ -7391,6 +7434,8 @@ ORACLES: dict[str, str] = {
     "colocation_quotient": _sql_colocation_quotient(),
     "segregation": _sql_segregation(),
     "box_dimension": _sql_box_dimension(),
+    "global_autocorr": _sql_global_autocorr(),
+    "rbo_agreement": _sql_rbo(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
     "doc_novelty": _sql_doc_novelty(),
