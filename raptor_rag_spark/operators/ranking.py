@@ -1480,3 +1480,157 @@ scored AS (
 SELECT s.query_id, coalesce(c.n_common, 0) AS n_common, round(s.rbo_raw, 6) AS rbo
 FROM scored s LEFT JOIN common c ON s.query_id = c.query_id
 """
+
+
+def bm25f_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    title_len: int = 8,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Simplified BM25F (Robertson-Zaragoza-Taylor 2004): FIELDED ranking
+    where a term hit in the title outweighs one in the body. Fields here
+    are structural: title = the first ``title_len`` tokens, body = the
+    rest (the driver corpus has no markup; with real HTML the field split
+    comes from the parser, the math is identical).
+
+        tf̃(t,d)  = w_T·tf_title + w_B·tf_body          (weighted counts)
+        dl̃(d)    = w_T·|title| + w_B·|body|
+        score    = Σ_t idf_t · tf̃·(k1+1) / (tf̃ + k1·(1−b+b·dl̃/avgdl̃))
+
+    — i.e. BM25 over the weighted field-combined counts, THE standard
+    web-search scoring family. All weighted sums are exact (integer counts
+    × plan-literal weights), idf uses the twin ln, DECIMAL score sums;
+    output (query_id, doc_id, score, rank) mirrors bm25_rank."""
+    ws = G.words_col(F.col("text"))
+    base = docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.expr(f"slice(ws, 1, {title_len})").alias("tws"),
+        F.expr(f"slice(ws, {title_len + 1}, greatest(size(ws) - {title_len}, 0))").alias("bws"),
+    )
+    tpost = base.select("doc_id", F.explode("tws").alias("term")).groupBy(
+        "doc_id", "term"
+    ).agg((F.count("*") * F.lit(w_title)).alias("wtf"))
+    bpost = base.select("doc_id", F.explode("bws").alias("term")).groupBy(
+        "doc_id", "term"
+    ).agg((F.count("*") * F.lit(w_body)).alias("wtf"))
+    posts = (
+        tpost.unionByName(bpost)
+        .groupBy("doc_id", "term")
+        .agg(F.sum(F.col("wtf").cast("decimal(28,6)")).cast("double").alias("wtf"))
+    )
+    dl = base.select(
+        "doc_id",
+        (
+            F.size("tws").cast("double") * F.lit(w_title)
+            + F.size("bws").cast("double") * F.lit(w_body)
+        ).alias("dl_w"),
+    ).where(F.col("dl_w") > 0)
+    dfreq = posts.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl_w").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    qterms = queries.select(
+        "query_id", F.explode(G.words_col(F.col("qtext"))).alias("term")
+    ).distinct()
+    dfreq_q = dfreq.join(F.broadcast(qterms.select("term").distinct()), "term")
+    idf_arg = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    ) + F.lit(1.0)
+    matched = (
+        posts.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq_q), "term")
+        .join(F.broadcast(stats))
+        .join(dl, "doc_id")
+        .withColumn("idf_arg", idf_arg)
+    )
+    contrib = G.ln_col(F.col("idf_arg")) * (
+        (F.col("wtf") * F.lit(k1 + 1.0))
+        / (
+            F.col("wtf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl_w") / F.col("avgdl")))
+        )
+    )
+    return _rank_scored(
+        matched.withColumn("contrib", contrib).select(
+            "query_id", "term", "doc_id", "contrib"
+        ),
+        top_k,
+    )
+
+
+def bm25f_rank_sql(
+    queries_values: list[tuple[int, str]],
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    top_k: int = 10,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    title_len: int = 8,
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of :func:`bm25f_rank`."""
+    from ..functions.hexgen import flit
+
+    ws = G.words_sql("text")
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in queries_values)
+    contrib = (
+        f"{G.ln_sql('idf_arg')} * ((wtf * {flit(k1 + 1.0)}) / "
+        f"(wtf + {flit(k1)} * ({flit(1.0 - b)} + {flit(b)} * (dl_w / avgdl))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_slice(ws, 1, {title_len}) AS tws,
+         list_slice(ws, {title_len + 1}, length(ws)) AS bws
+  FROM (SELECT doc_id, {ws} AS ws FROM ({docs_sql}))),
+tpost AS (
+  SELECT doc_id, term, count(*) * {flit(w_title)} AS wtf
+  FROM (SELECT doc_id, unnest(tws) AS term FROM base) GROUP BY doc_id, term),
+bpost AS (
+  SELECT doc_id, term, count(*) * {flit(w_body)} AS wtf
+  FROM (SELECT doc_id, unnest(bws) AS term FROM base) GROUP BY doc_id, term),
+posts AS (
+  SELECT doc_id, term,
+         CAST(sum(CAST(wtf AS DECIMAL(28,6))) AS DOUBLE) AS wtf
+  FROM (SELECT * FROM tpost UNION ALL SELECT * FROM bpost)
+  GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id,
+         CAST(length(tws) AS DOUBLE) * {flit(w_title)}
+         + CAST(length(bws) AS DOUBLE) * {flit(w_body)} AS dl_w
+  FROM base WHERE CAST(length(tws) AS DOUBLE) * {flit(w_title)}
+                  + CAST(length(bws) AS DOUBLE) * {flit(w_body)} > 0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM posts GROUP BY term),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CAST(dl_w AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avgdl
+  FROM dl),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({G.words_sql("qtext")}) AS term
+  FROM (VALUES {qvals}) q(query_id, qtext)),
+matched AS (
+  SELECT qt.query_id, p.doc_id, p.wtf, d.dl_w, s.n_docs, s.avgdl,
+         (s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0 AS idf_arg
+  FROM posts p
+  JOIN qterms qt ON p.term = qt.term
+  JOIN dfreq f ON p.term = f.term
+  JOIN dl d ON p.doc_id = d.doc_id, stats s),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST({contrib} AS DECIMAL(28,15))) AS DOUBLE) AS score
+  FROM matched GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+            AS INT) AS rank
+FROM scored QUALIFY rank <= {top_k}
+"""

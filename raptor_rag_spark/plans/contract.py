@@ -1229,6 +1229,23 @@ def q_bm25_rank(spark, sf_dir):
     return bm25_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
 
 
+def q_bm25f_rank(spark, sf_dir):
+    """Fielded BM25F ranking (operators/ranking.py: bm25f_rank): title
+    tokens (first 8) weighted 2× over body in weighted tf and document
+    length — the web-search fielded scoring family, exact to the twin."""
+    from ..operators.ranking import bm25f_rank
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return bm25f_rank(docs, qs, top_k=10)
+
+
+def _sql_bm25f_rank() -> str:
+    from ..operators.ranking import bm25f_rank_sql
+
+    return bm25f_rank_sql(BM25_QUERIES, top_k=10)
+
+
 def q_wand_rank(spark, sf_dir):
     """MaxScore-pruned BM25 (operators/ranking.py: maxscore_rank): exact
     top-k while skipping per-doc aggregation for documents that match only
@@ -6951,6 +6968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rerank_docs": q_rerank_docs,
     "bm25_rank": q_bm25_rank,
     "wand_rank": q_wand_rank,
+    "bm25f_rank": q_bm25f_rank,
     "ql_rank": q_ql_rank,
     "rrf_hybrid": q_rrf_hybrid,
     "mmr_diversify": q_mmr_diversify,
@@ -7255,6 +7273,7 @@ ORACLES: dict[str, str] = {
     "rerank_docs": _sql_rerank(),
     "bm25_rank": _sql_bm25(),
     "wand_rank": _sql_bm25(),
+    "bm25f_rank": _sql_bm25f_rank(),
     "ql_rank": _sql_ql_rank(),
     "rrf_hybrid": _sql_rrf_hybrid(),
     "mmr_diversify": _sql_mmr_diversify(),
