@@ -292,3 +292,132 @@ SELECT doc_id, quality,
        (CAST(row_number() OVER (ORDER BY quality, doc_id) - 1 AS DOUBLE) / (SELECT n1 FROM n)) AS pctl
 FROM q
 """
+
+
+# ------------------------------------------------------------ bootstrap CI
+
+# Cumulative Poisson(1) thresholds P(X <= k), k = 0..5; u above the last
+# threshold maps to 6. Plan-time Python doubles — both engines compare the
+# SAME literals, so resamples are deterministic and portable.
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def bootstrap_ci(
+    docs: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_boot: int = 64,
+) -> DataFrame:
+    """ONE row (n_rows, n_boot, mean_full, lo95, med, hi95): a 95%
+    bootstrap confidence interval for the corpus mean of ``value_col`` via
+    the DETERMINISTIC Poissonized bootstrap — resample b assigns every row
+    the weight w = Poisson(1)⁻¹(u) with u = hash(id, b)/2²⁰, the standard
+    with-replacement approximation for distributed bootstrap (no RNG, no
+    driver state, reproducible across engines and parallelism).
+
+    Scale shape: one n_boot× fan-out over the corpus (pure column
+    arithmetic — a ``sequence`` explode), ONE groupBy(b) with map-side
+    combine for the weighted sums, then exact type-1 quantile picks over
+    the n_boot metadata rows. At 100 TB this is the one-pass alternative
+    to shuffling B full resamples."""
+    from ..functions import sqlgen as G
+
+    b_ex = F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("b")
+    u = (
+        F.pmod(
+            G.hash63_col(F.concat_ws("|", F.col(id_col).cast("string"), F.col("b").cast("string"))),
+            F.lit(1 << 20),
+        ).cast("double")
+        / F.lit(float(1 << 20))
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    fan = docs.select(
+        F.col(id_col), F.col(value_col).cast("double").alias("v"), b_ex
+    ).withColumn("u", u).withColumn("w", w)
+    per_b = fan.groupBy("b").agg(
+        F.sum((F.col("w").cast("double") * F.col("v")).cast("decimal(28,15)"))
+        .cast("double")
+        .alias("sv"),
+        F.sum("w").cast("long").alias("sw"),
+    ).where(F.col("sw") > 0)
+    means = per_b.select("b", (F.col("sv") / F.col("sw").cast("double")).alias("m"))
+    wrk = Window.orderBy("m", "b")
+    ranked = means.withColumn("_rn", F.row_number().over(wrk).cast("long"))
+    nb = ranked.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    picks = ranked.crossJoin(F.broadcast(nb)).select(
+        F.max(F.when(F.col("_rn") == F.expr("(nb - 1) * 25 div 1000 + 1"), F.col("m"))).alias("lo95"),
+        F.max(F.when(F.col("_rn") == F.expr("(nb - 1) * 500 div 1000 + 1"), F.col("m"))).alias("med"),
+        F.max(F.when(F.col("_rn") == F.expr("(nb - 1) * 975 div 1000 + 1"), F.col("m"))).alias("hi95"),
+    )
+    full = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum(F.col(value_col).cast("decimal(28,15)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_full"),
+    )
+    return (
+        full.crossJoin(F.broadcast(picks))
+        .select(
+            "n_rows",
+            F.lit(n_boot).cast("long").alias("n_boot"),
+            F.round("mean_full", 6).alias("mean_full"),
+            F.round("lo95", 6).alias("lo95"),
+            F.round("med", 6).alias("med"),
+            F.round("hi95", 6).alias("hi95"),
+        )
+    )
+
+
+def bootstrap_ci_sql(
+    docs_sql: str, value_expr: str, id_col: str = "doc_id", n_boot: int = 64
+) -> str:
+    """DuckDB twin of :func:`bootstrap_ci`; ``docs_sql`` yields (id, value
+    via ``value_expr`` aliased v)."""
+    from ..functions import sqlgen as G
+
+    h = G.hash63_sql(f"CAST({id_col} AS VARCHAR) || '|' || CAST(b AS VARCHAR)")
+    wcase = "6"
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        wcase = f"CASE WHEN u < {_POIS1_CDF[k]!r} THEN {k} ELSE {wcase} END"
+    return f"""
+WITH src AS (SELECT {id_col}, CAST({value_expr} AS DOUBLE) AS v FROM ({docs_sql})),
+fan AS (
+  SELECT {id_col}, v, b,
+         CAST(({h}) % {1 << 20} AS DOUBLE) / {float(1 << 20)!r} AS u
+  FROM src, (SELECT unnest(range(1, {n_boot + 1})) AS b)),
+wts AS (SELECT v, b, ({wcase}) AS w FROM fan),
+per_b AS (
+  SELECT b,
+         CAST(sum(CAST(CAST(w AS DOUBLE) * v AS DECIMAL(28,15))) AS DOUBLE) AS sv,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM wts GROUP BY b HAVING sum(w) > 0),
+means AS (SELECT b, sv / CAST(sw AS DOUBLE) AS m FROM per_b),
+ranked AS (
+  SELECT m, CAST(row_number() OVER (ORDER BY m, b) AS BIGINT) AS _rn,
+         CAST(count(*) OVER () AS BIGINT) AS nb
+  FROM means),
+picks AS (
+  SELECT max(CASE WHEN _rn = (nb - 1) * 25 // 1000 + 1 THEN m END) AS lo95,
+         max(CASE WHEN _rn = (nb - 1) * 500 // 1000 + 1 THEN m END) AS med,
+         max(CASE WHEN _rn = (nb - 1) * 975 // 1000 + 1 THEN m END) AS hi95
+  FROM ranked),
+fl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(v AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_full
+  FROM src)
+SELECT n_rows, CAST({n_boot} AS BIGINT) AS n_boot,
+       round(mean_full, 6) AS mean_full, round(lo95, 6) AS lo95,
+       round(med, 6) AS med, round(hi95, 6) AS hi95
+FROM fl, picks
+"""

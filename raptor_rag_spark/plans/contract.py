@@ -6255,6 +6255,29 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poissonized bootstrap CI for the mean quality score
+    (operators/sampling.py: bootstrap_ci): 64 hash-weighted resamples in
+    ONE corpus pass, exact type-1 quantiles over resample means — the
+    distributed uncertainty quantification a data-quality report ships."""
+    from ..operators.sampling import bootstrap_ci
+
+    docs = ld(spark, sf_dir, "documents").select(
+        "doc_id", F.round(G.quality_score_cols(F.col("text")), 6).alias("q")
+    )
+    return bootstrap_ci(docs, "q", n_boot=64)
+
+
+def _sql_bootstrap_ci() -> str:
+    from ..operators.sampling import bootstrap_ci_sql
+
+    return bootstrap_ci_sql(
+        f"SELECT doc_id, round({G.quality_score_sql('text')}, 6) AS q FROM documents",
+        "q",
+        n_boot=64,
+    )
+
+
 def q_global_autocorr(spark, sf_dir):
     """Global Moran's I + Geary's C over the KDE raster
     (operators/heatmap.py: global_autocorr): the one-number
@@ -7157,6 +7180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "box_dimension": q_box_dimension,
     "global_autocorr": q_global_autocorr,
     "rbo_agreement": q_rbo,
+    "bootstrap_ci": q_bootstrap_ci,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
     "doc_novelty": q_doc_novelty,
@@ -7455,6 +7479,7 @@ ORACLES: dict[str, str] = {
     "box_dimension": _sql_box_dimension(),
     "global_autocorr": _sql_global_autocorr(),
     "rbo_agreement": _sql_rbo(),
+    "bootstrap_ci": _sql_bootstrap_ci(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
     "doc_novelty": _sql_doc_novelty(),
