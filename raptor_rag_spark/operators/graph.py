@@ -863,3 +863,110 @@ def link_ppr_sql(links_sql: str, seed_prefix: str = "a", iterations: int = 5) ->
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT n.host, n.is_seed, r.rank FROM nid n JOIN r{iterations} r ON n.host_id = r.host_id"
     )
+
+
+def graph_structure(links: DataFrame) -> DataFrame:
+    """ONE row (n_nodes, n_edges, n_recip, reciprocity, assortativity):
+    structural summary of the directed host graph —
+
+    - reciprocity: fraction of directed edges whose reverse also exists
+      (mutual linking; high = communities, low = hierarchy/spam farms),
+    - degree assortativity (Newman 2002): Pearson correlation of
+      (out-degree(src), in-degree(dst)) across edges; positive = hubs link
+      hubs, negative (typical of the web) = hubs link the periphery.
+
+    links: (src_host, dst_host). Scale shape: degrees from two edge-list
+    groupBys (host-cardinality); reciprocity via one self-join on the
+    reversed key; the correlation from five DECIMAL moment sums over the
+    edge list — no windows, no iteration."""
+    e = links.select("src_host", "dst_host").where(
+        F.col("src_host") != F.col("dst_host")
+    ).distinct().localCheckpoint(eager=False)
+    outd = e.groupBy("src_host").agg(F.count("*").cast("long").alias("od"))
+    ind = e.groupBy("dst_host").agg(F.count("*").cast("long").alias("idg"))
+    rev = e.select(
+        F.col("src_host").alias("dst_host"), F.col("dst_host").alias("src_host")
+    )
+    recip = e.join(rev, ["src_host", "dst_host"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    nodes = (
+        e.select(F.col("src_host").alias("h"))
+        .unionByName(e.select(F.col("dst_host").alias("h")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    dec = "decimal(28,6)"
+    j = (
+        e.join(outd, "src_host")
+        .join(ind, "dst_host")
+        .select(F.col("od").cast("double").alias("xv"), F.col("idg").cast("double").alias("yv"))
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("xv").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("yv").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("xv") * F.col("yv")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("xv") * F.col("xv")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("yv") * F.col("yv")).cast(dec)).cast("double").alias("syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.crossJoin(F.broadcast(recip))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_recip",
+            F.round(
+                F.col("n_recip").cast("double") / F.col("n_edges").cast("double"), 6
+            ).alias("reciprocity"),
+            F.round(
+                F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+            ).alias("assortativity"),
+        )
+    )
+
+
+def graph_structure_sql(links_sql: str) -> str:
+    """DuckDB twin of :func:`graph_structure`."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src_host, dst_host FROM ({links_sql})
+  WHERE src_host <> dst_host),
+outd AS (SELECT src_host, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+ind AS (SELECT dst_host, CAST(count(*) AS BIGINT) AS idg FROM e GROUP BY 1),
+recip AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_recip
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e r WHERE r.src_host = e.dst_host AND r.dst_host = e.src_host)),
+nodes AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
+    SELECT src_host AS h FROM e UNION SELECT dst_host FROM e)),
+j AS (
+  SELECT CAST(o.od AS DOUBLE) AS xv, CAST(i.idg AS DOUBLE) AS yv
+  FROM e JOIN outd o ON e.src_host = o.src_host
+  JOIN ind i ON e.dst_host = i.dst_host),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CAST(xv AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yv AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xv * yv AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xv * xv AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yv * yv AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM j)
+SELECT n_nodes, n_edges, n_recip,
+       round(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE), 6) AS reciprocity,
+       round(CASE WHEN sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n_edges AS DOUBLE) * syy - sy * sy)) > 0
+                  THEN (CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n_edges AS DOUBLE) * syy - sy * sy))
+                  ELSE 0.0 END, 6) AS assortativity
+FROM m, recip, nodes
+"""

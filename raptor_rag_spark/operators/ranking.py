@@ -1634,3 +1634,103 @@ SELECT query_id, doc_id, score,
             AS INT) AS rank
 FROM scored QUALIFY rank <= {top_k}
 """
+
+
+def ndcg_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    depth: int = 10,
+) -> DataFrame:
+    """(query_id, dcg, idcg, ndcg): normalized discounted cumulative gain
+    at ``depth`` — THE graded ranking-quality metric. run: (query_id,
+    doc_id, rank); qrels: (query_id, doc_id, rel) with integer gains.
+
+    Engine-exactness: the discounts 1/log2(r+1) for r = 1..depth are
+    PLAN-TIME Python doubles joined in as a broadcast literal table (no
+    runtime log), gains are integers, DCG/IDCG are DECIMAL sums; the ideal
+    ordering ranks by (rel desc, doc_id) — a deterministic tiebreak shared
+    by both engines. Queries with zero relevant docs report ndcg 0."""
+    import math
+
+    disc = run.sparkSession.createDataFrame(
+        [(r, 1.0 / math.log2(r + 1)) for r in range(1, depth + 1)],
+        "r INT, disc DOUBLE",
+    )
+    hits = (
+        run.where(F.col("rank") <= depth)
+        .join(qrels, ["query_id", "doc_id"])
+        .join(F.broadcast(disc), run["rank"] == disc["r"])
+        .select("query_id", (F.col("rel").cast("double") * F.col("disc")).alias("g"))
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum(F.col("g").cast("decimal(28,15)")).cast("double").alias("dcg")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        qrels.where(F.col("rel") > 0)
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= depth)
+        .join(F.broadcast(disc), "r")
+        .select("query_id", (F.col("rel").cast("double") * F.col("disc")).alias("g"))
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(F.col("g").cast("decimal(28,15)")).cast("double").alias("idcg")
+    )
+    qs = run.select("query_id").distinct()
+    return (
+        qs.join(dcg, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+            F.round(F.coalesce("idcg", F.lit(0.0)), 6).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                    F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ndcg_eval_sql(run_sql: str, qrels_sql: str, depth: int = 10) -> str:
+    """DuckDB twin of :func:`ndcg_eval`."""
+    import math
+
+    dvals = ", ".join(
+        f"({r}, {1.0 / math.log2(r + 1)!r})" for r in range(1, depth + 1)
+    )
+    return f"""
+WITH run AS ({run_sql}),
+qrels AS ({qrels_sql}),
+disc(r, disc) AS (VALUES {dvals}),
+hits AS (
+  SELECT run.query_id, CAST(q.rel AS DOUBLE) * d.disc AS g
+  FROM run JOIN qrels q ON run.query_id = q.query_id AND run.doc_id = q.doc_id
+  JOIN disc d ON run.rank = d.r
+  WHERE run.rank <= {depth}),
+dcg AS (
+  SELECT query_id, CAST(sum(CAST(g AS DECIMAL(28,15))) AS DOUBLE) AS dcg
+  FROM hits GROUP BY query_id),
+ideal AS (
+  SELECT query_id, CAST(rel AS DOUBLE) * d.disc AS g
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS r
+    FROM qrels WHERE rel > 0) i
+  JOIN disc d ON i.r = d.r
+  WHERE i.r <= {depth}),
+idcg AS (
+  SELECT query_id, CAST(sum(CAST(g AS DECIMAL(28,15))) AS DOUBLE) AS idcg
+  FROM ideal GROUP BY query_id),
+qs AS (SELECT DISTINCT query_id FROM run)
+SELECT qs.query_id,
+       round(coalesce(dcg.dcg, 0.0), 6) AS dcg,
+       round(coalesce(idcg.idcg, 0.0), 6) AS idcg,
+       round(CASE WHEN coalesce(idcg.idcg, 0.0) > 0
+                  THEN coalesce(dcg.dcg, 0.0) / idcg.idcg ELSE 0.0 END, 6) AS ndcg
+FROM qs LEFT JOIN dcg ON qs.query_id = dcg.query_id
+LEFT JOIN idcg ON qs.query_id = idcg.query_id
+"""

@@ -6255,6 +6255,63 @@ def _sql_gfunction() -> str:
     return gfunction_sql(f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings")
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 of the BM25 run against term-coverage qrels
+    (operators/ranking.py: ndcg_eval): rel(q,d) = #distinct query terms in
+    d; plan-literal 1/log2(r+1) discounts, DECIMAL DCG sums, deterministic
+    ideal-ordering tiebreak."""
+    from ..operators.ranking import bm25_index, bm25_rank, ndcg_eval
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    run = bm25_rank(docs, qs, top_k=10, max_df_ratio=(9, 10))
+    qterms = qs.select(
+        "query_id", F.explode(G.words_col(F.col("qtext"))).alias("term")
+    ).distinct()
+    qrels = (
+        bm25_index(docs)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("rel"))
+    )
+    return ndcg_eval(run, qrels, depth=10)
+
+
+def _sql_ndcg_eval() -> str:
+    from ..operators.ranking import ndcg_eval_sql
+
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    qrels = f"""
+SELECT qt.query_id, p.doc_id, CAST(count(DISTINCT p.term) AS BIGINT) AS rel
+FROM (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest({G.words_sql('text')}) AS term FROM documents)
+  GROUP BY doc_id, term) p
+JOIN (SELECT DISTINCT query_id, unnest({G.words_sql('qtext')}) AS term
+      FROM (VALUES {qvals}) q(query_id, qtext)) qt
+  ON p.term = qt.term
+GROUP BY qt.query_id, p.doc_id"""
+    return ndcg_eval_sql(_sql_bm25(top_k=10, ratio=(9, 10)), qrels, depth=10)
+
+
+def q_graph_structure(spark, sf_dir):
+    """Host-graph structural summary (operators/graph.py:
+    graph_structure): link reciprocity + Newman degree assortativity from
+    edge-list groupBys and five DECIMAL moments — the one-row health check
+    of the crawl's link topology."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import graph_structure
+
+    return graph_structure(extract_links(_pages(spark)))
+
+
+def _sql_graph_structure() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import graph_structure_sql
+
+    return graph_structure_sql(extract_links_sql(_PAGES_SQL))
+
+
 def q_bootstrap_ci(spark, sf_dir):
     """Deterministic Poissonized bootstrap CI for the mean quality score
     (operators/sampling.py: bootstrap_ci): 64 hash-weighted resamples in
@@ -7181,6 +7238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_autocorr": q_global_autocorr,
     "rbo_agreement": q_rbo,
     "bootstrap_ci": q_bootstrap_ci,
+    "ndcg_eval": q_ndcg_eval,
+    "graph_structure": q_graph_structure,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
     "doc_novelty": q_doc_novelty,
@@ -7480,6 +7539,8 @@ ORACLES: dict[str, str] = {
     "global_autocorr": _sql_global_autocorr(),
     "rbo_agreement": _sql_rbo(),
     "bootstrap_ci": _sql_bootstrap_ci(),
+    "ndcg_eval": _sql_ndcg_eval(),
+    "graph_structure": _sql_graph_structure(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
     "doc_novelty": _sql_doc_novelty(),
