@@ -360,12 +360,20 @@ def jfunction(
     from pyspark.sql import functions as F
 
     from ..functions import sqlgen as G
-    from .knn import grid_knn
+    from .knn import corpus_cell_counts, grid_knn
 
+    # one cell-counts materialization shared by BOTH ring searches (the
+    # r2-audit amortization API — corpus-dependent, query-independent)
+    cc = corpus_cell_counts(
+        pts.select(
+            F.col(id_col).alias("neighbor_id"),
+            G.cell_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+        )
+    )
     # G: nearest data-data neighbor distances
     q_data = pts.select(F.col(id_col).alias("query_id"), "x", "y")
     nn_g = (
-        grid_knn(pts, q_data, res=res, k=2, id_col=id_col)
+        grid_knn(pts, q_data, res=res, k=2, id_col=id_col, cell_counts=cc)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id")
         .agg(F.min("dist").alias("nn_dist"))
@@ -378,7 +386,7 @@ def jfunction(
         ((F.col("id") % g).cast("double") + F.lit(0.5)) / F.lit(float(g)),
     ).toDF("query_id", "x", "y")
     nn_f = (
-        grid_knn(pts, probes, res=res, k=1, id_col=id_col)
+        grid_knn(pts, probes, res=res, k=1, id_col=id_col, cell_counts=cc)
         .groupBy("query_id")
         .agg(F.min("dist").alias("nn_dist"))
     )
