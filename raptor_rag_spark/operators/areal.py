@@ -136,7 +136,7 @@ def dasymetric(
     m = mask.select(
         "ix", "iy", F.col("w").cast("double").alias("w"),
         zx.alias("zx"), zy.alias("zy"),
-    )
+    ).localCheckpoint(eager=False)  # raster metadata; wsum + final join consumers
     wsum = m.groupBy("zx", "zy").agg(
         F.sum(F.col("w").cast("decimal(28,15)")).cast("double").alias("w_sum")
     )

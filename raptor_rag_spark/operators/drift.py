@@ -175,7 +175,7 @@ def theil_sen_hosts(
         )
         .groupBy("host", "wi")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).localCheckpoint(eager=False)  # host-week metadata; two consumers
     nw = hw.groupBy("host").agg(F.count(F.lit(1)).alias("n_weeks")).where(
         F.col("n_weeks") >= min_weeks
     )
@@ -387,7 +387,7 @@ def host_cusum(
         )
         .groupBy("host", "wi")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    ).localCheckpoint(eager=False)  # host-week metadata; stats + dev consumers
     stats = hw.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_weeks"),
         (

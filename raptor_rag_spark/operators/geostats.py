@@ -720,7 +720,7 @@ def huff_model(
                 + F.lit(half)
             ).alias("cy"),
         )
-    )
+    ).localCheckpoint(eager=False)  # cell metadata; utilities + totals consumers
     u = cells.crossJoin(F.broadcast(sites)).select(
         "cell",
         "pop",
@@ -829,7 +829,7 @@ def accessibility_2sfca(
                 + F.lit(half)
             ).alias("cy"),
         )
-    )
+    ).localCheckpoint(eager=False)  # cell metadata; within-join + final left join
     d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
         F.col("cy") - F.col("sy")
     ) * (F.col("cy") - F.col("sy"))

@@ -66,7 +66,7 @@ def join_counts(pts: DataFrame, res: int = 4) -> DataFrame:
             F.col("cell").bitwiseAND(F.lit(_MASK)).alias("iy"),
             (F.col("nm") * 2 >= F.col("nt")).alias("black"),
         )
-    )
+    ).localCheckpoint(eager=False)  # metadata; probes + edge join + cell_agg
     # east + south probes: each undirected rook edge appears exactly once
     probes = cells.select(
         "ix", "iy", F.col("black").alias("b1"),
@@ -355,7 +355,7 @@ def cell_skew(pts: DataFrame, res: int = 6) -> DataFrame:
         pts.select(G.cell_col(F.col("x"), F.col("y"), res).alias("cell"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).localCheckpoint(eager=False)  # metadata; rank window + totals + picks
     w = Window.orderBy("c", "cell")
     ranked = cells.withColumn("_rn", F.row_number().over(w).cast("long"))
     # quantile picks need the total next to each rank — broadcast the

@@ -79,7 +79,7 @@ def spatial_scan(
             F.sum("case1").alias("cases"),
             F.count(F.lit(1)).alias("tot"),
         )
-    )
+    ).localCheckpoint(eager=False)  # metadata; totals + fan would re-run the corpus groupBy
     totals = cells.agg(
         F.sum("cases").cast("long").alias("big_c"),
         F.sum("tot").cast("long").alias("big_n"),
@@ -275,7 +275,7 @@ def spacetime_scan(
         )
         .groupBy("cell", "day")
         .agg(F.sum("case1").alias("cases"), F.count(F.lit(1)).alias("tot"))
-    )
+    ).localCheckpoint(eager=False)  # metadata; two consumers
     totals = cells.agg(
         F.sum("cases").cast("long").alias("big_c"),
         F.sum("tot").cast("long").alias("big_n"),
