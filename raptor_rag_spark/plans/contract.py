@@ -4944,6 +4944,176 @@ FROM fin
 """
 
 
+_WAYPOINT_FRACS = (0.25, 0.5, 0.75)
+
+
+def q_geo_waypoints(spark, sf_dir):
+    """Great-circle waypoints by spherical linear interpolation: the points
+    at 25/50/75% of the arc from the reference to every vector —
+    P(f) = (sin((1−f)δ)·A + sin(fδ)·B)/sin δ on unit 3-vectors, δ the arc
+    angle from geo_arc's asin composition. A's components are plan-time
+    twin-_py constants; B's come from twin sin/cos; the two slerp weights,
+    the 3-D mix, and the final asin/atan2 unprojection are all staged over
+    simple columns (the geo_destination codegen discipline). Coincident
+    point (δ = 0) degrades to linear weights — the same point, exactly, in
+    both engines."""
+    from ..functions import trig as TR
+
+    sA_lat, cA_lat = TR.sin_py(GEO_LAT0), TR.cos_py(GEO_LAT0)
+    sA_lon, cA_lon = TR.sin_py(GEO_LON0), TR.cos_py(GEO_LON0)
+    ax, ay, az = cA_lat * cA_lon, cA_lat * sA_lon, sA_lat
+
+    def _q2(base, yv, xv):
+        return (
+            F.when(xv > F.lit(0.0), base)
+            .when((xv < F.lit(0.0)) & (yv >= F.lit(0.0)), base + F.lit(TR.PI))
+            .when(xv < F.lit(0.0), base - F.lit(TR.PI))
+            .when(yv > F.lit(0.0), F.lit(TR.PI_2))
+            .when(yv < F.lit(0.0), F.lit(-TR.PI_2))
+            .otherwise(F.lit(0.0))
+        )
+
+    base = q_geo_chord(spark, sf_dir).localCheckpoint(eager=False)
+    c0 = base.select(
+        "vec_id",
+        "lat",
+        "lon",
+        (F.col("chord") * F.lit(0.5)).alias("z"),
+    ).select(
+        "vec_id", "lat", "lon", "z",
+        F.sqrt(
+            F.greatest((F.lit(1.0) - F.col("z")) * (F.lit(1.0) + F.col("z")), F.lit(0.0))
+        ).alias("asx"),
+    ).localCheckpoint(eager=False)
+    c1 = c0.select(
+        "vec_id", "lat", "lon",
+        (F.lit(2.0) * _q2(
+            TR.atan_col(F.col("z") / F.col("asx")), F.col("z"), F.col("asx")
+        )).alias("delta"),
+    ).localCheckpoint(eager=False)
+    c2 = c1.select(
+        "vec_id", "delta",
+        TR.sin_col(F.col("lat")).alias("slat"),
+        TR.cos_col(F.col("lat")).alias("clat"),
+        TR.sin_col(F.col("lon")).alias("slon"),
+        TR.cos_col(F.col("lon")).alias("clon"),
+        TR.sin_col(F.col("delta")).alias("sind"),
+    ).localCheckpoint(eager=False)
+    c3 = c2.select(
+        "vec_id", "delta", "sind",
+        (F.col("clat") * F.col("clon")).alias("bx"),
+        (F.col("clat") * F.col("slon")).alias("by"),
+        F.col("slat").alias("bz"),
+        F.explode(
+            F.array(*[F.lit(float(f)) for f in _WAYPOINT_FRACS])
+        ).alias("f"),
+    ).select(
+        "vec_id", "sind", "bx", "by", "bz", "f",
+        ((F.lit(1.0) - F.col("f")) * F.col("delta")).alias("u1"),
+        (F.col("f") * F.col("delta")).alias("u2"),
+    ).localCheckpoint(eager=False)
+    c4 = c3.select(
+        "vec_id", "sind", "bx", "by", "bz", "f",
+        TR.sin_col(F.col("u1")).alias("s1"),
+        TR.sin_col(F.col("u2")).alias("s2"),
+    ).localCheckpoint(eager=False)
+    wa = F.when(F.col("sind") > 0, F.col("s1") / F.col("sind")).otherwise(
+        F.lit(1.0) - F.col("f")
+    )
+    wb = F.when(F.col("sind") > 0, F.col("s2") / F.col("sind")).otherwise(F.col("f"))
+    c5 = c4.select(
+        "vec_id", "f", wa.alias("wa"), wb.alias("wb"), "bx", "by", "bz"
+    ).select(
+        "vec_id", "f",
+        (F.col("wa") * F.lit(ax) + F.col("wb") * F.col("bx")).alias("px"),
+        (F.col("wa") * F.lit(ay) + F.col("wb") * F.col("by")).alias("py"),
+        (F.col("wa") * F.lit(az) + F.col("wb") * F.col("bz")).alias("pz"),
+    ).select(
+        "vec_id", "f", "px", "py",
+        F.greatest(F.least(F.col("pz"), F.lit(1.0)), F.lit(-1.0)).alias("pzc"),
+    ).select(
+        "vec_id", "f", "px", "py", "pzc",
+        F.sqrt(
+            F.greatest(
+                (F.lit(1.0) - F.col("pzc")) * (F.lit(1.0) + F.col("pzc")), F.lit(0.0)
+            )
+        ).alias("asx_w"),
+    ).localCheckpoint(eager=False)
+    c6 = c5.select(
+        "vec_id", "f", "px", "py",
+        _q2(
+            TR.atan_col(F.col("pzc") / F.col("asx_w")), F.col("pzc"), F.col("asx_w")
+        ).alias("lat_w"),
+        (F.col("py") / F.col("px")).alias("atr_l"),
+    ).localCheckpoint(eager=False)
+    lon_w = _q2(TR.atan_col(F.col("atr_l")), F.col("py"), F.col("px"))
+    return c6.select(
+        "vec_id",
+        "f",
+        F.round("lat_w", 9).alias("lat_w"),
+        F.round(lon_w, 9).alias("lon_w"),
+    )
+
+
+def _sql_geo_waypoints() -> str:
+    from ..functions import trig as TR
+    from ..functions.hexgen import flit
+
+    sA_lat, cA_lat = TR.sin_py(GEO_LAT0), TR.cos_py(GEO_LAT0)
+    sA_lon, cA_lon = TR.sin_py(GEO_LON0), TR.cos_py(GEO_LON0)
+    ax, ay, az = cA_lat * cA_lon, cA_lat * sA_lon, sA_lat
+    d_rs, d_res = TR.atan2_sql("z", "asx", ratio_alias="atr_d")
+    w_rs, w_res = TR.atan2_sql("pzc", "asx_w", ratio_alias="atr_w")
+    l_rs, l_res = TR.atan2_sql("py", "px", ratio_alias="atr_l")
+    fvals = ", ".join(f"({flit(float(f))})" for f in _WAYPOINT_FRACS)
+    return f"""
+WITH base AS ({_sql_geo_chord()}),
+c0 AS (
+  SELECT vec_id, lat, lon, z,
+         sqrt(greatest((1.0 - z) * (1.0 + z), 0.0)) AS asx
+  FROM (SELECT vec_id, lat, lon, (chord * 0.5) AS z FROM base)),
+s_d AS (SELECT *, {d_rs} AS atr_d FROM c0),
+c1 AS (SELECT vec_id, lat, lon, (2.0 * {d_res}) AS delta FROM s_d),
+c2 AS (
+  SELECT vec_id, delta,
+         {TR.sin_sql("lat")} AS slat, {TR.cos_sql("lat")} AS clat,
+         {TR.sin_sql("lon")} AS slon, {TR.cos_sql("lon")} AS clon,
+         {TR.sin_sql("delta")} AS sind
+  FROM c1),
+c3 AS (
+  SELECT vec_id, sind, (clat * clon) AS bx, (clat * slon) AS by, slat AS bz,
+         f, ((1.0 - f) * delta) AS u1, (f * delta) AS u2
+  FROM c2, (VALUES {fvals}) fr(f)),
+c4 AS (
+  SELECT vec_id, sind, bx, by, bz, f,
+         {TR.sin_sql("u1")} AS s1, {TR.sin_sql("u2")} AS s2
+  FROM c3),
+c5 AS (
+  SELECT vec_id, f, px, py,
+         greatest(least(pz, 1.0), -1.0) AS pzc
+  FROM (
+    SELECT vec_id, f,
+           (wa * {flit(ax)} + wb * bx) AS px,
+           (wa * {flit(ay)} + wb * by) AS py,
+           (wa * {flit(az)} + wb * bz) AS pz
+    FROM (
+      SELECT vec_id, f, bx, by, bz,
+             CASE WHEN sind > 0 THEN s1 / sind ELSE 1.0 - f END AS wa,
+             CASE WHEN sind > 0 THEN s2 / sind ELSE f END AS wb
+      FROM c4))),
+c5b AS (
+  SELECT vec_id, f, px, py, pzc,
+         sqrt(greatest((1.0 - pzc) * (1.0 + pzc), 0.0)) AS asx_w
+  FROM c5),
+s_w AS (SELECT *, {w_rs} AS atr_w FROM c5b),
+c6 AS (
+  SELECT vec_id, f, px, py, {w_res} AS lat_w FROM s_w),
+s_l AS (SELECT *, {l_rs} AS atr_l FROM c6)
+SELECT vec_id, f, round(lat_w, 9) AS lat_w, round({l_res}, 9) AS lon_w
+FROM s_l
+"""
+
+
 _RHUMB_EPS = 1e-12
 _PI = 3.141592653589793
 _TWO_PI = 6.283185307179586
@@ -7250,6 +7420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadrat_test": q_quadrat_test,
     "radius_gyration": q_radius_gyration,
     "geo_destination": q_geo_destination,
+    "geo_waypoints": q_geo_waypoints,
     "scd2_upsert": q_scd2,
     "mercator_tiles": q_mercator,
     "kde_curvature": q_kde_curvature,
@@ -7551,6 +7722,7 @@ ORACLES: dict[str, str] = {
     "quadrat_test": _sql_quadrat_test(),
     "radius_gyration": _sql_radius_gyration(),
     "geo_destination": _sql_geo_destination(),
+    "geo_waypoints": _sql_geo_waypoints(),
     "scd2_upsert": _sql_scd2(),
     "mercator_tiles": _sql_mercator(),
     "kde_curvature": _sql_kde_curvature(),
