@@ -1734,3 +1734,124 @@ SELECT qs.query_id,
 FROM qs LEFT JOIN dcg ON qs.query_id = dcg.query_id
 LEFT JOIN idcg ON qs.query_id = idcg.query_id
 """
+
+
+def clarity_score(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 10,
+    max_df_ratio: tuple[int, int] | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, n_fb_terms, clarity): the Cronen-Townsend query CLARITY
+    score — KL divergence (nats, twin ln) between the query's relevance
+    language model and the corpus model:
+
+        clarity(q) = Σ_t P(t|R_q) · ln( P(t|R_q) / P(t|C) )
+
+    with P(t|R) the uniform RM1 over the BM25 top-``fb_docs`` feedback set
+    and P(t|C) = ctf/|C|. High clarity = the query's top documents speak a
+    distinctive vocabulary (an "easy", well-focused query); clarity ≈ 0 =
+    the feedback set looks like random corpus text — THE classic
+    query-performance predictor, free to compute from the postings index.
+
+    Scale shape: pass 1 is the bm25 top-k; the RM1 lives on the feedback
+    docs' postings only (bounded by fb_docs × doc length per query);
+    corpus term stats join in semi-restricted to those terms. DECIMAL
+    contribution sums; both P's strictly positive by construction."""
+    if postings is None:
+        postings = bm25_index(docs)
+    postings = postings.localCheckpoint(eager=False)  # pass-1 + RM1 + ctf
+    top = bm25_rank(
+        docs, queries, top_k=fb_docs, max_df_ratio=max_df_ratio, postings=postings
+    ).select("query_id", "doc_id")
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    fb = (
+        top.join(postings, "doc_id")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "term",
+            (F.col("tf").cast("double") / F.col("dl").cast("double")).alias("r"),
+        )
+    )
+    nf = top.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_fb"))
+    rm1 = (
+        fb.groupBy("query_id", "term")
+        .agg(F.sum(F.col("r").cast("decimal(28,15)")).cast("double").alias("sr"))
+        .join(F.broadcast(nf), "query_id")
+        .select(
+            "query_id",
+            "term",
+            (F.col("sr") / F.col("n_fb").cast("double")).alias("p_r"),
+        )
+    )
+    ctf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    csize = postings.agg(F.sum("tf").cast("long").alias("c_tot"))
+    staged = (
+        rm1.join(ctf, "term")
+        .crossJoin(F.broadcast(csize))
+        .select(
+            "query_id",
+            "p_r",
+            (
+                F.col("p_r")
+                / (F.col("ctf").cast("double") / F.col("c_tot").cast("double"))
+            ).alias("ratio"),
+        )
+    )
+    contrib = F.col("p_r") * G.ln_col(F.col("ratio"))
+    return (
+        staged.withColumn("contrib", contrib)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fb_terms"),
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(28,15)")).cast("double"), 6
+            ).alias("clarity"),
+        )
+    )
+
+
+def clarity_score_sql(
+    queries_values: list[tuple[int, str]],
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    fb_docs: int = 10,
+    bm25_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`clarity_score`. ``bm25_sql`` must be the
+    matching pass-1 ranking (same df guards) truncated at ``fb_docs``."""
+    ws = G.words_sql("text")
+    return f"""
+WITH postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({ws}) AS term FROM ({docs_sql}))
+  GROUP BY doc_id, term),
+top AS (
+  SELECT query_id, doc_id FROM ({bm25_sql}) WHERE rank <= {fb_docs}),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+fb AS (
+  SELECT t.query_id, p.term,
+         CAST(p.tf AS DOUBLE) / CAST(d.dl AS DOUBLE) AS r
+  FROM top t JOIN postings p ON t.doc_id = p.doc_id
+  JOIN dl d ON t.doc_id = d.doc_id),
+nf AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_fb FROM top GROUP BY query_id),
+rm1 AS (
+  SELECT f.query_id, f.term,
+         CAST(sum(CAST(f.r AS DECIMAL(28,15))) AS DOUBLE) / CAST(nf.n_fb AS DOUBLE)
+           AS p_r
+  FROM fb f JOIN nf ON f.query_id = nf.query_id
+  GROUP BY f.query_id, f.term, nf.n_fb),
+ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM postings GROUP BY term),
+csize AS (SELECT CAST(sum(tf) AS BIGINT) AS c_tot FROM postings),
+staged AS (
+  SELECT rm1.query_id, rm1.p_r,
+         (rm1.p_r / (CAST(ctf.ctf AS DOUBLE) / CAST(csize.c_tot AS DOUBLE)))
+           AS ratio
+  FROM rm1 JOIN ctf ON rm1.term = ctf.term, csize),
+scored AS (
+  SELECT query_id, (p_r * {G.ln_sql('ratio')}) AS contrib FROM staged)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_fb_terms,
+       round(CAST(sum(CAST(contrib AS DECIMAL(28,15))) AS DOUBLE), 6) AS clarity
+FROM scored GROUP BY query_id
+"""

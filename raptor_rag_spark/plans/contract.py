@@ -6464,6 +6464,25 @@ GROUP BY qt.query_id, p.doc_id"""
     return ndcg_eval_sql(_sql_bm25(top_k=10, ratio=(9, 10)), qrels, depth=10)
 
 
+def q_clarity_score(spark, sf_dir):
+    """Query clarity — KL(relevance model ‖ corpus model) over the BM25
+    top-10 feedback set (operators/ranking.py: clarity_score): the classic
+    pre-retrieval difficulty predictor, twin-ln exact."""
+    from ..operators.ranking import clarity_score
+
+    docs = ld(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+    return clarity_score(docs, qs, fb_docs=10, max_df_ratio=(9, 10))
+
+
+def _sql_clarity_score() -> str:
+    from ..operators.ranking import clarity_score_sql
+
+    return clarity_score_sql(
+        BM25_QUERIES, fb_docs=10, bm25_sql=_sql_bm25(top_k=10, ratio=(9, 10))
+    )
+
+
 def q_graph_structure(spark, sf_dir):
     """Host-graph structural summary (operators/graph.py:
     graph_structure): link reciprocity + Newman degree assortativity from
@@ -7409,6 +7428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rbo_agreement": q_rbo,
     "bootstrap_ci": q_bootstrap_ci,
     "ndcg_eval": q_ndcg_eval,
+    "clarity_score": q_clarity_score,
     "graph_structure": q_graph_structure,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
@@ -7711,6 +7731,7 @@ ORACLES: dict[str, str] = {
     "rbo_agreement": _sql_rbo(),
     "bootstrap_ci": _sql_bootstrap_ci(),
     "ndcg_eval": _sql_ndcg_eval(),
+    "clarity_score": _sql_clarity_score(),
     "graph_structure": _sql_graph_structure(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
