@@ -6464,6 +6464,73 @@ GROUP BY qt.query_id, p.doc_id"""
     return ndcg_eval_sql(_sql_bm25(top_k=10, ratio=(9, 10)), qrels, depth=10)
 
 
+def q_langid_eval(spark, sf_dir):
+    """In-engine evaluation of the lang-id heuristic against the gold
+    labels: confusion counts per (gold, guess) plus overall accuracy and
+    Cohen's kappa (chance-corrected agreement) broadcast onto every row —
+    the classifier-audit pattern any curation signal needs. All-integer
+    confusion; kappa from exact marginal products."""
+    docs = ld(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("gold"), G.lang_id_cols(F.col("text")).alias("guess")
+    )
+    conf = pred.groupBy("gold", "guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.when(F.col("gold") == F.col("guess"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    gm = conf.groupBy("gold").agg(F.sum("n").cast("long").alias("ng"))
+    pm = conf.groupBy("guess").agg(F.sum("n").cast("long").alias("np"))
+    chance = (
+        gm.join(pm, gm["gold"] == pm["guess"])
+        .agg(F.sum(F.col("ng") * F.col("np")).cast("long").alias("s_chance"))
+    )
+    z = tot.crossJoin(F.broadcast(chance))
+    po = F.col("n_agree").cast("double") / F.col("n_tot").cast("double")
+    pe = F.col("s_chance").cast("double") / (
+        F.col("n_tot").cast("double") * F.col("n_tot").cast("double")
+    )
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+    metrics = z.select(
+        F.round(po, 6).alias("accuracy"), F.round(kappa, 6).alias("kappa")
+    )
+    return conf.crossJoin(F.broadcast(metrics)).select(
+        "gold", "guess", "n", "accuracy", "kappa"
+    )
+
+
+def _sql_langid_eval() -> str:
+    return f"""
+WITH pred AS (
+  SELECT lang AS gold, {G.lang_id_sql('text')} AS guess FROM documents),
+conf AS (
+  SELECT gold, guess, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(CASE WHEN gold = guess THEN n ELSE 0 END) AS BIGINT) AS n_agree
+  FROM conf),
+gm AS (SELECT gold, CAST(sum(n) AS BIGINT) AS ng FROM conf GROUP BY gold),
+pm AS (SELECT guess, CAST(sum(n) AS BIGINT) AS np FROM conf GROUP BY guess),
+chance AS (
+  SELECT CAST(sum(ng * np) AS BIGINT) AS s_chance
+  FROM gm JOIN pm ON gm.gold = pm.guess),
+metrics AS (
+  SELECT round(CAST(n_agree AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS accuracy,
+         round(((CAST(n_agree AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                - (CAST(s_chance AS DOUBLE)
+                   / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE))))
+               / (1.0 - (CAST(s_chance AS DOUBLE)
+                         / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)))), 6)
+           AS kappa
+  FROM tot, chance)
+SELECT gold, guess, n, accuracy, kappa FROM conf, metrics
+"""
+
+
 def q_clarity_score(spark, sf_dir):
     """Query clarity — KL(relevance model ‖ corpus model) over the BM25
     top-10 feedback set (operators/ranking.py: clarity_score): the classic
@@ -7429,6 +7496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci": q_bootstrap_ci,
     "ndcg_eval": q_ndcg_eval,
     "clarity_score": q_clarity_score,
+    "langid_eval": q_langid_eval,
     "graph_structure": q_graph_structure,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
@@ -7732,6 +7800,7 @@ ORACLES: dict[str, str] = {
     "bootstrap_ci": _sql_bootstrap_ci(),
     "ndcg_eval": _sql_ndcg_eval(),
     "clarity_score": _sql_clarity_score(),
+    "langid_eval": _sql_langid_eval(),
     "graph_structure": _sql_graph_structure(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
