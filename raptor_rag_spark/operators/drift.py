@@ -529,3 +529,131 @@ SELECT url, week, CAST(count(*) AS BIGINT) AS n_shingles,
              / CAST(count(*) AS DOUBLE), 6) AS novelty
 FROM joined GROUP BY url, week
 """
+
+
+# ----------------------------------------------------------- SES forecast
+
+
+def host_ses_forecast(
+    pages: DataFrame, url_re: str, alpha: float = 0.4, min_weeks: int = 4
+) -> DataFrame:
+    """One-step simple-exponential-smoothing backtest of weekly host crawl
+    volume: the closed form s_T = α·Σ_{i<T} (1−α)^{T−1−i}·x_i +
+    (1−α)^{T−1}·x_0 (s_0 = x_0) forecasts the LAST week from the prior
+    ones; output the forecast, the actual, and the absolute percentage
+    error per host — the capacity-planning sanity check.
+
+    Engine-exactness: the geometric weights (1−α)^k are PLAN-TIME Python
+    doubles joined in from a lag-literal table (no runtime pow), the
+    weighted sum is DECIMAL, weeks are dense-indexed per host by
+    row_number so gaps don't break the decay. (host, n_weeks, actual,
+    forecast, ape)."""
+    wk = F.date_trunc("week", F.col("warc_ts"))
+    hw = (
+        pages.select(
+            F.regexp_extract("url", url_re, 2).alias("host"),
+            F.floor(
+                F.datediff(wk.cast("date"), F.to_date(F.lit("1970-01-05")))
+                / F.lit(7)
+            ).cast("long").alias("wi"),
+        )
+        .groupBy("host", "wi")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=False)
+    wo = Window.partitionBy("host").orderBy("wi")
+    idx = hw.withColumn("t", F.row_number().over(wo).cast("long"))
+    nw = idx.groupBy("host").agg(F.max("t").cast("long").alias("n_weeks")).where(
+        F.col("n_weeks") >= min_weeks
+    )
+    j = idx.join(F.broadcast(nw), "host")
+    # weight of x_t (1-based) in the forecast of week n: for t >= 2 it is
+    # α·(1−α)^(n−1−t); x_1 carries α·(1−α)^(n−3)... plus the s_0 carry
+    # (1−α)^(n−2)·x_1 — fold both into per-(n, t) literals
+    # weight table cap — hosts with more than max_n weeks fall out of the
+    # join (identically in both twins); raise for longer histories. For
+    # t = 1 the algebra α(1−α)^{n−2} + (1−α)^{n−1} = (1−α)^{n−2} carries
+    # the s_1 = x_1 initialization; both twins share the same Python float.
+    max_n = 64
+    rows = []
+    for n in range(2, max_n + 1):
+        for t in range(1, n):
+            w = alpha * (1.0 - alpha) ** (n - 1 - t)
+            if t == 1:
+                w += (1.0 - alpha) ** (n - 1)
+            rows.append((n, t, w))
+    wt = pages.sparkSession.createDataFrame(rows, "n INT, wt_t INT, w DOUBLE")
+    fc = (
+        j.where(F.col("t") < F.col("n_weeks"))
+        .join(
+            F.broadcast(wt),
+            (F.col("n_weeks") == F.col("n")) & (F.col("t") == F.col("wt_t")),
+        )
+        .groupBy("host")
+        .agg(
+            F.sum((F.col("c").cast("double") * F.col("w")).cast(DEC))
+            .cast("double")
+            .alias("forecast_raw")
+        )
+    )
+    actual = j.where(F.col("t") == F.col("n_weeks")).select(
+        "host", "n_weeks", F.col("c").alias("actual")
+    )
+    return actual.join(fc, "host").select(
+        "host",
+        "n_weeks",
+        "actual",
+        F.round("forecast_raw", 6).alias("forecast"),
+        F.round(
+            F.abs(F.col("forecast_raw") - F.col("actual").cast("double"))
+            / F.col("actual").cast("double"),
+            6,
+        ).alias("ape"),
+    )
+
+
+def host_ses_forecast_sql(
+    pages_sql: str, url_re: str, alpha: float = 0.4, min_weeks: int = 4
+) -> str:
+    """DuckDB twin of :func:`host_ses_forecast`."""
+    max_n = 64
+    rows = []
+    for n in range(2, max_n + 1):
+        for t in range(1, n):
+            w = alpha * (1.0 - alpha) ** (n - 1 - t)
+            if t == 1:
+                w += (1.0 - alpha) ** (n - 1)
+            rows.append(f"({n}, {t}, {w!r})")
+    vals = ", ".join(rows)
+    return f"""
+WITH hw AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host,
+         CAST(floor(datediff('day', DATE '1970-01-05',
+                             CAST(date_trunc('week', warc_ts) AS DATE)) / 7)
+              AS BIGINT) AS wi,
+         count(*)::BIGINT AS c
+  FROM ({pages_sql}) GROUP BY 1, 2),
+idx AS (
+  SELECT host, wi, c,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY wi) AS BIGINT) AS t
+  FROM hw),
+nw AS (
+  SELECT host, CAST(max(t) AS BIGINT) AS n_weeks FROM idx GROUP BY host
+  HAVING max(t) >= {min_weeks}),
+wt(n, t, w) AS (VALUES {vals}),
+fc AS (
+  SELECT j.host,
+         CAST(sum(CAST(CAST(j.c AS DOUBLE) * wt.w AS DECIMAL(28,15))) AS DOUBLE)
+           AS forecast_raw
+  FROM (SELECT idx.*, nw.n_weeks FROM idx JOIN nw ON idx.host = nw.host) j
+  JOIN wt ON j.n_weeks = wt.n AND j.t = wt.t
+  WHERE j.t < j.n_weeks
+  GROUP BY j.host),
+actual AS (
+  SELECT idx.host, nw.n_weeks, idx.c AS actual
+  FROM idx JOIN nw ON idx.host = nw.host WHERE idx.t = nw.n_weeks)
+SELECT a.host, a.n_weeks, a.actual,
+       round(f.forecast_raw, 6) AS forecast,
+       round(abs(f.forecast_raw - CAST(a.actual AS DOUBLE))
+             / CAST(a.actual AS DOUBLE), 6) AS ape
+FROM actual a JOIN fc f ON a.host = f.host
+"""

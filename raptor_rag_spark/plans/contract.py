@@ -6815,6 +6815,23 @@ def _sql_tile_quantiles() -> str:
     return group_quantiles_sql(src, "cell", "ntok")
 
 
+def q_host_forecast(spark, sf_dir):
+    """One-step SES backtest of weekly host volume (operators/drift.py:
+    host_ses_forecast): plan-literal geometric decay weights, DECIMAL
+    weighted sum, absolute-percentage error vs the held-out last week."""
+    from ..operators.drift import host_ses_forecast
+    from ..operators.webops import URL_RE
+
+    return host_ses_forecast(_pages(spark), URL_RE)
+
+
+def _sql_host_forecast() -> str:
+    from ..operators.drift import host_ses_forecast_sql
+    from ..operators.webops import URL_RE
+
+    return host_ses_forecast_sql(f"SELECT url, warc_ts FROM {_PAGES_PQ}", URL_RE)
+
+
 def q_host_cusum(spark, sf_dir):
     """Page-CUSUM change-point detection on per-host weekly crawl volume
     (operators/drift.py: host_cusum): S_t = Σ(c_i − mean), change week at
@@ -7503,6 +7520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_novelty": q_doc_novelty,
     "tile_quantiles": q_tile_quantiles,
     "host_cusum": q_host_cusum,
+    "host_forecast": q_host_forecast,
     "raster_upsample": q_raster_upsample,
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
@@ -7807,6 +7825,7 @@ ORACLES: dict[str, str] = {
     "doc_novelty": _sql_doc_novelty(),
     "tile_quantiles": _sql_tile_quantiles(),
     "host_cusum": _sql_host_cusum(),
+    "host_forecast": _sql_host_forecast(),
     "raster_upsample": _sql_raster_upsample(),
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),

@@ -98,3 +98,25 @@ def test_host_gini_matches_brute(spark):
         "url STRING",
     )
     assert host_gini(eq, URL_RE).collect()[0]["gini"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ses_forecast_matches_recursive_brute(spark):
+    from raptor_rag_spark.operators.drift import host_ses_forecast
+
+    base = datetime(2025, 1, 6)
+    series = [5, 9, 4, 12, 8, 15, 7]
+    rows = [
+        (f"https://h.com/p{wi}_{k}", base + timedelta(weeks=wi))
+        for wi, c in enumerate(series)
+        for k in range(c)
+    ]
+    df = spark.createDataFrame(rows, "url STRING, warc_ts TIMESTAMP")
+    r = host_ses_forecast(df, URL_RE, alpha=0.4).collect()[0]
+    # recursive reference: s_1 = x_1; s_t = a*x_t + (1-a)*s_{t-1}
+    a = 0.4
+    s = series[0]
+    for x in series[1:-1]:
+        s = a * x + (1 - a) * s
+    assert r["actual"] == series[-1]
+    assert r["forecast"] == pytest.approx(s, abs=1e-6)
+    assert r["ape"] == pytest.approx(abs(s - series[-1]) / series[-1], abs=1e-6)
