@@ -891,3 +891,100 @@ SELECT c.cell, c.pop,
        round(coalesce(a.a_raw, 0.0), 9) AS access
 FROM cells c LEFT JOIN access a ON c.cell = a.cell
 """
+
+
+# ------------------------------------------------------- geometric median
+
+
+def tile_geomedian(
+    pts: DataFrame, res: int = 2, rounds: int = 4, eps: float = 1e-9
+) -> DataFrame:
+    """(cell, n_pts, mx, my, gx, gy): per-tile GEOMETRIC median (the L1
+    center — the robust location summary an outlier page can't drag, unlike
+    the centroid mx/my) via ``rounds`` unrolled Weiszfeld iterations from
+    the centroid start:
+
+        g ← Σ w·p / Σ w,   w = 1 / max(‖p − g‖, eps)
+
+    Fixed rounds ⇒ both engines compute the identical rounds-bounded value
+    (the cost-distance convergence contract); DECIMAL weight sums make each
+    round partition-order independent. Per round: one broadcast join of the
+    tile-cardinality medians + one groupBy — the Lloyd/kmeans shape, with
+    the corpus re-scanned once per round (inherent to any iterative
+    recentering)."""
+    base = pts.select(
+        G.cell_col(F.col("x"), F.col("y"), res).alias("cell"), "x", "y"
+    )
+    cent = base.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        (
+            F.sum(F.col("x").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mx"),
+        (
+            F.sum(F.col("y").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("my"),
+    ).localCheckpoint(eager=False)
+    med = cent.select("cell", F.col("mx").alias("gx"), F.col("my").alias("gy"))
+    for _ in range(rounds):
+        joined = base.join(F.broadcast(med), "cell")
+        d = F.sqrt(
+            (F.col("x") - F.col("gx")) * (F.col("x") - F.col("gx"))
+            + (F.col("y") - F.col("gy")) * (F.col("y") - F.col("gy"))
+        )
+        wcol = F.lit(1.0) / F.greatest(d, F.lit(eps))
+        stepped = joined.select("cell", "x", "y", wcol.alias("w"))
+        med = stepped.groupBy("cell").agg(
+            (
+                F.sum((F.col("w") * F.col("x")).cast(DEC)).cast("double")
+                / F.sum(F.col("w").cast(DEC)).cast("double")
+            ).alias("gx"),
+            (
+                F.sum((F.col("w") * F.col("y")).cast(DEC)).cast("double")
+                / F.sum(F.col("w").cast(DEC)).cast("double")
+            ).alias("gy"),
+        ).localCheckpoint(eager=False)  # tile metadata; next round's broadcast
+    return cent.join(med, "cell").select(
+        "cell",
+        "n_pts",
+        F.round("mx", 6).alias("mx"),
+        F.round("my", 6).alias("my"),
+        F.round("gx", 6).alias("gx"),
+        F.round("gy", 6).alias("gy"),
+    )
+
+
+def tile_geomedian_sql(
+    pts_sql: str, res: int = 2, rounds: int = 4, eps: float = 1e-9
+) -> str:
+    """DuckDB twin of :func:`tile_geomedian` — identical unrolled rounds."""
+    ctes = [
+        f"base AS (SELECT {G.cell_sql('x', 'y', res)} AS cell, x, y FROM ({pts_sql}))",
+        """cent AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mx,
+         CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS my
+  FROM base GROUP BY cell)""",
+        "m0 AS (SELECT cell, mx AS gx, my AS gy FROM cent)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""m{r} AS (
+  SELECT cell,
+         CAST(sum(CAST(w * x AS DECIMAL(28,15))) AS DOUBLE)
+           / CAST(sum(CAST(w AS DECIMAL(28,15))) AS DOUBLE) AS gx,
+         CAST(sum(CAST(w * y AS DECIMAL(28,15))) AS DOUBLE)
+           / CAST(sum(CAST(w AS DECIMAL(28,15))) AS DOUBLE) AS gy
+  FROM (
+    SELECT b.cell, b.x, b.y,
+           1.0 / greatest(sqrt((b.x - m.gx) * (b.x - m.gx)
+                               + (b.y - m.gy) * (b.y - m.gy)), {eps!r}) AS w
+    FROM base b JOIN m{r - 1} m ON b.cell = m.cell)
+  GROUP BY cell)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT c.cell, c.n_pts, round(c.mx, 6) AS mx, round(c.my, 6) AS my,
+       round(m.gx, 6) AS gx, round(m.gy, 6) AS gy
+FROM cent c JOIN m{rounds} m ON c.cell = m.cell
+"""

@@ -6464,6 +6464,27 @@ GROUP BY qt.query_id, p.doc_id"""
     return ndcg_eval_sql(_sql_bm25(top_k=10, ratio=(9, 10)), qrels, depth=10)
 
 
+def q_tile_geomedian(spark, sf_dir):
+    """Per-tile geometric median via 4 unrolled Weiszfeld rounds
+    (operators/geostats.py: tile_geomedian) — the outlier-robust center
+    next to the centroid band; fixed rounds ⇒ rounds-bounded exactness in
+    both engines, one broadcast join + groupBy per round."""
+    from ..operators.geostats import tile_geomedian
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return tile_geomedian(em.select(x.alias("x"), y.alias("y")), res=2, rounds=4)
+
+
+def _sql_tile_geomedian() -> str:
+    from ..operators.geostats import tile_geomedian_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return tile_geomedian_sql(
+        f"SELECT {x} AS x, {y} AS y FROM embeddings", res=2, rounds=4
+    )
+
+
 def q_langid_eval(spark, sf_dir):
     """In-engine evaluation of the lang-id heuristic against the gold
     labels: confusion counts per (gold, guess) plus overall accuracy and
@@ -7514,6 +7535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ndcg_eval": q_ndcg_eval,
     "clarity_score": q_clarity_score,
     "langid_eval": q_langid_eval,
+    "tile_geomedian": q_tile_geomedian,
     "graph_structure": q_graph_structure,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
@@ -7819,6 +7841,7 @@ ORACLES: dict[str, str] = {
     "ndcg_eval": _sql_ndcg_eval(),
     "clarity_score": _sql_clarity_score(),
     "langid_eval": _sql_langid_eval(),
+    "tile_geomedian": _sql_tile_geomedian(),
     "graph_structure": _sql_graph_structure(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),

@@ -77,3 +77,32 @@ def test_global_autocorr_gradient_vs_checkerboard(spark):
     r2 = global_autocorr(df2, res=4).collect()[0]
     assert r2["moran_i"] < -0.9  # perfect alternation
     assert r2["geary_c"] > 1.5
+
+
+def test_geomedian_robust_to_outlier(spark):
+    from raptor_rag_spark.operators.geostats import tile_geomedian
+
+    rng = np.random.RandomState(45)
+    # one tile: tight blob at (0.1, 0.1) + one far outlier inside the tile
+    blob = 0.10 + 0.005 * rng.randn(100, 2)
+    pts = [(float(x), float(y)) for x, y in np.clip(blob, 0.001, 0.24)] + [
+        (0.24, 0.24)
+    ]
+    df = spark.createDataFrame(pts, "x DOUBLE, y DOUBLE")
+    r = tile_geomedian(df, res=2, rounds=8).collect()[0]
+    # centroid dragged toward the outlier; geomedian stays near the blob
+    d_cent = math.hypot(r["mx"] - 0.10, r["my"] - 0.10)
+    d_med = math.hypot(r["gx"] - 0.10, r["gy"] - 0.10)
+    assert d_med < d_cent * 0.8
+    assert d_med < 0.003
+    # brute Weiszfeld with the same fixed rounds agrees
+    import numpy as _np
+
+    a = _np.array(pts)
+    g = a.mean(axis=0)
+    for _ in range(8):
+        d = _np.maximum(_np.sqrt(((a - g) ** 2).sum(1)), 1e-9)
+        w = 1.0 / d
+        g = (a * w[:, None]).sum(0) / w.sum()
+    assert r["gx"] == pytest.approx(g[0], abs=1e-5)
+    assert r["gy"] == pytest.approx(g[1], abs=1e-5)
