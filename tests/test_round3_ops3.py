@@ -1,5 +1,7 @@
 """Property tests: BM25F field weighting, RBO, bootstrap CI, global autocorr."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
