@@ -833,6 +833,56 @@ def main() -> None:
         ).count(),
     )
 
+    # robust/evaluation statistics: geometric median, Huff catchment, 2SFCA,
+    # segregation, bootstrap CI, clarity
+    from raptor_rag_spark.operators.geostats import (
+        accessibility_2sfca,
+        huff_model,
+        tile_geomedian,
+    )
+    from raptor_rag_spark.operators.pointpattern import segregation
+    from raptor_rag_spark.operators.ranking import clarity_score
+    from raptor_rag_spark.operators.sampling import bootstrap_ci
+    from raptor_rag_spark.functions.sqlgen import quality_score_cols
+
+    def _robust():
+        xy = pts.select("x", "y")
+        tile_geomedian(xy, res=2, rounds=4).count()
+        seeds = (
+            embs.orderBy("vec_id")
+            .limit(12)
+            .select(
+                F.col("vec_id").alias("sid"), x.alias("sx"), y.alias("sy"),
+                (F.lit(1.0) + (F.col("vec_id") % 5).cast("double")).alias("w"),
+            )
+        )
+        huff_model(xy, seeds.select("sid", "sx", "sy", "w"), res=4).count()
+        accessibility_2sfca(
+            xy, seeds.select("sid", "sx", "sy", F.col("w").alias("s")), d0=0.25, res=4
+        ).count()
+        segregation(
+            pts.select("x", "y", (F.pmod(F.col("node_id"), F.lit(3)) == 0)
+                       .cast("string").alias("cat")),
+            res=4,
+        ).count()
+        bootstrap_ci(
+            docs.select("doc_id", F.round(quality_score_cols(F.col("text")), 6).alias("q")),
+            "q",
+            n_boot=64,
+        ).count()
+
+    timed("robust_eval_stats", _robust)
+
+    def _clarity():
+        from raptor_rag_spark.plans.contract import BM25_QUERIES
+
+        qs = spark.createDataFrame(BM25_QUERIES, "query_id INT, qtext STRING")
+        clarity_score(
+            docs.select("doc_id", "text"), qs, fb_docs=10, max_df_ratio=(9, 10)
+        ).count()
+
+    timed("clarity_score", _clarity)
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(
