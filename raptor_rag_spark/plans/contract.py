@@ -6464,6 +6464,38 @@ GROUP BY qt.query_id, p.doc_id"""
     return ndcg_eval_sql(_sql_bm25(top_k=10, ratio=(9, 10)), qrels, depth=10)
 
 
+def q_docs_cube(spark, sf_dir):
+    """CUBE over (lang, source) — every grouping-set subtotal in ONE
+    Expand + hash aggregate (operators/olap.py: docs_cube); rolled-up
+    dimensions normalized to 'ALL' so the twins hash-match."""
+    from ..operators.olap import docs_cube
+
+    return docs_cube(ld(spark, sf_dir, "documents"))
+
+
+def _sql_docs_cube() -> str:
+    from ..operators.olap import docs_cube_sql
+
+    return docs_cube_sql("SELECT lang, source, n_chars FROM documents")
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Trailing 1-hour per-user moving aggregates with a TRUE RANGE frame
+    over epoch seconds (operators/olap.py: events_moving_avg) — value-
+    distance framing none of the ROWS-frame operators exercise."""
+    from ..operators.olap import events_moving_avg
+
+    return events_moving_avg(ld(spark, sf_dir, "events"), window_s=3600, top_k=500)
+
+
+def _sql_events_moving_avg() -> str:
+    from ..operators.olap import events_moving_avg_sql
+
+    return events_moving_avg_sql(
+        "SELECT event_id, user_id, ts, value FROM events", window_s=3600, top_k=500
+    )
+
+
 def q_tile_geomedian(spark, sf_dir):
     """Per-tile geometric median via 4 unrolled Weiszfeld rounds
     (operators/geostats.py: tile_geomedian) — the outlier-robust center
@@ -7536,6 +7568,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clarity_score": q_clarity_score,
     "langid_eval": q_langid_eval,
     "tile_geomedian": q_tile_geomedian,
+    "docs_cube": q_docs_cube,
+    "events_moving_avg": q_events_moving_avg,
     "graph_structure": q_graph_structure,
     "dasymetric": q_dasymetric,
     "accessibility_2sfca": q_accessibility,
@@ -7842,6 +7876,8 @@ ORACLES: dict[str, str] = {
     "clarity_score": _sql_clarity_score(),
     "langid_eval": _sql_langid_eval(),
     "tile_geomedian": _sql_tile_geomedian(),
+    "docs_cube": _sql_docs_cube(),
+    "events_moving_avg": _sql_events_moving_avg(),
     "graph_structure": _sql_graph_structure(),
     "dasymetric": _sql_dasymetric(),
     "accessibility_2sfca": _sql_accessibility(),
