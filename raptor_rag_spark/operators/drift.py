@@ -657,3 +657,126 @@ SELECT a.host, a.n_weeks, a.actual,
              / CAST(a.actual AS DOUBLE), 6) AS ape
 FROM actual a JOIN fc f ON a.host = f.host
 """
+
+
+# ------------------------------------------------------- MAD robust anomaly
+
+
+def host_mad_anomaly(
+    pages: DataFrame, url_re: str, min_weeks: int = 5, top_k: int = 50
+) -> DataFrame:
+    """Robust anomaly score for the LATEST week's volume per host:
+    z_mad = (x_last − median_prior) / (1.4826·MAD_prior) — the
+    median/median-absolute-deviation sibling of host_anomaly's mean/σ
+    z-score, immune to a single outlier week inflating its own baseline.
+
+    (host, n_prior, x_last, med_prior, mad_prior, z_mad, rnk) for the
+    ``top_k`` largest |z_mad| (MAD > 0; ties → host). Both medians are
+    exact type-1 rank picks over per-host week metadata; the 1.4826
+    normal-consistency constant is a plan literal."""
+    wk = F.date_trunc("week", F.col("warc_ts"))
+    hw = (
+        pages.select(
+            F.regexp_extract("url", url_re, 2).alias("host"),
+            F.floor(
+                F.datediff(wk.cast("date"), F.to_date(F.lit("1970-01-05")))
+                / F.lit(7)
+            ).cast("long").alias("wi"),
+        )
+        .groupBy("host", "wi")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=False)
+    last = hw.groupBy("host").agg(F.max("wi").alias("last_wi"))
+    j = hw.join(F.broadcast(last), "host")
+    cur = j.where(F.col("wi") == F.col("last_wi")).select(
+        "host", F.col("c").alias("x_last")
+    )
+    prior = j.where(F.col("wi") < F.col("last_wi")).select("host", "c")
+    wmed = Window.partitionBy("host").orderBy("c", "host")
+    cnt = Window.partitionBy("host")
+    med = (
+        prior.withColumn("_rn", F.row_number().over(wmed))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .where(
+            (F.col("_n") >= min_weeks)
+            & (F.col("_rn") == F.expr("(_n + 1) div 2"))
+        )
+        .select("host", F.col("_n").cast("long").alias("n_prior"),
+                F.col("c").cast("double").alias("med_prior"))
+    )
+    dev = prior.join(F.broadcast(med), "host").select(
+        "host", "n_prior", "med_prior",
+        F.abs(F.col("c").cast("double") - F.col("med_prior")).alias("ad"),
+    )
+    wmad = Window.partitionBy("host").orderBy("ad", "host")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wmad))
+        .where(F.col("_rn") == F.expr("(n_prior + 1) div 2"))
+        .select("host", "n_prior", "med_prior", F.col("ad").alias("mad_prior"))
+        .where(F.col("mad_prior") > 0)
+    )
+    scored = cur.join(mad, "host").select(
+        "host", "n_prior", "x_last",
+        F.round("med_prior", 6).alias("med_prior"),
+        F.round("mad_prior", 6).alias("mad_prior"),
+        F.round(
+            (F.col("x_last").cast("double") - F.col("med_prior"))
+            / (F.lit(1.4826) * F.col("mad_prior")),
+            6,
+        ).alias("z_mad"),
+    )
+    rw = Window.orderBy(F.abs(F.col("z_mad")).desc(), "host")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .where(F.col("rnk") <= top_k)
+    )
+
+
+def host_mad_anomaly_sql(
+    pages_sql: str, url_re: str, min_weeks: int = 5, top_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`host_mad_anomaly`."""
+    return f"""
+WITH hw AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host,
+         CAST(floor(datediff('day', DATE '1970-01-05',
+                             CAST(date_trunc('week', warc_ts) AS DATE)) / 7)
+              AS BIGINT) AS wi,
+         count(*)::BIGINT AS c
+  FROM ({pages_sql}) GROUP BY 1, 2),
+last AS (SELECT host, max(wi) AS last_wi FROM hw GROUP BY host),
+cur AS (
+  SELECT hw.host, hw.c AS x_last
+  FROM hw JOIN last ON hw.host = last.host AND hw.wi = last.last_wi),
+prior AS (
+  SELECT hw.host, hw.c
+  FROM hw JOIN last ON hw.host = last.host AND hw.wi < last.last_wi),
+med AS (
+  SELECT host, CAST(_n AS BIGINT) AS n_prior, CAST(c AS DOUBLE) AS med_prior
+  FROM (
+    SELECT host, c,
+           row_number() OVER (PARTITION BY host ORDER BY c, host) AS _rn,
+           count(*) OVER (PARTITION BY host) AS _n
+    FROM prior)
+  WHERE _n >= {min_weeks} AND _rn = (_n + 1) // 2),
+dev AS (
+  SELECT p.host, m.n_prior, m.med_prior,
+         abs(CAST(p.c AS DOUBLE) - m.med_prior) AS ad
+  FROM prior p JOIN med m ON p.host = m.host),
+mad AS (
+  SELECT host, n_prior, med_prior, ad AS mad_prior
+  FROM (
+    SELECT host, n_prior, med_prior, ad,
+           row_number() OVER (PARTITION BY host ORDER BY ad, host) AS _rn
+    FROM dev)
+  WHERE _rn = (n_prior + 1) // 2 AND ad > 0),
+scored AS (
+  SELECT c.host, m.n_prior, c.x_last,
+         round(m.med_prior, 6) AS med_prior, round(m.mad_prior, 6) AS mad_prior,
+         round((CAST(c.x_last AS DOUBLE) - m.med_prior)
+               / (1.4826 * m.mad_prior), 6) AS z_mad
+  FROM cur c JOIN mad m ON c.host = m.host)
+SELECT host, n_prior, x_last, med_prior, mad_prior, z_mad,
+       CAST(row_number() OVER (ORDER BY abs(z_mad) DESC, host) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= {top_k}
+"""

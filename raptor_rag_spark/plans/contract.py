@@ -6868,6 +6868,23 @@ def _sql_tile_quantiles() -> str:
     return group_quantiles_sql(src, "cell", "ntok")
 
 
+def q_host_mad(spark, sf_dir):
+    """MAD-robust latest-week anomaly per host (operators/drift.py:
+    host_mad_anomaly): exact rank medians for both center and spread —
+    the outlier-immune sibling of host_anomaly's z-scores."""
+    from ..operators.drift import host_mad_anomaly
+    from ..operators.webops import URL_RE
+
+    return host_mad_anomaly(_pages(spark), URL_RE)
+
+
+def _sql_host_mad() -> str:
+    from ..operators.drift import host_mad_anomaly_sql
+    from ..operators.webops import URL_RE
+
+    return host_mad_anomaly_sql(f"SELECT url, warc_ts FROM {_PAGES_PQ}", URL_RE)
+
+
 def q_host_forecast(spark, sf_dir):
     """One-step SES backtest of weekly host volume (operators/drift.py:
     host_ses_forecast): plan-literal geometric decay weights, DECIMAL
@@ -7577,6 +7594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_quantiles": q_tile_quantiles,
     "host_cusum": q_host_cusum,
     "host_forecast": q_host_forecast,
+    "host_mad_anomaly": q_host_mad,
     "raster_upsample": q_raster_upsample,
     "join_counts": q_join_counts,
     "quadrat_test": q_quadrat_test,
@@ -7885,6 +7903,7 @@ ORACLES: dict[str, str] = {
     "tile_quantiles": _sql_tile_quantiles(),
     "host_cusum": _sql_host_cusum(),
     "host_forecast": _sql_host_forecast(),
+    "host_mad_anomaly": _sql_host_mad(),
     "raster_upsample": _sql_raster_upsample(),
     "join_counts": _sql_join_counts(),
     "quadrat_test": _sql_quadrat_test(),
