@@ -570,3 +570,131 @@ FROM counts c
 JOIN sizes sa ON c.cat_a = sa.cat
 JOIN sizes sb ON c.cat_b = sb.cat, n_row
 """
+
+
+def kneedle_eps(
+    pts: DataFrame,
+    k: int = 5,
+    res: int = 6,
+    id_col: str = "vec_id",
+    buckets_bits: int = 8,
+) -> DataFrame:
+    """ONE row (n, kdist_min, kdist_max, knee_rank, eps, knee_gap): the
+    Kneedle knee of the sorted k-distance curve — the standard recipe for
+    choosing DBSCAN's eps (Ester et al. suggest eyeballing the k-dist
+    plot; Satopää's Kneedle automates it): sort every point's distance to
+    its k-th neighbor descending, normalize both axes to [0,1], and take
+    the point furthest above the descending diagonal
+    (max d = y_norm + x_norm − 1). eps = the k-distance at the knee — the
+    engine derives grid_dbscan's hyperparameter from its own exact kNN.
+
+    Scale shape: k-distances ride the exact grid ring search; the global
+    ordering of the curve uses the two-level value-bucket prefix sum
+    (quality_rank's trick — NO global sort); the knee pick is one max
+    over an arg-max window on bucketed metadata plus a 1-row reduce."""
+    from pyspark.sql import functions as F
+
+    from ..functions import sqlgen as G
+    from .knn import grid_knn
+
+    q = pts.select(F.col(id_col).alias("query_id"), "x", "y")
+    # k-th non-self distance by RANK pick (not max over the remainder):
+    # exact even when duplicate coordinates push the self row out of the
+    # top-(k+1) — mirrors the oracle's rank-k semantics bit for bit
+    w_k = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    kd = (
+        grid_knn(pts, q, res=res, k=k + 1, id_col=id_col)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_rk", F.row_number().over(w_k))
+        .where(F.col("_rk") == k)
+        .select("query_id", F.col("dist").alias("kdist"))
+    ).localCheckpoint(eager=False)
+    nb = 1 << buckets_bits
+    sq2 = 1.4142135623730951
+    vb = F.least(
+        F.floor(F.col("kdist") / F.lit(sq2) * F.lit(float(nb))).cast("long"),
+        F.lit(nb - 1),
+    )
+    base = kd.withColumn("vb", vb)
+    w_in = Window.partitionBy("vb").orderBy(F.desc("kdist"), "query_id")
+    within = base.withColumn("rn_in", F.row_number().over(w_in).cast("long"))
+    totals = base.groupBy("vb").agg(F.count("*").alias("tot"))
+    w_off = Window.orderBy(F.desc("vb")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn("off", F.sum("tot").over(w_off) - F.col("tot")).select(
+        "vb", "off"
+    )
+    g = kd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("kdist").alias("k_min"),
+        F.max("kdist").alias("k_max"),
+    )
+    ranked = (
+        within.join(F.broadcast(offsets), "vb")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "kdist",
+            "n",
+            "k_min",
+            "k_max",
+            (F.col("off") + F.col("rn_in")).alias("rnk"),
+        )
+    )
+    x_n = (F.col("rnk") - 1).cast("double") / (F.col("n") - 1).cast("double")
+    y_n = (F.col("kdist") - F.col("k_min")) / (F.col("k_max") - F.col("k_min"))
+    scored = ranked.select(
+        "kdist", "n", "k_min", "k_max", "rnk",
+        (y_n + x_n - F.lit(1.0)).alias("d"),
+    )
+    wk = Window.orderBy(F.desc("d"), "rnk")
+    return (
+        scored.withColumn("_r", F.row_number().over(wk))
+        .where(F.col("_r") == 1)
+        .select(
+            "n",
+            F.round("k_min", 6).alias("kdist_min"),
+            F.round("k_max", 6).alias("kdist_max"),
+            F.col("rnk").alias("knee_rank"),
+            F.round("kdist", 6).alias("eps"),
+            F.round("d", 6).alias("knee_gap"),
+        )
+    )
+
+
+def kneedle_eps_sql(
+    pts_sql: str, k: int = 5, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`kneedle_eps` — brute-force n² k-distances and
+    a plain global sort; agreement proves both the ring search's recall
+    AND the two-level rank reconstruction."""
+    return f"""
+WITH pts AS ({pts_sql}),
+kd AS (
+  SELECT query_id, max(dist) AS kdist FROM (
+    SELECT a.{id_col} AS query_id,
+           round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6)
+             AS dist,
+           row_number() OVER (
+             PARTITION BY a.{id_col}
+             ORDER BY round(sqrt((a.x - b.x) * (a.x - b.x)
+                                 + (a.y - b.y) * (a.y - b.y)), 6), b.{id_col})
+             AS _rn
+    FROM pts a JOIN pts b ON a.{id_col} <> b.{id_col})
+  WHERE _rn <= {k} GROUP BY query_id),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, min(kdist) AS k_min, max(kdist) AS k_max
+  FROM kd),
+ranked AS (
+  SELECT kdist, n, k_min, k_max,
+         CAST(row_number() OVER (ORDER BY kdist DESC, query_id) AS BIGINT) AS rnk
+  FROM kd, g),
+scored AS (
+  SELECT kdist, n, k_min, k_max, rnk,
+         ((kdist - k_min) / (k_max - k_min)
+          + CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) - 1.0) AS d
+  FROM ranked)
+SELECT n, round(k_min, 6) AS kdist_min, round(k_max, 6) AS kdist_max,
+       rnk AS knee_rank, round(kdist, 6) AS eps, round(d, 6) AS knee_gap
+FROM scored QUALIFY row_number() OVER (ORDER BY d DESC, rnk) = 1
+"""

@@ -6464,6 +6464,27 @@ GROUP BY qt.query_id, p.doc_id"""
     return ndcg_eval_sql(_sql_bm25(top_k=10, ratio=(9, 10)), qrels, depth=10)
 
 
+def q_kneedle_eps(spark, sf_dir):
+    """Kneedle knee of the sorted 5-distance curve (operators/stats.py:
+    kneedle_eps): the engine derives DBSCAN's eps from its own exact grid
+    kNN — no global sort (two-level value-bucket rank); oracle is the
+    brute-force n² curve + plain sort."""
+    from ..operators.stats import kneedle_eps
+
+    em = ld(spark, sf_dir, "embeddings")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    return kneedle_eps(em.select("vec_id", x.alias("x"), y.alias("y")), k=5, res=6)
+
+
+def _sql_kneedle_eps() -> str:
+    from ..operators.stats import kneedle_eps_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    return kneedle_eps_sql(
+        f"SELECT vec_id, {x} AS x, {y} AS y FROM embeddings", k=5
+    )
+
+
 def q_docs_cube(spark, sf_dir):
     """CUBE over (lang, source) — every grouping-set subtotal in ONE
     Expand + hash aggregate (operators/olap.py: docs_cube); rolled-up
@@ -7585,6 +7606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clarity_score": q_clarity_score,
     "langid_eval": q_langid_eval,
     "tile_geomedian": q_tile_geomedian,
+    "kneedle_eps": q_kneedle_eps,
     "docs_cube": q_docs_cube,
     "events_moving_avg": q_events_moving_avg,
     "graph_structure": q_graph_structure,
@@ -7894,6 +7916,7 @@ ORACLES: dict[str, str] = {
     "clarity_score": _sql_clarity_score(),
     "langid_eval": _sql_langid_eval(),
     "tile_geomedian": _sql_tile_geomedian(),
+    "kneedle_eps": _sql_kneedle_eps(),
     "docs_cube": _sql_docs_cube(),
     "events_moving_avg": _sql_events_moving_avg(),
     "graph_structure": _sql_graph_structure(),
