@@ -733,3 +733,124 @@ stepped AS (
 )
 SELECT * FROM stepped WHERE area IS NULL OR area >= {min_area!r}
 """
+
+
+def weekday_effect(events: DataFrame) -> DataFrame:
+    """(dow, n, expected, chi2_term) + the 7-row chi-square decomposition of
+    day-of-week seasonality in event volume — expected = N/7 uniform;
+    Σ chi2_term ≫ 14 rejects 'no weekly rhythm'. dow 1 = Sunday (Spark
+    dayofweek convention, mirrored in the twin via DuckDB dayofweek+1)."""
+    from pyspark.sql import functions as F
+
+    d = events.select(F.dayofweek("ts").alias("dow"))
+    counts = d.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("n_tot"))
+    z = counts.crossJoin(F.broadcast(tot))
+    exp = F.col("n_tot").cast("double") / F.lit(7.0)
+    dev = F.col("n").cast("double") - exp
+    return z.select(
+        "dow",
+        "n",
+        F.round(exp, 6).alias("expected"),
+        F.round(dev * dev / exp, 6).alias("chi2_term"),
+    )
+
+
+def weekday_effect_sql(events_sql: str) -> str:
+    """DuckDB twin of :func:`weekday_effect`. DuckDB dayofweek: 0=Sunday;
+    Spark: 1=Sunday — the +1 pins them to the same labels."""
+    return f"""
+WITH d AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow FROM ({events_sql})),
+counts AS (SELECT dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dow),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM counts)
+SELECT dow, n,
+       round(CAST(n_tot AS DOUBLE) / 7.0, 6) AS expected,
+       round((CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) / 7.0)
+             * (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) / 7.0)
+             / (CAST(n_tot AS DOUBLE) / 7.0), 6) AS chi2_term
+FROM counts, tot
+"""
+
+
+def gap_burstiness(
+    events: DataFrame, min_events: int = 10, top_k: int = 100
+) -> DataFrame:
+    """(user_id, n_gaps, mean_gap, sd_gap, b, rnk): Goh-Barabási
+    burstiness B = (σ − μ)/(σ + μ) of each user's inter-event times —
+    B → 1 bursty (heavy-tailed gaps), 0 Poisson, → −1 metronomic. The
+    temporal sibling of the term Fano factor; top-``top_k`` burstiest
+    users with ≥ ``min_events`` events.
+
+    Gaps via one per-user lag window; population moments from DECIMAL
+    sums (σ = √(E[g²] − μ²), clamped at 0); ties → user_id."""
+    from pyspark.sql import Window, functions as F
+
+    t = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = (
+        events.select("event_id", "user_id", t.alias("t"))
+        .withColumn("gap", (F.col("t") - F.lag("t").over(w)).cast("double"))
+        .where(F.col("gap").isNotNull())
+    )
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((F.col("gap") * F.col("gap")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    ).where(F.col("n_gaps") >= min_events - 1)
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s1") / nd
+    var = F.col("s2") / nd - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    scored = m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap"),
+        F.round(sd, 6).alias("sd_gap"),
+        F.round((sd - mu) / (sd + mu), 6).alias("b"),
+    )
+    rw = Window.orderBy(F.desc("b"), "user_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .where(F.col("rnk") <= top_k)
+    )
+
+
+def gap_burstiness_sql(
+    events_sql: str, min_events: int = 10, top_k: int = 100
+) -> str:
+    """DuckDB twin of :func:`gap_burstiness`."""
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM ({events_sql})),
+gaps AS (
+  SELECT user_id,
+         CAST(t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+              AS DOUBLE) AS gap
+  FROM base QUALIFY gap IS NOT NULL),
+m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(CAST(gap AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(gap * gap AS DECIMAL(28,6))) AS DOUBLE) AS s2
+  FROM gaps GROUP BY user_id HAVING count(*) >= {min_events - 1}),
+scored AS (
+  SELECT user_id, n_gaps,
+         round(s1 / CAST(n_gaps AS DOUBLE), 6) AS mean_gap,
+         round(sqrt(greatest(s2 / CAST(n_gaps AS DOUBLE)
+                             - (s1 / CAST(n_gaps AS DOUBLE))
+                               * (s1 / CAST(n_gaps AS DOUBLE)), 0.0)), 6) AS sd_gap,
+         round((sqrt(greatest(s2 / CAST(n_gaps AS DOUBLE)
+                              - (s1 / CAST(n_gaps AS DOUBLE))
+                                * (s1 / CAST(n_gaps AS DOUBLE)), 0.0))
+                - s1 / CAST(n_gaps AS DOUBLE))
+               / (sqrt(greatest(s2 / CAST(n_gaps AS DOUBLE)
+                                - (s1 / CAST(n_gaps AS DOUBLE))
+                                  * (s1 / CAST(n_gaps AS DOUBLE)), 0.0))
+                  + s1 / CAST(n_gaps AS DOUBLE)), 6) AS b
+  FROM m)
+SELECT user_id, n_gaps, mean_gap, sd_gap, b,
+       CAST(row_number() OVER (ORDER BY b DESC, user_id) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= {top_k}
+"""

@@ -6464,6 +6464,36 @@ GROUP BY qt.query_id, p.doc_id"""
     return ndcg_eval_sql(_sql_bm25(top_k=10, ratio=(9, 10)), qrels, depth=10)
 
 
+def q_weekday_effect(spark, sf_dir):
+    """Day-of-week seasonality chi-square decomposition of event volume
+    (operators/spacetime.py: weekday_effect) — 7 metadata rows from one
+    corpus groupBy."""
+    from ..operators.spacetime import weekday_effect
+
+    return weekday_effect(ld(spark, sf_dir, "events"))
+
+
+def _sql_weekday_effect() -> str:
+    from ..operators.spacetime import weekday_effect_sql
+
+    return weekday_effect_sql("SELECT ts FROM events")
+
+
+def q_gap_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness of per-user inter-event times
+    (operators/spacetime.py: gap_burstiness): B = (σ−μ)/(σ+μ) from one lag
+    window + DECIMAL moments — the temporal sibling of term Fano."""
+    from ..operators.spacetime import gap_burstiness
+
+    return gap_burstiness(ld(spark, sf_dir, "events"))
+
+
+def _sql_gap_burstiness() -> str:
+    from ..operators.spacetime import gap_burstiness_sql
+
+    return gap_burstiness_sql("SELECT event_id, user_id, ts FROM events")
+
+
 def q_kneedle_eps(spark, sf_dir):
     """Kneedle knee of the sorted 5-distance curve (operators/stats.py:
     kneedle_eps): the engine derives DBSCAN's eps from its own exact grid
@@ -7607,6 +7637,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_eval": q_langid_eval,
     "tile_geomedian": q_tile_geomedian,
     "kneedle_eps": q_kneedle_eps,
+    "weekday_effect": q_weekday_effect,
+    "gap_burstiness": q_gap_burstiness,
     "docs_cube": q_docs_cube,
     "events_moving_avg": q_events_moving_avg,
     "graph_structure": q_graph_structure,
@@ -7917,6 +7949,8 @@ ORACLES: dict[str, str] = {
     "langid_eval": _sql_langid_eval(),
     "tile_geomedian": _sql_tile_geomedian(),
     "kneedle_eps": _sql_kneedle_eps(),
+    "weekday_effect": _sql_weekday_effect(),
+    "gap_burstiness": _sql_gap_burstiness(),
     "docs_cube": _sql_docs_cube(),
     "events_moving_avg": _sql_events_moving_avg(),
     "graph_structure": _sql_graph_structure(),
