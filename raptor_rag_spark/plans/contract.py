@@ -7669,44 +7669,80 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver's official correctness artifact samples the FIRST 50 registry
-# entries (CORRECTNESS_r02 covered only that window, leaving the flagship
-# tree/hex/S2/geodesic families officially unverified even though they pass).
-# Front-load the flagships — tree build/retrieval, hex lattice, S2 cells,
-# geodesics, dedup resolution, core similarity — so the recorded artifact
-# verifies what matters most; the relational warm-ups fall later (they are
-# also covered by pytest and the full local sweep in scripts/check_contract.py).
-_FLAGSHIP_ORDER = [
-    "tree_level_stats", "tree_hex_stats", "tree_tile_stats", "tree_incremental",
-    "tree_collapsed_knn", "tree_hex_knn", "tree_cell_knn", "cell_knn_recall",
-    "tree_flat_knn", "tree_flat_budget", "tree_traversal", "tree_context", "tree_rouge",
-    "viewport_tiles", "drill_down", "tile_addresses",
-    "hex_cells", "hex_density", "hex_pyramid", "hex_viewport", "hex_soft",
-    "s2_cells", "s2_drill",
-    "geo_chord", "geo_knn", "geo_bearing", "geo_arc",
-    "exact_dedup", "minhash_pairs", "simhash_near", "ngram_jaccard",
-    "emb_neardup", "dedup_clusters", "dedup_keep", "dedup_eval",
-    "winnow_matches", "decontaminate", "bm25_incremental", "bm25_delete",
-    "ql_rank", "rrf_hybrid", "rm3_rank", "mmr_diversify", "snippet_extract",
-    "tile_incremental", "stream_tile_stats",
-    # round-3 additions get window slots ahead of queries already officially
-    # green in CORRECTNESS_r02 (emb_topk family, grid_knn, soft_assign)
-    "lake_scan", "lake_time_travel", "lake_changes", "viewshed",
-    "sdm_rank", "sd_ellipse", "knox_test", "gravity_model", "headtail_breaks",
-    "quadtree_leaves", "quadtree_assign",
-    "kmeans_silhouette", "voronoi_raster", "voronoi_route", "containment",
-    "colocation", "clark_evans", "trend_surface", "cost_distance",
-    "cost_backlink", "cost_corridor", "isochrones", "hyperball", "lof",
-    "spatial_scan",
-    "emb_topk", "emb_ivf_topk", "grid_knn", "soft_assign",
-    "pip_join", "emb_tile_rollup", "pages_extract", "lake_zorder_scan",
-    "bm25_rank", "wand_rank", "link_ppr", "link_hits", "covisit_topk",
-    "gmm_cluster", "rouge_l", "token_f1",
-    "stream_events_hourly",
+# entries per round (verified: CORRECTNESS_r03's 50 keys == the first 50 of the
+# round-3 flagship order). Rounds 1-3 cumulatively driver-checked 98 of the 272
+# registered queries; the round-3 verdict's #1 task is to rotate the 174
+# never-driver-checked queries through the window. _R04_ORDER therefore lists
+# ONLY never-checked queries, prioritized by the families the verdict named
+# (search stack, lakehouse layout, KDE/raster, scan statistics, geostatistics,
+# link/host graph, streaming), so round 4's window is 50 fresh official rows and
+# round 5 can rotate in the next tranche. Every query here already passes the
+# full local sweep (scripts/check_contract.py: 272/272 ALL OK) and pytest.
+_R04_ORDER = [
+    # search stack never officially checked (verdict: wand/bm25f/sdm)
+    "wand_rank", "bm25f_rank", "sdm_rank", "textrank", "fuzzy_terms", "phrase_search",
+    # lakehouse / physical layout
+    "lake_zorder_scan", "merge_upsert", "scd2_upsert", "zorder_layout",
+    "bucketed_join", "index_size",
+    # KDE / raster family
+    "kde_heatmap", "kde_focal", "kde_pyramid", "kde_moran", "kde_geary",
+    "kde_hotspots", "kde_contours", "kde_terrain", "kde_twi", "kde_curvature",
+    # scan statistics / point pattern
+    "spatial_scan", "spacetime_scan", "getis_ord", "emerging_hotspots",
+    "ripley_k", "gfunction", "jfunction", "join_counts", "quadrat_test",
+    "clark_evans", "knox_test",
+    # geostatistics
+    "semivariogram", "variogram_fit", "kriging", "idw_surface", "trend_surface",
+    # link / host graph
+    "link_graph", "link_pagerank", "link_hits", "link_ppr", "host_pagerank",
+    "host_communities", "triangle_count", "kcore", "hyperball", "graph_structure",
+    # streaming
+    "stream_dedup", "stream_sessionize", "stream_hex_density", "stream_enrich",
+    "stream_late_drop", "stream_join",
+    # round-3 stats families never officially checked
+    "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
+    "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
+    "theil_sen", "host_gini", "host_cusum", "host_forecast", "host_mad_anomaly",
+    "docs_cube", "doc_novelty", "kneedle_eps",
+    # curation / IR never officially checked
+    "para_dedup", "host_boilerplate", "doc_repetition", "pii_scrub", "url_canon",
+    "dup_spans", "srp_pairs", "cms_heavy_terms", "hll_distinct", "token_quantiles",
+    "doc_lm_score", "doc_top_terms", "collocations", "bigram_lm",
+    # spatial ops never officially checked
+    "cell_compact", "poly_cover", "zonal_stats", "poly_metrics", "geo_poly_area",
+    "hll_pyramid", "region_boundary", "distance_transform", "hilbert_layout",
+    "seg_intersect", "tile_hulls", "tile_labels", "tile_exemplars",
+    "rhumb_line", "path_rollup", "geohash_encode", "geohash_density",
+    "mercator_tiles", "geo_destination", "geo_waypoints",
+    "grid_dbscan", "kmeans_xy", "kmeans_silhouette", "lof",
+    "sd_ellipse", "gravity_model", "headtail_breaks", "quadtree_leaves",
+    "quadtree_assign", "voronoi_raster", "voronoi_route", "containment",
+    "colocation", "colocation_quotient", "segregation", "box_dimension",
+    "global_autocorr", "cost_distance", "cost_backlink", "cost_corridor",
+    "isochrones", "cell_extremes", "tile_geomedian",
+    "tile_quantiles", "cell_skew", "str_layout", "raster_upsample", "dasymetric",
+    "accessibility_2sfca", "huff_model", "flow_dir", "flow_acc", "flow_basins",
+    "map_match", "areal_transfer",
+    # trajectories / events / hosts
+    "trajectories", "traj_resample", "traj_hausdorff", "traj_frechet",
+    "traj_simplify", "od_matrix", "radius_gyration", "stay_points",
+    "funnel", "cohort_retention", "event_transitions", "skyline",
+    "events_moving_avg", "covisit_topk",
+    # web corpus ops
+    "pages_host_stats", "pages_host_filter", "crawl_diff", "crawl_frontier",
+    "robots_filter", "anchor_text", "host_distances", "host_recency",
+    "host_anomaly", "term_bursts", "term_drift",
+    # eval / sampling / misc never officially checked
+    "f1_by_type", "max_over_golds", "meteor", "doc_split", "doc_sample",
+    "weighted_sample", "corpus_shards", "tree_tile_vectorize",
+    "multimodal_decode",
 ]
-assert all(k in QUERIES for k in _FLAGSHIP_ORDER), "flagship key missing from registry"
-# dict merge keeps flagship-first insertion order; later keys keep their
+_seen: set = set()
+_R04_ORDER = [k for k in _R04_ORDER if not (k in _seen or _seen.add(k))]
+assert all(k in QUERIES for k in _R04_ORDER), "r04 rotation key missing from registry"
+# dict merge keeps rotation-first insertion order; later keys keep their
 # original relative order and identical callables
-QUERIES = {**{k: QUERIES[k] for k in _FLAGSHIP_ORDER}, **QUERIES}
+QUERIES = {**{k: QUERIES[k] for k in _R04_ORDER}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING,

@@ -15,21 +15,29 @@ on, from first principles, on parquet + JSON manifests:
    ``snapshot_id`` (default: current), ``rollback`` re-points current to an
    ancestor without deleting anything, ``changes_between`` returns the rows
    appended between two snapshots (CDC reads = the files added since).
-3. **File-level column stats → scan pruning.** Each manifest records per-file
-   (row_count, min, max) for the declared stats columns, computed from the
-   data while writing (one metadata-scale agg). ``scan`` intersects a range
-   predicate with those stats DRIVER-SIDE and hands Spark only the surviving
-   files — at 100 TB the win is skipping whole files before any task is
-   scheduled, exactly Iceberg's manifest-pruning path. The predicate is ALSO
-   applied as a normal filter after the scan, so pruning is a pure
-   optimization and can never change results (the `lake_scan` contract twin
-   proves equality against a full-table oracle).
+3. **Two-level metadata: manifest list → manifest files → data files.** Each
+   commit writes its (file path, row_count, per-column min/max) entries into
+   a separate manifest FILE under ``manifests/``; the snapshot JSON holds
+   only the MANIFEST LIST — one reference per manifest, each carrying a
+   per-manifest rollup (file count, row count, min/max per stats column).
+   ``scan`` prunes DRIVER-SIDE in two stages: manifests whose rollup cannot
+   intersect the predicate are never even opened, and only the surviving
+   manifests' file entries are stats-checked — exactly Iceberg's
+   snapshot → manifest-list → manifest → data-file planning path. The
+   predicate is ALSO applied as a normal filter after the scan, so pruning
+   is a pure optimization and can never change results (the `lake_scan`
+   contract twin proves equality against a full-table oracle).
 
-Scale notes: manifests hold (file path, stats) tuples — metadata, thousands
-of entries per snapshot at 100 TB, read driver-side exactly like Iceberg's
-avro manifests. Data files are never rewritten or deleted by commits;
-``expire_snapshots`` is the explicit GC. Writers partition data by
-``bucket_by`` (hash buckets) so downstream equi-joins can co-locate.
+Scale notes: planning cost is O(manifest-list length + file entries in
+SURVIVING manifests), never O(total files) and never O(snapshots) — the
+manifest list is cumulative per snapshot, so reads do no ancestry walk, and
+commits merge small manifests (bin-packing, Iceberg's ManifestMergeManager)
+so the list stays bounded as commits accumulate. A snapshot's own per-commit
+manifest is retained for CDC (``changes_between`` reads exactly the
+``added_manifest`` chain). Data files are never rewritten or deleted by
+commits; ``expire_snapshots`` is the explicit GC for snapshots, manifests,
+and data files alike. Writers partition data by ``bucket_by`` (hash
+buckets) so downstream equi-joins can co-locate.
 """
 
 from __future__ import annotations
@@ -85,17 +93,28 @@ class LakeTable:
     Layout::
 
         <root>/data/<uuid>.parquet/        one immutable file-set per commit
-        <root>/snapshots/<id>.json         snapshot manifests
+        <root>/manifests/m-<uuid>.json     manifest files: [(path, rows, stats)]
+        <root>/snapshots/<id>.json         snapshot: manifest LIST (refs+rollups)
         <root>/current                     pointer to the current snapshot id
+
+    ``merge_threshold`` bounds the manifest list: when a commit would push the
+    list past it, the smallest manifests are bin-packed into one merged
+    manifest file (rollups recomputed), so planning cost stays O(threshold +
+    large manifests) no matter how many commits accumulate.
     """
 
-    def __init__(self, root: str, stats_cols: tuple[str, ...] = ()):
+    def __init__(
+        self, root: str, stats_cols: tuple[str, ...] = (), merge_threshold: int = 8
+    ):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.snap_dir = os.path.join(root, "snapshots")
+        self.manifest_dir = os.path.join(root, "manifests")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
         self.stats_cols = tuple(stats_cols)
+        self.merge_threshold = merge_threshold
 
     # ------------------------------------------------------------- manifests
     def _current_path(self) -> str:
@@ -130,20 +149,66 @@ class LakeTable:
             sid = snap["parent_id"]
         return list(reversed(chain))
 
+    # ----------------------------------------------- manifest files (2-level)
+    def _manifest_entries(self, ref: dict) -> list[dict]:
+        """File entries of one manifest ref — opened ONLY after the ref's
+        rollup survives pruning."""
+        with open(os.path.join(self.root, ref["manifest"])) as f:
+            return json.load(f)["entries"]
+
+    def _rollup(self, entries: list[dict]) -> dict:
+        """Per-manifest min/max rollup over the file entries. A column where
+        any file lacks stats (all-null file) rolls up to None = unprunable on
+        that column — pruning must stay result-neutral."""
+        stats: dict = {}
+        for c in self.stats_cols:
+            per = [e["stats"].get(c) for e in entries]
+            if any(s is None or s[0] is None for s in per):
+                stats[c] = None
+            else:
+                stats[c] = [min(s[0] for s in per), max(s[1] for s in per)]
+        return stats
+
+    def _write_manifest(self, entries: list[dict]) -> dict:
+        """Persist a manifest file; return its list-entry ref with rollup.
+        The ref alone (count + rows + rollup) is all planning reads until the
+        manifest survives pruning."""
+        name = os.path.join("manifests", f"m-{uuid.uuid4().hex}.json")
+        path = os.path.join(self.root, name)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"entries": entries}, f)
+        os.replace(tmp, path)
+        return {
+            "manifest": name,
+            "files": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "stats": self._rollup(entries),
+        }
+
+    def _merge_manifests(self, refs: list[dict]) -> list[dict]:
+        """Bin-pack the manifest list back under ``merge_threshold``: the
+        smallest manifests merge into one rewritten manifest file (Iceberg's
+        ManifestMergeManager). Large manifests are left untouched, so merge
+        work per commit is bounded by the small tail, not table size."""
+        if len(refs) <= self.merge_threshold:
+            return refs
+        refs = sorted(refs, key=lambda r: r["files"])
+        n_merge = len(refs) - self.merge_threshold + 1
+        victims, keep = refs[:n_merge], refs[n_merge:]
+        merged_entries: list[dict] = []
+        for v in victims:
+            merged_entries.extend(self._manifest_entries(v))
+        return [self._write_manifest(merged_entries)] + keep
+
     def _live_files(self, snapshot_id: int) -> list[dict]:
-        """(path, stats) entries visible at a snapshot: walk the ancestry,
-        collecting appended file lists; an overwrite snapshot RESETS the set."""
-        chain: list[dict] = []
-        sid: int | None = snapshot_id
-        while sid is not None:
-            snap = self.snapshot(sid)
-            chain.append(snap)
-            if snap["operation"] == "overwrite":
-                break  # nothing older is visible
-            sid = snap["parent_id"]
+        """(path, stats) entries visible at a snapshot: the snapshot's
+        manifest list is already cumulative — one snapshot read plus its
+        manifests, NO ancestry walk."""
+        snap = self.snapshot(snapshot_id)
         files: list[dict] = []
-        for snap in reversed(chain):
-            files.extend(snap["added_files"])
+        for ref in snap["manifest_list"]:
+            files.extend(self._manifest_entries(ref))
         return files
 
     # ---------------------------------------------------------------- write
@@ -164,24 +229,35 @@ class LakeTable:
 
     def _commit(self, operation: str, added: list[dict], extra: dict | None = None) -> int:
         parent = self.current_snapshot_id()
-        # ids are allocated past EVERY existing manifest (not parent+1): after
+        # ids are allocated past EVERY existing snapshot (not parent+1): after
         # a rollback the next commit forks a new branch and must not collide
         # with the orphaned one
         existing = [int(n[:-5]) for n in os.listdir(self.snap_dir) if n.endswith(".json")]
         sid = max(existing, default=0) + 1
-        manifest = {
+        # this commit's files go into their own manifest file; the snapshot
+        # carries only the (cumulative) manifest LIST — refs + rollups
+        added_ref = self._write_manifest(added)
+        if operation == "overwrite" or parent is None:
+            manifest_list = [added_ref]
+        else:
+            manifest_list = list(self.snapshot(parent)["manifest_list"]) + [added_ref]
+            manifest_list = self._merge_manifests(manifest_list)
+        snap = {
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
-            "added_files": added,
-            "added_rows": sum(f["rows"] for f in added),
+            "manifest_list": manifest_list,
+            # the per-commit manifest stays addressable even after merges:
+            # CDC (changes_between) reads exactly this chain
+            "added_manifest": added_ref,
+            "added_rows": added_ref["rows"],
             "ts_ms": int(time.time() * 1000),
             "extra": extra or {},
         }
         path = os.path.join(self.snap_dir, f"{sid}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(snap, f)
         os.replace(tmp, path)
         ptr_tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
         with open(ptr_tmp, "w") as f:
@@ -278,30 +354,44 @@ class LakeTable:
     def scan(
         self, spark: SparkSession, col: str, lo, hi, snapshot_id: int | None = None
     ) -> DataFrame:
-        """Range read ``lo <= col <= hi`` with MANIFEST pruning: files whose
-        [min,max] cannot intersect the range are dropped driver-side before
-        Spark sees them. The residual filter still applies, so pruning is
-        provably result-neutral; ``files_scanned``/``files_total`` land on
-        the returned plan via ``scan_stats`` for observability."""
+        """Range read ``lo <= col <= hi`` with TWO-stage manifest pruning:
+        (1) manifest refs whose rollup [min,max] cannot intersect the range
+        are dropped from the manifest list without ever opening the manifest
+        file; (2) surviving manifests' file entries are stats-checked the
+        same way. Planning cost = O(manifest list + file entries in surviving
+        manifests), never O(total files). The residual filter still applies,
+        so pruning is provably result-neutral; planning counters land in
+        ``last_scan_stats`` for observability."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"lake table at {self.root} has no snapshots")
-        live = self._live_files(sid)
+        refs = self.snapshot(sid)["manifest_list"]
+        files_total = sum(r["files"] for r in refs)
         if col in self.stats_cols:
+            live_refs = [
+                r for r in refs
+                if r["stats"].get(col) is None  # unprunable rollup
+                or not (r["stats"][col][0] > hi or r["stats"][col][1] < lo)
+            ]
             keep = [
-                f for f in live
+                f
+                for r in live_refs
+                for f in self._manifest_entries(r)
                 if f["stats"][col][0] is None  # all-null file: cannot prune
                 or not (f["stats"][col][0] > hi or f["stats"][col][1] < lo)
             ]
         else:
-            keep = live
-        self.last_scan_stats = {"files_total": len(live), "files_scanned": len(keep)}
+            live_refs = refs
+            keep = [f for r in refs for f in self._manifest_entries(r)]
+        self.last_scan_stats = {
+            "files_total": files_total,
+            "files_scanned": len(keep),
+            "manifests_total": len(refs),
+            "manifests_read": len(live_refs),
+        }
         if not keep:
             # empty result with the right schema: read one file, filter false
-            return (
-                spark.read.parquet(live[0]["path"]).where(F.lit(False))
-                if live else self.read(spark, sid).where(F.lit(False))
-            )
+            return self.read(spark, sid).where(F.lit(False))
         df = spark.read.option("mergeSchema", "true").parquet(*[f["path"] for f in keep])
         return df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
@@ -355,23 +445,35 @@ class LakeTable:
     ) -> DataFrame:
         """Bounding-box read with z-order file skipping: the bbox decomposes
         into a small set of contiguous Morton ranges (driver-side quadtree
-        cover, the classic BIGMIN-free approach); files whose [min,max] zkey
-        stats miss every range are never handed to Spark. The exact
-        coordinate filter still applies, so skipping is result-neutral."""
+        cover, the classic BIGMIN-free approach); manifests, then files,
+        whose [min,max] zkey stats miss every range are never handed to
+        Spark. The exact coordinate filter still applies, so skipping is
+        result-neutral."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"lake table at {self.root} has no snapshots")
         ranges = zranges_for_bbox(xlo, xhi, ylo, yhi, res)
-        live = self._live_files(sid)
-        keep = []
-        for f in live:
-            st = f["stats"].get(self.ZKEY)
+
+        def _hits(st) -> bool:
             if st is None or st[0] is None:
-                keep.append(f)  # no stats: cannot prune
-                continue
-            if any(not (st[0] > hi or st[1] < lo) for lo, hi in ranges):
-                keep.append(f)
-        self.last_scan_stats = {"files_total": len(live), "files_scanned": len(keep)}
+                return True  # no stats: cannot prune
+            return any(not (st[0] > hi or st[1] < lo) for lo, hi in ranges)
+
+        refs = self.snapshot(sid)["manifest_list"]
+        files_total = sum(r["files"] for r in refs)
+        live_refs = [r for r in refs if _hits(r["stats"].get(self.ZKEY))]
+        keep = [
+            f
+            for r in live_refs
+            for f in self._manifest_entries(r)
+            if _hits(f["stats"].get(self.ZKEY))
+        ]
+        self.last_scan_stats = {
+            "files_total": files_total,
+            "files_scanned": len(keep),
+            "manifests_total": len(refs),
+            "manifests_read": len(live_refs),
+        }
         if not keep:
             return self.read(spark, sid).where(F.lit(False)).drop(self.ZKEY)
         df = spark.read.option("mergeSchema", "true").parquet(*[f["path"] for f in keep])
@@ -387,7 +489,9 @@ class LakeTable:
     ) -> DataFrame:
         """Rows APPENDED strictly after ``from_snapshot`` up to
         ``to_snapshot`` (incremental/CDC read). Raises if the range crosses
-        an overwrite — there is no row-level diff to serve then."""
+        an overwrite — there is no row-level diff to serve then. Reads the
+        per-commit ``added_manifest`` chain: work is O(snapshots in range +
+        their added files), untouched by manifest merging."""
         files: list[str] = []
         sid: int | None = to_snapshot
         while sid is not None and sid != from_snapshot:
@@ -397,7 +501,7 @@ class LakeTable:
                     f"snapshot range ({from_snapshot}, {to_snapshot}] crosses an "
                     "overwrite; incremental reads need an append-only range"
                 )
-            files.extend(f["path"] for f in snap["added_files"])
+            files.extend(f["path"] for f in self._manifest_entries(snap["added_manifest"]))
             sid = snap["parent_id"]
         if sid != from_snapshot:
             raise ValueError(f"{from_snapshot} is not an ancestor of {to_snapshot}")
@@ -454,7 +558,7 @@ class LakeTable:
 
         referenced = set()
         for snap in self.snapshots():
-            for f in snap["added_files"]:
+            for f in self._manifest_entries(snap["added_manifest"]):
                 p = f["path"]
                 referenced.add(urlparse(p).path if p.startswith("file:") else p)
         deleted = []
@@ -483,21 +587,29 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots of the CURRENT
-        ancestry (plus any orphaned branch manifests) and delete data files
-        no surviving snapshot references. Returns the deleted file paths."""
+        ancestry (plus any orphaned branch snapshots), delete manifest files
+        referenced by no kept snapshot, and delete data files no surviving
+        manifest references. Returns the deleted data-file paths."""
         import shutil
 
         chain = self.history()
         keep = chain[-keep_last:] if keep_last > 0 else []
-        # snapshots reachable only through expired/orphaned manifests die
+        # snapshots reachable only through expired/orphaned chains die
         keep_ids = {s["snapshot_id"] for s in keep}
         live_files = set()
+        live_manifests = set()
         for s in keep:
             live_files.update(f["path"] for f in self._live_files(s["snapshot_id"]))
+            live_manifests.update(r["manifest"] for r in s["manifest_list"])
+            live_manifests.add(s["added_manifest"]["manifest"])
         deleted = []
         for snap in self.snapshots():
             if snap["snapshot_id"] not in keep_ids:
                 os.remove(os.path.join(self.snap_dir, f"{snap['snapshot_id']}.json"))
+        for name in os.listdir(self.manifest_dir):
+            rel = os.path.join("manifests", name)
+            if rel not in live_manifests and not name.startswith("."):
+                os.remove(os.path.join(self.manifest_dir, name))
         # re-parent the oldest kept snapshot so the chain stays walkable
         if keep:
             oldest = keep[0]

@@ -272,3 +272,95 @@ def test_vacuum_orphans_removes_only_uncommitted(spark, docs, tmp_path):
     deleted = t.vacuum_orphans()
     assert len(deleted) == 1 and len(os.listdir(t.data_dir)) == 1
     assert t.read(spark).count() == 10
+
+
+def test_manifest_list_stays_bounded_across_many_commits(spark, docs, tmp_path):
+    """Manifest-list compaction (Iceberg's ManifestMergeManager): commits
+    past merge_threshold bin-pack the smallest manifests into one, so the
+    snapshot's planning metadata stays O(threshold) no matter how many
+    commits accumulate — the 100×-scale fix for inline file lists."""
+    t = LakeTable(str(tmp_path / "t"), stats_cols=("doc_id",), merge_threshold=4)
+    for i in range(12):
+        t.append(docs.filter(f"doc_id >= {i*5} AND doc_id < {i*5+5}"))
+    snap = t.snapshot(t.current_snapshot_id())
+    assert len(snap["manifest_list"]) <= 4
+    # merging never loses or duplicates rows
+    assert t.read(spark).count() == 60
+    got = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert got == list(range(60))
+    # CDC is unaffected by merging: per-commit added_manifest chain intact
+    hist = t.history()
+    delta = t.changes_between(spark, hist[2]["snapshot_id"], hist[6]["snapshot_id"])
+    assert sorted(r["doc_id"] for r in delta.collect()) == list(range(15, 35))
+
+
+def test_scan_prunes_manifests_before_opening_them(spark, docs, tmp_path):
+    """Two-stage pruning: a range predicate disjoint from a manifest's
+    rollup must drop the manifest from planning WITHOUT reading its file
+    entries (manifests_read < manifests_total), and the result must still
+    equal the unpruned filter."""
+    t = LakeTable(str(tmp_path / "t"), stats_cols=("doc_id",), merge_threshold=32)
+    for lo in (0, 100, 200, 300):
+        t.append(
+            docs.withColumn("doc_id", F.col("doc_id") + lo).filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+            )
+        )
+    out = t.scan(spark, "doc_id", 110, 160)
+    want = t.read(spark).where("doc_id BETWEEN 110 AND 160").count()
+    assert out.count() == want and want > 0
+    st = t.last_scan_stats
+    assert st["manifests_read"] < st["manifests_total"] == 4, st
+    assert st["files_scanned"] < st["files_total"], st
+
+
+def test_expire_snapshots_gc_at_10k_files(tmp_path):
+    """Snapshot-expiry GC at >=10^4 data files — metadata-layer test, no
+    Spark: 100 commits x 100 fabricated file entries each (real empty files
+    on disk), then expire to the last snapshot and verify (a) dead filesets
+    and manifests are deleted, (b) planning metadata for the survivor is
+    O(merge_threshold) manifests, NOT O(10^4 files) or O(100 snapshots)."""
+    import json as _json
+    import time as _time
+
+    t = LakeTable(str(tmp_path / "t"), stats_cols=("k",), merge_threshold=8)
+    n_commits, files_per = 100, 100
+    for c in range(n_commits):
+        fileset = os.path.join(t.data_dir, f"fs{c:03d}.parquet")
+        os.makedirs(fileset)
+        entries = []
+        for i in range(files_per):
+            p = os.path.join(fileset, f"part-{i:05d}.parquet")
+            with open(p, "w") as f:
+                f.write("x")
+            k = c * files_per + i
+            entries.append({"path": p, "rows": 1, "stats": {"k": [k, k]}})
+        t._commit("append", entries)
+    assert len(t.history()) == n_commits
+    cur = t.snapshot(t.current_snapshot_id())
+    # planning metadata is bounded by the merge threshold even at 10^4 files
+    assert len(cur["manifest_list"]) <= 8
+    assert sum(r["files"] for r in cur["manifest_list"]) == n_commits * files_per
+
+    # a final overwrite makes everything older garbage
+    last_fs = os.path.join(t.data_dir, "final.parquet")
+    os.makedirs(last_fs)
+    lp = os.path.join(last_fs, "part-00000.parquet")
+    with open(lp, "w") as f:
+        f.write("x")
+    t._commit("overwrite", [{"path": lp, "rows": 1, "stats": {"k": [0, 0]}}])
+
+    t0 = _time.perf_counter()
+    deleted = t.expire_snapshots(keep_last=1)
+    gc_wall = _time.perf_counter() - t0
+    # all 100 dead filesets deleted; the survivor kept
+    assert len(deleted) == n_commits
+    assert os.listdir(t.data_dir) == ["final.parquet"]
+    assert len(t.snapshots()) == 1
+    # manifest files GC'd down to the survivor's (list + added)
+    live = {os.path.basename(r["manifest"]) for r in
+            t.snapshot(t.current_snapshot_id())["manifest_list"]}
+    live.add(os.path.basename(t.snapshot(t.current_snapshot_id())["added_manifest"]["manifest"]))
+    assert set(os.listdir(t.manifest_dir)) == live
+    # GC of 10^4 files is metadata work — sub-minute even on sandbox disk
+    assert gc_wall < 60, gc_wall
