@@ -59,7 +59,7 @@ class RetrievalAugmentation:
             )
             self.qa_model = default_qa_model
         if tree is None:
-            self.tree: DataFrame | None = None
+            self.tree = None
         elif isinstance(tree, str):
             self.tree = load_tree(spark, tree)
         elif isinstance(tree, DataFrame):
@@ -67,6 +67,50 @@ class RetrievalAugmentation:
         else:
             # reference raises on wrong pickle content (:148-151)
             raise ValueError("tree must be a DataFrame, a checkpoint path, or None")
+
+    # ------------------------------------------------------- cached metadata
+    # Interactive latency surface (round-3 audit): everything per-TREE —
+    # max level, {level: resolution}, per-cell counts — is computed once
+    # when the tree is (re)assigned or on first use, never per question.
+    @property
+    def tree(self) -> DataFrame | None:
+        return self._tree
+
+    @tree.setter
+    def tree(self, df: DataFrame | None) -> None:
+        self._tree = df
+        self._max_level: int | None = None
+        self._levels_res: dict[int, int] | None = None
+        self._cell_counts: DataFrame | None = None
+
+    def _warm(self) -> None:
+        """One metadata-scale collect caches max level + per-level
+        resolutions; one localCheckpoint materializes corpus_cell_counts.
+        After this, single-question retrieve issues exactly ONE Spark
+        action (the result collect)."""
+        from .kernels.grid import RES_SHIFT
+
+        if self._max_level is None:
+            rows = (
+                self._tree.select(
+                    "level",
+                    F.shiftrightunsigned(F.col("cell_id"), RES_SHIFT).cast("int").alias("res"),
+                )
+                .distinct()
+                .collect()
+            )
+            self._levels_res = {r["level"]: r["res"] for r in rows}
+            self._max_level = max(self._levels_res)
+
+    @property
+    def cell_counts(self) -> DataFrame:
+        """Materialized per-cell node counts for the cell-pruned retrieval
+        path (operators/knn.py:corpus_cell_counts), cached per tree."""
+        if self._cell_counts is None:
+            from .operators.knn import corpus_cell_counts
+
+            self._cell_counts = corpus_cell_counts(self._tree)
+        return self._cell_counts
 
     # ------------------------------------------------------------------ build
     def add_documents(
@@ -147,31 +191,27 @@ class RetrievalAugmentation:
         return_layer_information: bool = True,
     ):
         """Returns (context, layer_information) for one question, or the
-        per-query result DataFrame for a batch (the engine's native shape)."""
+        per-query result DataFrame for a batch (the engine's native shape).
+
+        Routed through the same plan as ``retrieve_batch`` (round-3 audit:
+        the batch engine is the right surface for both): on a warm facade
+        (tree metadata cached by _warm) a single question costs exactly one
+        Spark action — the result collect."""
         if self.tree is None:
             raise ValueError(
                 "There are no trees to retrieve, please add documents first."
             )  # reference message shape (:187-189)
         model, q_model = self._context_model()
         queries = self._query_df(question, q_model)
-        if collapse_tree:
-            results = collapsed_knn(
-                self.tree, queries, top_k=top_k, max_tokens=max_tokens, model=model
-            )
-        else:
-            top = self.tree.agg(F.max("level")).collect()[0][0]
-            sl = top if start_layer is None else start_layer
-            nl = sl + 1 if num_layers is None else num_layers
-            results = traversal_retrieve(
-                self.tree,
-                queries,
-                start_layer=sl,
-                num_layers=nl,
-                top_k=self.retriever_config.top_k,
-                selection_mode=self.retriever_config.selection_mode,
-                threshold=self.retriever_config.threshold,
-                model=model,
-            )
+        results = self._results(
+            queries,
+            top_k=top_k,
+            max_tokens=max_tokens,
+            collapse_tree=collapse_tree,
+            model=model,
+            start_layer=start_layer,
+            num_layers=num_layers,
+        )
         if self.retriever_config.reranker is not None and isinstance(question, str):
             # reference applies the reranker as a pure reorder over the
             # selected nodes (tree_retriever.py:122-125, top_k=len(selected));
@@ -191,6 +231,51 @@ class RetrievalAugmentation:
             ]
             return row["context"], layer_info
         return row["context"]
+
+    def _results(
+        self,
+        queries: DataFrame,
+        top_k: int,
+        max_tokens: int,
+        collapse_tree: bool | str,
+        model: str | None,
+        start_layer: int | None = None,
+        num_layers: int | None = None,
+    ) -> DataFrame:
+        """The shared retrieval plan behind retrieve AND retrieve_batch.
+        ``collapse_tree``: True = exact all-levels kNN; "cell" = cell-pruned
+        approximate kNN using the facade-cached corpus_cell_counts;
+        False = top-down traversal. Tree metadata (max level, per-level
+        resolutions) comes from the per-tree cache, not a per-call agg."""
+        if collapse_tree == "cell":
+            from .operators.knn import cell_pruned_knn
+
+            self._warm()
+            return cell_pruned_knn(
+                self.tree,
+                queries,
+                self._levels_res,
+                top_k=top_k,
+                max_tokens=max_tokens,
+                cell_counts=self.cell_counts,
+            )
+        if collapse_tree:
+            return collapsed_knn(
+                self.tree, queries, top_k=top_k, max_tokens=max_tokens, model=model
+            )
+        self._warm()
+        sl = self._max_level if start_layer is None else start_layer
+        nl = sl + 1 if num_layers is None else num_layers
+        return traversal_retrieve(
+            self.tree,
+            queries,
+            start_layer=sl,
+            num_layers=nl,
+            top_k=self.retriever_config.top_k,
+            selection_mode=self.retriever_config.selection_mode,
+            threshold=self.retriever_config.threshold,
+            model=model,
+        )
 
     def retrieve_batch(
         self,
@@ -219,22 +304,9 @@ class RetrievalAugmentation:
             text_col,
             model=q_model,
         ).select("query_id", F.col("embedding").alias("q_embedding"))
-        if collapse_tree:
-            results = collapsed_knn(
-                self.tree, queries, top_k=top_k, max_tokens=max_tokens, model=model
-            )
-        else:
-            top = self.tree.agg(F.max("level")).collect()[0][0]
-            results = traversal_retrieve(
-                self.tree,
-                queries,
-                start_layer=top,
-                num_layers=top + 1,
-                top_k=self.retriever_config.top_k,
-                selection_mode=self.retriever_config.selection_mode,
-                threshold=self.retriever_config.threshold,
-                model=model,
-            )
+        results = self._results(
+            queries, top_k=top_k, max_tokens=max_tokens, collapse_tree=collapse_tree, model=model
+        )
         return retrieval_context(results)
 
     # --------------------------------------------------------------------- qa

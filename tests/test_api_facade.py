@@ -281,3 +281,72 @@ def test_retrieve_batch_dataframe_scales_without_extra_actions(ra, spark):
     out = ra.retrieve_batch(many, top_k=5).collect()
     assert len(out) == 100
     assert all(r["context"].endswith("\n\n") for r in out)
+
+
+ACTION_NAMES = (
+    "collect", "count", "toPandas", "localCheckpoint", "isEmpty",
+    "first", "take", "head", "foreach", "foreachPartition",
+)
+
+
+def _count_actions(monkeypatch, fn, df_cls):
+    """Run fn with every DataFrame action method instrumented on the
+    CONCRETE DataFrame class (pyspark 4's classic subclass overrides the
+    base methods, so patching pyspark.sql.DataFrame would be shadowed);
+    return the number of action invocations it made."""
+    DataFrame = df_cls
+
+    calls = []
+    for name in ACTION_NAMES:
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _orig=orig, _name=name, **kw):
+            calls.append(_name)
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+    out = fn()
+    return out, calls
+
+
+def test_single_question_retrieve_is_one_action_warm(ra, monkeypatch):
+    """Round-3 audit item: interactive retrieve must not pay per-call driver
+    work. On a warm facade (tree metadata cached) a single question costs
+    exactly ONE Spark action — the result collect — in both collapsed and
+    traversal modes, and the context is byte-identical to a cold call."""
+    cold_ctx, cold_layers = ra.retrieve("spark join data", top_k=5)
+    ra._warm()  # warm the per-tree metadata cache
+
+    df_cls = type(ra.tree)
+    (got, calls) = _count_actions(
+        monkeypatch, lambda: ra.retrieve("spark join data", top_k=5), df_cls
+    )
+    ctx, layers = got
+    assert ctx == cold_ctx and layers == cold_layers
+    assert len(calls) == 1 and calls[0] == "collect", calls
+
+    (got_t, calls_t) = _count_actions(
+        monkeypatch,
+        lambda: ra.retrieve(
+            "spark join data", collapse_tree=False, return_layer_information=False
+        ),
+        df_cls,
+    )
+    assert isinstance(got_t, str) and len(got_t) > 0
+    # traversal is the bounded-rounds descent: one localCheckpoint per
+    # descended level (plan truncation, metadata-scale) + the result collect.
+    # num_layers=2 here → at most 3 checkpoints + 1 collect.
+    assert calls_t[-1] == "collect" and calls_t.count("collect") == 1, calls_t
+    assert len(calls_t) <= 4 and set(calls_t[:-1]) <= {"localCheckpoint"}, calls_t
+
+
+def test_cell_pruned_retrieve_mode_uses_cached_counts(ra):
+    """collapse_tree="cell" routes through cell_pruned_knn with the
+    facade-cached corpus_cell_counts; results carry the standard shape and
+    respect top_k."""
+    out = ra.retrieve(["spark join data", "customer order"], top_k=3, collapse_tree="cell")
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    # cached: second call reuses the same materialized counts DataFrame
+    cc1 = ra.cell_counts
+    assert ra.cell_counts is cc1
