@@ -250,12 +250,24 @@ def host_gini(pages: DataFrame, url_re: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    w = Window.orderBy("x", "host")
-    ranked = counts.withColumn("i", F.row_number().over(w).cast("long"))
-    agg = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_hosts"),
-        F.sum("x").cast("long").alias("total_pages"),
-        F.sum(F.col("i") * F.col("x")).cast("long").alias("siw"),
+    # rank hosts by (x, host) WITHOUT a global window over every host: hosts
+    # tied on x occupy consecutive ranks s..s+c-1 and x is constant in the
+    # tie group, so sum(i*x) per group = x*(c*s + c*(c-1)/2) regardless of
+    # the within-group order. The only global window runs over DISTINCT
+    # page-count values (value-bucket metadata, ≪ hosts); integer
+    # arithmetic, so siw is bit-identical to ranking every host.
+    per_x = counts.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_off = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("c").over(w_off), F.lit(0)).cast("long") + F.lit(1).cast("long")
+    grouped = per_x.withColumn(
+        "siw_g",
+        F.col("x").cast("long")
+        * (F.col("c") * start + F.col("c") * (F.col("c") - 1) / F.lit(2)).cast("long"),
+    )
+    agg = grouped.agg(
+        F.sum("c").cast("long").alias("n_hosts"),
+        F.sum(F.col("x") * F.col("c")).cast("long").alias("total_pages"),
+        F.sum("siw_g").cast("long").alias("siw"),
     )
     n = F.col("n_hosts").cast("double")
     sx = F.col("total_pages").cast("double")
@@ -324,11 +336,11 @@ def term_burstiness(
         F.round(mean, 6).alias("mean_tf"),
         F.round(var / mean, 6).alias("fano"),
     )
+    # distributed top-k FIRST (TakeOrdered), THEN the rank window over
+    # ≤ top_k rows — never a single-partition sort of the whole vocabulary
+    top = scored.orderBy(F.desc("fano"), "term").limit(top_k)
     w = Window.orderBy(F.desc("fano"), "term")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= top_k)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 def term_burstiness_sql(docs_sql: str, min_df: int = 5, top_k: int = 25) -> str:
@@ -725,11 +737,11 @@ def host_mad_anomaly(
             6,
         ).alias("z_mad"),
     )
+    # distributed top-k FIRST (TakeOrdered), THEN the rank window over
+    # ≤ top_k rows — never a single-partition sort of every host
+    top = scored.orderBy(F.abs(F.col("z_mad")).desc(), "host").limit(top_k)
     rw = Window.orderBy(F.abs(F.col("z_mad")).desc(), "host")
-    return (
-        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
-        .where(F.col("rnk") <= top_k)
-    )
+    return top.withColumn("rnk", F.row_number().over(rw).cast("long"))
 
 
 def host_mad_anomaly_sql(

@@ -83,11 +83,11 @@ def events_moving_avg(
             6,
         ).alias("avg_win"),
     )
+    # distributed top-k FIRST (TakeOrdered), THEN the rank window over
+    # ≤ top_k rows — never a single-partition sort of every event
+    top = scored.orderBy(F.desc("n_win"), "event_id").limit(top_k)
     rw = Window.orderBy(F.desc("n_win"), "event_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
-        .where(F.col("rank") <= top_k)
-    )
+    return top.withColumn("rank", F.row_number().over(rw).cast("long"))
 
 
 def events_moving_avg_sql(

@@ -268,11 +268,13 @@ def radius_gyration(
             (-F.sum((F.col("p") * F.col("lp")).cast(DEC)).cast("double")).alias("h_raw"),
         )
     )
+    # distributed top-k FIRST (TakeOrdered), THEN the rank window over
+    # ≤ top_k rows — never a single-partition sort of every user
+    joined = mo.join(ent, id_col).orderBy(F.desc("rg"), id_col).limit(top_k)
     w = Window.orderBy(F.desc("rg"), id_col)
     return (
-        mo.join(ent, id_col)
+        joined
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
         .select(
             id_col,
             "n_ev",

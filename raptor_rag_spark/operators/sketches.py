@@ -176,8 +176,11 @@ def cms_heavy_terms(
     # summing per-term counts into buckets yields a byte-identical CMS table
     # to hashing every token occurrence, without re-exploding the corpus
     exact = toks.groupBy("v").agg(F.count("*").alias("exact")).localCheckpoint(eager=True)
+    # distributed top-k FIRST (TakeOrdered), THEN the rank window over
+    # ≤ top_k rows — never a single-partition sort of the whole vocabulary
+    topped = exact.orderBy(F.desc("exact"), "v").limit(top_k)
     w = Window.orderBy(F.desc("exact"), "v")
-    top = exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
+    top = topped.withColumn("rank", F.row_number().over(w))
     weighted = exact.withColumn(
         "d", F.explode(F.array(*[F.lit(d) for d in range(depth)]))
     )

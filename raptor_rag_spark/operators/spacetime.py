@@ -810,11 +810,12 @@ def gap_burstiness(
         F.round(sd, 6).alias("sd_gap"),
         F.round((sd - mu) / (sd + mu), 6).alias("b"),
     )
+    # distributed top-k FIRST (TakeOrdered: per-partition partial top-k +
+    # driver merge), THEN the rank window over ≤ top_k rows — never a
+    # single-partition sort of every user
+    top = scored.orderBy(F.desc("b"), "user_id").limit(top_k)
     rw = Window.orderBy(F.desc("b"), "user_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
-        .where(F.col("rnk") <= top_k)
-    )
+    return top.withColumn("rnk", F.row_number().over(rw).cast("long"))
 
 
 def gap_burstiness_sql(

@@ -306,3 +306,87 @@ def test_path_rollup_single_aggregation(spark, pages_pq):
     plan = explain_str(path_rollup(pages))
     assert plan.count("Exchange (") == 1, plan
     assert "Generate" in plan, plan  # the explode
+
+
+def test_global_window_registry_every_site_bounded():
+    """Round-3 verdict task #5: every unpartitioned window
+    (`Window.orderBy` with no partitionBy) in the package must have a
+    documented metadata-scale bound. This registry IS that documentation —
+    a new global window anywhere in raptor_rag_spark (outside
+    plans/contract.py, whose twins mirror operator plans) fails this test
+    until it is registered here with its bound.
+
+    Bound classes:
+    - topk:   `.orderBy(...).limit(k)` runs FIRST (TakeOrderedAndProject =
+              per-partition partial top-k + driver merge); the global rank
+              window then touches ≤ k rows.
+    - bucket: cumulative offsets over value/hash BUCKET aggregates — frame
+              rows = bucket count (fixed small), the distributed-rank idiom.
+    - cells:  frame rows = occupied grid cells ≤ 4^res (corpus already
+              reduced by one groupBy).
+    - hosts:  dense-id assignment over the host table — |hosts| ≪ |pages|;
+              the host graph itself is the operator's declared metadata.
+    - fixed:  frame rows bounded by an operator constant (weeks, n_boot
+              resamples, k seeds, top-2 categories, quantile picks).
+    """
+    import re
+    from pathlib import Path
+
+    pkg = Path("/root/repo/raptor_rag_spark")
+    REGISTRY = {
+        # file -> list of (ordered) bound classes, one per Window.orderBy site
+        "operators/drift.py": [
+            "fixed",   # :57  lead over distinct WEEKS (bounded calendar axis)
+            "bucket",  # :260 host_gini rank offsets over DISTINCT page-count values
+            "topk",    # :339 term_burstiness — limit(top_k) before rank
+            "topk",    # :743 host_mad_anomaly — limit(top_k) before rank
+        ],
+        "operators/geohash.py": ["topk"],      # :102 limit(top_k) before rank
+        "operators/graph.py": ["hosts"] * 5,   # dense-id assignment over host table
+        "operators/keywords.py": ["topk"],     # :98 textrank — limit(top_k) before rank
+        "operators/kmeans.py": ["fixed"] * 2,  # k seed rows (limit(k) first)
+        "operators/layout.py": ["bucket"],     # :335 hilbert offsets over value buckets
+        "operators/olap.py": ["topk"],         # :86 events_moving_avg — limit before rank
+        "operators/pointpattern.py": [
+            "topk",    # :271 radius_gyration — limit(top_k) before rank
+            "cells",   # :359 quadrat quantile picks over occupied cells
+            "fixed",   # :458 segregation top-2 categories
+        ],
+        "operators/sampling.py": [
+            "bucket",  # :153 weighted-sample offsets over probability buckets
+            "bucket",  # :262 shard offsets over value buckets
+            "fixed",   # :353 bootstrap rank over n_boot (=64) resample means
+        ],
+        "operators/scanstat.py": [
+            "cells",   # :155 spatial scan rank over (center cell, stencil d)
+            "cells",   # :359 space-time scan rank over (cell, d, w) cylinders
+        ],
+        "operators/sketches.py": ["topk"],     # :179 cms heavy terms — limit first
+        "operators/spacetime.py": [
+            "topk",    # :560 od_matrix — limit(top_k) before rank
+            "topk",    # :817 gap_burstiness — limit(top_k) before rank
+        ],
+        "operators/stats.py": [
+            "bucket",  # :622 kdist rank offsets over value buckets
+            "fixed",   # :650 kneedle knee pick over quantile-pick rows
+        ],
+        "operators/textops.py": ["topk"],      # :171 PMI collocations — limit first
+        "operators/webops.py": [
+            "bucket",  # :273 frontier slot offsets (bounded by deepest host queue)
+            "topk",    # :412 term_bursts — limit(top_k) before rank
+        ],
+    }
+    pat = re.compile(r"Window\.orderBy\(")
+    found = {}
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        if rel == "plans/contract.py":
+            continue  # oracle twins mirror the operator plans audited above
+        n = len(pat.findall(py.read_text()))
+        if n:
+            found[rel] = n
+    want = {f: len(v) for f, v in REGISTRY.items()}
+    assert found == want, (
+        "global-window sites drifted from the audited registry; "
+        f"found={found} registered={want} — add/remove the site's bound above"
+    )
