@@ -883,6 +883,163 @@ def main() -> None:
 
     timed("clarity_score", _clarity)
 
+    # ---- two-size marginal scaling of the heaviest legs (r3 verdict #3) ----
+    # The suite's sf0.1 walls are fixed-cost dominated; the scale claim needs
+    # Δwall/Δdocs. Re-run the five most expensive legs on a MULTx replica of
+    # the same input (ids shifted per copy; embeddings deterministically
+    # jittered per copy so cell occupancy and bucket population grow with the
+    # corpus instead of stacking duplicates) and report, per leg:
+    #   per_doc_ratio  = (wall_big / MULT) / wall_small   (≤ ~1 ⇒ linear)
+    #   marginal_ratio = (wall_big - wall_small) / ((MULT-1) * wall_small)
+    # Gate: per_doc_ratio ≤ 1.3 ⇒ the leg's per-doc cost does not grow at 10x.
+    marginal = None
+    if os.environ.get("SPARK_GRAFT_MARGINAL", "1") != "0":
+        mult = max(int(os.environ.get("SPARK_GRAFT_MARGINAL_MULT", "10")), 2)
+        rep = spark.range(mult).select(F.col("id").alias("rep"))
+        docs_big = (
+            docs.select("doc_id", "text", "n_chars")
+            .crossJoin(F.broadcast(rep))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs))
+            .drop("rep")
+            .repartition(cpus)
+            .cache()
+        )
+        n_docs_big = docs_big.count()
+        jit = F.transform(
+            F.col("embedding"),
+            lambda v, i: v + F.sin((i + F.lit(1)) * (F.col("rep") + F.lit(1))) * F.lit(0.03),
+        )
+        n_embs = embs.count()
+        embs_big = (
+            embs.crossJoin(F.broadcast(rep))
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(n_embs))
+            .withColumn("embedding", jit)
+            .drop("rep")
+            .repartition(cpus)
+            .cache()
+        )
+        embs_big.count()
+        xb, yb = G.xy_cols(F.col("embedding"), DIM)
+        pts_big = embs_big.select(
+            F.col("vec_id").alias("node_id"), xb.alias("x"), yb.alias("y")
+        ).cache()
+        pts_big.count()
+        n_events = events.count()
+        events_big = (
+            events.crossJoin(F.broadcast(rep))
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(n_events))
+            .drop("rep")
+            .repartition(cpus)
+            .cache()
+        )
+        events_big.count()
+
+        def _search_stack_on(d):
+            d2 = d.select("doc_id", "text")
+            postings = bm25_index(d2).localCheckpoint(eager=True)
+            a = bm25_rank(None, bq, top_k=10, max_df_ratio=(9, 10), postings=postings)
+            b = ql_rank(None, bq, top_k=10, postings=postings)
+            rrf_fuse(a, b, top_k=10).count()
+            rm3_rank(d2, bq, top_k=10, max_df_ratio=(9, 10), postings=postings).count()
+            cand = a.select("query_id", "doc_id", F.col("score").alias("rel"))
+            mmr_select(cand, d2, k=5, lam=0.7).count()
+            snippet_extract(d2, bq, window=20, cand=a).count()
+
+        from raptor_rag_spark.operators.pointpattern import box_dimension, join_counts, quadrat_test
+        from raptor_rag_spark.operators.projection import mercator_project
+        from raptor_rag_spark.operators.ranking import sdm_rank as _sdm
+        from raptor_rag_spark.operators.scanstat import spacetime_scan, spatial_scan
+        from raptor_rag_spark.operators.similarity import srp_pairs as _srp
+
+        def _scanstats_on(p):
+            p3 = p.select(
+                "x", "y", (F.pmod(F.col("node_id"), F.lit(11)) == 0).alias("is_case")
+            )
+            spatial_scan(p3, res=4, rmax=2, top_k=15).count()
+            join_counts(p3.withColumnRenamed("is_case", "mark"), res=4).count()
+            quadrat_test(p3.select("x", "y"), res=3).count()
+
+        def _scan2_on(ev, em, p):
+            exb, eyb = G.xy_cols(F.col("embedding"), DIM)
+            jx = ((F.col("event_id") % 199) - 99) / 1000.0
+            jy = ((F.col("event_id") % 211) - 105) / 1000.0
+            ev5 = ev.join(
+                F.broadcast(em.select("vec_id", exb.alias("x0"), eyb.alias("y0"))),
+                ev["user_id"] % 5000 == F.col("vec_id"),
+            ).select(
+                "ts",
+                F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+                F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+                (F.col("event_type") == "error").alias("is_case"),
+            )
+            spacetime_scan(ev5, res=4, rmax=2, wmax=7, top_k=15).count()
+            box_dimension(p.select("x", "y"), res_lo=2, res_hi=8).count()
+            lon = (F.col("x") - 0.5) * F.lit(2.0 * 3.141592653589793)
+            lat = (F.col("y") - 0.5) * F.lit(3.141592653589793)
+            mercator_project(
+                p.select(F.col("node_id").alias("vec_id"), lon.alias("lon"), lat.alias("lat")),
+                zoom=6,
+            ).count()
+
+        def _geostats_on(d, ev, em):
+            exb, eyb = G.xy_cols(F.col("embedding"), DIM)
+            sd_ellipse(em.select(exb.alias("x"), eyb.alias("y")), res=2).count()
+            jx = ((F.col("event_id") % 199) - 99) / 1000.0
+            jy = ((F.col("event_id") % 211) - 105) / 1000.0
+            ev3 = ev.join(
+                F.broadcast(em.select("vec_id", exb.alias("x0"), eyb.alias("y0"))),
+                ev["user_id"] % 5000 == F.col("vec_id"),
+            ).select(
+                "user_id", "event_id", "ts",
+                F.greatest(F.least(F.col("x0") + jx, F.lit(1.0)), F.lit(0.0)).alias("x"),
+                F.greatest(F.least(F.col("y0") + jy, F.lit(1.0)), F.lit(0.0)).alias("y"),
+            )
+            knox_test(ev3, s_eps=0.02, t_eps=3600, res=5).count()
+            gravity_model(ev3, res=3).count()
+            headtail_breaks(d, "n_chars", levels=4).count()
+
+        LEGS = {
+            "search_stack": (
+                lambda: _search_stack_on(docs),
+                lambda: _search_stack_on(docs_big),
+            ),
+            "sdm_rank": (
+                lambda: _sdm(docs.select("doc_id", "text"), bq).count(),
+                lambda: _sdm(docs_big.select("doc_id", "text"), bq).count(),
+            ),
+            "scan_pointpattern": (
+                lambda: _scanstats_on(pts),
+                lambda: _scanstats_on(pts_big),
+            ),
+            "scan_spacetime_fractal": (
+                lambda: _scan2_on(events, embs, pts),
+                lambda: _scan2_on(events_big, embs_big, pts_big),
+            ),
+            "geostats": (
+                lambda: _geostats_on(docs, events, embs),
+                lambda: _geostats_on(docs_big, events_big, embs_big),
+            ),
+            "srp_pairs": (
+                lambda: _srp(embs, min_sim=0.4).count(),
+                lambda: _srp(embs_big, min_sim=0.4).count(),
+            ),
+        }
+        marginal = {"mult": mult, "n_docs_small": n_docs, "n_docs_big": n_docs_big, "legs": {}}
+        for name, (small_fn, big_fn) in LEGS.items():
+            spark.sparkContext.setJobGroup(f"marginal:{name}", f"marginal:{name}")
+            t0 = time.time()
+            small_fn()  # fresh same-size run so both sizes share warm state
+            w1 = time.time() - t0
+            t0 = time.time()
+            big_fn()
+            wm = time.time() - t0
+            marginal["legs"][name] = {
+                "wall_small_s": round(w1, 3),
+                "wall_big_s": round(wm, 3),
+                "per_doc_ratio": round((wm / mult) / w1, 3) if w1 else None,
+                "marginal_ratio": round((wm - w1) / ((mult - 1) * w1), 3) if w1 else None,
+            }
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(
@@ -900,6 +1057,7 @@ def main() -> None:
                 "n_tree_nodes": state["n_nodes"],
                 "dup_heavy_pairs": state.get("dup_heavy_pairs"),
                 "lake_files": state.get("lake_files"),
+                "marginal_scaling": marginal,
                 "pages_per_sec": round(n_docs / build_s, 2) if build_s else None,
             }
         )

@@ -72,3 +72,60 @@ def asof_join(
         *[F.col(f"_last_r.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str = "l_id",
+    r_id: str = "r_id",
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join (``l_start <= r_end AND r_start <= l_end``,
+    epoch-second bounds, inclusive) as a BUCKETED EQUI-JOIN — the classic
+    fix for Spark planning a range predicate as BroadcastNestedLoop/cartesian.
+
+    Each interval explodes to the ``bucket_s``-wide time buckets it spans;
+    the join runs on the bucket key (hash shuffle both sides, AQE-skew
+    splittable), the exact overlap predicate filters the candidates, and
+    each surviving pair is emitted ONCE by keeping only the bucket where the
+    pair first co-exists (bucket == max of the two start buckets) — no
+    distinct needed, so no second shuffle.
+
+    Scale: work is O(intervals x spanned buckets + true pairs); pick
+    ``bucket_s`` near the typical interval length so the explode factor
+    stays small. Long-tail intervals fan out to more buckets but land in
+    DIFFERENT partitions (bucket is the shuffle key), so a 1000x-length
+    outlier costs extra rows, not a hot partition.
+
+    Returns (l_id, r_id, overlap_s) with overlap_s = inclusive-bound
+    overlap length in seconds (>= 0; touching endpoints = 0).
+    """
+    lb = F.floor(F.col(l_start) / bucket_s).cast("long")
+    le_b = F.floor(F.col(l_end) / bucket_s).cast("long")
+    rb = F.floor(F.col(r_start) / bucket_s).cast("long")
+    re_b = F.floor(F.col(r_end) / bucket_s).cast("long")
+    lx = left.select(
+        l_id, l_start, l_end, F.explode(F.sequence(lb, le_b)).alias("_b"),
+        lb.alias("_lb0"),
+    )
+    rx = right.select(
+        r_id, r_start, r_end, F.explode(F.sequence(rb, re_b)).alias("_b"),
+        rb.alias("_rb0"),
+    )
+    pairs = (
+        lx.join(rx, "_b")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_b") == F.greatest(F.col("_lb0"), F.col("_rb0")))
+        )
+    )
+    overlap = F.least(F.col(l_end), F.col(r_end)) - F.greatest(
+        F.col(l_start), F.col(r_start)
+    )
+    return pairs.select(l_id, r_id, overlap.cast("long").alias("overlap_s"))

@@ -273,6 +273,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 """
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join as a bucketed equi-join (operators/asof.py:
+    interval_join): signup activity windows [ts, ts+2h] x error incident
+    windows [ts-10min, ts+10min], emitted once per pair via the
+    first-co-existing-bucket rule — no range theta-join, no distinct. The
+    oracle is DuckDB's native inequality join: two independent algorithms
+    must agree row-for-row."""
+    from ..operators.asof import interval_join
+
+    e = ld(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts").cast("long")
+    left = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("l_id"), t.alias("l_start"), (t + 7200).alias("l_end")
+    )
+    right = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("r_id"), (t - 600).alias("r_start"), (t + 600).alias("r_end")
+    )
+    return interval_join(left, right, bucket_s=3600)
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH l AS (
+  SELECT event_id AS l_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS l_start,
+         CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS l_end
+  FROM events WHERE event_type = 'signup'),
+r AS (
+  SELECT event_id AS r_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 600 AS r_start,
+         CAST(floor(epoch(ts)) AS BIGINT) + 600 AS r_end
+  FROM events WHERE event_type = 'error')
+SELECT l_id, r_id,
+       CAST(least(l_end, r_end) - greatest(l_start, r_start) AS BIGINT) AS overlap_s
+FROM l JOIN r ON l_start <= r_end AND r_start <= l_end
+"""
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7396,6 +7433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
+    "interval_overlap": q_interval_overlap,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7754,6 +7792,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_SESSIONIZE,
     "events_asof": SQL_EVENTS_ASOF,
+    "interval_overlap": SQL_INTERVAL_OVERLAP,
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -316,3 +316,40 @@ def test_dwithin_join_exact_vs_bruteforce(spark):
     assert pairs == set(zip(ii.tolist(), jj.tolist()))
     assert (302, 303) not in pairs  # sanity: planted pairs are the last four ids
     assert (400, 401) in pairs and (402, 403) in pairs
+
+
+def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    """Bucketed interval-overlap join: exact vs the naive theta-join on a
+    seeded interval set (spanning multiple buckets, touching endpoints,
+    containment, disjoint), emitted once per pair; physical plan is a
+    hash/merge equi-join on the bucket key, never BroadcastNestedLoop or
+    cartesian."""
+    from raptor_rag_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(i, 1000 * i, 1000 * i + 1700 + 977 * (i % 7)) for i in range(60)],
+        "l_id long, l_start long, l_end long",
+    )
+    right = spark.createDataFrame(
+        [(j, 777 * j + 13, 777 * j + 13 + 350 + 131 * (j % 5)) for j in range(80)],
+        "r_id long, r_start long, r_end long",
+    )
+    got = interval_join(left, right, bucket_s=900)
+    want = left.join(
+        right,
+        (F.col("l_start") <= F.col("r_end")) & (F.col("r_start") <= F.col("l_end")),
+    ).select(
+        "l_id",
+        "r_id",
+        (
+            F.least(F.col("l_end"), F.col("r_end"))
+            - F.greatest(F.col("l_start"), F.col("r_start"))
+        ).cast("long").alias("overlap_s"),
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 100
+    # each pair exactly once
+    assert len({(a, b) for a, b, _ in g}) == len(g)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
