@@ -988,3 +988,167 @@ SELECT c.cell, c.n_pts, round(c.mx, 6) AS mx, round(c.my, 6) AS my,
        round(m.gx, 6) AS gx, round(m.gy, 6) AS gy
 FROM cent c JOIN m{rounds} m ON c.cell = m.cell
 """
+
+
+def radiation_model(
+    events_xy: DataFrame, res: int = 3, id_col: str = "user_id"
+) -> DataFrame:
+    """events_xy: (id_col, event_id, ts, x, y). Per observed OD pair
+    (o ≠ d): (o_cell, d_cell, flow, m_i, m_j, s_ij, expected, resid).
+
+    Simini et al. (2012) radiation model — the PARAMETER-FREE alternative to
+    the gravity model: expected T_ij = T_i · m_i·m_j /
+    ((m_i+s_ij)(m_i+m_j+s_ij)), where m is a cell's total trip-end mass
+    (origins + destinations), T_i its outflow, and s_ij the mass inside the
+    circle of radius d(i,j) around i, excluding both endpoints. No fitted
+    exponent, no K — flows are explained by intervening opportunities alone.
+
+    Scale shape: one struct-min/max groupBy reduces the corpus to trips;
+    everything after runs on CELL metadata (≤ 4^res rows). s_ij comes from a
+    cell×cell metadata fan-out (broadcast of the per-cell mass table) with a
+    per-origin cumulative-mass window ordered by (dist2, cell) — ties broken
+    deterministically by cell id, origin excluded by its 0-distance rank,
+    destination excluded by subtracting its own mass. No data-scale shuffle
+    beyond the trip groupBy.
+    """
+    pt = F.struct("ts", "event_id", "x", "y")
+    ends = events_xy.groupBy(id_col).agg(F.min(pt).alias("p0"), F.max(pt).alias("p1"))
+    trips = ends.select(
+        G.cell_col(F.col("p0.x"), F.col("p0.y"), res).alias("o_cell"),
+        G.cell_col(F.col("p1.x"), F.col("p1.y"), res).alias("d_cell"),
+    )
+    flows = (
+        trips.groupBy("o_cell", "d_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("flow"))
+        .where(F.col("o_cell") != F.col("d_cell"))
+    )
+    mass = (
+        trips.select(F.col("o_cell").alias("cell"))
+        .unionByName(trips.select(F.col("d_cell").alias("cell")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    t_out = trips.groupBy("o_cell").agg(F.count(F.lit(1)).cast("long").alias("t_i"))
+
+    def center(cell, part):
+        ix = F.shiftrightunsigned(cell, COORD_BITS).bitwiseAND(F.lit(_MASK))
+        iy = cell.bitwiseAND(F.lit(_MASK))
+        c = ix if part == "x" else iy
+        return (c.cast("double") + F.lit(0.5)) / F.lit(float(1 << res))
+
+    # cell×cell metadata fan-out: per origin, cumulative mass strictly
+    # closer than each candidate (ties → smaller cell id counts first)
+    o = mass.select(F.col("cell").alias("o_cell"), F.col("m").alias("m_i"))
+    c = mass.select(F.col("cell").alias("c_cell"), F.col("m").alias("m_c"))
+    dx = center(F.col("o_cell"), "x") - center(F.col("c_cell"), "x")
+    dy = center(F.col("o_cell"), "y") - center(F.col("c_cell"), "y")
+    pairs = o.crossJoin(F.broadcast(c)).withColumn(
+        "dist2", F.round(dx * dx + dy * dy, 12)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_cell")
+        .orderBy("dist2", "c_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pairs.withColumn(
+        "cum_before", F.coalesce(F.sum("m_c").over(w), F.lit(0)).cast("long")
+    )
+    # s_ij: mass strictly before destination j in the (dist2, cell) order,
+    # minus the origin itself (rank 0 ⇒ always inside cum_before for j ≠ o)
+    s = cum.select(
+        "o_cell",
+        F.col("c_cell").alias("d_cell"),
+        (F.col("cum_before") - F.col("m_i")).alias("s_ij"),
+        "m_i",
+        F.col("m_c").alias("m_j"),
+    )
+    j = (
+        flows.join(s, ["o_cell", "d_cell"])
+        .join(F.broadcast(t_out), "o_cell")
+    )
+    mi = F.col("m_i").cast("double")
+    mj = F.col("m_j").cast("double")
+    sij = F.col("s_ij").cast("double")
+    expected = (
+        F.col("t_i").cast("double") * mi * mj / ((mi + sij) * (mi + mj + sij))
+    )
+    return j.select(
+        "o_cell",
+        "d_cell",
+        "flow",
+        "m_i",
+        "m_j",
+        "s_ij",
+        F.round(expected, 6).alias("expected"),
+        F.round(F.col("flow").cast("double") - expected, 6).alias("resid"),
+    )
+
+
+def radiation_model_sql(
+    events_xy_sql: str, res: int = 3, id_col: str = "user_id"
+) -> str:
+    """DuckDB twin of :func:`radiation_model`."""
+
+    def center(cell: str, part: str) -> str:
+        c = (
+            f"(({cell} >> {COORD_BITS}) & {_MASK})"
+            if part == "x"
+            else f"({cell} & {_MASK})"
+        )
+        return f"((CAST({c} AS DOUBLE) + 0.5) / {flit(float(1 << res))})"
+
+    dxc = f"({center('o.o_cell', 'x')} - {center('c.c_cell', 'x')})"
+    dyc = f"({center('o.o_cell', 'y')} - {center('c.c_cell', 'y')})"
+    cell_o = G.cell_sql("p0x", "p0y", res)
+    cell_d = G.cell_sql("p1x", "p1y", res)
+    return f"""
+WITH ev AS ({events_xy_sql}),
+ends AS (
+  SELECT {id_col},
+         min(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p0,
+         max(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p1
+  FROM ev GROUP BY {id_col}),
+trips_xy AS (
+  SELECT p0.x AS p0x, p0.y AS p0y, p1.x AS p1x, p1.y AS p1y FROM ends),
+trips AS (
+  SELECT {cell_o} AS o_cell, {cell_d} AS d_cell FROM trips_xy),
+flows AS (
+  SELECT o_cell, d_cell, count(*)::BIGINT AS flow FROM trips
+  WHERE o_cell <> d_cell GROUP BY o_cell, d_cell),
+mass AS (
+  SELECT cell, count(*)::BIGINT AS m FROM (
+    SELECT o_cell AS cell FROM trips UNION ALL SELECT d_cell FROM trips)
+  GROUP BY cell),
+t_out AS (
+  SELECT o_cell, count(*)::BIGINT AS t_i FROM trips GROUP BY o_cell),
+pairs AS (
+  SELECT o.cell AS o_cell, o.m AS m_i, c.cell AS c_cell, c.m AS m_c,
+         round({dxc.replace('o.o_cell', 'o.cell').replace('c.c_cell', 'c.cell')} * {dxc.replace('o.o_cell', 'o.cell').replace('c.c_cell', 'c.cell')}
+               + {dyc.replace('o.o_cell', 'o.cell').replace('c.c_cell', 'c.cell')} * {dyc.replace('o.o_cell', 'o.cell').replace('c.c_cell', 'c.cell')}, 12) AS dist2
+  FROM mass o CROSS JOIN mass c),
+cum AS (
+  SELECT o_cell, m_i, c_cell, m_c, dist2,
+         coalesce(sum(m_c) OVER (PARTITION BY o_cell ORDER BY dist2, c_cell
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM pairs),
+s AS (
+  SELECT o_cell, c_cell AS d_cell, (cum_before - m_i)::BIGINT AS s_ij, m_i,
+         m_c AS m_j
+  FROM cum)
+SELECT f.o_cell, f.d_cell, f.flow, s.m_i, s.m_j, s.s_ij,
+       round(CAST(t.t_i AS DOUBLE) * CAST(s.m_i AS DOUBLE) * CAST(s.m_j AS DOUBLE)
+             / ((CAST(s.m_i AS DOUBLE) + CAST(s.s_ij AS DOUBLE))
+                * (CAST(s.m_i AS DOUBLE) + CAST(s.m_j AS DOUBLE) + CAST(s.s_ij AS DOUBLE))), 6)
+         AS expected,
+       round(CAST(f.flow AS DOUBLE)
+             - CAST(t.t_i AS DOUBLE) * CAST(s.m_i AS DOUBLE) * CAST(s.m_j AS DOUBLE)
+             / ((CAST(s.m_i AS DOUBLE) + CAST(s.s_ij AS DOUBLE))
+                * (CAST(s.m_i AS DOUBLE) + CAST(s.m_j AS DOUBLE) + CAST(s.s_ij AS DOUBLE))), 6)
+         AS resid
+FROM flows f
+JOIN s ON f.o_cell = s.o_cell AND f.d_cell = s.d_cell
+JOIN t_out t ON f.o_cell = t.o_cell
+"""

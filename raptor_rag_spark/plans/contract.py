@@ -5800,6 +5800,23 @@ def _ev_xy(spark, sf_dir):
     )
 
 
+def q_radiation_model(spark, sf_dir):
+    """Parameter-free radiation spatial-interaction model
+    (operators/geostats.py: radiation_model): expected flow from intervening
+    opportunities s_ij (cumulative cell mass inside the OD radius) — no
+    fitted exponent. Trips via struct-min/max groupBy; s_ij from a
+    cell-metadata fan-out with a per-origin cumulative window."""
+    from ..operators.geostats import radiation_model
+
+    return radiation_model(_ev_xy(spark, sf_dir), res=3)
+
+
+def _sql_radiation_model() -> str:
+    from ..operators.geostats import radiation_model_sql
+
+    return radiation_model_sql(_ev_xy_sql(), res=3)
+
+
 def q_sd_ellipse(spark, sf_dir):
     """Standard deviational ellipse per tile (operators/geostats.py:
     sd_ellipse): mean center, covariance eigen-rotation via twin atan2,
@@ -7642,6 +7659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sd_ellipse": q_sd_ellipse,
     "knox_test": q_knox_test,
     "gravity_model": q_gravity_model,
+    "radiation_model": q_radiation_model,
     "headtail_breaks": q_headtail_breaks,
     "quadtree_leaves": q_quadtree_leaves,
     "quadtree_assign": q_quadtree_assign,
@@ -7753,7 +7771,7 @@ _R04_ORDER = [
     "rhumb_line", "path_rollup", "geohash_encode", "geohash_density",
     "mercator_tiles", "geo_destination", "geo_waypoints",
     "grid_dbscan", "kmeans_xy", "kmeans_silhouette", "lof",
-    "sd_ellipse", "gravity_model", "headtail_breaks", "quadtree_leaves",
+    "sd_ellipse", "gravity_model", "radiation_model", "headtail_breaks", "quadtree_leaves",
     "quadtree_assign", "voronoi_raster", "voronoi_route", "containment",
     "colocation", "colocation_quotient", "segregation", "box_dimension",
     "global_autocorr", "cost_distance", "cost_backlink", "cost_corridor",
@@ -7990,6 +8008,7 @@ ORACLES: dict[str, str] = {
     "sdm_rank": _sql_sdm_rank(),
     "sd_ellipse": _sql_sd_ellipse(),
     "knox_test": _sql_knox_test(),
+    "radiation_model": _sql_radiation_model(),
     "gravity_model": _sql_gravity_model(),
     "headtail_breaks": _sql_headtail_breaks(),
     "quadtree_leaves": _sql_quadtree_leaves(),
