@@ -313,3 +313,144 @@ SELECT {_cell_sql(res)} AS cell_id, ix, iy, sink_ix, sink_iy,
        {_cell_sql(res, "sink_ix", "sink_iy")} AS sink_cell
 FROM lab
 """
+
+
+def strahler_order(
+    raster: DataFrame,
+    res: int,
+    value_col: str = "density",
+    acc_threshold: int = 5,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(cell_id, ix, iy, acc, strahler): Strahler stream order over the
+    drainage network — stream cells are those with flow accumulation ≥
+    ``acc_threshold``; headwaters are order 1, a confluence of ≥ 2 streams
+    of equal maximal order o forms order o+1, otherwise the max passes
+    through.
+
+    Synchronized Jacobi iteration on CELL METADATA: every round recomputes
+    each stream cell's order from its upstream stream neighbors' previous
+    orders (D8 in-degree ≤ 8), starting from all-1. Converges in ≤
+    longest-stream-path rounds; ``max_rounds`` caps the unrolled loop and
+    the DuckDB twin unrolls the SAME number of rounds, so results are
+    hash-identical even before convergence. Per-round state is one
+    localCheckpoint of ≤ occupied-cells rows — bounded rounds, no
+    data-scale shuffle."""
+    fd = flow_direction(raster, res, value_col).localCheckpoint(eager=True)
+    # accumulation from the SAME materialized flow table (flow_accumulation
+    # would re-derive it); one walk, one groupBy — all cell metadata
+    paths = _walk(fd, 40)
+    acc_counts = paths.groupBy(
+        F.col("cix").alias("ix"), F.col("ciy").alias("iy")
+    ).agg(F.count(F.lit(1)).cast("long").alias("acc"))
+    acc = (
+        raster.select("ix", "iy")
+        .join(acc_counts, ["ix", "iy"], "left")
+        .select("ix", "iy", F.coalesce(F.col("acc"), F.lit(0).cast("long")).alias("acc"))
+    )
+    streams = acc.where(F.col("acc") >= acc_threshold).select("ix", "iy", "acc")
+    sedges = (
+        fd.where(F.col("dir") >= 0)
+        .join(streams.select("ix", "iy"), ["ix", "iy"])
+        .join(
+            streams.select(F.col("ix").alias("nix"), F.col("iy").alias("niy")),
+            ["nix", "niy"],
+        )
+        .select(
+            F.col("ix").alias("six"),
+            F.col("iy").alias("siy"),
+            F.col("nix").alias("tix"),
+            F.col("niy").alias("tiy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = streams.select("ix", "iy", F.lit(1).cast("long").alias("ord")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        inflow = sedges.join(
+            state.select(F.col("ix").alias("six"), F.col("iy").alias("siy"), "ord"),
+            ["six", "siy"],
+        ).select(F.col("tix").alias("ix"), F.col("tiy").alias("iy"), "ord")
+        per_ord = inflow.groupBy("ix", "iy", "ord").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = Window.partitionBy("ix", "iy").orderBy(F.col("ord").desc())
+        agg = (
+            per_ord.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("ix", "iy", F.col("ord").alias("omax"), F.col("n").alias("cmax"))
+        )
+        new_state = (
+            streams.select("ix", "iy")
+            .join(agg, ["ix", "iy"], "left")
+            .select(
+                "ix",
+                "iy",
+                F.when(F.col("omax").isNull(), F.lit(1).cast("long"))
+                .when(F.col("cmax") >= 2, F.col("omax") + 1)
+                .otherwise(F.col("omax"))
+                .alias("ord"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # once converged every further round is a no-op, so breaking early
+        # is result-identical to the twin's full unroll (metadata-scale
+        # anti-join per round)
+        changed = new_state.join(
+            state.withColumnRenamed("ord", "prev_ord"), ["ix", "iy"]
+        ).where(F.col("ord") != F.col("prev_ord"))
+        state = new_state
+        if changed.isEmpty():
+            break
+    return streams.join(state, ["ix", "iy"]).select(
+        _cell(res).alias("cell_id"), "ix", "iy", "acc", F.col("ord").alias("strahler")
+    )
+
+
+def strahler_order_sql(
+    raster_sql: str,
+    res: int,
+    value_col: str = "density",
+    acc_threshold: int = 5,
+    max_rounds: int = 12,
+) -> str:
+    """DuckDB twin of :func:`strahler_order` — the Jacobi rounds are
+    textually UNROLLED (r1..r{max_rounds}) so each round is plain SQL over
+    the previous round's full state, exactly the Spark loop's structure."""
+    walk = _walk_sql(40)
+    rounds = ["r0 AS (SELECT ix, iy, CAST(1 AS BIGINT) AS ord FROM streams)"]
+    for k in range(1, max_rounds + 1):
+        prev = f"r{k-1}"
+        rounds.append(f"""r{k} AS (
+  SELECT s.ix, s.iy,
+         CASE WHEN a.omax IS NULL THEN CAST(1 AS BIGINT)
+              WHEN a.cmax >= 2 THEN a.omax + 1 ELSE a.omax END AS ord
+  FROM streams s LEFT JOIN (
+    SELECT ix, iy, ord AS omax, n AS cmax FROM (
+      SELECT p.ix, p.iy, p.ord, p.n,
+             row_number() OVER (PARTITION BY p.ix, p.iy ORDER BY p.ord DESC) AS rn
+      FROM (
+        SELECT e.tix AS ix, e.tiy AS iy, u.ord, count(*)::BIGINT AS n
+        FROM sedges e JOIN {prev} u ON u.ix = e.six AND u.iy = e.siy
+        GROUP BY e.tix, e.tiy, u.ord) p) q
+    WHERE rn = 1) a ON a.ix = s.ix AND a.iy = s.iy)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH RECURSIVE {_flow_core_sql(raster_sql, value_col)},
+{walk},
+accq AS MATERIALIZED (SELECT cix AS ix, ciy AS iy, count(*)::BIGINT AS acc FROM walk GROUP BY cix, ciy),
+acc_all AS (
+  SELECT b.ix, b.iy, COALESCE(a.acc, 0)::BIGINT AS acc
+  FROM base b LEFT JOIN accq a ON a.ix = b.ix AND a.iy = b.iy),
+streams AS MATERIALIZED (SELECT ix, iy, acc FROM acc_all WHERE acc >= {acc_threshold}),
+sedges AS MATERIALIZED (
+  SELECT f.ix AS six, f.iy AS siy, f.nix AS tix, f.niy AS tiy
+  FROM fd f
+  JOIN streams a ON a.ix = f.ix AND a.iy = f.iy
+  JOIN streams b ON b.ix = f.nix AND b.iy = f.niy),
+{rounds_sql}
+SELECT {_cell_sql(res, "s.ix", "s.iy")} AS cell_id, s.ix, s.iy, s.acc,
+       r.ord AS strahler
+FROM streams s JOIN r{max_rounds} r ON r.ix = s.ix AND r.iy = s.iy
+"""

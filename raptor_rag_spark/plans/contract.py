@@ -4196,6 +4196,24 @@ def _sql_flow_dir() -> str:
     )
 
 
+def q_strahler(spark, sf_dir):
+    """Strahler stream order over the KDE drainage network
+    (operators/hydrology.py: strahler_order): stream cells = accumulation ≥
+    threshold; synchronized Jacobi rounds on cell metadata, the twin
+    unrolls the same round count — hash-identical even pre-convergence."""
+    from ..operators.hydrology import strahler_order
+
+    return strahler_order(_kde_raster(spark, sf_dir), res=KDE_RES, acc_threshold=5)
+
+
+def _sql_strahler() -> str:
+    from ..operators.hydrology import strahler_order_sql
+
+    return strahler_order_sql(
+        f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})", res=KDE_RES, acc_threshold=5
+    )
+
+
 def q_flow_acc(spark, sf_dir):
     """Flow accumulation (drainage network) over the KDE raster: upstream
     cell count per cell via a bounded-round walk over the single-out-degree
@@ -7600,6 +7618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kde_terrain": q_kde_terrain,
     "flow_dir": q_flow_dir,
     "flow_acc": q_flow_acc,
+    "strahler_order": q_strahler,
     "flow_basins": q_flow_basins,
     "kde_contours": q_kde_contours,
     "map_match": q_map_match,
@@ -7777,7 +7796,7 @@ _R04_ORDER = [
     "global_autocorr", "cost_distance", "cost_backlink", "cost_corridor",
     "isochrones", "cell_extremes", "tile_geomedian",
     "tile_quantiles", "cell_skew", "str_layout", "raster_upsample", "dasymetric",
-    "accessibility_2sfca", "huff_model", "flow_dir", "flow_acc", "flow_basins",
+    "accessibility_2sfca", "huff_model", "flow_dir", "flow_acc", "flow_basins", "strahler_order",
     "map_match", "areal_transfer",
     # trajectories / events / hosts
     "trajectories", "traj_resample", "traj_hausdorff", "traj_frechet",
@@ -7955,6 +7974,7 @@ ORACLES: dict[str, str] = {
     "kde_terrain": _sql_kde_terrain(),
     "flow_dir": _sql_flow_dir(),
     "flow_acc": _sql_flow_acc(),
+    "strahler_order": _sql_strahler(),
     "flow_basins": _sql_flow_basins(),
     "kde_contours": _sql_kde_contours(),
     "map_match": _sql_map_match(),
