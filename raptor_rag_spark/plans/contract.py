@@ -310,6 +310,21 @@ FROM l JOIN r ON l_start <= r_end AND r_start <= l_end
 """
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyphrase extraction (operators/keywords.py: rake_keywords):
+    stopword-delimited candidate runs via per-doc cumulative windows,
+    vocabulary-scale degree/frequency scores, distributed top-k."""
+    from ..operators.keywords import rake_keywords
+
+    return rake_keywords(ld(spark, sf_dir, "documents").select("doc_id", "text"), top_k=25)
+
+
+def _sql_rake() -> str:
+    from ..operators.keywords import rake_keywords_sql
+
+    return rake_keywords_sql("SELECT doc_id, text FROM documents", top_k=25)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7469,6 +7484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
     "interval_overlap": q_interval_overlap,
+    "rake_keywords": q_rake_keywords,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7830,6 +7846,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_SESSIONIZE,
     "events_asof": SQL_EVENTS_ASOF,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
+    "rake_keywords": _sql_rake(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
