@@ -792,3 +792,97 @@ SELECT host, n_prior, x_last, med_prior, mad_prior, z_mad,
        CAST(row_number() OVER (ORDER BY abs(z_mad) DESC, host) AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= {top_k}
 """
+
+
+def seasonal_decompose(pages: DataFrame) -> DataFrame:
+    """Additive seasonal decomposition of the corpus's DAILY crawl-volume
+    series, period 7: trend = centered 7-day moving average (defined only
+    where all 7 days exist), seasonal = zero-centered per-weekday mean of
+    the detrended series, resid = y − trend − seasonal. One row per day
+    with a defined trend: (di, dow, c, trend, seasonal, resid); di = days
+    since epoch, dow = di % 7.
+
+    The series is calendar-bounded METADATA (one row per crawl day) after a
+    single groupBy, so the unpartitioned RANGE window is a fixed-size frame
+    over the time axis, and all means are DECIMAL-exact before the 6-dp
+    round. Gaps in the calendar leave trend undefined (count < 7) exactly
+    like statsmodels' boundary NaNs."""
+    daily = (
+        pages.select(
+            F.datediff(F.col("warc_ts").cast("date"), F.to_date(F.lit("1970-01-01")))
+            .cast("long")
+            .alias("di")
+        )
+        .groupBy("di")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=False)  # day metadata; trend + seasonal consumers
+    wma = Window.orderBy("di").rangeBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(wma) == 7,
+            (F.sum(F.col("c").cast(DEC)).over(wma) / F.lit(7)).cast("double"),
+        ),
+    ).where(F.col("trend").isNotNull())
+    det = trended.withColumn("dow", F.pmod(F.col("di"), F.lit(7)).cast("long")).withColumn(
+        "d", F.col("c").cast("double") - F.col("trend")
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.col("d").cast(DEC)).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("s_raw")
+    )
+    center = seas.agg(
+        (
+            F.sum(F.col("s_raw").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("s_mean")
+    )
+    seas_c = seas.crossJoin(F.broadcast(center)).select(
+        "dow", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas_c), "dow")
+        .select(
+            "di",
+            "dow",
+            "c",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("c").cast("double") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+    )
+
+
+def seasonal_decompose_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`seasonal_decompose`; yields (warc_ts)."""
+    return f"""
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(warc_ts AS DATE)) AS BIGINT) AS di,
+         count(*)::BIGINT AS c
+  FROM ({pages_sql}) GROUP BY 1),
+trended AS (
+  SELECT di, c, trend FROM (
+    SELECT di, c,
+           CASE WHEN count(*) OVER w = 7
+                THEN CAST(sum(CAST(c AS {DEC})) OVER w AS DOUBLE) / 7 END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+  WHERE trend IS NOT NULL),
+det AS (
+  SELECT di, di % 7 AS dow, c, trend, CAST(c AS DOUBLE) - trend AS d FROM trended),
+seas AS (
+  SELECT dow, CAST(sum(CAST(d AS {DEC})) AS DOUBLE) / count(*) AS s_raw
+  FROM det GROUP BY dow),
+center AS (
+  SELECT CAST(sum(CAST(s_raw AS {DEC})) AS DOUBLE) / count(*) AS s_mean FROM seas),
+seas_c AS (
+  SELECT dow, s_raw - (SELECT s_mean FROM center) AS seasonal FROM seas)
+SELECT t.di, t.dow, t.c,
+       round(t.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(CAST(t.c AS DOUBLE) - t.trend - s.seasonal, 6) AS resid
+FROM det t JOIN seas_c s ON s.dow = t.dow
+"""

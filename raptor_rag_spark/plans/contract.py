@@ -325,6 +325,27 @@ def _sql_rake() -> str:
     return rake_keywords_sql("SELECT doc_id, text FROM documents", top_k=25)
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (period 7) of the daily crawl-volume
+    series (operators/drift.py: seasonal_decompose): centered moving-average
+    trend, zero-centered weekday seasonal, residual — all DECIMAL-exact."""
+    from ..operators.drift import seasonal_decompose
+
+    return seasonal_decompose(ld(spark, sf_dir, "documents").select(
+        F.col("doc_id"), (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(hours=F.pmod(F.col("doc_id") * 37, F.lit(24 * 60)))).alias("warc_ts")
+    ))
+
+
+def _sql_seasonal() -> str:
+    from ..operators.drift import seasonal_decompose_sql
+
+    return seasonal_decompose_sql(
+        "SELECT TIMESTAMP '2026-01-01 00:00:00' "
+        "+ INTERVAL ((doc_id * 37) % 1440) HOUR AS warc_ts FROM documents"
+    )
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7485,6 +7506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "interval_overlap": q_interval_overlap,
     "rake_keywords": q_rake_keywords,
+    "seasonal_decompose": q_seasonal_decompose,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7847,6 +7869,7 @@ ORACLES: dict[str, str] = {
     "events_asof": SQL_EVENTS_ASOF,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "rake_keywords": _sql_rake(),
+    "seasonal_decompose": _sql_seasonal(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -340,10 +340,14 @@ def test_global_window_registry_every_site_bounded():
             "bucket",  # :260 host_gini rank offsets over DISTINCT page-count values
             "topk",    # :339 term_burstiness — limit(top_k) before rank
             "topk",    # :743 host_mad_anomaly — limit(top_k) before rank
+            "fixed",   # seasonal_decompose trend over the daily calendar axis
         ],
         "operators/geohash.py": ["topk"],      # :102 limit(top_k) before rank
         "operators/graph.py": ["hosts"] * 5,   # dense-id assignment over host table
-        "operators/keywords.py": ["topk"],     # :98 textrank — limit(top_k) before rank
+        "operators/keywords.py": [
+            "topk",    # :98 textrank — limit(top_k) before rank
+            "topk",    # rake_keywords — limit(top_k) before rank
+        ],
         "operators/kmeans.py": ["fixed"] * 2,  # k seed rows (limit(k) first)
         "operators/layout.py": ["bucket"],     # :335 hilbert offsets over value buckets
         "operators/olap.py": ["topk"],         # :86 events_moving_avg — limit before rank
