@@ -103,3 +103,83 @@ anchors AS (
 SELECT phrase_id, {id_col}, CAST(count(*) AS BIGINT) AS n_hits
 FROM anchors GROUP BY phrase_id, {id_col}
 """
+
+
+def gazetteer_match(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary phrase tagging (gazetteer / Aho-Corasick semantics):
+    every occurrence of every dictionary phrase in every document, matched
+    on the normalized token stream. gazetteer: (phrase, label) with phrase
+    a space-joined token sequence. Returns (doc_id, pos, phrase, label),
+    pos = 1-based token position of the match start.
+
+    Scale shape: ONE posexplode of the corpus token stream; for each
+    distinct phrase length L in the dictionary (a metadata-scale driver
+    collect, bounded by the longest phrase), doc L-grams come from L−1
+    window leads partitioned BY DOC (never global), and match via an
+    equi-join against the BROADCAST dictionary slice of that length. Work
+    is O(tokens × distinct lengths) + matches — the dictionary is never
+    joined un-broadcast and the corpus is never re-tokenized per phrase.
+    """
+    from pyspark.sql import Window
+
+    gaz = gazetteer.select(
+        "phrase", "label", F.size(F.split("phrase", " ")).alias("_len")
+    ).localCheckpoint(eager=True)
+    lengths = sorted(r["_len"] for r in gaz.select("_len").distinct().collect())
+    toks = docs.select(
+        "doc_id", F.posexplode(G.words_col(F.col(text_col))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    outs = []
+    for L in lengths:
+        gram = F.concat_ws(
+            " ", F.col("w"), *[F.lead("w", k).over(w) for k in range(1, L)]
+        )
+        # lead() past the doc end yields NULL → concat_ws drops it → short
+        # gram that can't equal a length-L phrase, so no explicit guard
+        grams = toks.select("doc_id", "pos", gram.alias("phrase"))
+        outs.append(
+            grams.join(
+                F.broadcast(gaz.where(F.col("_len") == L).select("phrase", "label")),
+                "phrase",
+            ).select("doc_id", "pos", "phrase", "label")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def gazetteer_match_sql(
+    docs_sql: str, entries: list[tuple[str, str]], text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`gazetteer_match` for a literal dictionary."""
+    vals = ", ".join(f"('{p}', '{l}')" for p, l in entries)
+    lengths = sorted({len(p.split()) for p, _ in entries})
+    per_len = []
+    for L in lengths:
+        leads = ", ".join(
+            f"lead(w, {k}) OVER (PARTITION BY doc_id ORDER BY pos)" for k in range(1, L)
+        )
+        gram = f"concat_ws(' ', w{', ' + leads if leads else ''})"
+        per_len.append(f"""
+SELECT t.doc_id, t.pos, g.phrase, g.label
+FROM (SELECT doc_id, pos, {gram} AS gram FROM toks) t
+JOIN gaz g ON g.phrase = t.gram AND g.len = {L}""")
+    union = "\nUNION ALL".join(per_len)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.pos, u.w FROM (
+    SELECT doc_id,
+           generate_subscripts({G.words_sql(text_col)}, 1) AS pos,
+           unnest({G.words_sql(text_col)}) AS w
+    FROM ({docs_sql})) u),
+gaz AS (
+  SELECT phrase, label, len(string_split(phrase, ' ')) AS len
+  FROM (VALUES {vals}) AS v(phrase, label))
+{union}
+"""

@@ -346,6 +346,30 @@ def _sql_seasonal() -> str:
     )
 
 
+GAZETTEER = [
+    ("spark", "tech"), ("merge sort", "algo"), ("window agg", "op"),
+    ("customer order", "commerce"), ("hash part", "op"),
+    ("join line fast", "noise"), ("scan filter merge", "pipeline"),
+]
+
+
+def q_gazetteer_match(spark, sf_dir):
+    """Dictionary phrase tagging (operators/phrases.py: gazetteer_match):
+    every occurrence of a broadcast multi-token gazetteer in the corpus
+    token stream — per-length window leads + broadcast equi-joins, one
+    corpus tokenization total."""
+    from ..operators.phrases import gazetteer_match
+
+    gaz = spark.createDataFrame(GAZETTEER, "phrase string, label string")
+    return gazetteer_match(ld(spark, sf_dir, "documents").select("doc_id", "text"), gaz)
+
+
+def _sql_gazetteer() -> str:
+    from ..operators.phrases import gazetteer_match_sql
+
+    return gazetteer_match_sql("SELECT doc_id, text FROM documents", GAZETTEER)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7507,6 +7531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap": q_interval_overlap,
     "rake_keywords": q_rake_keywords,
     "seasonal_decompose": q_seasonal_decompose,
+    "gazetteer_match": q_gazetteer_match,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7870,6 +7895,7 @@ ORACLES: dict[str, str] = {
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "rake_keywords": _sql_rake(),
     "seasonal_decompose": _sql_seasonal(),
+    "gazetteer_match": _sql_gazetteer(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
