@@ -421,3 +421,99 @@ SELECT n_rows, CAST({n_boot} AS BIGINT) AS n_boot,
        round(med, 6) AS med, round(hi95, 6) AS hi95
 FROM fl, picks
 """
+
+
+def sequence_pack(docs: DataFrame, seq_len: int = 2048, buckets_bits: int = 8) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate every document's
+    tokens in doc_id order and split the stream into fixed ``seq_len``
+    windows; emit one row per (document, training sequence) SPAN:
+    (doc_id, n_tokens, seq_id, doc_off, seq_off, n) — a document straddling
+    a boundary contributes one span per sequence it touches.
+
+    The LLM-training data layout step: every token lands in exactly one
+    position of exactly one training sequence, deterministically, with no
+    padding between documents.
+
+    Scale shape: global token offsets come from the two-level prefix sum
+    (doc_id hash-range buckets + within-bucket cumsum + broadcast bucket
+    offsets — the corpus_shards idiom), NOT a global sort; the span fan-out
+    per doc is ceil(n_tokens/seq_len)+1, a bounded explode. The DuckDB twin
+    uses the PLAIN global cumulative sum, proving the reconstruction exact.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import sqlgen as G
+
+    nb = 1 << buckets_bits
+    toks = docs.select(
+        "doc_id", G.token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    # doc_id-range buckets keep (bucket, doc_id) order == global doc_id order
+    hi = toks.agg((F.max("doc_id") + 1).cast("double").alias("hi"))
+    base = toks.crossJoin(F.broadcast(hi)).withColumn(
+        "pb",
+        F.least(
+            F.floor(F.col("doc_id").cast("double") / F.col("hi") * F.lit(float(nb)))
+            .cast("long"),
+            F.lit(nb - 1),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("pb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = base.groupBy("pb").agg(F.sum("n_tokens").alias("tot"))
+    w_off = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.withColumn("off", F.sum("tot").over(w_off) - F.col("tot")).select(
+        "pb", "off"
+    )  # 2^bits-row metadata window
+    placed = within.join(F.broadcast(offsets), "pb").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("off") + F.col("cum_in") - F.col("n_tokens")).alias("o"),
+    ).where(F.col("n_tokens") > 0)
+    s_lo = F.floor(F.col("o") / seq_len).cast("long")
+    s_hi = F.floor((F.col("o") + F.col("n_tokens") - 1) / seq_len).cast("long")
+    spans = placed.select(
+        "doc_id", "n_tokens", "o", F.explode(F.sequence(s_lo, s_hi)).alias("seq_id")
+    )
+    seg_start = F.greatest(F.col("seq_id") * seq_len, F.col("o"))
+    seg_end = F.least((F.col("seq_id") + 1) * seq_len, F.col("o") + F.col("n_tokens"))
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "seq_id",
+        (seg_start - F.col("o")).cast("long").alias("doc_off"),
+        (seg_start - F.col("seq_id") * seq_len).cast("long").alias("seq_off"),
+        (seg_end - seg_start).cast("long").alias("n"),
+    )
+
+
+def sequence_pack_sql(docs_sql: str, seq_len: int = 2048) -> str:
+    """DuckDB twin of :func:`sequence_pack` — plain global cumsum oracle."""
+    from ..functions import sqlgen as G
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST({G.token_count_sql("text")} AS BIGINT) AS n_tokens
+  FROM ({docs_sql})),
+placed AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS o
+  FROM toks),
+spans AS (
+  SELECT doc_id, n_tokens, o,
+         unnest(generate_series(CAST(floor(o / {seq_len}) AS BIGINT),
+                                CAST(floor((o + n_tokens - 1) / {seq_len}) AS BIGINT)))
+           AS seq_id
+  FROM placed WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, seq_id,
+       CAST(greatest(seq_id * {seq_len}, o) - o AS BIGINT) AS doc_off,
+       CAST(greatest(seq_id * {seq_len}, o) - seq_id * {seq_len} AS BIGINT) AS seq_off,
+       CAST(least((seq_id + 1) * {seq_len}, o + n_tokens)
+            - greatest(seq_id * {seq_len}, o) AS BIGINT) AS n
+FROM spans
+"""

@@ -370,6 +370,22 @@ def _sql_gazetteer() -> str:
     return gazetteer_match_sql("SELECT doc_id, text FROM documents", GAZETTEER)
 
 
+def q_sequence_pack(spark, sf_dir):
+    """LLM training-sequence packing (operators/sampling.py: sequence_pack):
+    concatenated token stream split into fixed windows; per-(doc, sequence)
+    spans from a two-level prefix sum — the oracle's plain global cumsum
+    proves the bucket reconstruction exact."""
+    from ..operators.sampling import sequence_pack
+
+    return sequence_pack(ld(spark, sf_dir, "documents").select("doc_id", "text"), seq_len=512)
+
+
+def _sql_seq_pack() -> str:
+    from ..operators.sampling import sequence_pack_sql
+
+    return sequence_pack_sql("SELECT doc_id, text FROM documents", seq_len=512)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7532,6 +7548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "seasonal_decompose": q_seasonal_decompose,
     "gazetteer_match": q_gazetteer_match,
+    "sequence_pack": q_sequence_pack,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7896,6 +7913,7 @@ ORACLES: dict[str, str] = {
     "rake_keywords": _sql_rake(),
     "seasonal_decompose": _sql_seasonal(),
     "gazetteer_match": _sql_gazetteer(),
+    "sequence_pack": _sql_seq_pack(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -360,6 +360,7 @@ def test_global_window_registry_every_site_bounded():
             "bucket",  # :153 weighted-sample offsets over probability buckets
             "bucket",  # :262 shard offsets over value buckets
             "fixed",   # :353 bootstrap rank over n_boot (=64) resample means
+            "bucket",  # sequence_pack offsets over doc_id-range buckets
         ],
         "operators/scanstat.py": [
             "cells",   # :155 spatial scan rank over (center cell, stencil d)
