@@ -1152,3 +1152,192 @@ FROM flows f
 JOIN s ON f.o_cell = s.o_cell AND f.d_cell = s.d_cell
 JOIN t_out t ON f.o_cell = t.o_cell
 """
+
+
+def gwr_local(
+    pts: DataFrame,
+    res: int = 4,
+    bandwidth: float = 0.08,
+    cutoff: float = 3.0,
+    min_pts: int = 10,
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "v",
+) -> DataFrame:
+    """Geographically Weighted Regression (Fotheringham/Brunsdon/Charlton):
+    per occupied cell center, the Gaussian-kernel-weighted OLS fit
+    v = b0 + b1·x + b2·y over the points within ``cutoff`` bandwidths.
+    Output: (cell_id, ix, iy, n_pts, b0, b1, b2, r2) — the locally varying
+    coefficient surface a global trend_surface cannot show.
+
+    Scale shape: the KDE stencil pattern — each point explodes to its
+    ≤ (2R+1)² nearby cells (bounded fan-out), weights w = exp(−d²/2h²) use
+    the bit-exact twin exp, and ONE groupBy per regression cell accumulates
+    the 10 weighted sufficient statistics in DECIMAL. The 3×3 normal
+    equations solve in closed form (Cramer), so no per-cell iteration and
+    no driver work; degenerate cells (n < min_pts or |det| ≤ 1e-12) drop
+    identically in both engines."""
+    from .heatmap import _plan
+
+    n, R, s, r2_cut, two_h2 = _plan(res, bandwidth, cutoff)
+    x, y, v = F.col(x_col), F.col(y_col), F.col(v_col)
+    ix0 = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    iy0 = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    cand = (
+        pts.select(x.alias("x"), y.alias("y"), v.alias("v"), ix0.alias("ix0"), iy0.alias("iy0"))
+        .select(
+            "x", "y", "v", "iy0",
+            F.explode(
+                F.sequence(F.greatest(F.col("ix0") - R, F.lit(0)),
+                           F.least(F.col("ix0") + R, F.lit(n - 1)))
+            ).alias("ix"),
+        )
+        .select(
+            "x", "y", "v", "ix",
+            F.explode(
+                F.sequence(F.greatest(F.col("iy0") - R, F.lit(0)),
+                           F.least(F.col("iy0") + R, F.lit(n - 1)))
+            ).alias("iy"),
+        )
+    )
+    cx = (F.col("ix").cast("double") + F.lit(0.5)) * F.lit(s)
+    cy = (F.col("iy").cast("double") + F.lit(0.5)) * F.lit(s)
+    dx = cx - F.col("x")
+    dy = cy - F.col("y")
+    staged = (
+        cand.withColumn("d2", dx * dx + dy * dy)
+        .where(F.col("d2") <= F.lit(r2_cut))
+        .withColumn("w", G.exp_col(-(F.col("d2") / F.lit(two_h2))))
+    )
+
+    def S(expr, name):
+        return F.sum(expr.cast(DEC)).cast("double").alias(name)
+
+    w_, xx, yy, vv = F.col("w"), F.col("x"), F.col("y"), F.col("v")
+    sums = staged.groupBy("ix", "iy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        S(w_, "sw"), S(w_ * xx, "swx"), S(w_ * yy, "swy"), S(w_ * vv, "swv"),
+        S(w_ * xx * xx, "swxx"), S(w_ * xx * yy, "swxy"), S(w_ * yy * yy, "swyy"),
+        S(w_ * xx * vv, "swxv"), S(w_ * yy * vv, "swyv"), S(w_ * vv * vv, "swvv"),
+    ).where(F.col("n_pts") >= min_pts)
+    sw, swx, swy = F.col("sw"), F.col("swx"), F.col("swy")
+    swv, swxx, swxy = F.col("swv"), F.col("swxx"), F.col("swxy")
+    swyy, swxv, swyv, swvv = F.col("swyy"), F.col("swxv"), F.col("swyv"), F.col("swvv")
+    det = (
+        sw * (swxx * swyy - swxy * swxy)
+        - swx * (swx * swyy - swxy * swy)
+        + swy * (swx * swxy - swxx * swy)
+    )
+    d0 = (
+        swv * (swxx * swyy - swxy * swxy)
+        - swx * (swxv * swyy - swxy * swyv)
+        + swy * (swxv * swxy - swxx * swyv)
+    )
+    d1 = (
+        sw * (swxv * swyy - swxy * swyv)
+        - swv * (swx * swyy - swxy * swy)
+        + swy * (swx * swyv - swxv * swy)
+    )
+    d2_ = (
+        sw * (swxx * swyv - swxv * swxy)
+        - swx * (swx * swyv - swxv * swy)
+        + swv * (swx * swxy - swxx * swy)
+    )
+    solved = sums.withColumn("det", det).where(F.abs(F.col("det")) > F.lit(1e-12))
+    b0 = d0 / F.col("det")
+    b1 = d1 / F.col("det")
+    b2 = d2_ / F.col("det")
+    staged2 = solved.withColumn("b0", b0).withColumn("b1", b1).withColumn("b2", b2)
+    sse = swvv - (F.col("b0") * swv + F.col("b1") * swxv + F.col("b2") * swyv)
+    sst = swvv - swv * swv / sw
+    cell = (
+        F.shiftleft(F.lit(res).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.col("ix"), COORD_BITS))
+        .bitwiseOR(F.col("iy"))
+    )
+    return staged2.where(sst > 0).select(
+        cell.alias("cell_id"),
+        "ix",
+        "iy",
+        "n_pts",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+def gwr_local_sql(
+    pts_sql: str,
+    res: int = 4,
+    bandwidth: float = 0.08,
+    cutoff: float = 3.0,
+    min_pts: int = 10,
+) -> str:
+    """DuckDB twin of :func:`gwr_local`; ``pts_sql`` yields (x, y, v)."""
+    from .heatmap import _plan
+
+    n, R, s, r2_cut, two_h2 = _plan(res, bandwidth, cutoff)
+    cell = (
+        f"(({res}::BIGINT << {RES_SHIFT}) | (CAST(ix AS BIGINT) << {COORD_BITS}) | iy)"
+    )
+    det = ("(sw * (swxx * swyy - swxy * swxy)"
+           " - swx * (swx * swyy - swxy * swy)"
+           " + swy * (swx * swxy - swxx * swy))")
+    d0 = ("(swv * (swxx * swyy - swxy * swxy)"
+          " - swx * (swxv * swyy - swxy * swyv)"
+          " + swy * (swxv * swxy - swxx * swyv))")
+    d1 = ("(sw * (swxv * swyy - swxy * swyv)"
+          " - swv * (swx * swyy - swxy * swy)"
+          " + swy * (swx * swyv - swxv * swy))")
+    d2_ = ("(sw * (swxx * swyv - swxv * swxy)"
+           " - swx * (swx * swyv - swxv * swy)"
+           " + swv * (swx * swxy - swxx * swy))")
+    return f"""
+WITH pts AS (SELECT x, y, v FROM ({pts_sql})),
+homed AS (
+  SELECT x, y, v,
+         greatest(least(CAST(floor(x * {flit(float(n))}) AS BIGINT), {n - 1}), 0) AS ix0,
+         greatest(least(CAST(floor(y * {flit(float(n))}) AS BIGINT), {n - 1}), 0) AS iy0
+  FROM pts),
+cand AS (
+  SELECT x, y, v, ix, iy FROM (
+    SELECT x, y, v, iy0,
+           unnest(generate_series(greatest(ix0 - {R}, 0), least(ix0 + {R}, {n - 1}))) AS ix
+    FROM homed) cx2,
+  LATERAL (SELECT unnest(generate_series(greatest(cx2.iy0 - {R}, 0),
+                                         least(cx2.iy0 + {R}, {n - 1}))) AS iy) ly),
+staged AS (
+  SELECT ix, iy, x, y, v, d2,
+         {G.exp_sql(f"(-(d2 / {flit(two_h2)}))")} AS w
+  FROM (
+    SELECT ix, iy, x, y, v,
+           ((CAST(ix AS DOUBLE) + 0.5) * {flit(s)} - x) * ((CAST(ix AS DOUBLE) + 0.5) * {flit(s)} - x)
+           + ((CAST(iy AS DOUBLE) + 0.5) * {flit(s)} - y) * ((CAST(iy AS DOUBLE) + 0.5) * {flit(s)} - y) AS d2
+    FROM cand)
+  WHERE d2 <= {flit(r2_cut)}),
+sums AS (
+  SELECT ix, iy, count(*)::BIGINT AS n_pts,
+         CAST(sum(CAST(w AS {DEC})) AS DOUBLE) AS sw,
+         CAST(sum(CAST(w * x AS {DEC})) AS DOUBLE) AS swx,
+         CAST(sum(CAST(w * y AS {DEC})) AS DOUBLE) AS swy,
+         CAST(sum(CAST(w * v AS {DEC})) AS DOUBLE) AS swv,
+         CAST(sum(CAST(w * x * x AS {DEC})) AS DOUBLE) AS swxx,
+         CAST(sum(CAST(w * x * y AS {DEC})) AS DOUBLE) AS swxy,
+         CAST(sum(CAST(w * y * y AS {DEC})) AS DOUBLE) AS swyy,
+         CAST(sum(CAST(w * x * v AS {DEC})) AS DOUBLE) AS swxv,
+         CAST(sum(CAST(w * y * v AS {DEC})) AS DOUBLE) AS swyv,
+         CAST(sum(CAST(w * v * v AS {DEC})) AS DOUBLE) AS swvv
+  FROM staged GROUP BY ix, iy
+  HAVING count(*) >= {min_pts}),
+solved AS (
+  SELECT *, {det} AS det FROM sums WHERE abs({det}) > 1e-12),
+coef AS (
+  SELECT *, {d0} / det AS b0, {d1} / det AS b1, {d2_} / det AS b2 FROM solved)
+SELECT {cell} AS cell_id, ix, iy, n_pts,
+       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(1.0 - (swvv - (b0 * swv + b1 * swxv + b2 * swyv))
+                   / (swvv - swv * swv / sw), 6) AS r2
+FROM coef
+WHERE (swvv - swv * swv / sw) > 0
+"""

@@ -5911,6 +5911,36 @@ def _sql_radiation_model() -> str:
     return radiation_model_sql(_ev_xy_sql(), res=3)
 
 
+def q_gwr_local(spark, sf_dir):
+    """Geographically weighted regression (operators/geostats.py:
+    gwr_local): per-cell Gaussian-weighted OLS of doc quality on plane
+    coordinates via 10 DECIMAL sufficient statistics + closed-form Cramer
+    solve — locally varying coefficients, KDE-stencil scale shape."""
+    from ..operators.geostats import gwr_local
+    from ..functions.sqlgen import quality_score_cols
+
+    em = ld(spark, sf_dir, "embeddings")
+    d = ld(spark, sf_dir, "documents")
+    x, y = G.xy_cols(F.col("embedding"), DIM)
+    pts = em.join(d, em["vec_id"] == d["doc_id"]).select(
+        x.alias("x"), y.alias("y"),
+        F.round(quality_score_cols(F.col("text")), 6).alias("v"),
+    )
+    return gwr_local(pts, res=4, bandwidth=0.08)
+
+
+def _sql_gwr() -> str:
+    from ..operators.geostats import gwr_local_sql
+    from ..functions.sqlgen import quality_score_sql
+
+    x, y = G.xy_sql("embedding", DIM)
+    pts = (
+        f"SELECT {x} AS x, {y} AS y, round({quality_score_sql('text')}, 6) AS v "
+        "FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id"
+    )
+    return gwr_local_sql(pts, res=4, bandwidth=0.08)
+
+
 def q_sd_ellipse(spark, sf_dir):
     """Standard deviational ellipse per tile (operators/geostats.py:
     sd_ellipse): mean center, covariance eigen-rotation via twin atan2,
@@ -7549,6 +7579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_decompose": q_seasonal_decompose,
     "gazetteer_match": q_gazetteer_match,
     "sequence_pack": q_sequence_pack,
+    "gwr_local": q_gwr_local,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7914,6 +7945,7 @@ ORACLES: dict[str, str] = {
     "seasonal_decompose": _sql_seasonal(),
     "gazetteer_match": _sql_gazetteer(),
     "sequence_pack": _sql_seq_pack(),
+    "gwr_local": _sql_gwr(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
