@@ -458,3 +458,110 @@ def cell_hll_pyramid_sql(
 WITH hv AS MATERIALIZED (SELECT x, y, {h} AS h FROM ({pts_sql}))
 {union}
 """
+
+
+# ------------------------------------------------------------- DDSketch
+# Masson/Rim/Lee 2019: log-bucketed counts give quantiles with RELATIVE
+# error ≤ alpha, and the sketch is a plain (bucket → count) table — i.e. a
+# groupBy with map-side combine, mergeable across shards/days by adding
+# counts. THE quantile structure for 100-TB pipelines: no global sort, no
+# rank reconstruction, state bounded by O(log(max/min)/alpha) buckets.
+
+
+def dd_sketch(
+    df: DataFrame, value_col: str, alpha: float = 0.01
+) -> DataFrame:
+    """(bucket, cnt): DDSketch buckets of the positive values of
+    ``value_col`` (zeros/negatives are counted in bucket NULL so totals
+    reconcile). bucket = ceil(ln(v)/ln(gamma)), gamma = (1+a)/(1-a) —
+    twin-ln, so both engines bucket identically."""
+    import math
+
+    inv_ln_gamma = 1.0 / math.log((1.0 + alpha) / (1.0 - alpha))
+    v = F.col(value_col).cast("double")
+    bucket = F.when(
+        v > 0, F.ceil(G.ln_col(v) * F.lit(inv_ln_gamma)).cast("long")
+    )
+    return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def dd_quantiles(
+    sketch: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99), alpha: float = 0.01
+) -> DataFrame:
+    """(q, est): quantile estimates from a DDSketch bucket table — for each
+    q, the bucket whose cumulative count first reaches floor(q·(n−1))+1,
+    estimated at the bucket's log-midpoint 2·gamma^i/(gamma+1) via twin
+    exp/ln (bit-exact across engines). The cumulative walk is a window over
+    BUCKET metadata (O(log range/alpha) rows), never values."""
+    import math
+
+    from pyspark.sql import Window
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_gamma = math.log(gamma)
+    pos = sketch.where(F.col("bucket").isNotNull())
+    total = pos.agg(F.sum("cnt").cast("long").alias("n"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pos.withColumn("cum", F.sum("cnt").over(wcum).cast("long")).crossJoin(
+        F.broadcast(total)
+    )
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # rank needed per q: floor(q*(n-1)) + 1
+    need = F.floor(F.col("q") * (F.col("n") - 1).cast("double")).cast("long") + 1
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("need", need)
+        .where(F.col("cum") >= F.col("need"))
+    )
+    wpick = Window.partitionBy("q").orderBy("bucket")
+    est = F.lit(2.0) * G.exp_col(F.col("bucket").cast("double") * F.lit(ln_gamma)) / F.lit(
+        gamma + 1.0
+    )
+    return (
+        hit.withColumn("_rn", F.row_number().over(wpick))
+        .where(F.col("_rn") == 1)
+        .select("q", F.round(est, 6).alias("est"))
+    )
+
+
+def dd_quantiles_sql(
+    src_sql: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+) -> str:
+    """DuckDB twin of dd_sketch → dd_quantiles over ``src_sql``."""
+    import math
+
+    from ..functions.hexgen import flit
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    inv_ln_gamma = 1.0 / math.log(gamma)
+    ln_gamma = math.log(gamma)
+    qvals = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+WITH vals AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v FROM ({src_sql})),
+sk AS (
+  SELECT CAST(ceil({G.ln_sql('v')} * {flit(inv_ln_gamma)}) AS BIGINT) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM vals WHERE v > 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+cum AS (
+  SELECT bucket, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM sk),
+qs(q) AS (VALUES {qvals}),
+hit AS (
+  SELECT q, bucket,
+         row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+  FROM cum, qs, tot
+  WHERE cum >= CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1)
+SELECT q,
+       round(2.0 * {G.exp_sql(f"(CAST(bucket AS DOUBLE) * {flit(ln_gamma)})")} / {flit(gamma + 1.0)}, 6) AS est
+FROM hit WHERE rn = 1
+"""

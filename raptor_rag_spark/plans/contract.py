@@ -386,6 +386,30 @@ def _sql_seq_pack() -> str:
     return sequence_pack_sql("SELECT doc_id, text FROM documents", seq_len=512)
 
 
+def q_dd_quantiles(spark, sf_dir):
+    """DDSketch relative-error quantiles of per-doc token counts
+    (operators/sketches.py): log-bucketed mergeable counts → cumulative
+    bucket walk → twin-exp midpoint estimates. The scale-native quantile
+    path (no global sort; sketch merges across shards by adding counts)."""
+    from ..operators.sketches import dd_quantiles, dd_sketch
+
+    toks = ld(spark, sf_dir, "documents").select(
+        "doc_id", G.token_count_col(F.col("text")).cast("long").alias("nt")
+    )
+    return dd_quantiles(dd_sketch(toks, "nt", alpha=0.01), qs=(0.5, 0.9, 0.99), alpha=0.01)
+
+
+def _sql_dd_quantiles() -> str:
+    from ..operators.sketches import dd_quantiles_sql
+
+    return dd_quantiles_sql(
+        f"SELECT {G.token_count_sql('text')} AS nt FROM documents",
+        "nt",
+        qs=(0.5, 0.9, 0.99),
+        alpha=0.01,
+    )
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7580,6 +7604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gazetteer_match": q_gazetteer_match,
     "sequence_pack": q_sequence_pack,
     "gwr_local": q_gwr_local,
+    "dd_quantiles": q_dd_quantiles,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7946,6 +7971,7 @@ ORACLES: dict[str, str] = {
     "gazetteer_match": _sql_gazetteer(),
     "sequence_pack": _sql_seq_pack(),
     "gwr_local": _sql_gwr(),
+    "dd_quantiles": _sql_dd_quantiles(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

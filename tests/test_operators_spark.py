@@ -353,3 +353,34 @@ def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
     assert len({(a, b) for a, b, _ in g}) == len(g)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ddsketch_mergeable_and_within_alpha(spark):
+    """DDSketch: (a) per-shard sketches merged by summing counts equal the
+    single-pass sketch (the mergeability that makes it THE distributed
+    quantile structure); (b) every quantile estimate is within the alpha
+    relative-error bound of the exact quantile."""
+    from raptor_rag_spark.operators.sketches import dd_quantiles, dd_sketch
+
+    vals = spark.range(2000).select(
+        (F.pmod(F.col("id") * 2654435761, F.lit(9973)) + 1).alias("v"),
+        (F.col("id") % 4).alias("shard"),
+    )
+    alpha = 0.01
+    direct = dd_sketch(vals, "v", alpha=alpha)
+    merged = (
+        dd_sketch(vals.where("shard = 0"), "v", alpha=alpha)
+        .unionByName(dd_sketch(vals.where("shard = 1"), "v", alpha=alpha))
+        .unionByName(dd_sketch(vals.where("shard = 2"), "v", alpha=alpha))
+        .unionByName(dd_sketch(vals.where("shard = 3"), "v", alpha=alpha))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+    qs = (0.5, 0.9, 0.99)
+    est = {r["q"]: r["est"] for r in dd_quantiles(direct, qs=qs, alpha=alpha).collect()}
+    xs = sorted(r["v"] for r in vals.select("v").collect())
+    for q in qs:
+        exact = xs[int(q * (len(xs) - 1))]
+        assert abs(est[q] - exact) <= alpha * exact * 1.001, (q, est[q], exact)

@@ -366,7 +366,10 @@ def test_global_window_registry_every_site_bounded():
             "cells",   # :155 spatial scan rank over (center cell, stencil d)
             "cells",   # :359 space-time scan rank over (cell, d, w) cylinders
         ],
-        "operators/sketches.py": ["topk"],     # :179 cms heavy terms — limit first
+        "operators/sketches.py": [
+            "topk",    # :179 cms heavy terms — limit first
+            "bucket",  # dd_quantiles cumulative walk over DDSketch buckets
+        ],
         "operators/spacetime.py": [
             "topk",    # :560 od_matrix — limit(top_k) before rank
             "topk",    # :817 gap_burstiness — limit(top_k) before rank
