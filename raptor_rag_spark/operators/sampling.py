@@ -517,3 +517,113 @@ SELECT doc_id, n_tokens, seq_id,
             - greatest(seq_id * {seq_len}, o) AS BIGINT) AS n
 FROM spans
 """
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus mixture resampling (the Pile/DoReMi layout
+    step): downsample each source so the KEPT corpus's token mixture
+    matches ``targets`` (relative weights) as closely as pure downsampling
+    allows. Per source: rate = min(1, (target_s/target_ref) ·
+    (tok_ref/tok_s)) where ref is the source whose target/token ratio is
+    the binding constraint (no upsampling); a doc is kept iff
+    hash63(salt|doc_id)/2^60 < rate — reproducible, shuffle-free selection.
+
+    Returns the per-source audit table (source, n_docs, n_tokens,
+    target_w, rate, n_kept, kept_tokens): the numbers a mixing recipe
+    needs to sign off before the (separately joinable) keep-list is
+    applied. One groupBy over the corpus + broadcast of the per-source
+    metadata back onto the rows."""
+    from ..functions import sqlgen as G
+
+    tgt = docs.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())], "source string, target_w double"
+    )
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        G.token_count_col(F.col("text")).cast("long").alias("nt"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    ).join(F.broadcast(tgt), "source")
+    # binding source: the one minimizing tokens/target — it keeps rate 1.0
+    ratio = F.col("n_tokens").cast("double") / F.col("target_w")
+    ref = per.orderBy(ratio.asc(), F.col("source")).limit(1).select(
+        F.col("n_tokens").alias("ref_tokens"), F.col("target_w").alias("ref_w")
+    )
+    rated = per.crossJoin(F.broadcast(ref)).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            (F.col("target_w") / F.col("ref_w"))
+            * (F.col("ref_tokens").cast("double") / F.col("n_tokens").cast("double")),
+        ),
+    )
+    u = G.hash63_col(F.concat(F.lit(salt + "|"), F.col("_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    kept = (
+        base.join(F.broadcast(rated.select("source", "rate")), "source")
+        .where(u < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("nt").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_w",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
+        )
+    )
+
+
+def mixture_sample_sql(
+    docs_sql: str, targets: dict[str, float], salt: str = "mix"
+) -> str:
+    """DuckDB twin of :func:`mixture_sample`."""
+    from ..functions import sqlgen as G
+
+    vals = ", ".join(f"('{k}', {float(v)!r})" for k, v in sorted(targets.items()))
+    u = G.hash63_sql(f"concat('{salt}|', CAST(_id AS VARCHAR))")
+    return f"""
+WITH base AS (
+  SELECT source, doc_id AS _id, CAST({G.token_count_sql('text')} AS BIGINT) AS nt
+  FROM ({docs_sql})),
+tgt(source, target_w) AS (VALUES {vals}),
+per AS (
+  SELECT b.source, count(*)::BIGINT AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         t.target_w
+  FROM base b JOIN tgt t ON t.source = b.source
+  GROUP BY b.source, t.target_w),
+ref AS (
+  SELECT n_tokens AS ref_tokens, target_w AS ref_w FROM per
+  ORDER BY CAST(n_tokens AS DOUBLE) / target_w ASC, source LIMIT 1),
+rated AS (
+  SELECT p.*, least(1.0, (p.target_w / r.ref_w)
+         * (CAST(r.ref_tokens AS DOUBLE) / CAST(p.n_tokens AS DOUBLE))) AS rate
+  FROM per p CROSS JOIN ref r),
+kept AS (
+  SELECT b.source, count(*)::BIGINT AS n_kept, CAST(sum(b.nt) AS BIGINT) AS kept_tokens
+  FROM base b JOIN rated rr ON rr.source = b.source
+  WHERE CAST({u} AS DOUBLE) / {float(1 << 60)!r} < rr.rate
+  GROUP BY b.source)
+SELECT r.source, r.n_docs, r.n_tokens, r.target_w, round(r.rate, 6) AS rate,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(k.kept_tokens, 0)::BIGINT AS kept_tokens
+FROM rated r LEFT JOIN kept k ON k.source = r.source
+"""

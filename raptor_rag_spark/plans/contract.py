@@ -410,6 +410,26 @@ def _sql_dd_quantiles() -> str:
     )
 
 
+MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic corpus-mixture resampling audit (operators/sampling.py:
+    mixture_sample): per-source keep rates solving the no-upsampling target
+    mixture, selection by hash-Bernoulli — one corpus groupBy + broadcast
+    metadata."""
+    from ..operators.sampling import mixture_sample
+
+    d = ld(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return mixture_sample(d, MIX_TARGETS)
+
+
+def _sql_mixture() -> str:
+    from ..operators.sampling import mixture_sample_sql
+
+    return mixture_sample_sql("SELECT doc_id, text, source FROM documents", MIX_TARGETS)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7605,6 +7625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "gwr_local": q_gwr_local,
     "dd_quantiles": q_dd_quantiles,
+    "mixture_sample": q_mixture_sample,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7972,6 +7993,7 @@ ORACLES: dict[str, str] = {
     "sequence_pack": _sql_seq_pack(),
     "gwr_local": _sql_gwr(),
     "dd_quantiles": _sql_dd_quantiles(),
+    "mixture_sample": _sql_mixture(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
