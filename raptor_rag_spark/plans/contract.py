@@ -7931,6 +7931,11 @@ _R04_ORDER = [
     # streaming
     "stream_dedup", "stream_sessionize", "stream_hex_density", "stream_enrich",
     "stream_late_drop", "stream_join",
+    # round-4 additions (never checked by construction) — window slots right
+    # after the first-50 so the round-5 rotation picks them up
+    "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
+    "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
+    "dd_quantiles", "mixture_sample",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
