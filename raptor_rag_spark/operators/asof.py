@@ -129,3 +129,94 @@ def interval_join(
         F.col(l_start), F.col(r_start)
     )
     return pairs.select(l_id, r_id, overlap.cast("long").alias("overlap_s"))
+
+
+def attribution_linear(
+    events: DataFrame,
+    window_s: int = 7 * 86400,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value splits
+    EQUALLY over the same user's touches in the trailing ``window_s``
+    seconds (inclusive); conversions with no touch in window attribute to a
+    NULL touch row so value totals reconcile. events: (user_id, event_id,
+    event_type, ts, value). Returns (conv_id, touch_id, n_touches,
+    credit).
+
+    Scale shape: the per-user range join is the BUCKETED interval join
+    (``interval_join`` semantics specialized to point-in-trailing-window,
+    keyed by user): touches map to their time bucket, conversions explode
+    to the ≤ window/bucket+1 buckets their window spans, and the join runs
+    on (user_id, bucket) — hash shuffle, AQE-splittable, no theta-join."""
+    bucket_s = window_s  # window spans ≤ 2 buckets at this width
+    t = F.unix_timestamp("ts").cast("long")
+    conv = events.where(F.col("event_type") == convert_type).select(
+        F.col("user_id"), F.col("event_id").alias("conv_id"), t.alias("ct"),
+        F.col("value").cast("double").alias("value"),
+    )
+    touch = events.where(F.col("event_type") == touch_type).select(
+        F.col("user_id"), F.col("event_id").alias("touch_id"), t.alias("tt"),
+    ).withColumn("_b", F.floor(F.col("tt") / bucket_s).cast("long"))
+    cspan = conv.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("ct") - window_s) / bucket_s).cast("long"),
+                F.floor(F.col("ct") / bucket_s).cast("long"),
+            )
+        ),
+    )
+    pairs = cspan.join(touch, ["user_id", "_b"]).where(
+        (F.col("tt") <= F.col("ct")) & (F.col("tt") >= F.col("ct") - window_s)
+    )
+    counts = pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    credited = (
+        pairs.join(F.broadcast(counts), "conv_id")
+        .select(
+            "conv_id",
+            "touch_id",
+            "n_touches",
+            F.round(F.col("value") / F.col("n_touches").cast("double"), 6).alias("credit"),
+        )
+    )
+    orphans = conv.join(counts, conv["conv_id"] == counts["conv_id"], "left_anti").select(
+        "conv_id",
+        F.lit(None).cast("long").alias("touch_id"),
+        F.lit(0).cast("long").alias("n_touches"),
+        F.round(F.col("value"), 6).alias("credit"),
+    )
+    return credited.unionByName(orphans)
+
+
+def attribution_linear_sql(
+    events_sql: str,
+    window_s: int = 7 * 86400,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`attribution_linear` — plain theta-join oracle
+    cross-validates the bucketed plan."""
+    return f"""
+WITH ev AS ({events_sql}),
+conv AS (
+  SELECT user_id, event_id AS conv_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ct, CAST(value AS DOUBLE) AS value
+  FROM ev WHERE event_type = '{convert_type}'),
+touch AS (
+  SELECT user_id, event_id AS touch_id, CAST(floor(epoch(ts)) AS BIGINT) AS tt
+  FROM ev WHERE event_type = '{touch_type}'),
+pairs AS (
+  SELECT c.conv_id, c.value, t.touch_id
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id AND t.tt <= c.ct AND t.tt >= c.ct - {window_s}),
+counts AS (SELECT conv_id, count(*)::BIGINT AS n_touches FROM pairs GROUP BY conv_id)
+SELECT p.conv_id, p.touch_id, n.n_touches,
+       round(p.value / CAST(n.n_touches AS DOUBLE), 6) AS credit
+FROM pairs p JOIN counts n ON n.conv_id = p.conv_id
+UNION ALL
+SELECT c.conv_id, CAST(NULL AS BIGINT), CAST(0 AS BIGINT), round(c.value, 6)
+FROM conv c WHERE NOT EXISTS (SELECT 1 FROM counts n WHERE n.conv_id = c.conv_id)
+"""

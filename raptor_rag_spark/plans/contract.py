@@ -430,6 +430,22 @@ def _sql_mixture() -> str:
     return mixture_sample_sql("SELECT doc_id, text, source FROM documents", MIX_TARGETS)
 
 
+def q_attribution(spark, sf_dir):
+    """Linear multi-touch attribution over the events stream
+    (operators/asof.py: attribution_linear): trailing-window range join as
+    a bucketed (user, time-bucket) equi-join; the plain theta-join oracle
+    cross-validates the bucketed plan."""
+    from ..operators.asof import attribution_linear
+
+    return attribution_linear(ld(spark, sf_dir, "events"), window_s=3 * 86400)
+
+
+def _sql_attribution() -> str:
+    from ..operators.asof import attribution_linear_sql
+
+    return attribution_linear_sql("SELECT * FROM events", window_s=3 * 86400)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7626,6 +7642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gwr_local": q_gwr_local,
     "dd_quantiles": q_dd_quantiles,
     "mixture_sample": q_mixture_sample,
+    "attribution_linear": q_attribution,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7935,7 +7952,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample",
+    "dd_quantiles", "mixture_sample", "attribution_linear",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -7999,6 +8016,7 @@ ORACLES: dict[str, str] = {
     "gwr_local": _sql_gwr(),
     "dd_quantiles": _sql_dd_quantiles(),
     "mixture_sample": _sql_mixture(),
+    "attribution_linear": _sql_attribution(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
