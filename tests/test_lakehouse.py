@@ -364,3 +364,43 @@ def test_expire_snapshots_gc_at_10k_files(tmp_path):
     assert set(os.listdir(t.manifest_dir)) == live
     # GC of 10^4 files is metadata work — sub-minute even on sandbox disk
     assert gc_wall < 60, gc_wall
+
+
+def test_scan_planning_cost_bounded_by_pruned_manifests(tmp_path):
+    """Round-3 verdict #2 'done' criterion: planning cost must be bounded
+    by pruned-manifest count, not total files. 64 manifests x 500 file
+    entries (32k files, metadata only, keys range-clustered per manifest);
+    a range probe hitting one manifest must open exactly that manifest
+    (manifests_read == 1), see only its 500 entries as scan candidates,
+    and plan in milliseconds while files_total still reports all 32k."""
+    import time as _time
+
+    t = LakeTable(str(tmp_path / "t"), stats_cols=("k",), merge_threshold=10**9)
+    n_manifests, files_per = 64, 500
+    for m in range(n_manifests):
+        entries = []
+        for i in range(files_per):
+            k = m * files_per + i
+            entries.append(
+                {"path": f"/nonexistent/f{m}_{i}.parquet", "rows": 1, "stats": {"k": [k, k]}}
+            )
+        t._commit("append", entries)
+    snap = t.snapshot(t.current_snapshot_id())
+    assert len(snap["manifest_list"]) == n_manifests
+
+    lo = 7 * files_per + 10
+    t0 = _time.perf_counter()
+    # planning only: the probe range sits inside manifest 7; spark is never
+    # reached because we only need the pruning decision + counters, so call
+    # the planner and catch the (expected) read failure on fake paths
+    try:
+        t.scan(None, "k", lo, lo + 5)
+    except Exception:
+        pass  # fake file paths cannot be read; planning already ran
+    wall = _time.perf_counter() - t0
+    st = t.last_scan_stats
+    assert st["manifests_total"] == n_manifests
+    assert st["manifests_read"] == 1, st
+    assert st["files_scanned"] == 6, st
+    assert st["files_total"] == n_manifests * files_per
+    assert wall < 2.0, wall
