@@ -883,6 +883,56 @@ def main() -> None:
 
     timed("clarity_score", _clarity)
 
+    # round-4 operator family: interval join, sequence packing, RAKE,
+    # DDSketch quantiles, GWR, mixture resampling, attribution
+    from raptor_rag_spark.operators.asof import attribution_linear, interval_join
+    from raptor_rag_spark.operators.geostats import gwr_local, radiation_model
+    from raptor_rag_spark.operators.keywords import rake_keywords
+    from raptor_rag_spark.operators.sampling import mixture_sample, sequence_pack
+    from raptor_rag_spark.operators.sketches import dd_quantiles, dd_sketch
+
+    def _round4():
+        t = F.unix_timestamp("ts").cast("long")
+        left = events.filter("event_type = 'signup'").select(
+            F.col("event_id").alias("l_id"), t.alias("l_start"), (t + 7200).alias("l_end")
+        )
+        right = events.filter("event_type = 'error'").select(
+            F.col("event_id").alias("r_id"), (t - 600).alias("r_start"), (t + 600).alias("r_end")
+        )
+        interval_join(left, right, bucket_s=3600).count()
+        attribution_linear(events, window_s=3 * 86400).count()
+        sequence_pack(docs.select("doc_id", "text"), seq_len=2048).count()
+        rake_keywords(docs.select("doc_id", "text"), top_k=25).count()
+        toks = docs.select("doc_id", G.token_count_col(F.col("text")).cast("long").alias("nt"))
+        dd_quantiles(dd_sketch(toks, "nt"), qs=(0.5, 0.9, 0.99)).count()
+        mixture_sample(
+            docs.select("doc_id", "text", "source"),
+            {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        ).count()
+
+    timed("round4_ops", _round4)
+
+    def _round4_geo():
+        from raptor_rag_spark.functions.sqlgen import quality_score_cols
+
+        gpts = embs.select(
+            x.alias("x"), y.alias("y"),
+            (F.pmod(F.col("vec_id"), F.lit(100)).cast("double") / 100.0).alias("v"),
+        )
+        gwr_local(gpts, res=4, bandwidth=0.08).count()
+        radiation_model(
+            events.join(
+                F.broadcast(embs.select("vec_id", x.alias("x0"), y.alias("y0"))),
+                events["user_id"] % 5000 == F.col("vec_id"),
+            ).select(
+                "user_id", "event_id", "ts",
+                F.col("x0").alias("x"), F.col("y0").alias("y"),
+            ),
+            res=3,
+        ).count()
+
+    timed("round4_geo", _round4_geo)
+
     # ---- two-size marginal scaling of the heaviest legs (r3 verdict #3) ----
     # The suite's sf0.1 walls are fixed-cost dominated; the scale claim needs
     # Δwall/Δdocs. Re-run the five most expensive legs on a MULTx replica of
