@@ -326,3 +326,120 @@ SELECT doc_id, n_bigrams, (s / CAST(n_bigrams AS DOUBLE)) AS avg_logprob,
        {G.exp_sql('(-(s / CAST(n_bigrams AS DOUBLE)))')} AS ppl
 FROM agg
 """
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_sents, n_words, n_syll, fk_grade): Flesch-Kincaid grade
+    level per document — 0.39·(words/sentences) + 11.8·(syllables/words)
+    − 15.59, with syllables approximated as vowel-group count (the standard
+    heuristic) and sentences as [.!?]+ runs (min 1). Pure JVM regex
+    counting — whole-stage codegen, no shuffle, no Python."""
+    t = F.col(text_col)
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    words = G.words_col(t)
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("long")
+    n_syll = F.greatest(
+        F.aggregate(
+            F.transform(
+                words,
+                lambda w: F.greatest(
+                    F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+                ),
+            ),
+            F.lit(0),
+            lambda a, b: a + b,
+        ),
+        F.lit(1),
+    ).cast("long")
+    grade = (
+        F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        + F.lit(11.8) * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+        - F.lit(15.59)
+    )
+    return docs.select(
+        "doc_id",
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+    ).withColumn("fk_grade", F.round(grade, 6))
+
+
+def readability_sql(docs_sql: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`readability`."""
+    w = G.words_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(greatest(len(regexp_extract_all({text_col}, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+         CAST(greatest(len({w}), 1) AS BIGINT) AS n_words,
+         CAST(greatest(list_sum(list_transform({w},
+              x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 1) AS BIGINT) AS n_syll
+  FROM ({docs_sql}))
+SELECT doc_id, n_sents, n_words, n_syll,
+       round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+             + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - 15.59, 6) AS fk_grade
+FROM base
+"""
+
+
+def benford_digits(pages: DataFrame, url_re: str) -> DataFrame:
+    """(digit, n, p_obs, p_exp, chi2_term): Benford first-significant-digit
+    audit of per-host page counts — the classic fabricated-data /
+    scraper-loop detector for crawl volume distributions. p_exp(d) =
+    ln(1+1/d)/ln(10) via the twin ln; one host groupBy, then 9-row digit
+    metadata."""
+    counts = (
+        pages.select(F.regexp_extract("url", url_re, 2).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    digit = F.substring(F.col("x").cast("string"), 1, 1).cast("long")
+    per = counts.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("t"))
+    ln10 = 2.302585092994046  # ln(10) double literal, folded identically
+    p_exp = G.ln_col(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.lit(ln10)
+    j = per.crossJoin(F.broadcast(tot))
+    p_obs = F.col("n").cast("double") / F.col("t").cast("double")
+    staged = j.select("digit", "n", p_obs.alias("p_obs"), p_exp.alias("p_exp"), "t")
+    chi2 = (
+        (F.col("p_obs") - F.col("p_exp"))
+        * (F.col("p_obs") - F.col("p_exp"))
+        / F.col("p_exp")
+        * F.col("t").cast("double")
+    )
+    return staged.select(
+        "digit",
+        "n",
+        F.round("p_obs", 6).alias("p_obs"),
+        F.round("p_exp", 6).alias("p_exp"),
+        F.round(chi2, 6).alias("chi2_term"),
+    )
+
+
+def benford_digits_sql(pages_sql: str, url_re: str) -> str:
+    """DuckDB twin of :func:`benford_digits`; yields (url)."""
+    ln10 = 2.302585092994046
+    return f"""
+WITH counts AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host, count(*)::BIGINT AS x
+  FROM ({pages_sql}) GROUP BY host),
+per AS (
+  SELECT CAST(substring(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*)::BIGINT AS n
+  FROM counts GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per),
+staged AS (
+  SELECT digit, n,
+         CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p_obs,
+         {G.ln_sql("(1.0 + 1.0 / CAST(digit AS DOUBLE))")} / {ln10!r} AS p_exp,
+         t
+  FROM per CROSS JOIN tot)
+SELECT digit, n, round(p_obs, 6) AS p_obs, round(p_exp, 6) AS p_exp,
+       round((p_obs - p_exp) * (p_obs - p_exp) / p_exp * CAST(t AS DOUBLE), 6) AS chi2_term
+FROM staged
+"""

@@ -446,6 +446,36 @@ def _sql_attribution() -> str:
     return attribution_linear_sql("SELECT * FROM events", window_s=3 * 86400)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid readability per doc (operators/textops.py:
+    readability): pure-codegen regex counting, no shuffle."""
+    from ..operators.textops import readability
+
+    return readability(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_readability() -> str:
+    from ..operators.textops import readability_sql
+
+    return readability_sql("SELECT doc_id, text FROM documents")
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of per-host crawl volumes
+    (operators/textops.py: benford_digits) — fabricated-data detector."""
+    from ..operators.textops import benford_digits
+    from ..operators.webops import URL_RE
+
+    return benford_digits(_pages(spark), URL_RE)
+
+
+def _sql_benford() -> str:
+    from ..operators.textops import benford_digits_sql
+    from ..operators.webops import URL_RE
+
+    return benford_digits_sql(_PAGES_SQL, URL_RE)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7643,6 +7673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_quantiles": q_dd_quantiles,
     "mixture_sample": q_mixture_sample,
     "attribution_linear": q_attribution,
+    "readability": q_readability,
+    "benford_digits": q_benford,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7952,7 +7984,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8017,6 +8049,8 @@ ORACLES: dict[str, str] = {
     "dd_quantiles": _sql_dd_quantiles(),
     "mixture_sample": _sql_mixture(),
     "attribution_linear": _sql_attribution(),
+    "readability": _sql_readability(),
+    "benford_digits": _sql_benford(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
