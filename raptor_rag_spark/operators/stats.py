@@ -698,3 +698,116 @@ SELECT n, round(k_min, 6) AS kdist_min, round(k_max, 6) AS kdist_max,
        rnk AS knee_rank, round(kdist, 6) AS eps, round(d, 6) AS knee_gap
 FROM scored QUALIFY row_number() OVER (ORDER BY d DESC, rnk) = 1
 """
+
+
+def kaplan_meier(
+    events: DataFrame,
+    horizon_ts: str | None = None,
+    censor_margin_s: int = 86400,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival curve of entity activity lifetimes: per
+    entity, duration = last event − first event (seconds); an entity whose
+    last event falls within ``censor_margin_s`` of the observation horizon
+    (default: the global max timestamp) is right-CENSORED — still alive
+    when the study ended. Output one row per distinct death time t:
+    (t, n_risk, n_events, s_hat) with Ŝ(t) = Π_{t_i ≤ t}(1 − d_i/n_i),
+    the product realized as exp(Σ ln(1−d/n)) via the bit-exact twin
+    exp/ln so both engines agree to the rounding digit.
+
+    Scale shape: one groupBy per entity → duration metadata; the curve
+    itself is a cumulative window over DISTINCT death times (study-bounded
+    metadata). The crawl analytics use: how long does a host/user stay
+    active before going dark, with proper censoring instead of survivor
+    bias."""
+    from ..functions import sqlgen as G
+
+    t = F.unix_timestamp(ts_col).cast("long")
+    spans = events.groupBy(id_col).agg(
+        F.min(t).alias("t0"), F.max(t).alias("t1")
+    )
+    if horizon_ts is None:
+        hor = events.agg(F.max(t).alias("hor"))
+        spans = spans.crossJoin(F.broadcast(hor))
+    else:
+        spans = spans.withColumn(
+            "hor", F.unix_timestamp(F.lit(horizon_ts)).cast("long")
+        )
+    obs = spans.select(
+        (F.col("t1") - F.col("t0")).alias("dur"),
+        (F.col("t1") < F.col("hor") - F.lit(censor_margin_s)).alias("died"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    deaths = obs.where(F.col("died")).groupBy(F.col("dur").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    # entities (censored or not) still at risk at t: dur >= t. Computed
+    # declaratively: n_risk(t) = n_total - (# with dur < t) via a cumulative
+    # count over the distinct-duration metadata, never a per-entity scan per t.
+    all_durs = obs.groupBy(F.col("dur").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_at")
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = all_durs.withColumn(
+        "before", F.coalesce(F.sum("c_at").over(wcum), F.lit(0)).cast("long")
+    )
+    j = deaths.join(risk.select("t", "before"), "t").crossJoin(F.broadcast(n_total))
+    staged = j.select(
+        "t",
+        (F.col("n_total") - F.col("before")).alias("n_risk"),
+        "n_events",
+    ).withColumn(
+        "lnterm",
+        G.ln_col(
+            F.lit(1.0)
+            - F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+        ),
+    )
+    wprod = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s_hat = G.exp_col(F.sum(F.col("lnterm").cast("decimal(28,15)")).over(wprod).cast("double"))
+    return staged.select(
+        "t", "n_risk", "n_events", F.round(s_hat, 6).alias("s_hat")
+    ).where(F.col("n_risk") > F.col("n_events"))
+
+
+def kaplan_meier_sql(
+    events_sql: str, censor_margin_s: int = 86400, id_col: str = "user_id"
+) -> str:
+    """DuckDB twin of :func:`kaplan_meier` (default horizon = max ts)."""
+    from ..functions import sqlgen as G
+
+    return f"""
+WITH ev AS ({events_sql}),
+spans AS (
+  SELECT {id_col},
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+  FROM ev GROUP BY {id_col}),
+hor AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS hor FROM ev),
+obs AS (
+  SELECT t1 - t0 AS dur, t1 < (SELECT hor FROM hor) - {censor_margin_s} AS died
+  FROM spans),
+n_total AS (SELECT count(*)::BIGINT AS n_total FROM obs),
+deaths AS (
+  SELECT dur AS t, count(*)::BIGINT AS n_events FROM obs WHERE died GROUP BY dur),
+all_durs AS (SELECT dur AS t, count(*)::BIGINT AS c_at FROM obs GROUP BY dur),
+risk AS (
+  SELECT t, coalesce(sum(c_at) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+  FROM all_durs),
+staged AS (
+  SELECT d.t, (n.n_total - r.before)::BIGINT AS n_risk, d.n_events,
+         {G.ln_sql("(1.0 - CAST(d.n_events AS DOUBLE) / CAST(n.n_total - r.before AS DOUBLE))")} AS lnterm
+  FROM deaths d JOIN risk r ON r.t = d.t CROSS JOIN n_total n),
+cumln AS (
+  SELECT t, n_risk, n_events,
+         CAST(sum(CAST(lnterm AS DECIMAL(28,15)))
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS lsum
+  FROM staged),
+curve AS (
+  SELECT t, n_risk, n_events, {G.exp_sql("lsum")} AS s_hat FROM cumln)
+SELECT t, n_risk, n_events, round(s_hat, 6) AS s_hat
+FROM curve WHERE n_risk > n_events
+"""

@@ -476,6 +476,21 @@ def _sql_benford() -> str:
     return benford_digits_sql(_PAGES_SQL, URL_RE)
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival of user activity lifetimes with right
+    censoring (operators/stats.py: kaplan_meier): product-limit estimator
+    realized as twin exp(Σ ln(1−d/n)) over duration metadata."""
+    from ..operators.stats import kaplan_meier
+
+    return kaplan_meier(ld(spark, sf_dir, "events"))
+
+
+def _sql_km() -> str:
+    from ..operators.stats import kaplan_meier_sql
+
+    return kaplan_meier_sql("SELECT user_id, ts FROM events")
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7675,6 +7690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_linear": q_attribution,
     "readability": q_readability,
     "benford_digits": q_benford,
+    "kaplan_meier": q_kaplan_meier,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -7984,7 +8000,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8051,6 +8067,7 @@ ORACLES: dict[str, str] = {
     "attribution_linear": _sql_attribution(),
     "readability": _sql_readability(),
     "benford_digits": _sql_benford(),
+    "kaplan_meier": _sql_km(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -377,6 +377,8 @@ def test_global_window_registry_every_site_bounded():
         "operators/stats.py": [
             "bucket",  # :622 kdist rank offsets over value buckets
             "fixed",   # :650 kneedle knee pick over quantile-pick rows
+            "bucket",  # kaplan_meier risk counts over distinct durations
+            "bucket",  # kaplan_meier survival product over death times
         ],
         "operators/textops.py": ["topk"],      # :171 PMI collocations — limit first
         "operators/webops.py": [
