@@ -119,6 +119,7 @@ def decode_wav(payload: bytes) -> dict:
         "duration_ms": n * 1000 // int(sample_rate),
         "sum_abs": int(a.sum()),
         "max_abs": int(a.max()) if n else 0,
+        "samples": samples,
     }
 
 

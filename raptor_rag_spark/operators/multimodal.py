@@ -141,3 +141,65 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = "doc_id long, frame_id long, n long, sq_sum long, zcr long"
+
+
+def audio_frame_features(media: DataFrame, frame: int = 16) -> DataFrame:
+    """Framewise audio analysis over REAL WAV payloads: split each decoded
+    sample stream into non-overlapping ``frame``-sample windows and emit
+    per-frame energy (sum of squares — integer-exact; RMS is sqrt(sq_sum/n)
+    for the client) and zero-crossing count (sign products < 0). The
+    short-time feature extraction every audio pipeline front-ends with,
+    decoded executor-side in one narrow mapInPandas; the closed-form
+    generator gives the DuckDB oracle the same integers."""
+    import numpy as np
+
+    from ..kernels.media import decode_wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, wav in zip(pdf["doc_id"].to_numpy(), pdf["wav"].to_numpy()):
+                s = decode_wav(bytes(wav))["samples"].astype(np.int64)
+                for f0 in range(0, len(s), frame):
+                    seg = s[f0 : f0 + frame]
+                    zc = int(np.sum(seg[:-1] * seg[1:] < 0))
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_id": f0 // frame,
+                            "n": len(seg),
+                            "sq_sum": int(np.sum(seg * seg)),
+                            "zcr": zc,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "n", "sq_sum", "zcr"]
+            )
+
+    return media.select("doc_id", "wav").mapInPandas(extract, AUDIO_FRAMES_SCHEMA)
+
+
+def audio_frame_features_sql(frame: int = 16) -> str:
+    """DuckDB twin of :func:`audio_frame_features` over the synthetic
+    generator's closed form (documents provides doc_id)."""
+    return f"""
+WITH params AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents),
+smp AS (
+  SELECT doc_id, i, ((doc_id*31 + i*17) % 2003) - 1001 AS s
+  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM params)),
+nxt AS (
+  SELECT doc_id, i, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2,
+         CAST(i // {frame} AS BIGINT) AS frame_id
+  FROM smp)
+SELECT doc_id, frame_id, count(*)::BIGINT AS n,
+       CAST(sum(s * s) AS BIGINT) AS sq_sum,
+       CAST(sum(CASE WHEN s2 IS NOT NULL
+                      AND CAST(i + 1 AS BIGINT) // {frame} = frame_id
+                      AND s * s2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+FROM nxt GROUP BY doc_id, frame_id
+"""

@@ -491,6 +491,21 @@ def _sql_km() -> str:
     return kaplan_meier_sql("SELECT user_id, ts FROM events")
 
 
+def q_audio_frames(spark, sf_dir):
+    """Framewise audio features over REAL WAV payloads
+    (operators/multimodal.py: audio_frame_features): per-window energy +
+    zero crossings, decoded executor-side; oracle = generator closed form."""
+    from ..operators.multimodal import audio_frame_features, synth_media
+
+    return audio_frame_features(synth_media(ld(spark, sf_dir, "documents")))
+
+
+def _sql_audio_frames() -> str:
+    from ..operators.multimodal import audio_frame_features_sql
+
+    return audio_frame_features_sql()
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7691,6 +7706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "benford_digits": q_benford,
     "kaplan_meier": q_kaplan_meier,
+    "audio_frames": q_audio_frames,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8000,7 +8016,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8068,6 +8084,7 @@ ORACLES: dict[str, str] = {
     "readability": _sql_readability(),
     "benford_digits": _sql_benford(),
     "kaplan_meier": _sql_km(),
+    "audio_frames": _sql_audio_frames(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
