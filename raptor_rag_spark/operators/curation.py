@@ -546,3 +546,102 @@ SELECT dst_host, term, n,
 FROM counts
 QUALIFY rnk <= {top_k}
 """
+
+
+def c4_gopher_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The consolidated C4 + Gopher rule battery as one pure-codegen pass:
+    per doc, each classic heuristic as its own flag plus the conjunction.
+
+    Rules (thresholds = the published defaults, fixed constants shared with
+    the twin):
+    - ``f_len``        50 ≤ words ≤ 100000              (Gopher word count)
+    - ``f_meanlen``    3 ≤ mean word chars ≤ 10          (Gopher)
+    - ``f_hash``       #/word ratio ≤ 0.1                (Gopher symbol)
+    - ``f_ellipsis``   …/word ratio ≤ 0.1                (Gopher symbol)
+    - ``f_bullet``     bullet-started lines ≤ 90%        (Gopher)
+    - ``f_ellip_end``  ellipsis-ended lines ≤ 30%        (Gopher)
+    - ``f_alpha``      ≥ 80% words contain a letter      (Gopher)
+    - ``f_stop``       ≥ 2 of the C4 stop list present   (C4 'the, be, to,
+                       of, and, that, have, with')
+    - ``keep``         AND of all flags
+
+    One select over the corpus, zero shuffle, every flag twin-exact: the
+    audit table a curation run signs off on before dropping 40% of a
+    crawl."""
+    t = F.col(text_col)
+    words = G.words_col(t)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_chars_words = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    mean_len = n_chars_words.cast("double") / n_words.cast("double")
+    n_hash = F.size(F.regexp_extract_all(t, F.lit("#"), 0))
+    n_ellip = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    n_eend = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stops]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    flags = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("f_len"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("f_meanlen"),
+        (n_hash.cast("double") / n_words.cast("double") <= 0.1).alias("f_hash"),
+        (n_ellip.cast("double") / n_words.cast("double") <= 0.1).alias("f_ellipsis"),
+        (n_bullet.cast("double") / n_lines.cast("double") <= 0.9).alias("f_bullet"),
+        (n_eend.cast("double") / n_lines.cast("double") <= 0.3).alias("f_ellip_end"),
+        (n_alpha.cast("double") / n_words.cast("double") >= 0.8).alias("f_alpha"),
+        (n_stop >= 2).alias("f_stop"),
+    )
+    keep = (
+        F.col("f_len") & F.col("f_meanlen") & F.col("f_hash") & F.col("f_ellipsis")
+        & F.col("f_bullet") & F.col("f_ellip_end") & F.col("f_alpha") & F.col("f_stop")
+    )
+    return flags.withColumn("keep", keep)
+
+
+def c4_gopher_filters_sql(docs_sql: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`c4_gopher_filters`."""
+    w = G.words_sql(text_col)
+    stops = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(len({w}), 1) AS n_words,
+         list_sum(list_transform({w}, x -> length(x))) AS n_chars_words,
+         len(regexp_extract_all({text_col}, '#')) AS n_hash,
+         len(regexp_extract_all({text_col}, '\\.\\.\\.')) AS n_ellip,
+         greatest(len(string_split({text_col}, chr(10))), 1) AS n_lines,
+         len(list_filter(string_split({text_col}, chr(10)),
+             l -> regexp_matches(l, '^\\s*[-*\u2022]'))) AS n_bullet,
+         len(list_filter(string_split({text_col}, chr(10)),
+             l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_eend,
+         len(list_filter({w}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter({stops}, s -> list_contains({w}, s))) AS n_stop
+  FROM ({docs_sql})),
+flags AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         (n_words >= 50 AND n_words <= 100000) AS f_len,
+         (CAST(n_chars_words AS DOUBLE) / n_words >= 3.0
+          AND CAST(n_chars_words AS DOUBLE) / n_words <= 10.0) AS f_meanlen,
+         (CAST(n_hash AS DOUBLE) / n_words <= 0.1) AS f_hash,
+         (CAST(n_ellip AS DOUBLE) / n_words <= 0.1) AS f_ellipsis,
+         (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS f_bullet,
+         (CAST(n_eend AS DOUBLE) / n_lines <= 0.3) AS f_ellip_end,
+         (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS f_alpha,
+         (n_stop >= 2) AS f_stop
+  FROM base)
+SELECT *, (f_len AND f_meanlen AND f_hash AND f_ellipsis AND f_bullet
+           AND f_ellip_end AND f_alpha AND f_stop) AS keep
+FROM flags
+"""

@@ -506,6 +506,21 @@ def _sql_audio_frames() -> str:
     return audio_frame_features_sql()
 
 
+def q_c4_gopher(spark, sf_dir):
+    """C4 + Gopher curation rule battery (operators/curation.py:
+    c4_gopher_filters): every published heuristic as a twin-exact flag in
+    ONE zero-shuffle pass."""
+    from ..operators.curation import c4_gopher_filters
+
+    return c4_gopher_filters(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_c4_gopher() -> str:
+    from ..operators.curation import c4_gopher_filters_sql
+
+    return c4_gopher_filters_sql("SELECT doc_id, text FROM documents")
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7707,6 +7722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_digits": q_benford,
     "kaplan_meier": q_kaplan_meier,
     "audio_frames": q_audio_frames,
+    "c4_gopher_filters": q_c4_gopher,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8016,7 +8032,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8085,6 +8101,7 @@ ORACLES: dict[str, str] = {
     "benford_digits": _sql_benford(),
     "kaplan_meier": _sql_km(),
     "audio_frames": _sql_audio_frames(),
+    "c4_gopher_filters": _sql_c4_gopher(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
