@@ -443,3 +443,93 @@ SELECT digit, n, round(p_obs, 6) AS p_obs, round(p_exp, 6) AS p_exp,
        round((p_obs - p_exp) * (p_obs - p_exp) / p_exp * CAST(t AS DOUBLE), 6) AS chi2_term
 FROM staged
 """
+
+
+def text_tiling(docs: DataFrame, block: int = 20, text_col: str = "text") -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997, lexical-cohesion
+    form): tokens group into fixed ``block``-token blocks; cohesion between
+    consecutive blocks = Jaccard of their distinct-token sets; a block
+    boundary is flagged where cohesion drops below the doc's mean − 0.5·sd
+    (the valley rule). Output one row per adjacent block pair:
+    (doc_id, block_id, cohesion, is_boundary) — the segmentation signal a
+    RAPTOR-style chunker upgrades to when sentence windows are too uniform.
+    Per-doc windows only — never a global sort.
+
+    Scale shape: one posexplode; block sets via (doc, block) groupBy;
+    cohesion via a doc-partitioned lead; the mean/sd normalization is a
+    per-doc broadcast-back aggregate. DECIMAL moments, deterministic ties.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(G.words_col(F.col(text_col))).alias("pos", "w")
+    ).withColumn("block_id", F.floor(F.col("pos") / block).cast("long"))
+    blocks = toks.groupBy("doc_id", "block_id").agg(
+        F.array_sort(F.collect_set("w")).alias("ts")
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("block_id")
+    pairs = blocks.withColumn("ts2", F.lead("ts").over(wlead)).where(
+        F.col("ts2").isNotNull()
+    )
+    inter = F.size(F.array_intersect("ts", "ts2"))
+    uni = F.size(F.array_union("ts", "ts2"))
+    coh = pairs.select(
+        "doc_id",
+        "block_id",
+        (inter.cast("double") / uni.cast("double")).alias("cohesion"),
+    )
+    DEC = "decimal(28,15)"
+    stats = coh.groupBy("doc_id").agg(
+        (F.sum(F.col("cohesion").cast(DEC)).cast("double") / F.count(F.lit(1)).cast("double")).alias("mu"),
+        (
+            F.sum((F.col("cohesion") * F.col("cohesion")).cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    j = coh.join(F.broadcast(stats), "doc_id")
+    sd = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    return j.select(
+        "doc_id",
+        "block_id",
+        F.round("cohesion", 6).alias("cohesion"),
+        # − 1e-9: mathematical ties (uniform-cohesion docs ⇒ threshold ==
+        # cohesion) must resolve False on BOTH engines; sub-ulp DECIMAL-cast
+        # differences cannot flip a 1e-9 margin
+        (F.col("cohesion") < F.col("mu") - F.lit(0.5) * sd - F.lit(1e-9)).alias("is_boundary"),
+    )
+
+
+def text_tiling_sql(docs_sql: str, block: int = 20, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`text_tiling`."""
+    w = G.words_sql(text_col)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.pos, u.w,
+         CAST((u.pos - 1) // {block} AS BIGINT) AS block_id
+  FROM (
+    SELECT doc_id,
+           generate_subscripts({w}, 1) AS pos,
+           unnest({w}) AS w
+    FROM ({docs_sql})) u),
+blocks AS (
+  SELECT doc_id, block_id, list_sort(list(DISTINCT w)) AS ts
+  FROM toks GROUP BY doc_id, block_id),
+pairs AS (
+  SELECT doc_id, block_id, ts,
+         lead(ts) OVER (PARTITION BY doc_id ORDER BY block_id) AS ts2
+  FROM blocks QUALIFY ts2 IS NOT NULL),
+coh AS (
+  SELECT doc_id, block_id,
+         CAST(len(list_intersect(ts, ts2)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(ts, ts2))) AS DOUBLE) AS cohesion
+  FROM pairs),
+stats AS (
+  SELECT doc_id,
+         CAST(sum(CAST(cohesion AS DECIMAL(28,15))) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(cohesion * cohesion AS DECIMAL(28,15))) AS DOUBLE) / count(*) AS m2
+  FROM coh GROUP BY doc_id)
+SELECT c.doc_id, c.block_id, round(c.cohesion, 6) AS cohesion,
+       c.cohesion < s.mu - 0.5 * sqrt(greatest(s.m2 - s.mu * s.mu, 0.0)) - 1e-9 AS is_boundary
+FROM coh c JOIN stats s ON s.doc_id = c.doc_id
+"""

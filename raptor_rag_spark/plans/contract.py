@@ -521,6 +521,20 @@ def _sql_c4_gopher() -> str:
     return c4_gopher_filters_sql("SELECT doc_id, text FROM documents")
 
 
+def q_text_tiling(spark, sf_dir):
+    """TextTiling lexical-cohesion segmentation (operators/textops.py:
+    text_tiling): per-doc block Jaccard valleys — topic boundaries."""
+    from ..operators.textops import text_tiling
+
+    return text_tiling(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_text_tiling() -> str:
+    from ..operators.textops import text_tiling_sql
+
+    return text_tiling_sql("SELECT doc_id, text FROM documents")
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7723,6 +7737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kaplan_meier": q_kaplan_meier,
     "audio_frames": q_audio_frames,
     "c4_gopher_filters": q_c4_gopher,
+    "text_tiling": q_text_tiling,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8032,7 +8047,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8102,6 +8117,7 @@ ORACLES: dict[str, str] = {
     "kaplan_meier": _sql_km(),
     "audio_frames": _sql_audio_frames(),
     "c4_gopher_filters": _sql_c4_gopher(),
+    "text_tiling": _sql_text_tiling(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
