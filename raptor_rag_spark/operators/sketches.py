@@ -565,3 +565,123 @@ SELECT q,
        round(2.0 * {G.exp_sql(f"(CAST(bucket AS DOUBLE) * {flit(ln_gamma)})")} / {flit(gamma + 1.0)}, 6) AS est
 FROM hit WHERE rn = 1
 """
+
+
+def hll_overlap(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+    """Sketch-composition set algebra: estimate |A|, |B|, |A∪B|, |A∩B| of
+    two keysets from their HLL registers ONLY — the union sketch is the
+    register-wise max (the HLL merge law), the intersection by
+    inclusion-exclusion. One row: (est_a, est_b, est_union, est_intersect,
+    exact_intersect). The two-crawl overlap question ("how much of today's
+    crawl did we already have?") answered without ever joining the raw
+    keysets — at 100 TB the sketches are 256 registers each, shipped to one
+    node, while the exact join would shuffle both crawls."""
+
+    def regs(df):
+        h = G.hash63_col(F.col(value_col))
+        r = df.select(h.alias("h")).select(
+            (F.col("h") % F.lit(M_REGS)).alias("bucket"),
+            F.shiftrightunsigned(F.col("h"), P_BITS).alias("w"),
+        )
+        rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+            F.lit(W_BITS + 1) - F.length(F.bin(F.col("w")))
+        )
+        return r.withColumn("rho", rho).groupBy("bucket").agg(F.max("rho").alias("mj"))
+
+    def est_from(per_bucket):
+        per_bucket = per_bucket.withColumn(
+            "term", F.expr("1.0 / CAST(shiftleft(1L, mj) AS DOUBLE)")
+        )
+        terms = F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            lambda s: s["term"],
+        )
+        folded = per_bucket.agg(
+            F.count("*").alias("occ"),
+            F.aggregate(terms, F.lit(0.0), lambda x, y: x + y).alias("s_occ"),
+        )
+        s = (F.lit(M_REGS) - F.col("occ")).cast("double") + F.col("s_occ")
+        e_raw = F.lit(ALPHA_MM) / s
+        v_zero = (F.lit(M_REGS) - F.col("occ")).cast("double")
+        return folded.select(
+            F.when(
+                (e_raw <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
+                F.lit(float(M_REGS)) * G.ln_col(F.lit(float(M_REGS)) / v_zero),
+            )
+            .otherwise(e_raw)
+            .alias("est")
+        )
+
+    ra, rb = regs(a), regs(b)
+    # merge law: union registers = bucket-wise max of the two sketches
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    ea = est_from(ra).withColumnRenamed("est", "est_a")
+    eb = est_from(rb).withColumnRenamed("est", "est_b")
+    eu = est_from(ru).withColumnRenamed("est", "est_union")
+    exact = a.select(F.col(value_col).alias("v")).intersect(
+        b.select(F.col(value_col).alias("v"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    out = ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eu)).crossJoin(
+        F.broadcast(exact)
+    )
+    return out.select(
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_union", 6).alias("est_union"),
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6).alias(
+            "est_intersect"
+        ),
+        "exact_intersect",
+    )
+
+
+def hll_overlap_sql(a_sql: str, b_sql: str, value_col: str) -> str:
+    """DuckDB twin of :func:`hll_overlap`."""
+    h = G.hash63_sql(value_col)
+    wb1 = W_BITS + 1
+
+    def regs(src):
+        return f"""(
+  SELECT bucket, max(rho) AS mj FROM (
+    SELECT h % {M_REGS} AS bucket,
+           CASE WHEN (h >> {P_BITS}) = 0 THEN {wb1}
+                ELSE {wb1} - length(bin(h >> {P_BITS})) END AS rho
+    FROM (SELECT {h} AS h FROM ({src}))) GROUP BY bucket)"""
+
+    def est(name):
+        return f"""(
+  SELECT CASE WHEN e_raw <= {2.5 * M_REGS!r} AND occ < {M_REGS}
+              THEN {float(M_REGS)!r} * {G.ln_sql(f"({float(M_REGS)!r} / CAST({M_REGS} - occ AS DOUBLE))")}
+              ELSE e_raw END AS est
+  FROM (
+    SELECT occ, ({ALPHA_MM!r} / (CAST({M_REGS} - occ AS DOUBLE) + s_occ)) AS e_raw
+    FROM (
+      SELECT CAST(count(*) AS BIGINT) AS occ,
+             list_reduce(
+               list_prepend(0.0, list(1.0 / CAST(1::BIGINT << mj AS DOUBLE) ORDER BY bucket)),
+               (x, y) -> x + y) AS s_occ
+      FROM {name})))"""
+
+    return f"""
+WITH ra AS MATERIALIZED {regs(a_sql)},
+rb AS MATERIALIZED {regs(b_sql)},
+ru AS (SELECT bucket, max(mj) AS mj FROM
+       (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+ea AS (SELECT est AS est_a FROM {est('ra')} x),
+eb AS (SELECT est AS est_b FROM {est('rb')} x),
+eu AS (SELECT est AS est_union FROM {est('ru')} x),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+    SELECT {value_col} AS v FROM ({a_sql})
+    INTERSECT
+    SELECT {value_col} AS v FROM ({b_sql})))
+SELECT round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+       round(est_union, 6) AS est_union,
+       round(est_a + est_b - est_union, 6) AS est_intersect,
+       exact_intersect
+FROM ea, eb, eu, ex
+"""

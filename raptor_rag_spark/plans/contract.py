@@ -535,6 +535,28 @@ def _sql_text_tiling() -> str:
     return text_tiling_sql("SELECT doc_id, text FROM documents")
 
 
+def q_hll_overlap(spark, sf_dir):
+    """Two-crawl overlap from HLL register algebra (operators/sketches.py:
+    hll_overlap): union = register max, intersection by inclusion-exclusion
+    — no raw-keyset join; exact intersection alongside for visible error."""
+    from ..operators.sketches import hll_overlap
+
+    d = ld(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    b = d.where(F.col("doc_id") % 2 != 0).select("doc_id", "text")
+    return hll_overlap(a, b, "text")
+
+
+def _sql_hll_overlap() -> str:
+    from ..operators.sketches import hll_overlap_sql
+
+    return hll_overlap_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0",
+        "text",
+    )
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7738,6 +7760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_frames": q_audio_frames,
     "c4_gopher_filters": q_c4_gopher,
     "text_tiling": q_text_tiling,
+    "hll_overlap": q_hll_overlap,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8047,7 +8070,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8118,6 +8141,7 @@ ORACLES: dict[str, str] = {
     "audio_frames": _sql_audio_frames(),
     "c4_gopher_filters": _sql_c4_gopher(),
     "text_tiling": _sql_text_tiling(),
+    "hll_overlap": _sql_hll_overlap(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
