@@ -635,3 +635,114 @@ class LakeTable:
                 shutil.rmtree(fileset, ignore_errors=True)
                 deleted.append(fileset)
         return deleted
+
+
+# ---------------------------------------------------------- named refs / WAP
+# Iceberg-style branches and tags: a ref is an atomically-written pointer
+# file under refs/. Branches move (their own commit line); tags are frozen.
+# The write-audit-publish (WAP) flow: stage commits on a branch, audit the
+# branch snapshot, then publish = fast-forward the main pointer — readers
+# of `current` never see unaudited data, and publishing is one metadata
+# rename, no data movement.
+
+
+def _ref_dir(table: "LakeTable") -> str:
+    d = os.path.join(table.root, "refs")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_ref(table: "LakeTable", name: str, sid: int, kind: str) -> None:
+    path = os.path.join(_ref_dir(table), name)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": sid, "kind": kind}, f)
+    os.replace(tmp, path)
+
+
+def _read_ref(table: "LakeTable", name: str) -> dict:
+    with open(os.path.join(_ref_dir(table), name)) as f:
+        return json.load(f)
+
+
+class _RefsMixin:
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Freeze a name onto a snapshot (audit marker, reproducible reads)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        ref = None
+        try:
+            ref = _read_ref(self, name)
+        except FileNotFoundError:
+            pass
+        if ref is not None and ref["kind"] == "tag":
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        _write_ref(self, name, sid, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        _write_ref(self, name, sid, "branch")
+
+    def ref_snapshot(self, name: str) -> int:
+        return _read_ref(self, name)["snapshot_id"]
+
+    def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.read(spark, self.ref_snapshot(name))
+
+    def append_to_branch(self, name: str, df: DataFrame, **kw) -> int:
+        """Stage a commit on a branch WITHOUT moving `current`: the commit
+        is parented at the branch head (current is restored after), and the
+        branch pointer advances. The staging half of WAP."""
+        ref = _read_ref(self, name)
+        if ref["kind"] != "branch":
+            raise ValueError(f"{name!r} is a tag; commits need a branch")
+        main = self.current_snapshot_id()
+        # temporarily point current at the branch head so _commit parents
+        # correctly, then restore — both moves are atomic pointer writes
+        ptr = self._current_path()
+        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(ref["snapshot_id"]))
+        os.replace(tmp, ptr)
+        try:
+            sid = self.append(df, **kw)
+        finally:
+            tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(main))
+            os.replace(tmp, ptr)
+        _write_ref(self, name, sid, "branch")
+        return sid
+
+    def publish(self, name: str) -> int:
+        """Fast-forward `current` to the audited branch head (the publish
+        half of WAP). Requires current to be an ancestor of the branch head
+        — a true fast-forward, never a silent overwrite."""
+        ref = _read_ref(self, name)
+        head = ref["snapshot_id"]
+        main = self.current_snapshot_id()
+        sid: int | None = head
+        chain = set()
+        while sid is not None:
+            chain.add(sid)
+            sid = self.snapshot(sid)["parent_id"]
+        if main is not None and main not in chain:
+            raise ValueError(
+                f"current {main} is not an ancestor of branch {name!r} head {head}; "
+                "rebase the branch before publishing"
+            )
+        ptr = self._current_path()
+        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, ptr)
+        return head
+
+
+# graft the mixin (kept separate so the core class above stays readable)
+class LakeTableWithRefs(_RefsMixin, LakeTable):
+    pass
+
+
+for _m in ("create_tag", "create_branch", "ref_snapshot", "read_ref",
+           "append_to_branch", "publish"):
+    setattr(LakeTable, _m, getattr(_RefsMixin, _m))

@@ -404,3 +404,32 @@ def test_scan_planning_cost_bounded_by_pruned_manifests(tmp_path):
     assert st["files_scanned"] == 6, st
     assert st["files_total"] == n_manifests * files_per
     assert wall < 2.0, wall
+
+
+def test_write_audit_publish_flow(spark, docs, tmp_path):
+    """WAP: stage commits on a branch (current unmoved), audit the branch
+    read, tag it, publish = fast-forward; non-ancestor publish refuses."""
+    t = LakeTable(str(tmp_path / "t"))
+    s1 = t.append(docs.filter("doc_id < 10"))
+    t.create_branch("audit", s1)
+    s2 = t.append_to_branch("audit", docs.filter("doc_id >= 10 AND doc_id < 25"))
+    # staging did not move current
+    assert t.current_snapshot_id() == s1
+    assert t.read(spark).count() == 10
+    # the branch sees staged data
+    assert t.read_ref(spark, "audit").count() == 25
+    # audit passed → tag + publish
+    t.create_tag("audited-v1", s2)
+    head = t.publish("audit")
+    assert head == s2 and t.current_snapshot_id() == s2
+    assert t.read(spark).count() == 25
+    # tags freeze
+    with pytest.raises(ValueError, match="immutable"):
+        t.create_tag("audited-v1", s1)
+    # a diverged branch cannot fast-forward over current
+    t.create_branch("other", s1)
+    t.append_to_branch("other", docs.filter("doc_id >= 90 AND doc_id < 92"))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.publish("other")
+    # tag still reads the audited snapshot
+    assert t.read_ref(spark, "audited-v1").count() == 25
