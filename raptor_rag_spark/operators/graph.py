@@ -970,3 +970,159 @@ SELECT n_nodes, n_edges, n_recip,
                   ELSE 0.0 END, 6) AS assortativity
 FROM m, recip, nodes
 """
+
+
+def betweenness(links: DataFrame, k_sources: int = 4, max_depth: int = 5) -> DataFrame:
+    """(host, bc): k-source Brandes betweenness centrality over the
+    undirected host graph — exact dependency accumulation from the
+    ``k_sources`` lexicographically-smallest hosts (the deterministic
+    pivot-sampling variant; bc is the Brandes partial sum over those
+    sources, halved for undirectedness).
+
+    Two bounded-round passes, all host-cardinality metadata:
+    - forward: multi-source BFS carried as ONE table keyed (src, host) —
+      per round, frontier⋈edges, anti-join against settled, σ summed per
+      (src, host) (integer path counts, exact);
+    - backward: for depth d = D..1, δ(u) += Σ_{w ∈ succ(u)}
+      (σu/σw)(1+δw), DECIMAL-summed so cross-engine addition order cannot
+      matter.
+
+    No per-source loop: the source id is a column, so k sources cost one
+    extra key in the same joins — the vectorized-multi-source trick that
+    makes sampled betweenness tractable on one pass structure."""
+    und = (
+        links.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b"))
+        .unionByName(
+            links.select(F.col("dst_host").alias("a"), F.col("src_host").alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hosts = und.select(F.col("a").alias("host")).distinct()
+    sources = hosts.orderBy("host").limit(k_sources).select(F.col("host").alias("src"))
+    state = (
+        sources.select(
+            "src",
+            F.col("src").alias("host"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    settled = state
+    frontier = state
+    for d in range(1, max_depth + 1):
+        cand = (
+            frontier.join(und, frontier["host"] == und["a"])
+            .select("src", F.col("b").alias("host"), "sigma")
+            .join(settled.select("src", "host"), ["src", "host"], "left_anti")
+        )
+        nxt = (
+            cand.groupBy("src", "host")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumn("dist", F.lit(d).cast("long"))
+            .select("src", "host", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    delta = settled.select("src", "host", "dist", "sigma", F.lit(0.0).alias("delta"))
+    DEC = "decimal(28,15)"
+    for d in range(max_depth, 0, -1):
+        wd = delta.where(F.col("dist") == d).select(
+            "src",
+            F.col("host").alias("w_host"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        u_side = delta.where(F.col("dist") == d - 1).select(
+            F.col("src").alias("u_src"),
+            F.col("host").alias("u_host"),
+            F.col("sigma").alias("sigma_u"),
+        )
+        contrib = (
+            u_side.join(und, F.col("u_host") == und["a"])
+            .join(
+                wd,
+                (F.col("b") == wd["w_host"])
+                & (F.col("u_src") == wd["src"]),
+            )
+            .select(
+                F.col("u_src").alias("src"),
+                F.col("u_host").alias("host"),
+                (
+                    (F.col("sigma_u").cast("double") / F.col("sigma_w").cast("double"))
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("term"),
+            )
+            .groupBy("src", "host")
+            .agg(F.sum(F.col("term").cast(DEC)).cast("double").alias("c"))
+        )
+        delta = (
+            delta.join(contrib, ["src", "host"], "left")
+            .withColumn("delta", F.col("delta") + F.coalesce(F.col("c"), F.lit(0.0)))
+            .drop("c")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        delta.where(F.col("host") != F.col("src"))
+        .groupBy("host")
+        .agg(
+            F.round(
+                F.sum(F.col("delta").cast(DEC)).cast("double") / F.lit(2.0), 6
+            ).alias("bc")
+        )
+    )
+
+
+def betweenness_sql(links_sql: str, k_sources: int = 4, max_depth: int = 5) -> str:
+    """DuckDB twin of :func:`betweenness` — both passes textually unrolled."""
+    ctes = [
+        f"lnk AS ({links_sql})",
+        """und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src_host AS a, dst_host AS b FROM lnk
+    UNION ALL SELECT dst_host AS a, src_host AS b FROM lnk)
+  WHERE a <> b)""",
+        f"""srcs AS (
+  SELECT host AS src FROM (SELECT DISTINCT a AS host FROM und)
+  ORDER BY host LIMIT {k_sources})""",
+        "s0 AS (SELECT src, src AS host, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs)",
+        "settled0 AS (SELECT * FROM s0)",
+    ]
+    for d in range(1, max_depth + 1):
+        ctes.append(f"""s{d} AS MATERIALIZED (
+  SELECT src, host, CAST({d} AS BIGINT) AS dist, CAST(sum(sigma) AS BIGINT) AS sigma
+  FROM (
+    SELECT f.src, e.b AS host, f.sigma
+    FROM s{d-1} f JOIN und e ON f.host = e.a) c
+  WHERE NOT EXISTS (SELECT 1 FROM settled{d-1} s
+                    WHERE s.src = c.src AND s.host = c.host)
+  GROUP BY src, host)""")
+        ctes.append(
+            f"settled{d} AS MATERIALIZED (SELECT * FROM settled{d-1} UNION ALL SELECT * FROM s{d})"
+        )
+    ctes.append(
+        f"b{max_depth + 1} AS (SELECT src, host, dist, sigma, 0.0 AS delta FROM settled{max_depth})"
+    )
+    for d in range(max_depth, 0, -1):
+        ctes.append(f"""b{d} AS MATERIALIZED (
+  SELECT p.src, p.host, p.dist, p.sigma,
+         p.delta + COALESCE(c.c, 0.0) AS delta
+  FROM b{d+1} p LEFT JOIN (
+    SELECT u.src, u.host,
+           CAST(sum(CAST((CAST(u.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+                         * (1.0 + w.delta) AS DECIMAL(28,15))) AS DOUBLE) AS c
+    FROM b{d+1} u
+    JOIN und e ON u.host = e.a
+    JOIN b{d+1} w ON w.src = u.src AND w.host = e.b AND w.dist = {d}
+    WHERE u.dist = {d-1}
+    GROUP BY u.src, u.host) c
+  ON c.src = p.src AND c.host = p.host)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT host,
+       round(CAST(sum(CAST(delta AS DECIMAL(28,15))) AS DOUBLE) / 2.0, 6) AS bc
+FROM b1 WHERE host <> src GROUP BY host"""
+    )

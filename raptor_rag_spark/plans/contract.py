@@ -557,6 +557,23 @@ def _sql_hll_overlap() -> str:
     )
 
 
+def q_betweenness(spark, sf_dir):
+    """k-source Brandes betweenness over the host link graph
+    (operators/graph.py: betweenness): vectorized multi-source BFS +
+    DECIMAL-pinned backward dependency rounds, both bounded."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import betweenness
+
+    return betweenness(extract_links(_pages(spark)))
+
+
+def _sql_betweenness() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import betweenness_sql
+
+    return betweenness_sql(extract_links_sql(_PAGES_SQL))
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7761,6 +7778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_gopher_filters": q_c4_gopher,
     "text_tiling": q_text_tiling,
     "hll_overlap": q_hll_overlap,
+    "betweenness": q_betweenness,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8070,7 +8088,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8142,6 +8160,7 @@ ORACLES: dict[str, str] = {
     "c4_gopher_filters": _sql_c4_gopher(),
     "text_tiling": _sql_text_tiling(),
     "hll_overlap": _sql_hll_overlap(),
+    "betweenness": _sql_betweenness(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
