@@ -886,3 +886,103 @@ SELECT t.di, t.dow, t.c,
        round(CAST(t.c AS DOUBLE) - t.trend - s.seasonal, 6) AS resid
 FROM det t JOIN seas_c s ON s.dow = t.dow
 """
+
+
+def psi_drift(
+    pages: DataFrame, n_bins: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Population Stability Index of the doc-quality distribution between
+    consecutive crawl weeks — the standard ML-monitoring drift number for a
+    numeric feature (PSI < 0.1 stable, > 0.25 action). Quality scores bin
+    into ``n_bins`` fixed [0,1] buckets; per week pair:
+    (week1, week2, psi) with PSI = Σ_bins (p−q)·ln(p/q) over
+    Laplace-smoothed shares (+1 per bin, so empty bins stay finite and the
+    twin ln is always in-domain).
+
+    Scale shape: one corpus pass to (week, bin) counts; everything after is
+    week×bin metadata; week pairing via lead over the distinct-week list."""
+    wk = F.date_format(F.date_trunc("week", F.col("warc_ts")), _WEEK)
+    q = G.quality_score_cols(F.col(text_col))
+    binned = (
+        pages.select(
+            wk.alias("week"),
+            F.least(
+                F.floor(q * F.lit(float(n_bins))).cast("long"), F.lit(n_bins - 1)
+            ).alias("bin"),
+        )
+        .groupBy("week", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=False)  # week×bin metadata; totals + pair consumers
+    wtot = binned.groupBy("week").agg(F.sum("c").cast("long").alias("t"))
+    wlead = Window.orderBy("week")
+    pairs = (
+        wtot.select(
+            "week",
+            F.col("t").alias("t1"),
+            F.lead("week").over(wlead).alias("week2"),
+            F.lead("t").over(wlead).alias("t2"),
+        )
+        .where(F.col("week2").isNotNull())
+        .select(F.col("week").alias("week1"), "week2", "t1", "t2")
+    )
+    bins = pages.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    grid = pairs.crossJoin(F.broadcast(bins))
+    c1 = binned.select(F.col("week").alias("week1"), "bin", F.col("c").alias("c1"))
+    c2 = binned.select(F.col("week").alias("week2"), "bin", F.col("c").alias("c2"))
+    m = (
+        grid.join(c1, ["week1", "bin"], "left")
+        .join(c2, ["week2", "bin"], "left")
+        .select(
+            "week1",
+            "week2",
+            "bin",
+            (F.coalesce("c1", F.lit(0)) + 1).cast("double").alias("a"),
+            (F.coalesce("c2", F.lit(0)) + 1).cast("double").alias("b"),
+            (F.col("t1") + n_bins).cast("double").alias("ta"),
+            (F.col("t2") + n_bins).cast("double").alias("tb"),
+        )
+    )
+    p = F.col("a") / F.col("ta")
+    qq = F.col("b") / F.col("tb")
+    staged = m.select(
+        "week1", "week2", p.alias("p"), qq.alias("q")
+    ).withColumn("term", (F.col("p") - F.col("q")) * G.ln_col(F.col("p") / F.col("q")))
+    return staged.groupBy("week1", "week2").agg(
+        F.round(F.sum(F.col("term").cast(DEC)).cast("double"), 6).alias("psi")
+    )
+
+
+def psi_drift_sql(pages_sql: str, n_bins: int = 10, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`psi_drift`; yields (warc_ts, text)."""
+    q = G.quality_score_sql(text_col)
+    return f"""
+WITH binned AS (
+  SELECT week, bin, count(*)::BIGINT AS c FROM (
+    SELECT strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS week,
+           least(CAST(floor({q} * {float(n_bins)!r}) AS BIGINT), {n_bins - 1}) AS bin
+    FROM ({pages_sql}))
+  GROUP BY week, bin),
+wtot AS (SELECT week, CAST(sum(c) AS BIGINT) AS t FROM binned GROUP BY week),
+pairs AS (
+  SELECT week AS week1, lead(week) OVER (ORDER BY week) AS week2,
+         t AS t1, lead(t) OVER (ORDER BY week) AS t2
+  FROM wtot QUALIFY week2 IS NOT NULL),
+grid AS (
+  SELECT p.*, b.bin FROM pairs p CROSS JOIN
+    (SELECT unnest(range(0, {n_bins})) AS bin) b),
+m AS (
+  SELECT g.week1, g.week2, g.bin,
+         CAST(COALESCE(a.c, 0) + 1 AS DOUBLE) AS a,
+         CAST(COALESCE(b2.c, 0) + 1 AS DOUBLE) AS b,
+         CAST(g.t1 + {n_bins} AS DOUBLE) AS ta,
+         CAST(g.t2 + {n_bins} AS DOUBLE) AS tb
+  FROM grid g
+  LEFT JOIN binned a ON a.week = g.week1 AND a.bin = g.bin
+  LEFT JOIN binned b2 ON b2.week = g.week2 AND b2.bin = g.bin),
+staged AS (
+  SELECT week1, week2, p, q, (p - q) * {G.ln_sql("(p / q)")} AS term
+  FROM (SELECT week1, week2, a / ta AS p, b / tb AS q FROM m))
+SELECT week1, week2,
+       round(CAST(sum(CAST(term AS {DEC})) AS DOUBLE), 6) AS psi
+FROM staged GROUP BY week1, week2
+"""

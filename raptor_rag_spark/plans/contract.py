@@ -574,6 +574,21 @@ def _sql_betweenness() -> str:
     return betweenness_sql(extract_links_sql(_PAGES_SQL))
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI quality-distribution drift between crawl weeks
+    (operators/drift.py: psi_drift): Laplace-smoothed bin shares, twin-ln
+    terms, week×bin metadata after one corpus pass."""
+    from ..operators.drift import psi_drift
+
+    return psi_drift(_pages(spark))
+
+
+def _sql_psi_drift() -> str:
+    from ..operators.drift import psi_drift_sql
+
+    return psi_drift_sql(_PAGES_SQL)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7779,6 +7794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tiling": q_text_tiling,
     "hll_overlap": q_hll_overlap,
     "betweenness": q_betweenness,
+    "psi_drift": q_psi_drift,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8088,7 +8104,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8161,6 +8177,7 @@ ORACLES: dict[str, str] = {
     "text_tiling": _sql_text_tiling(),
     "hll_overlap": _sql_hll_overlap(),
     "betweenness": _sql_betweenness(),
+    "psi_drift": _sql_psi_drift(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -341,6 +341,7 @@ def test_global_window_registry_every_site_bounded():
             "topk",    # :339 term_burstiness — limit(top_k) before rank
             "topk",    # :743 host_mad_anomaly — limit(top_k) before rank
             "fixed",   # seasonal_decompose trend over the daily calendar axis
+            "fixed",   # psi_drift week pairing over the distinct-week list
         ],
         "operators/geohash.py": ["topk"],      # :102 limit(top_k) before rank
         "operators/graph.py": ["hosts"] * 5,   # dense-id assignment over host table
