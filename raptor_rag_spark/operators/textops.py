@@ -533,3 +533,122 @@ SELECT c.doc_id, c.block_id, round(c.cohesion, 6) AS cohesion,
        c.cohesion < s.mu - 0.5 * sqrt(greatest(s.m2 - s.mu * s.mu, 0.0)) - 1e-9 AS is_boundary
 FROM coh c JOIN stats s ON s.doc_id = c.doc_id
 """
+
+
+STYLO_WORDS = (
+    "the", "and", "of", "to", "a", "in", "that", "is", "was", "it",
+    "for", "with", "as", "on", "be", "at", "by", "this", "have", "not",
+)
+
+
+def stylometry_delta(
+    pages: DataFrame, url_re: str, top_hosts: int = 20
+) -> DataFrame:
+    """Burrows' Delta authorship distance between host writing profiles:
+    per host, the relative frequency of 20 fixed function words; each
+    feature z-scored across hosts; Delta(h1, h2) = mean |z1 − z2| (the
+    canonical stylometry measure). Output: every pair of the
+    ``top_hosts`` largest hosts with (host_a, host_b, delta) — template/
+    boilerplate farms and single-author mirrors surface as near-zero
+    deltas between nominally different hosts.
+
+    Scale shape: ONE corpus pass to (host, word) counts; profiles are
+    host×20 metadata; the pair fan-out is bounded at top_hosts², never
+    all-hosts². DECIMAL moments for the z-scores; ties in the host pick
+    break on host name."""
+    from pyspark.sql import Window
+
+    DEC = "decimal(28,15)"
+    words = F.explode(G.words_col(F.col("text"))).alias("w")
+    hw = (
+        pages.select(F.regexp_extract("url", url_re, 2).alias("host"), words)
+        .where(F.col("w").isin(*STYLO_WORDS))
+        .groupBy("host", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    htot = (
+        pages.select(
+            F.regexp_extract("url", url_re, 2).alias("host"),
+            F.size(G.words_col(F.col("text"))).cast("long").alias("nt"),
+        )
+        .groupBy("host")
+        .agg(F.sum("nt").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("n_pages"))
+    ).localCheckpoint(eager=False)  # host metadata; pick + profile consumers
+    picked = htot.orderBy(F.desc("t"), "host").limit(top_hosts).select("host", "t")
+    wlist = pages.sparkSession.createDataFrame(
+        [(w,) for w in STYLO_WORDS], "w string"
+    )
+    grid = picked.crossJoin(F.broadcast(wlist))
+    freq = (
+        grid.join(hw, ["host", "w"], "left")
+        .select(
+            "host",
+            "w",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("t").cast("double")).alias("f"),
+        )
+    ).localCheckpoint(eager=False)  # top_hosts×20 metadata; stats + z consumers
+    stats = freq.groupBy("w").agg(
+        (F.sum(F.col("f").cast(DEC)).cast("double") / F.count(F.lit(1)).cast("double")).alias("mu"),
+        (
+            F.sum((F.col("f") * F.col("f")).cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+    )
+    sd = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-18)))
+    z = freq.join(F.broadcast(stats), "w").select(
+        "host", "w", ((F.col("f") - F.col("mu")) / sd).alias("z")
+    )
+    a = z.select(F.col("host").alias("host_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("host").alias("host_b"), "w", F.col("z").alias("zb"))
+    pairs = a.join(b, "w").where(F.col("host_a") < F.col("host_b"))
+    return (
+        pairs.withColumn("d", F.abs(F.col("za") - F.col("zb")))
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast(DEC)).cast("double")
+                / F.lit(float(len(STYLO_WORDS))),
+                6,
+            ).alias("delta")
+        )
+    )
+
+
+def stylometry_delta_sql(pages_sql: str, url_re: str, top_hosts: int = 20) -> str:
+    """DuckDB twin of :func:`stylometry_delta`; yields (url, text)."""
+    DEC = "DECIMAL(28,15)"
+    wvals = ", ".join(f"('{w}')" for w in STYLO_WORDS)
+    wlist = ", ".join(f"'{w}'" for w in STYLO_WORDS)
+    words = G.words_sql("text")
+    return f"""
+WITH hosts AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host, text FROM ({pages_sql})),
+hw AS (
+  SELECT host, w, count(*)::BIGINT AS c FROM (
+    SELECT host, unnest({words}) AS w FROM hosts)
+  WHERE w IN ({wlist}) GROUP BY host, w),
+htot AS (
+  SELECT host, CAST(sum(len({words})) AS BIGINT) AS t FROM hosts GROUP BY host),
+picked AS (
+  SELECT host, t FROM htot ORDER BY t DESC, host LIMIT {top_hosts}),
+wl(w) AS (VALUES {wvals}),
+freq AS (
+  SELECT p.host, wl.w,
+         CAST(COALESCE(hw.c, 0) AS DOUBLE) / CAST(p.t AS DOUBLE) AS f
+  FROM picked p CROSS JOIN wl
+  LEFT JOIN hw ON hw.host = p.host AND hw.w = wl.w),
+stats AS (
+  SELECT w,
+         CAST(sum(CAST(f AS {DEC})) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(f * f AS {DEC})) AS DOUBLE) / count(*) AS m2
+  FROM freq GROUP BY w),
+z AS (
+  SELECT f.host, f.w,
+         (f.f - s.mu) / sqrt(greatest(s.m2 - s.mu * s.mu, 1e-18)) AS z
+  FROM freq f JOIN stats s ON s.w = f.w)
+SELECT a.host AS host_a, b.host AS host_b,
+       round(CAST(sum(CAST(abs(a.z - b.z) AS {DEC})) AS DOUBLE)
+             / {float(len(STYLO_WORDS))!r}, 6) AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.host < b.host
+GROUP BY a.host, b.host
+"""

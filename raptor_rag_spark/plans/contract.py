@@ -589,6 +589,23 @@ def _sql_psi_drift() -> str:
     return psi_drift_sql(_PAGES_SQL)
 
 
+def q_stylometry(spark, sf_dir):
+    """Burrows' Delta stylometry between the largest hosts
+    (operators/textops.py: stylometry_delta): function-word z-profiles,
+    top-hosts-bounded pair fan-out — template-farm detector."""
+    from ..operators.textops import stylometry_delta
+    from ..operators.webops import URL_RE
+
+    return stylometry_delta(_pages(spark), URL_RE)
+
+
+def _sql_stylometry() -> str:
+    from ..operators.textops import stylometry_delta_sql
+    from ..operators.webops import URL_RE
+
+    return stylometry_delta_sql(_PAGES_SQL, URL_RE)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7795,6 +7812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_overlap": q_hll_overlap,
     "betweenness": q_betweenness,
     "psi_drift": q_psi_drift,
+    "stylometry_delta": q_stylometry,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8104,7 +8122,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8178,6 +8196,7 @@ ORACLES: dict[str, str] = {
     "hll_overlap": _sql_hll_overlap(),
     "betweenness": _sql_betweenness(),
     "psi_drift": _sql_psi_drift(),
+    "stylometry_delta": _sql_stylometry(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
