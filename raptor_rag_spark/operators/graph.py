@@ -1126,3 +1126,138 @@ SELECT host,
        round(CAST(sum(CAST(delta AS DECIMAL(28,15))) AS DOUBLE) / 2.0, 6) AS bc
 FROM b1 WHERE host <> src GROUP BY host"""
     )
+
+
+def robustness_curve(
+    links: DataFrame, ks: tuple[int, ...] = (0, 2, 8), rounds: int = 6
+) -> DataFrame:
+    """(k_removed, n_hosts, giant, frac): targeted-attack robustness of the
+    host graph — for each k in ``ks``, remove the k highest-degree hosts
+    (ties by name) and measure the giant connected component of what
+    remains via ``rounds`` min-label-propagation rounds. The
+    scale-free-network fragility curve (Albert/Jeong/Barabási): a steep
+    drop at small k means a few hub hosts hold the crawl graph together.
+
+    Vectorized over k exactly like betweenness over sources: k is a COLUMN,
+    so all curve points share one bounded-round pass (edge fan-out = |E|·|ks|,
+    all host metadata); no per-k driver loop."""
+    und = (
+        links.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b"))
+        .unionByName(
+            links.select(F.col("dst_host").alias("a"), F.col("src_host").alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hosts = und.select(F.col("a").alias("host")).distinct()
+    deg = und.groupBy(F.col("a").alias("host")).agg(F.count(F.lit(1)).alias("deg"))
+    kmax = max(ks)
+    # distributed top-kmax, then rank the ≤ kmax rows
+    top = deg.orderBy(F.desc("deg"), "host").limit(kmax)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("deg"), "host")
+    ranked = top.withColumn("rnk", F.row_number().over(w)).select("host", "rnk")
+    ks_df = links.sparkSession.createDataFrame([(int(k),) for k in ks], "k long")
+    removed = ks_df.join(
+        F.broadcast(ranked), F.col("rnk") <= F.col("k")
+    ).select("k", "host").localCheckpoint(eager=True)
+    alive = (
+        ks_df.crossJoin(hosts)
+        .join(removed, ["k", "host"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    edges_k = (
+        ks_df.crossJoin(und)
+        .join(removed.withColumnRenamed("host", "a"), ["k", "a"], "left_anti")
+        .join(removed.withColumnRenamed("host", "b"), ["k", "b"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    label = alive.select("k", "host", F.col("host").alias("lbl"))
+    ek = edges_k.select(
+        F.col("k").alias("ek_k"), F.col("a").alias("ek_a"), F.col("b").alias("ek_b")
+    )
+    for _ in range(rounds):
+        nbr_min = (
+            label.join(
+                ek,
+                (F.col("k") == F.col("ek_k")) & (F.col("host") == F.col("ek_a")),
+            )
+            .select(F.col("ek_k").alias("k"), F.col("ek_b").alias("host"), "lbl")
+            .groupBy("k", "host")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        label = (
+            label.join(nbr_min, ["k", "host"], "left")
+            .select(
+                "k",
+                "host",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    comp = label.groupBy("k", "lbl").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    n_alive = alive.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))
+    giant = comp.groupBy("k").agg(F.max("sz").cast("long").alias("giant"))
+    return (
+        n_alive.join(giant, "k")
+        .select(
+            F.col("k").alias("k_removed"),
+            "n_hosts",
+            "giant",
+            F.round(F.col("giant").cast("double") / F.col("n_hosts").cast("double"), 6).alias(
+                "frac"
+            ),
+        )
+    )
+
+
+def robustness_curve_sql(
+    links_sql: str, ks: tuple[int, ...] = (0, 2, 8), rounds: int = 6
+) -> str:
+    """DuckDB twin of :func:`robustness_curve`."""
+    kmax = max(ks)
+    kvals = ", ".join(f"({int(k)})" for k in ks)
+    ctes = [
+        f"lnk AS ({links_sql})",
+        """und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src_host AS a, dst_host AS b FROM lnk
+    UNION ALL SELECT dst_host AS a, src_host AS b FROM lnk)
+  WHERE a <> b)""",
+        "hosts AS (SELECT DISTINCT a AS host FROM und)",
+        "deg AS (SELECT a AS host, count(*) AS deg FROM und GROUP BY a)",
+        f"""ranked AS (
+  SELECT host, row_number() OVER (ORDER BY deg DESC, host) AS rnk
+  FROM (SELECT host, deg FROM deg ORDER BY deg DESC, host LIMIT {kmax}))""",
+        f"ks(k) AS (VALUES {kvals})",
+        "removed AS (SELECT k, host FROM ks JOIN ranked ON rnk <= k)",
+        """alive AS MATERIALIZED (
+  SELECT k, host FROM ks CROSS JOIN hosts
+  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                    WHERE r.k = ks.k AND r.host = hosts.host))""",
+        """ek AS MATERIALIZED (
+  SELECT ks.k, und.a, und.b FROM ks CROSS JOIN und
+  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.k = ks.k AND r.host = und.a)
+    AND NOT EXISTS (SELECT 1 FROM removed r WHERE r.k = ks.k AND r.host = und.b))""",
+        "l0 AS (SELECT k, host, host AS lbl FROM alive)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT p.k, p.host,
+         least(p.lbl, COALESCE(n.nlbl, p.lbl)) AS lbl
+  FROM l{i-1} p LEFT JOIN (
+    SELECT e.k, e.b AS host, min(u.lbl) AS nlbl
+    FROM l{i-1} u JOIN ek e ON e.k = u.k AND e.a = u.host
+    GROUP BY e.k, e.b) n
+  ON n.k = p.k AND n.host = p.host)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.k AS k_removed, a.n_hosts, g.giant,
+       round(CAST(g.giant AS DOUBLE) / CAST(a.n_hosts AS DOUBLE), 6) AS frac
+FROM (SELECT k, count(*)::BIGINT AS n_hosts FROM alive GROUP BY k) a
+JOIN (SELECT k, CAST(max(sz) AS BIGINT) AS giant FROM
+      (SELECT k, lbl, count(*)::BIGINT AS sz FROM l{rounds} GROUP BY k, lbl)
+      GROUP BY k) g ON g.k = a.k"""
+    )

@@ -606,6 +606,23 @@ def _sql_stylometry() -> str:
     return stylometry_delta_sql(_PAGES_SQL, URL_RE)
 
 
+def q_robustness(spark, sf_dir):
+    """Targeted-attack robustness curve of the host graph
+    (operators/graph.py: robustness_curve): k is a column — all curve
+    points share one bounded min-label pass."""
+    from ..operators.curation import extract_links
+    from ..operators.graph import robustness_curve
+
+    return robustness_curve(extract_links(_pages(spark)))
+
+
+def _sql_robustness() -> str:
+    from ..operators.curation import extract_links_sql
+    from ..operators.graph import robustness_curve_sql
+
+    return robustness_curve_sql(extract_links_sql(_PAGES_SQL))
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7813,6 +7830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "betweenness": q_betweenness,
     "psi_drift": q_psi_drift,
     "stylometry_delta": q_stylometry,
+    "robustness_curve": q_robustness,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8122,7 +8140,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8197,6 +8215,7 @@ ORACLES: dict[str, str] = {
     "betweenness": _sql_betweenness(),
     "psi_drift": _sql_psi_drift(),
     "stylometry_delta": _sql_stylometry(),
+    "robustness_curve": _sql_robustness(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

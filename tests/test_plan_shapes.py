@@ -344,7 +344,11 @@ def test_global_window_registry_every_site_bounded():
             "fixed",   # psi_drift week pairing over the distinct-week list
         ],
         "operators/geohash.py": ["topk"],      # :102 limit(top_k) before rank
-        "operators/graph.py": ["hosts"] * 5,   # dense-id assignment over host table
+        "operators/graph.py": [
+            "hosts",   # dense-id assignment over host table (5 sites)
+            "hosts", "hosts", "hosts", "hosts",
+            "topk",    # robustness_curve hub rank — limit(kmax) before rank
+        ],
         "operators/keywords.py": [
             "topk",    # :98 textrank — limit(top_k) before rank
             "topk",    # rake_keywords — limit(top_k) before rank
