@@ -933,6 +933,43 @@ def main() -> None:
 
     timed("round4_geo", _round4_geo)
 
+    # round-4 batch 2: curation battery, segmentation, survival, drift,
+    # readability, sketch algebra — all corpus-pass operators
+    from raptor_rag_spark.operators.curation import c4_gopher_filters
+    from raptor_rag_spark.operators.sketches import hll_overlap
+    from raptor_rag_spark.operators.stats import kaplan_meier
+    from raptor_rag_spark.operators.textops import readability, text_tiling
+
+    def _round4b():
+        c4_gopher_filters(docs.select("doc_id", "text")).count()
+        text_tiling(docs.select("doc_id", "text")).count()
+        readability(docs.select("doc_id", "text")).count()
+        kaplan_meier(events).count()
+        a = docs.where("doc_id % 3 != 0").select("doc_id", "text")
+        b = docs.where("doc_id % 2 != 0").select("doc_id", "text")
+        hll_overlap(a, b, "text").count()
+
+    timed("round4_text_stats", _round4b)
+
+    # round-4 graph ops on the extracted host link graph
+    from raptor_rag_spark.operators.curation import extract_links
+    from raptor_rag_spark.operators.graph import betweenness, robustness_curve
+    from raptor_rag_spark.operators.webops import URL_RE as _URLRE
+    from raptor_rag_spark.operators.textops import benford_digits, stylometry_delta
+    from raptor_rag_spark.sources.pages import generate_pages
+
+    def _round4_graph():
+        pg = generate_pages(spark, 2000, partitions=cpus).cache()
+        pg.count()
+        lk = extract_links(pg)
+        betweenness(lk).count()
+        robustness_curve(lk).count()
+        stylometry_delta(pg, _URLRE).count()
+        benford_digits(pg, _URLRE).count()
+        pg.unpersist()
+
+    timed("round4_graph", _round4_graph)
+
     # ---- two-size marginal scaling of the heaviest legs (r3 verdict #3) ----
     # The suite's sf0.1 walls are fixed-cost dominated; the scale claim needs
     # Δwall/Δdocs. Re-run the five most expensive legs on a MULTx replica of
