@@ -405,3 +405,37 @@ def test_global_window_registry_every_site_bounded():
         "global-window sites drifted from the audited registry; "
         f"found={found} registered={want} — add/remove the site's bound above"
     )
+
+
+def test_gazetteer_match_broadcasts_dictionary(spark):
+    """The dictionary side must broadcast (per-length slices), and the
+    corpus is tokenized once — no shuffle of the token stream per phrase."""
+    from raptor_rag_spark.operators.phrases import gazetteer_match
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("alpha", "x"), ("beta gamma", "y")], "phrase string, label string"
+    )
+    out = gazetteer_match(docs, gaz)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_attribution_linear_no_nested_loop(spark):
+    """The trailing-window range join must plan as a bucketed equi-join."""
+    from raptor_rag_spark.operators.asof import attribution_linear
+
+    ev = spark.createDataFrame(
+        [(i, i % 5, "click" if i % 3 else "purchase",
+          f"2026-01-{1 + i % 27:02d} 10:00:00", float(i))
+         for i in range(60)],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = attribution_linear(ev, window_s=86400)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert out.count() >= 0  # executes
