@@ -652,3 +652,120 @@ SELECT a.host AS host_a, b.host AS host_b,
 FROM z a JOIN z b ON a.w = b.w AND a.host < b.host
 GROUP BY a.host, b.host
 """
+
+
+def vocab_growth(
+    docs: DataFrame, n_buckets: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: docs split into ``n_buckets``
+    doc_id-ordered batches; per batch boundary b, N(b) = cumulative token
+    count and V(b) = cumulative DISTINCT vocabulary — computed WITHOUT
+    re-scanning prefixes: each term maps to the FIRST bucket it appears in
+    (one min-groupBy over the vocabulary), so V(b) is a cumulative sum of
+    first-appearance counts. A log-log OLS fit of V = K·N^beta rides along
+    (closed form, twin ln). Output per bucket: (bucket, n_tokens_cum,
+    vocab_cum, k_hat, beta) — beta ≈ 0.5 is healthy natural text; beta
+    near 0 screams boilerplate/template corpus.
+
+    Scale shape: one corpus tokenization; vocabulary-cardinality
+    min-groupBy; bucket-metadata cumulative windows; 1-row OLS broadcast
+    back."""
+    from pyspark.sql import Window
+
+    DEC = "decimal(28,15)"
+    hi = docs.agg((F.max("doc_id") + 1).cast("double").alias("hi"))
+    toks = (
+        docs.crossJoin(F.broadcast(hi))
+        .select(
+            F.least(
+                F.floor(F.col("doc_id").cast("double") / F.col("hi") * n_buckets)
+                .cast("long"),
+                F.lit(n_buckets - 1),
+            ).alias("bucket"),
+            F.explode(G.words_col(F.col(text_col))).alias("w"),
+        )
+    ).localCheckpoint(eager=False)  # token stream consumed twice
+    per_bucket_toks = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    first_seen = toks.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    per_bucket_vocab = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_bucket_toks.join(per_bucket_vocab, "bucket", "left")
+        .select("bucket", "nt", F.coalesce("nv", F.lit(0)).alias("nv"))
+        .withColumn("n_tokens_cum", F.sum("nt").over(wcum).cast("long"))
+        .withColumn("vocab_cum", F.sum("nv").over(wcum).cast("long"))
+        .select("bucket", "n_tokens_cum", "vocab_cum")
+    ).localCheckpoint(eager=False)  # bucket metadata; fit + output consumers
+    ln_n = G.ln_col(F.col("n_tokens_cum").cast("double"))
+    ln_v = G.ln_col(F.col("vocab_cum").cast("double"))
+    pts = cum.where((F.col("n_tokens_cum") > 0) & (F.col("vocab_cum") > 0)).select(
+        ln_n.alias("x"), ln_v.alias("y")
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fitted = fit.select(
+        beta.alias("beta"), ((F.col("sy") - beta * F.col("sx")) / F.col("n")).alias("ln_k")
+    )
+    out = cum.crossJoin(F.broadcast(fitted))
+    return out.select(
+        "bucket",
+        "n_tokens_cum",
+        "vocab_cum",
+        F.round(G.exp_col(F.col("ln_k")), 6).alias("k_hat"),
+        F.round("beta", 6).alias("beta"),
+    )
+
+
+def vocab_growth_sql(docs_sql: str, n_buckets: int = 16, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`vocab_growth`."""
+    DEC = "DECIMAL(28,15)"
+    w = G.words_sql(text_col)
+    return f"""
+WITH hi AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS hi FROM ({docs_sql})),
+toks AS MATERIALIZED (
+  SELECT least(CAST(floor(CAST(doc_id AS DOUBLE) / (SELECT hi FROM hi) * {n_buckets}) AS BIGINT),
+               {n_buckets - 1}) AS bucket,
+         unnest({w}) AS w
+  FROM ({docs_sql})),
+pbt AS (SELECT bucket, count(*)::BIGINT AS nt FROM toks GROUP BY bucket),
+fs AS (SELECT w, min(bucket) AS bucket FROM toks GROUP BY w),
+pbv AS (SELECT bucket, count(*)::BIGINT AS nv FROM fs GROUP BY bucket),
+cum AS MATERIALIZED (
+  SELECT p.bucket,
+         CAST(sum(p.nt) OVER (ORDER BY p.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens_cum,
+         CAST(sum(COALESCE(v.nv, 0)) OVER (ORDER BY p.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+  FROM pbt p LEFT JOIN pbv v ON v.bucket = p.bucket),
+pts AS (
+  SELECT {G.ln_sql("CAST(n_tokens_cum AS DOUBLE)")} AS x,
+         {G.ln_sql("CAST(vocab_cum AS DOUBLE)")} AS y
+  FROM cum WHERE n_tokens_cum > 0 AND vocab_cum > 0),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS {DEC})) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS {DEC})) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS {DEC})) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS {DEC})) AS DOUBLE) AS sxx
+  FROM pts),
+coef AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS ln_k
+  FROM fit)
+SELECT c.bucket, c.n_tokens_cum, c.vocab_cum,
+       round({G.exp_sql("k.ln_k")}, 6) AS k_hat,
+       round(k.beta, 6) AS beta
+FROM cum c CROSS JOIN coef k
+"""

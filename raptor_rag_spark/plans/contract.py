@@ -623,6 +623,20 @@ def _sql_robustness() -> str:
     return robustness_curve_sql(extract_links_sql(_PAGES_SQL))
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth (operators/textops.py: vocab_growth):
+    rarefaction via first-appearance min-groupBy, log-log OLS fit."""
+    from ..operators.textops import vocab_growth
+
+    return vocab_growth(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_vocab_growth() -> str:
+    from ..operators.textops import vocab_growth_sql
+
+    return vocab_growth_sql("SELECT doc_id, text FROM documents")
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7831,6 +7845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": q_psi_drift,
     "stylometry_delta": q_stylometry,
     "robustness_curve": q_robustness,
+    "vocab_growth": q_vocab_growth,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8140,7 +8155,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8216,6 +8231,7 @@ ORACLES: dict[str, str] = {
     "psi_drift": _sql_psi_drift(),
     "stylometry_delta": _sql_stylometry(),
     "robustness_curve": _sql_robustness(),
+    "vocab_growth": _sql_vocab_growth(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -385,7 +385,10 @@ def test_global_window_registry_every_site_bounded():
             "bucket",  # kaplan_meier risk counts over distinct durations
             "bucket",  # kaplan_meier survival product over death times
         ],
-        "operators/textops.py": ["topk"],      # :171 PMI collocations — limit first
+        "operators/textops.py": [
+            "topk",    # :171 PMI collocations — limit first
+            "bucket",  # vocab_growth cumulative over doc-bucket metadata
+        ],
         "operators/webops.py": [
             "bucket",  # :273 frontier slot offsets (bounded by deepest host queue)
             "topk",    # :412 term_bursts — limit(top_k) before rank
