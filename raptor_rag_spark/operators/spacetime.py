@@ -855,3 +855,141 @@ SELECT user_id, n_gaps, mean_gap, sd_gap, b,
        CAST(row_number() OVER (ORDER BY b DESC, user_id) AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= {top_k}
 """
+
+
+def ipf_balance(
+    events_xy: DataFrame,
+    res: int = 3,
+    id_col: str = "user_id",
+    growth_o: float = 1.5,
+    growth_d: float = 1.2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Furness / IPF balancing of the OD flow matrix: scale observed flows
+    to satisfy grown row (origin) and column (destination) targets —
+    origin totals ×``growth_o``, destination totals ×``growth_d``
+    (renormalized to the origin grand total so margins are consistent) —
+    by ``rounds`` alternating row/column factor sweeps. THE trip-matrix
+    forecasting step of four-step travel models, and a general-purpose
+    raking/calibration primitive (survey weighting, dasymetric refinement).
+
+    Output per OD pair: (o_cell, d_cell, flow, balanced) after the final
+    sweep; row margins match targets exactly (a row sweep runs last... )
+    — column margins converge geometrically and the SAME round count runs
+    in the twin, so results are hash-identical even mid-convergence.
+
+    Scale shape: trips via the struct-min/max groupBy; everything after is
+    cell-pair metadata — each sweep is one groupBy + one broadcast join
+    back. DECIMAL margin sums, pinned division order."""
+    DECs = "decimal(28,15)"
+    pt = F.struct("ts", "event_id", "x", "y")
+    ends = events_xy.groupBy(id_col).agg(F.min(pt).alias("p0"), F.max(pt).alias("p1"))
+    trips = ends.select(
+        G.cell_col(F.col("p0.x"), F.col("p0.y"), res).alias("o_cell"),
+        G.cell_col(F.col("p1.x"), F.col("p1.y"), res).alias("d_cell"),
+    )
+    flows = (
+        trips.groupBy("o_cell", "d_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("flow"))
+        .where(F.col("o_cell") != F.col("d_cell"))
+    ).localCheckpoint(eager=True)
+    t_o = flows.groupBy("o_cell").agg(
+        (F.sum(F.col("flow").cast(DECs)).cast("double") * F.lit(growth_o)).alias("target_o")
+    )
+    # destination targets renormalized so Σtargets_d == Σtargets_o (IPF
+    # needs consistent margins); the scalar ratio is a 1-row broadcast
+    grand_o = flows.agg(
+        (F.sum(F.col("flow").cast(DECs)).cast("double") * F.lit(growth_o)).alias("go")
+    )
+    raw_d = flows.groupBy("d_cell").agg(
+        (F.sum(F.col("flow").cast(DECs)).cast("double") * F.lit(growth_d)).alias("raw_d")
+    )
+    grand_d = raw_d.agg(F.sum(F.col("raw_d").cast(DECs)).cast("double").alias("gd"))
+    t_d = raw_d.crossJoin(F.broadcast(grand_o)).crossJoin(F.broadcast(grand_d)).select(
+        "d_cell", (F.col("raw_d") * F.col("go") / F.col("gd")).alias("target_d")
+    )
+    bal = flows.select("o_cell", "d_cell", "flow", F.col("flow").cast("double").alias("b"))
+    for _ in range(rounds):
+        # column sweep then row sweep (row last ⇒ row margins exact)
+        cm = bal.groupBy("d_cell").agg(
+            F.sum(F.col("b").cast(DECs)).cast("double").alias("m_d")
+        )
+        bal = (
+            bal.join(F.broadcast(cm), "d_cell")
+            .join(F.broadcast(t_d), "d_cell")
+            .select(
+                "o_cell", "d_cell", "flow",
+                (F.col("b") * (F.col("target_d") / F.col("m_d"))).alias("b"),
+            )
+        )
+        rm = bal.groupBy("o_cell").agg(
+            F.sum(F.col("b").cast(DECs)).cast("double").alias("m_o")
+        )
+        bal = (
+            bal.join(F.broadcast(rm), "o_cell")
+            .join(F.broadcast(t_o), "o_cell")
+            .select(
+                "o_cell", "d_cell", "flow",
+                (F.col("b") * (F.col("target_o") / F.col("m_o"))).alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return bal.select("o_cell", "d_cell", "flow", F.round("b", 6).alias("balanced"))
+
+
+def ipf_balance_sql(
+    events_xy_sql: str,
+    res: int = 3,
+    id_col: str = "user_id",
+    growth_o: float = 1.5,
+    growth_d: float = 1.2,
+    rounds: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ipf_balance` — sweeps textually unrolled."""
+    DECs = "DECIMAL(28,15)"
+    cell_o = G.cell_sql("p0.x", "p0.y", res)
+    cell_d = G.cell_sql("p1.x", "p1.y", res)
+    ctes = [
+        f"ev AS ({events_xy_sql})",
+        f"""ends AS (
+  SELECT {id_col},
+         min(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p0,
+         max(struct_pack(ts := ts, event_id := event_id, x := x, y := y)) AS p1
+  FROM ev GROUP BY 1)""",
+        f"trips AS (SELECT {cell_o} AS o_cell, {cell_d} AS d_cell FROM ends)",
+        """flows AS MATERIALIZED (
+  SELECT o_cell, d_cell, count(*)::BIGINT AS flow
+  FROM trips GROUP BY 1, 2 HAVING o_cell <> d_cell)""",
+        f"""t_o AS (SELECT o_cell,
+  CAST(sum(CAST(flow AS {DECs})) AS DOUBLE) * {growth_o!r} AS target_o
+  FROM flows GROUP BY o_cell)""",
+        f"""go AS (SELECT CAST(sum(CAST(flow AS {DECs})) AS DOUBLE) * {growth_o!r} AS go FROM flows)""",
+        f"""raw_d AS (SELECT d_cell,
+  CAST(sum(CAST(flow AS {DECs})) AS DOUBLE) * {growth_d!r} AS raw_d
+  FROM flows GROUP BY d_cell)""",
+        f"""gd AS (SELECT CAST(sum(CAST(raw_d AS {DECs})) AS DOUBLE) AS gd FROM raw_d)""",
+        """t_d AS (SELECT d_cell,
+  raw_d * (SELECT go FROM go) / (SELECT gd FROM gd) AS target_d FROM raw_d)""",
+        "b0 AS (SELECT o_cell, d_cell, flow, CAST(flow AS DOUBLE) AS b FROM flows)",
+    ]
+    prev = "b0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT x.o_cell, x.d_cell, x.flow,
+         x.b * (t.target_d / m.m_d) AS b
+  FROM {prev} x
+  JOIN (SELECT d_cell, CAST(sum(CAST(b AS {DECs})) AS DOUBLE) AS m_d
+        FROM {prev} GROUP BY d_cell) m ON m.d_cell = x.d_cell
+  JOIN t_d t ON t.d_cell = x.d_cell)""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+  SELECT x.o_cell, x.d_cell, x.flow,
+         x.b * (t.target_o / m.m_o) AS b
+  FROM c{i} x
+  JOIN (SELECT o_cell, CAST(sum(CAST(b AS {DECs})) AS DOUBLE) AS m_o
+        FROM c{i} GROUP BY o_cell) m ON m.o_cell = x.o_cell
+  JOIN t_o t ON t.o_cell = x.o_cell)""")
+        prev = f"b{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT o_cell, d_cell, flow, round(b, 6) AS balanced FROM {prev}"
+    )

@@ -637,6 +637,21 @@ def _sql_vocab_growth() -> str:
     return vocab_growth_sql("SELECT doc_id, text FROM documents")
 
 
+def q_ipf_balance(spark, sf_dir):
+    """Furness/IPF trip-matrix balancing (operators/spacetime.py:
+    ipf_balance): alternating margin sweeps on cell-pair metadata,
+    identical round count in the twin."""
+    from ..operators.spacetime import ipf_balance
+
+    return ipf_balance(_ev_xy(spark, sf_dir), res=3)
+
+
+def _sql_ipf() -> str:
+    from ..operators.spacetime import ipf_balance_sql
+
+    return ipf_balance_sql(_ev_xy_sql(), res=3)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7846,6 +7861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stylometry_delta": q_stylometry,
     "robustness_curve": q_robustness,
     "vocab_growth": q_vocab_growth,
+    "ipf_balance": q_ipf_balance,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8155,7 +8171,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8232,6 +8248,7 @@ ORACLES: dict[str, str] = {
     "stylometry_delta": _sql_stylometry(),
     "robustness_curve": _sql_robustness(),
     "vocab_growth": _sql_vocab_growth(),
+    "ipf_balance": _sql_ipf(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
