@@ -652,6 +652,21 @@ def _sql_ipf() -> str:
     return ipf_balance_sql(_ev_xy_sql(), res=3)
 
 
+def q_stream_cusum(spark, sf_dir):
+    """Stateful streaming CUSUM per event type
+    (streaming/events_stream.py: stream_cusum) — integer state, so the
+    availableNow drain equals the closed-form batch oracle bit-for-bit."""
+    from ..streaming.events_stream import stream_cusum
+
+    return stream_cusum(spark, sf_dir)
+
+
+def _sql_stream_cusum() -> str:
+    from ..streaming.events_stream import stream_cusum_batch_sql
+
+    return stream_cusum_batch_sql()
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7862,6 +7877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robustness_curve": q_robustness,
     "vocab_growth": q_vocab_growth,
     "ipf_balance": q_ipf_balance,
+    "stream_cusum": q_stream_cusum,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8171,7 +8187,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8249,6 +8265,7 @@ ORACLES: dict[str, str] = {
     "robustness_curve": _sql_robustness(),
     "vocab_growth": _sql_vocab_growth(),
     "ipf_balance": _sql_ipf(),
+    "stream_cusum": _sql_stream_cusum(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -571,3 +571,123 @@ def stream_tile_stats(
         q.stop()
         raise TimeoutError(f"stream_tile_stats did not drain within {timeout_s}s")
     return stats.read_stats(spark)
+
+
+def stream_cusum(
+    spark: SparkSession,
+    sf_dir: str,
+    period_s: int = 3600,
+    k: int = 80,
+    h: int = 200,
+    timeout_s: int = 300,
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CUSUM change detection per event type — a REAL stateful
+    operator (applyInPandasWithState) with INTEGER state, so the stream and
+    the batch twin agree bit-for-bit: per type, hourly event counts x_t
+    drive S_t = max(0, S_{t-1} + x_t − k); ``alarm`` fires at S_t > h.
+    State per key = (current period, its running count, S). A period emits
+    when the next period's first event closes it; each type's final
+    (never-closed) period is therefore absent — the twin excludes it
+    identically. Periods without events are skipped (not zero-filled) on
+    both sides.
+
+    The batch oracle avoids re-running the recursion: with integer sums,
+    S_t = cum_t − min(0, min_{j≤t} cum_j) where cum = Σ(x−k) — a
+    cumulative sum plus a running min, both plain windows. Integer
+    arithmetic end-to-end means no float-order hazard anywhere."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(batch_schema).format("parquet")
+    if source_dir is None:
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    else:
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.load(source_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+
+    def cusum(key, pdf_iter, state: GroupState):
+        cur_p, cur_n, s = state.get if state.exists else (None, 0, 0)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            periods = (pdf["ts"].astype("int64") // 1_000_000_000) // period_s
+            rows = []
+            for p in periods:
+                p = int(p)
+                if cur_p is None:
+                    cur_p, cur_n = p, 1
+                elif p == cur_p:
+                    cur_n += 1
+                else:
+                    s = max(0, s + cur_n - k)
+                    rows.append((key[0], cur_p, cur_n, s, s > h))
+                    cur_p, cur_n = p, 1
+            if rows:
+                out.append(
+                    pd.DataFrame(
+                        rows,
+                        columns=["event_type", "period", "n", "s_stat", "alarm"],
+                    )
+                )
+        state.update((cur_p, cur_n, s))
+        yield from out
+
+    result = (
+        stream.groupBy("event_type")
+        .applyInPandasWithState(
+            cusum,
+            outputStructType=(
+                "event_type STRING, period LONG, n LONG, s_stat LONG, alarm BOOLEAN"
+            ),
+            stateStructType="cur_p LONG, cur_n LONG, s LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"cusum_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"availableNow drain did not finish within {timeout_s}s")
+    return spark.table(sink)
+
+
+def stream_cusum_batch_sql(period_s: int = 3600, k: int = 80, h: int = 200) -> str:
+    """Batch oracle of :func:`stream_cusum` (DuckDB): closed-form
+    S_t = cum_t − min(0, running-min cum) over observed periods, excluding
+    each type's final period."""
+    return f"""
+WITH px AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // {period_s} AS period,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+c1 AS (
+  SELECT event_type, period, n,
+         sum(n - {k}) OVER (PARTITION BY event_type ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         max(period) OVER (PARTITION BY event_type) AS p_last
+  FROM px),
+cum AS (
+  SELECT event_type, period, n, cum, p_last,
+         min(cum) OVER (PARTITION BY event_type ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mincum
+  FROM c1)
+SELECT event_type, period, n,
+       CAST(cum - least(0, mincum) AS BIGINT) AS s_stat,
+       (cum - least(0, mincum)) > {h} AS alarm
+FROM cum WHERE period < p_last
+"""

@@ -178,3 +178,45 @@ def test_stream_hex_density_equals_batch_hex_counts(spark):
     }
     got_day = out.groupby("day")["n"].sum().to_dict()
     assert got_day == per_day
+
+
+def test_stream_cusum_state_across_batches(spark, tmp_path):
+    """Integer CUSUM state carried across micro-batches: the two-file
+    time-ordered drain equals both the single-batch drain and the
+    closed-form batch oracle (cum − min(0, running-min cum))."""
+    import duckdb
+
+    from raptor_rag_spark.streaming.events_stream import (
+        stream_cusum,
+        stream_cusum_batch_sql,
+    )
+
+    single = stream_cusum(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(stream_cusum_batch_sql()).df()
+    key = ["event_type", "period"]
+    a = single.sort_values(key).reset_index(drop=True)
+    b = oracle[single.columns].sort_values(key).reset_index(drop=True)
+    b = b.astype(a.dtypes.to_dict())
+    assert a.equals(b)
+
+    events = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "_epoch", F.col("ts").cast("timestamp_ltz").cast("long")
+    )
+    cut = events.approxQuantile("_epoch", [0.5], 0.0)[0]
+    src = tmp_path / "events_cusum_src"
+    events.where(F.col("_epoch") <= cut).drop("_epoch").coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    import time
+
+    time.sleep(1.1)
+    events.where(F.col("_epoch") > cut).drop("_epoch").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    multi = stream_cusum(
+        spark, SF, source_dir=str(src) + "/*/", max_files_per_trigger=1
+    ).toPandas()
+    m = multi.sort_values(key).reset_index(drop=True)
+    assert a.equals(m[a.columns].sort_values(key).reset_index(drop=True))
