@@ -1669,3 +1669,59 @@ SELECT n_cells, n_edges * 2 AS w_sum,
              * (2.0 * sdd) / szz, 6) AS geary_c
 FROM g2, e_agg
 """
+
+
+def raster_crosstab(
+    raster_a: DataFrame,
+    raster_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    edges_a: tuple[float, ...],
+    edges_b: tuple[float, ...],
+) -> DataFrame:
+    """Map-algebra cross-tabulation (the COMBINE/Tabulate-Area step): two
+    rasters on the same (ix, iy) lattice, each classified by fixed bin
+    edges, counted per class pair — (class_a, class_b, n_cells). The
+    land-cover-vs-terrain contingency table, here density vs any second
+    band. Cells present in only one raster are dropped (inner join on the
+    lattice). Pure metadata: both inputs are ≤ 4^res rows."""
+
+    def classify(col, edges):
+        c = F.lit(0)
+        for i, e in enumerate(edges):
+            c = F.when(F.col(col) >= F.lit(float(e)), F.lit(i + 1)).otherwise(c)
+        return c.cast("long")
+
+    a = raster_a.select("ix", "iy", classify(col_a, edges_a).alias("class_a"))
+    b = raster_b.select("ix", "iy", classify(col_b, edges_b).alias("class_b"))
+    return (
+        a.join(b, ["ix", "iy"])
+        .groupBy("class_a", "class_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    )
+
+
+def raster_crosstab_sql(
+    a_sql: str,
+    b_sql: str,
+    col_a: str,
+    col_b: str,
+    edges_a: tuple[float, ...],
+    edges_b: tuple[float, ...],
+) -> str:
+    """DuckDB twin of :func:`raster_crosstab`."""
+    from ..functions.hexgen import flit
+
+    def classify(col, edges):
+        expr = "0"
+        for i, e in enumerate(edges):
+            expr = f"CASE WHEN {col} >= {flit(float(e))} THEN {i + 1} ELSE {expr} END"
+        return f"CAST({expr} AS BIGINT)"
+
+    return f"""
+WITH a AS (SELECT ix, iy, {classify(col_a, edges_a)} AS class_a FROM ({a_sql})),
+b AS (SELECT ix, iy, {classify(col_b, edges_b)} AS class_b FROM ({b_sql}))
+SELECT a.class_a, b.class_b, count(*)::BIGINT AS n_cells
+FROM a JOIN b ON a.ix = b.ix AND a.iy = b.iy
+GROUP BY a.class_a, b.class_b
+"""

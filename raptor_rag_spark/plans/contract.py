@@ -667,6 +667,28 @@ def _sql_stream_cusum() -> str:
     return stream_cusum_batch_sql()
 
 
+def q_raster_crosstab(spark, sf_dir):
+    """Map-algebra cross-tab of density vs slope classes
+    (operators/heatmap.py: raster_crosstab) over the shared KDE lattice."""
+    from ..operators.heatmap import raster_crosstab, terrain_surface
+
+    r = _kde_raster(spark, sf_dir)
+    t = terrain_surface(r, res=KDE_RES)
+    return raster_crosstab(
+        r, t, "density", "tan_slope", (0.5, 2.0, 8.0), (0.001, 0.01, 0.1)
+    )
+
+
+def _sql_raster_crosstab() -> str:
+    from ..operators.heatmap import raster_crosstab_sql, terrain_surface_sql
+
+    kde = f"SELECT ix, iy, density FROM ({_sql_kde_heatmap()})"
+    terr = terrain_surface_sql(kde, res=KDE_RES)
+    return raster_crosstab_sql(
+        kde, terr, "density", "tan_slope", (0.5, 2.0, 8.0), (0.001, 0.01, 0.1)
+    )
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7878,6 +7900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_growth": q_vocab_growth,
     "ipf_balance": q_ipf_balance,
     "stream_cusum": q_stream_cusum,
+    "raster_crosstab": q_raster_crosstab,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8187,7 +8210,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8266,6 +8289,7 @@ ORACLES: dict[str, str] = {
     "vocab_growth": _sql_vocab_growth(),
     "ipf_balance": _sql_ipf(),
     "stream_cusum": _sql_stream_cusum(),
+    "raster_crosstab": _sql_raster_crosstab(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
