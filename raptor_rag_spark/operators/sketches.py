@@ -501,7 +501,14 @@ def dd_quantiles(
 
     gamma = (1.0 + alpha) / (1.0 - alpha)
     ln_gamma = math.log(gamma)
-    pos = sketch.where(F.col("bucket").isNotNull())
+    # materialize BEFORE filtering: the sketch is O(log range / alpha) rows
+    # of METADATA, but its lineage is the ln-bucketing corpus pass. Filtering
+    # first would push `bucket IS NOT NULL` below the aggregate onto the
+    # bucket EXPRESSION, duplicating the whole twin-ln tree into a Filter
+    # node that overflows janino and runs interpreted (measured 33 s for the
+    # checkpoint at sf0.1 vs ~4 s this way); and without any checkpoint the
+    # corpus pass re-runs once per consumer (total, cumulative walk, probe).
+    pos = sketch.localCheckpoint(eager=True).where(F.col("bucket").isNotNull())
     total = pos.agg(F.sum("cnt").cast("long").alias("n"))
     wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = pos.withColumn("cum", F.sum("cnt").over(wcum).cast("long")).crossJoin(
