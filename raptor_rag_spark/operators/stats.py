@@ -811,3 +811,95 @@ curve AS (
 SELECT t, n_risk, n_events, round(s_hat, 6) AS s_hat
 FROM curve WHERE n_risk > n_events
 """
+
+
+def eb_shrink_rates(
+    events: DataFrame,
+    id_col: str = "user_id",
+    flag: str = "event_type = 'error'",
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-entity event rates:
+    raw rates x/n for small-n entities are noise; fit a Beta(α, β) prior
+    across entities by method of moments (μ, σ² of raw rates ⇒
+    α+β = μ(1−μ)/σ² − 1), then report the posterior mean
+    (x+α)/(n+α+β) — small-n entities shrink toward the corpus rate,
+    large-n entities keep their evidence. THE ranking-by-rate fix
+    (error-rate leaderboards, host quality rates) every monitoring
+    pipeline needs.
+
+    Output per entity: (id, n, x, raw_rate, shrunk_rate, alpha, beta).
+    Degenerate prior (σ² ≥ μ(1−μ), no overdispersion to fit) falls back
+    to α = β = 1 (uniform), identically in the twin.
+
+    Scale shape: one groupBy to entity metadata; the prior is a 1-row
+    DECIMAL-moment aggregate broadcast back. No iteration."""
+    from ..functions import sqlgen as G  # noqa: F401  (twin symmetry)
+
+    DECs = "decimal(28,15)"
+    per = events.groupBy(F.col(id_col).alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.expr(flag), 1).otherwise(0)).cast("long").alias("x"),
+    ).withColumn("raw_rate", F.col("x").cast("double") / F.col("n").cast("double"))
+    mom = per.agg(
+        (
+            F.sum(F.col("raw_rate").cast(DECs)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu"),
+        (
+            F.sum((F.col("raw_rate") * F.col("raw_rate")).cast(DECs)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    k = F.col("mu") * (F.lit(1.0) - F.col("mu")) / var - F.lit(1.0)
+    ok = (var > 0) & (var < F.col("mu") * (F.lit(1.0) - F.col("mu"))) & (k > 0)
+    prior = mom.select(
+        F.when(ok, F.col("mu") * k).otherwise(F.lit(1.0)).alias("alpha"),
+        F.when(ok, (F.lit(1.0) - F.col("mu")) * k).otherwise(F.lit(1.0)).alias("beta"),
+    )
+    j = per.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("x").cast("double") + F.col("alpha")) / (
+        F.col("n").cast("double") + F.col("alpha") + F.col("beta")
+    )
+    return j.select(
+        "id",
+        "n",
+        "x",
+        F.round("raw_rate", 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+    )
+
+
+def eb_shrink_rates_sql(
+    events_sql: str, id_col: str = "user_id", flag: str = "event_type = 'error'"
+) -> str:
+    """DuckDB twin of :func:`eb_shrink_rates`."""
+    DECs = "DECIMAL(28,15)"
+    return f"""
+WITH per AS (
+  SELECT {id_col} AS id, count(*)::BIGINT AS n,
+         CAST(sum(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM ({events_sql}) GROUP BY 1),
+rated AS (
+  SELECT id, n, x, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate FROM per),
+mom AS (
+  SELECT CAST(sum(CAST(raw_rate AS {DECs})) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(raw_rate * raw_rate AS {DECs})) AS DOUBLE) / count(*) AS m2
+  FROM rated),
+prior AS (
+  SELECT CASE WHEN ok THEN mu * k ELSE 1.0 END AS alpha,
+         CASE WHEN ok THEN (1.0 - mu) * k ELSE 1.0 END AS beta
+  FROM (
+    SELECT mu, m2,
+           mu * (1.0 - mu) / (m2 - mu * mu) - 1.0 AS k,
+           (m2 - mu * mu) > 0 AND (m2 - mu * mu) < mu * (1.0 - mu)
+             AND (mu * (1.0 - mu) / (m2 - mu * mu) - 1.0) > 0 AS ok
+    FROM mom))
+SELECT r.id, r.n, r.x, round(r.raw_rate, 6) AS raw_rate,
+       round((CAST(r.x AS DOUBLE) + p.alpha)
+             / (CAST(r.n AS DOUBLE) + p.alpha + p.beta), 6) AS shrunk_rate,
+       round(p.alpha, 6) AS alpha, round(p.beta, 6) AS beta
+FROM rated r CROSS JOIN prior p
+"""

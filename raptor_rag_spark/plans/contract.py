@@ -689,6 +689,21 @@ def _sql_raster_crosstab() -> str:
     )
 
 
+def q_eb_shrink(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user error rates
+    (operators/stats.py: eb_shrink_rates): method-of-moments prior, 1-row
+    broadcast, no iteration."""
+    from ..operators.stats import eb_shrink_rates
+
+    return eb_shrink_rates(ld(spark, sf_dir, "events"))
+
+
+def _sql_eb_shrink() -> str:
+    from ..operators.stats import eb_shrink_rates_sql
+
+    return eb_shrink_rates_sql("SELECT user_id, event_type FROM events")
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7901,6 +7916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ipf_balance": q_ipf_balance,
     "stream_cusum": q_stream_cusum,
     "raster_crosstab": q_raster_crosstab,
+    "eb_shrink": q_eb_shrink,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8210,7 +8226,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8290,6 +8306,7 @@ ORACLES: dict[str, str] = {
     "ipf_balance": _sql_ipf(),
     "stream_cusum": _sql_stream_cusum(),
     "raster_crosstab": _sql_raster_crosstab(),
+    "eb_shrink": _sql_eb_shrink(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
