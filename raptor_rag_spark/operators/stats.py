@@ -903,3 +903,91 @@ SELECT r.id, r.n, r.x, round(r.raw_rate, 6) AS raw_rate,
        round(p.alpha, 6) AS alpha, round(p.beta, 6) AS beta
 FROM rated r CROSS JOIN prior p
 """
+
+
+def ks_two_sample(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two value
+    distributions: D = max over observed values of |F_a − F_b|, with the
+    ECDFs evaluated at every distinct value of the pooled sample. One row:
+    (n_a, n_b, d_stat, c_alpha) where c_alpha = D·sqrt(n_a·n_b/(n_a+n_b))
+    — compare against 1.358 for the 5% level. The distribution-shift gate
+    between two crawls/sources that PSI's fixed bins can blur.
+
+    Scale shape: both sides reduce to (value → count) tables (one groupBy
+    each, vocabulary/value-cardinality); the ECDF gap is a cumulative
+    window over the POOLED DISTINCT values — value metadata, never rows.
+    Integer cumulative counts ⇒ the max gap is exact."""
+    ca = a.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("na_v")
+    )
+    cb = b.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb_v")
+    )
+    pooled = ca.join(cb, "v", "full_outer").select(
+        "v",
+        F.coalesce("na_v", F.lit(0)).alias("na_v"),
+        F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pooled.select(
+        "v",
+        F.sum("na_v").over(wcum).cast("long").alias("ca"),
+        F.sum("nb_v").over(wcum).cast("long").alias("cb"),
+    )
+    tot = pooled.agg(
+        F.sum("na_v").cast("long").alias("n_a"), F.sum("nb_v").cast("long").alias("n_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_a").cast("double")
+            - F.col("cb").cast("double") / F.col("n_b").cast("double")
+        ).alias("gap"),
+    )
+    out = gaps.groupBy("n_a", "n_b").agg(F.max("gap").alias("d_stat"))
+    scale = F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(F.col("d_stat") * scale, 6).alias("c_alpha"),
+    )
+
+
+def ks_two_sample_sql(a_sql: str, b_sql: str, value_col: str) -> str:
+    """DuckDB twin of :func:`ks_two_sample`."""
+    return f"""
+WITH ca AS (SELECT {value_col} AS v, count(*)::BIGINT AS na_v
+            FROM ({a_sql}) GROUP BY 1),
+cb AS (SELECT {value_col} AS v, count(*)::BIGINT AS nb_v
+       FROM ({b_sql}) GROUP BY 1),
+pooled AS (
+  SELECT coalesce(ca.v, cb.v) AS v,
+         coalesce(na_v, 0) AS na_v, coalesce(nb_v, 0) AS nb_v
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+cum AS (
+  SELECT v,
+         CAST(sum(na_v) OVER w AS BIGINT) AS ca,
+         CAST(sum(nb_v) OVER w AS BIGINT) AS cb
+  FROM pooled
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a, CAST(sum(nb_v) AS BIGINT) AS n_b
+        FROM pooled),
+gaps AS (
+  SELECT t.n_a, t.n_b,
+         abs(CAST(c.ca AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+             - CAST(c.cb AS DOUBLE) / CAST(t.n_b AS DOUBLE)) AS gap
+  FROM cum c CROSS JOIN tot t),
+agg AS (SELECT n_a, n_b, max(gap) AS d_stat FROM gaps GROUP BY n_a, n_b)
+SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
+       round(d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE)), 6) AS c_alpha
+FROM agg
+"""

@@ -704,6 +704,32 @@ def _sql_eb_shrink() -> str:
     return eb_shrink_rates_sql("SELECT user_id, event_type FROM events")
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS test between the quality distributions of two
+    source groups (operators/stats.py: ks_two_sample): ECDF max-gap over
+    pooled distinct-value metadata."""
+    from ..operators.stats import ks_two_sample
+    from ..functions.sqlgen import quality_score_cols
+
+    d = ld(spark, sf_dir, "documents")
+    q = F.round(quality_score_cols(F.col("text")), 6).alias("q")
+    a = d.where("doc_id % 2 = 0").select(q)
+    b = d.where("doc_id % 2 = 1").select(q)
+    return ks_two_sample(a, b, "q")
+
+
+def _sql_ks_drift() -> str:
+    from ..operators.stats import ks_two_sample_sql
+    from ..functions.sqlgen import quality_score_sql
+
+    q = f"round({quality_score_sql('text')}, 6) AS q"
+    return ks_two_sample_sql(
+        f"SELECT {q} FROM documents WHERE doc_id % 2 = 0",
+        f"SELECT {q} FROM documents WHERE doc_id % 2 = 1",
+        "q",
+    )
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7917,6 +7943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cusum": q_stream_cusum,
     "raster_crosstab": q_raster_crosstab,
     "eb_shrink": q_eb_shrink,
+    "ks_drift": q_ks_drift,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8226,7 +8253,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8307,6 +8334,7 @@ ORACLES: dict[str, str] = {
     "stream_cusum": _sql_stream_cusum(),
     "raster_crosstab": _sql_raster_crosstab(),
     "eb_shrink": _sql_eb_shrink(),
+    "ks_drift": _sql_ks_drift(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

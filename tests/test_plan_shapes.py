@@ -384,6 +384,7 @@ def test_global_window_registry_every_site_bounded():
             "fixed",   # :650 kneedle knee pick over quantile-pick rows
             "bucket",  # kaplan_meier risk counts over distinct durations
             "bucket",  # kaplan_meier survival product over death times
+            "bucket",  # ks_two_sample ECDF over pooled distinct values
         ],
         "operators/textops.py": [
             "topk",    # :171 PMI collocations — limit first
