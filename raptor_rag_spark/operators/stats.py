@@ -991,3 +991,103 @@ SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
              / CAST(n_a + n_b AS DOUBLE)), 6) AS c_alpha
 FROM agg
 """
+
+
+def mann_whitney_u(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between two samples, with
+    midrank tie handling and the tie-corrected normal approximation. One
+    row: (n_a, n_b, u_stat, z) — the nonparametric "is distribution A
+    stochastically larger" companion to the KS max-gap test.
+
+    Exactness: U computed from the closed form over pooled DISTINCT-value
+    counts — U_a = Σ_v a_v·(cb_below_v + b_v/2) where cb_below is B's
+    cumulative count strictly below v — all integer/half-integer
+    arithmetic (×2 staging keeps it integer), so no rank window over rows
+    and no float-order hazard. The tie-correction term uses the same
+    pooled counts. Scale shape: two value-cardinality groupBys + one
+    distinct-value cumulative window."""
+    from ..functions import sqlgen as G  # noqa: F401  (twin symmetry)
+
+    ca = a.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("av")
+    )
+    cb = b.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("bv")
+    )
+    pooled = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("av", F.lit(0)).alias("av"),
+            F.coalesce("bv", F.lit(0)).alias("bv"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    staged = pooled.withColumn(
+        "cb_below", F.coalesce(F.sum("bv").over(wcum), F.lit(0)).cast("long")
+    )
+    # 2·U_a stays integer: Σ av·(2·cb_below + bv)
+    sums = staged.agg(
+        F.sum("av").cast("long").alias("n_a"),
+        F.sum("bv").cast("long").alias("n_b"),
+        F.sum(F.col("av") * (2 * F.col("cb_below") + F.col("bv")))
+        .cast("long")
+        .alias("u2"),
+        F.sum(
+            (F.col("av") + F.col("bv"))
+            * (F.col("av") + F.col("bv"))
+            * (F.col("av") + F.col("bv"))
+            - (F.col("av") + F.col("bv"))
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("u2").cast("double") / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)) * (
+        (n + F.lit(1.0)) - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = F.when(var > 0, (u - mu) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def mann_whitney_u_sql(a_sql: str, b_sql: str, value_col: str) -> str:
+    """DuckDB twin of :func:`mann_whitney_u`."""
+    return f"""
+WITH ca AS (SELECT {value_col} AS v, count(*)::BIGINT AS av FROM ({a_sql}) GROUP BY 1),
+cb AS (SELECT {value_col} AS v, count(*)::BIGINT AS bv FROM ({b_sql}) GROUP BY 1),
+pooled AS (
+  SELECT coalesce(ca.v, cb.v) AS v, coalesce(av, 0) AS av, coalesce(bv, 0) AS bv
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+staged AS (
+  SELECT v, av, bv,
+         coalesce(sum(bv) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb_below
+  FROM pooled),
+sums AS (
+  SELECT CAST(sum(av) AS BIGINT) AS n_a, CAST(sum(bv) AS BIGINT) AS n_b,
+         CAST(sum(av * (2 * cb_below + bv)) AS BIGINT) AS u2,
+         CAST(sum((av + bv) * (av + bv) * (av + bv) - (av + bv)) AS BIGINT) AS tie_term
+  FROM staged)
+SELECT n_a, n_b,
+       round(CAST(u2 AS DOUBLE) / 2.0, 6) AS u_stat,
+       round(CASE WHEN (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                       * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                          - CAST(tie_term AS DOUBLE)
+                            / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0
+             THEN (CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                  / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                         * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                            - CAST(tie_term AS DOUBLE)
+                              / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+             ELSE 0.0 END, 6) AS z
+FROM sums
+"""

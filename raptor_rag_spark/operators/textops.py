@@ -769,3 +769,58 @@ SELECT c.bucket, c.n_tokens_cum, c.vocab_cum,
        round(k.beta, 6) AS beta
 FROM cum c CROSS JOIN coef k
 """
+
+
+def chao1_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 unseen-species estimate of the TRUE vocabulary size:
+    Ŝ = V + f1·(f1−1)/(2·(f2+1)) (bias-corrected form) from the observed
+    vocabulary V, singleton count f1 and doubleton count f2 — "how much
+    vocabulary has this crawl NOT seen yet", the coverage planning number
+    that pairs with the Heaps-law growth curve. One row:
+    (vocab, f1, f2, chao1, coverage) with coverage = 1 − f1/N (Good-Turing
+    sample coverage, N = total tokens).
+
+    Scale shape: one tokenization → vocabulary-cardinality counts → a
+    3-number aggregate. Exact integers until the final two divisions."""
+    toks = docs.select(F.explode(G.words_col(F.col(text_col))).alias("w"))
+    vc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    agg = vc.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    chao = (
+        F.col("vocab").cast("double")
+        + F.col("f1").cast("double")
+        * (F.col("f1") - 1).cast("double")
+        / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+    )
+    cov = F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+    return agg.select(
+        "vocab", "f1", "f2",
+        F.round(chao, 6).alias("chao1"),
+        F.round(cov, 6).alias("coverage"),
+    )
+
+
+def chao1_richness_sql(docs_sql: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`chao1_richness`."""
+    w = G.words_sql(text_col)
+    return f"""
+WITH vc AS (
+  SELECT w, count(*)::BIGINT AS c FROM (
+    SELECT unnest({w}) AS w FROM ({docs_sql})) GROUP BY w),
+agg AS (
+  SELECT count(*)::BIGINT AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM vc)
+SELECT vocab, f1, f2,
+       round(CAST(vocab AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+       round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS coverage
+FROM agg
+"""

@@ -730,6 +730,46 @@ def _sql_ks_drift() -> str:
     )
 
 
+def q_chao1(spark, sf_dir):
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage
+    (operators/textops.py: chao1_richness)."""
+    from ..operators.textops import chao1_richness
+
+    return chao1_richness(ld(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_chao1() -> str:
+    from ..operators.textops import chao1_richness_sql
+
+    return chao1_richness_sql("SELECT doc_id, text FROM documents")
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Exact Mann-Whitney U with midrank ties between two source groups'
+    quality distributions (operators/stats.py: mann_whitney_u) — integer
+    closed form over pooled distinct-value counts."""
+    from ..operators.stats import mann_whitney_u
+    from ..functions.sqlgen import quality_score_cols
+
+    d = ld(spark, sf_dir, "documents")
+    q = F.round(quality_score_cols(F.col("text")), 6).alias("q")
+    a = d.where("doc_id % 2 = 0").select(q)
+    b = d.where("doc_id % 2 = 1").select(q)
+    return mann_whitney_u(a, b, "q")
+
+
+def _sql_mann_whitney() -> str:
+    from ..operators.stats import mann_whitney_u_sql
+    from ..functions.sqlgen import quality_score_sql
+
+    q = f"round({quality_score_sql('text')}, 6) AS q"
+    return mann_whitney_u_sql(
+        f"SELECT {q} FROM documents WHERE doc_id % 2 = 0",
+        f"SELECT {q} FROM documents WHERE doc_id % 2 = 1",
+        "q",
+    )
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7944,6 +7984,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raster_crosstab": q_raster_crosstab,
     "eb_shrink": q_eb_shrink,
     "ks_drift": q_ks_drift,
+    "chao1_richness": q_chao1,
+    "mann_whitney": q_mann_whitney,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8253,7 +8295,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift", "chao1_richness", "mann_whitney",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8335,6 +8377,8 @@ ORACLES: dict[str, str] = {
     "raster_crosstab": _sql_raster_crosstab(),
     "eb_shrink": _sql_eb_shrink(),
     "ks_drift": _sql_ks_drift(),
+    "chao1_richness": _sql_chao1(),
+    "mann_whitney": _sql_mann_whitney(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

@@ -385,6 +385,7 @@ def test_global_window_registry_every_site_bounded():
             "bucket",  # kaplan_meier risk counts over distinct durations
             "bucket",  # kaplan_meier survival product over death times
             "bucket",  # ks_two_sample ECDF over pooled distinct values
+            "bucket",  # mann_whitney cum counts over pooled distinct values
         ],
         "operators/textops.py": [
             "topk",    # :171 PMI collocations — limit first
