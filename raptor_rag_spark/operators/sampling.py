@@ -627,3 +627,74 @@ SELECT r.source, r.n_docs, r.n_tokens, r.target_w, round(r.rate, 6) AS rate,
        COALESCE(k.kept_tokens, 0)::BIGINT AS kept_tokens
 FROM rated r LEFT JOIN kept k ON k.source = r.source
 """
+
+
+def negative_samples(
+    docs: DataFrame, k: int = 4, id_col: str = "doc_id", salt: str = "neg"
+) -> DataFrame:
+    """Reproducible negative sampling for contrastive training: per anchor
+    document, ``k`` pseudo-random negatives drawn by hash ring —
+    candidate_j = hash63(salt|anchor|j) mod (max_id+1), remapped by an
+    equi-join against the real id set (misses from sparse id spaces drop;
+    a self-draw drops). Output (anchor_id, j, neg_id) — identical on every
+    rerun, every engine, every partitioning, which is what makes the
+    training set auditable.
+
+    Scale shape: a k-explode of the corpus keyed by integer candidates,
+    then ONE equi-join against the (id)-projected corpus — no shuffle of
+    document payloads, no RNG state."""
+    from ..functions import sqlgen as G
+
+    hi = docs.agg((F.max(id_col) + 1).cast("long").alias("hi"))
+    cand = (
+        docs.select(F.col(id_col).alias("anchor_id"))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "anchor_id",
+            "hi",
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            "j",
+            (
+                G.hash63_col(
+                    F.concat(
+                        F.lit(salt + "|"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit("|"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("hi")
+            ).alias("cand"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("cand"))
+    return (
+        cand.join(ids, "cand")
+        .where(F.col("cand") != F.col("anchor_id"))
+        .select("anchor_id", "j", F.col("cand").alias("neg_id"))
+    )
+
+
+def negative_samples_sql(
+    docs_sql: str, k: int = 4, id_col: str = "doc_id", salt: str = "neg"
+) -> str:
+    """DuckDB twin of :func:`negative_samples`."""
+    from ..functions import sqlgen as G
+
+    h = G.hash63_sql(
+        f"concat('{salt}|', CAST(anchor_id AS VARCHAR), '|', CAST(j AS VARCHAR))"
+    )
+    return f"""
+WITH ids AS (SELECT {id_col} AS id FROM ({docs_sql})),
+hi AS (SELECT CAST(max(id) + 1 AS BIGINT) AS hi FROM ids),
+cand AS (
+  SELECT a.id AS anchor_id, j.j,
+         {h} % (SELECT hi FROM hi) AS cand
+  FROM ids a CROSS JOIN (SELECT unnest(range(0, {k})) AS j) j)
+SELECT c.anchor_id, c.j, c.cand AS neg_id
+FROM cand c JOIN ids i ON i.id = c.cand
+WHERE c.cand <> c.anchor_id
+"""

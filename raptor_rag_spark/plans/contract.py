@@ -770,6 +770,20 @@ def _sql_mann_whitney() -> str:
     )
 
 
+def q_negative_samples(spark, sf_dir):
+    """Reproducible hash-ring negative sampling for contrastive pairs
+    (operators/sampling.py: negative_samples)."""
+    from ..operators.sampling import negative_samples
+
+    return negative_samples(ld(spark, sf_dir, "documents").select("doc_id"), k=4)
+
+
+def _sql_negatives() -> str:
+    from ..operators.sampling import negative_samples_sql
+
+    return negative_samples_sql("SELECT doc_id FROM documents", k=4)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -7986,6 +8000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift": q_ks_drift,
     "chao1_richness": q_chao1,
     "mann_whitney": q_mann_whitney,
+    "negative_samples": q_negative_samples,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8295,7 +8310,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift", "chao1_richness", "mann_whitney",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift", "chao1_richness", "mann_whitney", "negative_samples",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8379,6 +8394,7 @@ ORACLES: dict[str, str] = {
     "ks_drift": _sql_ks_drift(),
     "chao1_richness": _sql_chao1(),
     "mann_whitney": _sql_mann_whitney(),
+    "negative_samples": _sql_negatives(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
