@@ -1091,3 +1091,93 @@ SELECT n_a, n_b,
              ELSE 0.0 END, 6) AS z
 FROM sums
 """
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact Spearman rank correlation with midrank tie handling between
+    two per-row metrics: ranks come from the distinct-value cumulative
+    reconstruction (midrank(v) = count_below(v) + (count_at(v)+1)/2 —
+    value-cardinality metadata, never a global row sort), then Pearson on
+    the midranks with DECIMAL moment sums. One row: (n, rho). The monotone
+    -association companion to Pearson that quality/readability/rate
+    metrics need (outlier-robust, scale-free).
+
+    ×2 staging keeps midranks half-integer-exact: rank2 = 2·count_below +
+    count_at + 1 is an integer; all moments accumulate on rank2 and the
+    ×2 factors cancel in rho."""
+    vals = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).localCheckpoint(
+        eager=False
+    )  # consumed by two rank maps + the moment pass
+
+    def midrank2(col):
+        c = vals.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_v")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return c.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1
+            ).cast("long").alias("r2"),
+        )
+    rx = midrank2("x").withColumnRenamed("v", "x").withColumnRenamed("r2", "rx2")
+    ry = midrank2("y").withColumnRenamed("v", "y").withColumnRenamed("r2", "ry2")
+    ranked = vals.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    DECs = "decimal(28,15)"
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("rx2").cast(DECs)).cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast(DECs)).cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(DECs)).cast("double").alias("sxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(DECs)).cast("double").alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(DECs)).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6).alias("rho"),
+    )
+
+
+def spearman_corr_sql(src_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`spearman_corr`."""
+    DECs = "DECIMAL(28,15)"
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT {x_col} AS x, {y_col} AS y FROM ({src_sql})),
+rx AS (
+  SELECT v AS x,
+         (2 * coalesce(sum(n_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + n_v + 1)::BIGINT AS rx2
+  FROM (SELECT x AS v, count(*)::BIGINT AS n_v FROM vals GROUP BY x)),
+ry AS (
+  SELECT v AS y,
+         (2 * coalesce(sum(n_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + n_v + 1)::BIGINT AS ry2
+  FROM (SELECT y AS v, count(*)::BIGINT AS n_v FROM vals GROUP BY y)),
+ranked AS (
+  SELECT v.x, v.y, rx.rx2, ry.ry2
+  FROM vals v JOIN rx ON rx.x = v.x JOIN ry ON ry.y = v.y),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(rx2 AS {DECs})) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ry2 AS {DECs})) AS DOUBLE) AS sy,
+         CAST(sum(CAST(rx2 * ry2 AS {DECs})) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(rx2 * rx2 AS {DECs})) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ry2 * ry2 AS {DECs})) AS DOUBLE) AS syy
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  ELSE 0.0 END, 6) AS rho
+FROM m
+"""

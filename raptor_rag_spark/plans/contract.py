@@ -784,6 +784,35 @@ def _sql_negatives() -> str:
     return negative_samples_sql("SELECT doc_id FROM documents", k=4)
 
 
+def q_spearman(spark, sf_dir):
+    """Exact midrank Spearman between doc quality and readability grade
+    (operators/stats.py: spearman_corr) — distinct-value rank
+    reconstruction, no global row sort."""
+    from ..operators.stats import spearman_corr
+    from ..operators.textops import readability
+    from ..functions.sqlgen import quality_score_cols
+
+    d = ld(spark, sf_dir, "documents")
+    r = readability(d.select("doc_id", "text"))
+    q = d.select("doc_id", F.round(quality_score_cols(F.col("text")), 6).alias("q"))
+    j = q.join(r.select("doc_id", "fk_grade"), "doc_id")
+    return spearman_corr(j, "q", "fk_grade")
+
+
+def _sql_spearman() -> str:
+    from ..operators.stats import spearman_corr_sql
+    from ..operators.textops import readability_sql
+    from ..functions.sqlgen import quality_score_sql
+
+    src = (
+        f"SELECT q.doc_id, q.q, r.fk_grade FROM "
+        f"(SELECT doc_id, round({quality_score_sql('text')}, 6) AS q FROM documents) q "
+        f"JOIN ({readability_sql('SELECT doc_id, text FROM documents')}) r "
+        f"ON r.doc_id = q.doc_id"
+    )
+    return spearman_corr_sql(src, "q", "fk_grade")
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -8001,6 +8030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chao1_richness": q_chao1,
     "mann_whitney": q_mann_whitney,
     "negative_samples": q_negative_samples,
+    "spearman_corr": q_spearman,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8310,7 +8340,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift", "chao1_richness", "mann_whitney", "negative_samples",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift", "chao1_richness", "mann_whitney", "negative_samples", "spearman_corr",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8395,6 +8425,7 @@ ORACLES: dict[str, str] = {
     "chao1_richness": _sql_chao1(),
     "mann_whitney": _sql_mann_whitney(),
     "negative_samples": _sql_negatives(),
+    "spearman_corr": _sql_spearman(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,
