@@ -386,8 +386,7 @@ def test_global_window_registry_every_site_bounded():
             "bucket",  # kaplan_meier survival product over death times
             "bucket",  # ks_two_sample ECDF over pooled distinct values
             "bucket",  # mann_whitney cum counts over pooled distinct values
-            "bucket",  # spearman midrank-x over distinct values
-            "bucket",  # spearman midrank-y over distinct values
+            "bucket",  # spearman midranks over distinct values (shared helper)
         ],
         "operators/textops.py": [
             "topk",    # :171 PMI collocations — limit first
