@@ -986,3 +986,62 @@ SELECT week1, week2,
        round(CAST(sum(CAST(term AS {DEC})) AS DOUBLE), 6) AS psi
 FROM staged GROUP BY week1, week2
 """
+
+
+def lorenz_curve(pages: DataFrame, url_re: str) -> DataFrame:
+    """Lorenz curve of crawl concentration: hosts ordered by page count
+    ascending; one point per DISTINCT count value v — (host_frac,
+    page_frac) = (share of hosts with count ≤ v, share of pages they
+    hold). The drawable curve behind host_gini's single number (how far
+    below the diagonal the crawl bends = megahost dominance).
+
+    Scale shape: one host groupBy, then distinct-count-value metadata with
+    a cumulative window — the same value-bucket discipline as host_gini;
+    exact integer cumulative sums."""
+    counts = (
+        pages.select(F.regexp_extract("url", url_re, 2).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    per_x = counts.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_x.select(
+        "x",
+        F.sum("c").over(wcum).cast("long").alias("hosts_cum"),
+        F.sum(F.col("x") * F.col("c")).over(wcum).cast("long").alias("pages_cum"),
+    )
+    tot = per_x.agg(
+        F.sum("c").cast("long").alias("n_hosts"),
+        F.sum(F.col("x") * F.col("c")).cast("long").alias("n_pages"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "x",
+        F.round(
+            F.col("hosts_cum").cast("double") / F.col("n_hosts").cast("double"), 6
+        ).alias("host_frac"),
+        F.round(
+            F.col("pages_cum").cast("double") / F.col("n_pages").cast("double"), 6
+        ).alias("page_frac"),
+    )
+
+
+def lorenz_curve_sql(pages_sql: str, url_re: str) -> str:
+    """DuckDB twin of :func:`lorenz_curve`; yields (url)."""
+    return f"""
+WITH counts AS (
+  SELECT regexp_extract(url, '{url_re}', 2) AS host, count(*)::BIGINT AS x
+  FROM ({pages_sql}) GROUP BY host),
+per_x AS (SELECT x, count(*)::BIGINT AS c FROM counts GROUP BY x),
+cum AS (
+  SELECT x,
+         CAST(sum(c) OVER w AS BIGINT) AS hosts_cum,
+         CAST(sum(x * c) OVER w AS BIGINT) AS pages_cum
+  FROM per_x
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_hosts,
+               CAST(sum(x * c) AS BIGINT) AS n_pages FROM per_x)
+SELECT x,
+       round(CAST(hosts_cum AS DOUBLE) / CAST(n_hosts AS DOUBLE), 6) AS host_frac,
+       round(CAST(pages_cum AS DOUBLE) / CAST(n_pages AS DOUBLE), 6) AS page_frac
+FROM cum CROSS JOIN tot
+"""

@@ -813,6 +813,22 @@ def _sql_spearman() -> str:
     return spearman_corr_sql(src, "q", "fk_grade")
 
 
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz crawl-concentration curve (operators/drift.py: lorenz_curve)
+    — the drawable companion of host_gini over distinct-count metadata."""
+    from ..operators.drift import lorenz_curve
+    from ..operators.webops import URL_RE
+
+    return lorenz_curve(_pages(spark), URL_RE)
+
+
+def _sql_lorenz() -> str:
+    from ..operators.drift import lorenz_curve_sql
+    from ..operators.webops import URL_RE
+
+    return lorenz_curve_sql(_PAGES_SQL, URL_RE)
+
+
 def q_letter_parse(spark, sf_dir):
     """P10 letter-parse projection (reference benchmarks/run_quality.py:139-149)."""
     d = ld(spark, sf_dir, "documents")
@@ -8031,6 +8047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mann_whitney": q_mann_whitney,
     "negative_samples": q_negative_samples,
     "spearman_corr": q_spearman,
+    "lorenz_curve": q_lorenz_curve,
     "letter_parse": q_letter_parse,
     "answer_type": q_answer_type,
     # text analysis
@@ -8340,7 +8357,7 @@ _R04_ORDER = [
     # after the first-50 so the round-5 rotation picks them up
     "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
     "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
-    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift", "chao1_richness", "mann_whitney", "negative_samples", "spearman_corr",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability", "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters", "text_tiling", "hll_overlap", "betweenness", "psi_drift", "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance", "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift", "chao1_richness", "mann_whitney", "negative_samples", "spearman_corr", "lorenz_curve",
     # round-3 stats families never officially checked
     "bootstrap_ci", "ndcg_eval", "rbo_agreement", "clarity_score", "langid_eval",
     "zipf_fit", "term_burstiness", "gap_burstiness", "weekday_effect",
@@ -8426,6 +8443,7 @@ ORACLES: dict[str, str] = {
     "mann_whitney": _sql_mann_whitney(),
     "negative_samples": _sql_negatives(),
     "spearman_corr": _sql_spearman(),
+    "lorenz_curve": _sql_lorenz(),
     "letter_parse": SQL_LETTER,
     "answer_type": SQL_ANSWER_TYPE,
     "doc_tokens": SQL_DOC_TOKENS,

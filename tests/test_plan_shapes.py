@@ -342,6 +342,7 @@ def test_global_window_registry_every_site_bounded():
             "topk",    # :743 host_mad_anomaly — limit(top_k) before rank
             "fixed",   # seasonal_decompose trend over the daily calendar axis
             "fixed",   # psi_drift week pairing over the distinct-week list
+            "bucket",  # lorenz_curve cumulative over distinct count values
         ],
         "operators/geohash.py": ["topk"],      # :102 limit(top_k) before rank
         "operators/graph.py": [
