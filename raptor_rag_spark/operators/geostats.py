@@ -100,7 +100,13 @@ def sd_ellipse(pts: DataFrame, res: int = 2) -> DataFrame:
         (F.lit(2.0) * F.col("cxy")).alias("ty"),
         (F.col("cxx") - F.col("cyy")).alias("tx"),
     )
-    th = c.withColumn("theta", F.lit(0.5) * TR.atan2_col(F.col("ty"), F.col("tx")))
+    # staged twin atan2 (trig.append_atan2 — round-4 codegen-fallback fix:
+    # the one-expression atan2 tree exceeded the 64 KB/method limit)
+    c_at = TR.append_atan2(
+        c, "ty", "tx", "__a2__",
+        keep=["cell", "n", "mx", "my", "cxx", "cyy", "cxy"],
+    )
+    th = c_at.withColumn("theta", F.lit(0.5) * F.col("__a2__")).drop("__a2__")
     tr = th.withColumn("st", TR.sin_col(F.col("theta"))).withColumn(
         "ct", TR.cos_col(F.col("theta"))
     )

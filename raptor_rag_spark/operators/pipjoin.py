@@ -569,10 +569,14 @@ def spherical_poly_area(polygons: DataFrame, poly_id_col: str = "cell_id") -> Da
     staged = tri.select(
         "pa", "m", num.alias("nu"), den.alias("de")
     ).localCheckpoint(eager=False)
-    exc = staged.select(
+    # staged twin atan2 (trig.append_atan2): the one-expression atan2 tree
+    # under the agg blew the 64 KB/method bytecode limit (round-4
+    # codegen-fallback family)
+    at2 = TR.append_atan2(staged, "nu", "de", "__a2__", keep=["pa", "m"])
+    exc = at2.select(
         "pa",
         "m",
-        (F.lit(2.0) * TR.atan2_col(F.col("nu"), F.col("de"))).alias("e"),
+        (F.lit(2.0) * F.col("__a2__")).alias("e"),
     )
     dec = "decimal(28,15)"
     agg = exc.groupBy("pa", "m").agg(

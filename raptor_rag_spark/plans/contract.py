@@ -5271,14 +5271,21 @@ def q_geo_bearing(spark, sf_dir):
             - F.lit(s1) * (TR.cos_col(F.col("lat")) * TR.cos_col(dlon))
         ).alias("xc"),
     )
-    # narrow barrier (vec_id, yc, xc): atan_col references its argument many
-    # times; unmaterialized, each reference would duplicate the full trig
-    # chains into the fused projection (same CollapseProject hazard as s2)
+    # narrow barrier (vec_id, yc, xc): atan's reduction references its
+    # argument many times; unmaterialized, each reference would duplicate
+    # the full trig chains into the fused projection (same CollapseProject
+    # hazard as s2)
     staged = staged.localCheckpoint(eager=False)
-    deg = TR.atan2_col(F.col("yc"), F.col("xc")) * F.lit(RAD2DEG)
-    return staged.select(
+    # staged twin atan2 (trig.append_atan2): the quadrant CASE references
+    # the atan result 3x, which at one-expression size blows the JVM's
+    # 64 KB/method bytecode limit (round-4 codegen-fallback family)
+    at2 = TR.append_atan2(staged, "yc", "xc", "__a2__", keep=["vec_id"])
+    deg2 = at2.select("vec_id", (F.col("__a2__") * F.lit(RAD2DEG)).alias("__deg__"))
+    return deg2.select(
         "vec_id",
-        F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg).alias("bearing_deg"),
+        F.when(F.col("__deg__") < 0, F.col("__deg__") + F.lit(360.0))
+        .otherwise(F.col("__deg__"))
+        .alias("bearing_deg"),
     )
 
 
@@ -5319,10 +5326,13 @@ def q_geo_arc(spark, sf_dir):
     base = q_geo_chord(spark, sf_dir).select("vec_id", "chord")
     z = F.col("chord") * F.lit(0.5)
     staged = base.select("vec_id", "chord", z.alias("z")).localCheckpoint(eager=False)
-    return staged.select(
+    # staged twin asin (trig.append_asin) — the one-expression asin tree
+    # broke the 64 KB/method limit in round 4 (codegen-fallback family)
+    at = TR.append_asin(staged, "z", "__asn__", keep=["vec_id", "chord"])
+    return at.select(
         "vec_id",
         "chord",
-        (F.lit(2.0) * TR.asin_col(F.col("z"))).alias("arc"),
+        (F.lit(2.0) * F.col("__asn__")).alias("arc"),
     )
 
 
@@ -5394,14 +5404,23 @@ def q_geo_destination(spark, sf_dir):
             F.greatest((F.lit(1.0) - F.col("z")) * (F.lit(1.0) + F.col("z")), F.lit(0.0))
         ).alias("asx"),
     ).localCheckpoint(eager=False)
-    cb = ca.select(
+    # every atan is the TWO-STAGE staged form (trig.append_atan): one
+    # ~1,900-node atan tree referenced 3x by _q2's CASE is what broke the
+    # 64 KB/method bytecode limit in round 4 (codegen-fallback family)
+    ca_at = TR.append_atan(
+        ca, F.col("atr_t"), "__at_t__", keep=[*keep, "yc", "xc", "z", "asx"]
+    )
+    cb = ca_at.select(
         *keep, "z", "asx",
-        _q2(TR.atan_col(F.col("atr_t")), F.col("yc"), F.col("xc")).alias("theta"),
+        _q2(F.col("__at_t__"), F.col("yc"), F.col("xc")).alias("theta"),
         (F.col("z") / F.col("asx")).alias("atr_d"),
     ).localCheckpoint(eager=False)
-    cc = cb.select(
+    cb_at = TR.append_atan(
+        cb, F.col("atr_d"), "__at_d__", keep=[*keep, "theta", "z", "asx"]
+    )
+    cc = cb_at.select(
         *keep, "theta",
-        (F.lit(2.0) * _q2(TR.atan_col(F.col("atr_d")), F.col("z"), F.col("asx"))).alias(
+        (F.lit(2.0) * _q2(F.col("__at_d__"), F.col("z"), F.col("asx"))).alias(
             "delta"
         ),
     ).localCheckpoint(eager=False)
@@ -5423,11 +5442,17 @@ def q_geo_destination(spark, sf_dir):
             )
         ).alias("asx_p"),
     ).localCheckpoint(eager=False)
-    cf = ce.select(
+    ce_r = ce.select(
+        *keep, "st", "sd", "cd", "a2", "asx_p",
+        (F.col("a2") / F.col("asx_p")).alias("atr_p"),
+    )
+    ce_at = TR.append_atan(
+        ce_r, F.col("atr_p"), "__at_p__",
+        keep=[*keep, "st", "sd", "cd", "a2", "asx_p"],
+    )
+    cf = ce_at.select(
         *keep, "st", "sd", "cd",
-        _q2(
-            TR.atan_col(F.col("a2") / F.col("asx_p")), F.col("a2"), F.col("asx_p")
-        ).alias("phi2"),
+        _q2(F.col("__at_p__"), F.col("a2"), F.col("asx_p")).alias("phi2"),
     ).localCheckpoint(eager=False)
     c5 = cf.select(
         *keep, "phi2",
@@ -5436,15 +5461,16 @@ def q_geo_destination(spark, sf_dir):
     ).select(
         *keep, "phi2", "y2", "x2", (F.col("y2") / F.col("x2")).alias("atr_l")
     ).localCheckpoint(eager=False)
-    lon2 = F.lit(GEO_LON0) + _q2(
-        TR.atan_col(F.col("atr_l")), F.col("y2"), F.col("x2")
+    c5_at = TR.append_atan(
+        c5, F.col("atr_l"), "__at_l__", keep=[*keep, "phi2", "y2", "x2"]
     )
+    lon2 = F.lit(GEO_LON0) + _q2(F.col("__at_l__"), F.col("y2"), F.col("x2"))
     lon2w = (
         F.when(lon2 <= F.lit(-_PI), lon2 + F.lit(_TWO_PI))
         .when(lon2 > F.lit(_PI), lon2 - F.lit(_TWO_PI))
         .otherwise(lon2)
     )
-    staged = c5.select("vec_id", "lat", "lon", "phi2", lon2w.alias("lon2w"))
+    staged = c5_at.select("vec_id", "lat", "lon", "phi2", lon2w.alias("lon2w"))
     return staged.select(
         "vec_id",
         F.round("phi2", 9).alias("lat2"),
@@ -5559,11 +5585,18 @@ def q_geo_waypoints(spark, sf_dir):
             F.greatest((F.lit(1.0) - F.col("z")) * (F.lit(1.0) + F.col("z")), F.lit(0.0))
         ).alias("asx"),
     ).localCheckpoint(eager=False)
-    c1 = c0.select(
+    # staged twin atans throughout (trig.append_atan — round-4
+    # codegen-fallback fix: one-expression atan trees broke the 64 KB/method
+    # bytecode limit)
+    c0_r = c0.select(
+        "vec_id", "lat", "lon", "z", "asx", (F.col("z") / F.col("asx")).alias("atr_d")
+    )
+    c0_at = TR.append_atan(
+        c0_r, F.col("atr_d"), "__at_d__", keep=["vec_id", "lat", "lon", "z", "asx"]
+    )
+    c1 = c0_at.select(
         "vec_id", "lat", "lon",
-        (F.lit(2.0) * _q2(
-            TR.atan_col(F.col("z") / F.col("asx")), F.col("z"), F.col("asx")
-        )).alias("delta"),
+        (F.lit(2.0) * _q2(F.col("__at_d__"), F.col("z"), F.col("asx"))).alias("delta"),
     ).localCheckpoint(eager=False)
     c2 = c1.select(
         "vec_id", "delta",
@@ -5613,15 +5646,24 @@ def q_geo_waypoints(spark, sf_dir):
             )
         ).alias("asx_w"),
     ).localCheckpoint(eager=False)
-    c6 = c5.select(
+    c5_r = c5.select(
+        "vec_id", "f", "px", "py", "pzc", "asx_w",
+        (F.col("pzc") / F.col("asx_w")).alias("atr_w"),
+    )
+    c5_at = TR.append_atan(
+        c5_r, F.col("atr_w"), "__at_w__",
+        keep=["vec_id", "f", "px", "py", "pzc", "asx_w"],
+    )
+    c6 = c5_at.select(
         "vec_id", "f", "px", "py",
-        _q2(
-            TR.atan_col(F.col("pzc") / F.col("asx_w")), F.col("pzc"), F.col("asx_w")
-        ).alias("lat_w"),
+        _q2(F.col("__at_w__"), F.col("pzc"), F.col("asx_w")).alias("lat_w"),
         (F.col("py") / F.col("px")).alias("atr_l"),
     ).localCheckpoint(eager=False)
-    lon_w = _q2(TR.atan_col(F.col("atr_l")), F.col("py"), F.col("px"))
-    return c6.select(
+    c6_at = TR.append_atan(
+        c6, F.col("atr_l"), "__at_l__", keep=["vec_id", "f", "px", "py", "lat_w"]
+    )
+    lon_w = _q2(F.col("__at_l__"), F.col("py"), F.col("px"))
+    return c6_at.select(
         "vec_id",
         "f",
         F.round("lat_w", 9).alias("lat_w"),
@@ -5751,10 +5793,19 @@ def q_rhumb_line(spark, sf_dir):
     s4 = s3.select("vec_id", "dlon", "dphi", "dpsi", q.alias("q")).localCheckpoint(
         eager=False
     )
-    deg = TR.atan2_col(F.col("dlon"), F.col("dpsi")) * F.lit(RAD2DEG)
-    return s4.select(
+    # staged twin atan2 (trig.append_atan2 — round-4 codegen-fallback fix)
+    s4_at = TR.append_atan2(
+        s4, "dlon", "dpsi", "__a2__", keep=["vec_id", "dlon", "dphi", "q"]
+    )
+    s5 = s4_at.select(
+        "vec_id", "dlon", "dphi", "q",
+        (F.col("__a2__") * F.lit(RAD2DEG)).alias("__deg__"),
+    )
+    return s5.select(
         "vec_id",
-        F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg).alias("bearing_deg"),
+        F.when(F.col("__deg__") < 0, F.col("__deg__") + F.lit(360.0))
+        .otherwise(F.col("__deg__"))
+        .alias("bearing_deg"),
         F.sqrt(
             F.col("dphi") * F.col("dphi")
             + (F.col("q") * F.col("q")) * (F.col("dlon") * F.col("dlon"))
