@@ -371,6 +371,54 @@ def ln_col(x: Column) -> Column:
     return (ed * F.lit(_EXP_LN2_HI) + ed * F.lit(_EXP_LN2_LO)) + F.lit(2.0) * t * s
 
 
+def append_ln(df, x_col: str, out: str, keep: list[str] | None = None):
+    """df → df with ``out`` = twin ln(x_col), computed through chained
+    projections instead of one expression tree.
+
+    Why: ln_col's Catalyst tree is ~2,300 nodes (the 11-term atanh-series
+    Horner re-inlines the mantissa-reduction subtree at every t² reference),
+    which alone — let alone inside a CASE — exceeds the JVM's 64 KB
+    bytecode-per-method limit and drops the stage to interpreted execution
+    (round-4 codegen-fallback family: HLL estimators, hyperball). Staging
+    m/t as real columns makes every Horner reference a leaf read; the
+    multi-reference non-cheap intermediates keep CollapseProject from
+    re-inlining (same mechanism as trig.append_atan). Identical IEEE op
+    sequence to ln_col. ``x_col`` must be an existing column name."""
+    cols = keep if keep is not None else list(df.columns)
+    carry = list(dict.fromkeys([*cols, x_col]))
+    x = F.col(x_col)
+    e0 = F.floor(F.log2(x)).cast("long")
+    e1 = (
+        F.when(F.pow(F.lit(2.0), e0.cast("double")) > x, e0 - 1)
+        .when(F.pow(F.lit(2.0), e0.cast("double") + F.lit(1.0)) <= x, e0 + 1)
+        .otherwise(e0)
+    )
+    s1 = df.select(*carry, (x * F.pow(F.lit(2.0), -e1.cast("double"))).alias("__ln_m1__"),
+                   e1.alias("__ln_e1__"))
+    m1 = F.col("__ln_m1__")
+    s2 = s1.select(
+        *carry,
+        F.when(m1 >= F.lit(_LN_SQRT2), F.col("__ln_e1__") + 1)
+        .otherwise(F.col("__ln_e1__"))
+        .alias("__ln_e__"),
+        F.when(m1 >= F.lit(_LN_SQRT2), m1 * F.lit(0.5)).otherwise(m1).alias("__ln_m__"),
+    )
+    m = F.col("__ln_m__")
+    s3 = s2.select(
+        *carry, "__ln_e__", ((m - F.lit(1.0)) / (m + F.lit(1.0))).alias("__ln_t__")
+    )
+    t = F.col("__ln_t__")
+    t2 = t * t
+    s = F.lit(1.0 / (2 * (_LN_NC - 1) + 1))
+    for k in range(_LN_NC - 2, -1, -1):
+        s = s * t2 + F.lit(1.0 / (2 * k + 1))
+    ed = F.col("__ln_e__").cast("double")
+    return s3.select(
+        *cols,
+        ((ed * F.lit(_EXP_LN2_HI) + ed * F.lit(_EXP_LN2_LO)) + F.lit(2.0) * t * s).alias(out),
+    )
+
+
 def ln_sql(x: str) -> str:
     """Twin natural log as DuckDB SQL. ``x`` MUST be a simple column ref."""
     check_inline_arg("ln_sql", x=x)

@@ -72,13 +72,21 @@ def _estimate(state: DataFrame) -> DataFrame:
             F.aggregate(terms, F.lit(0.0), lambda a, b: a + b).alias("s_occ"),
         )
     )
+    # staged twin ln (sqlgen.append_ln — round-4 codegen-fallback fix: the
+    # one-expression ln tree under the CASE blew the 64 KB/method limit)
     v_zero = (F.lit(M_REGS) - F.col("occ")).cast("double")
-    e_raw = F.lit(ALPHA_MM) / (v_zero + F.col("s_occ"))
+    staged = per.select(
+        "v",
+        "occ",
+        (F.lit(ALPHA_MM) / (v_zero + F.col("s_occ"))).alias("__eraw__"),
+        (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+    )
+    lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["v", "occ", "__eraw__"])
     est = F.when(
-        (e_raw <= F.lit(LC_THRESHOLD)) & (F.col("occ") < F.lit(M_REGS)),
-        F.lit(float(M_REGS)) * G.ln_col(F.lit(float(M_REGS)) / v_zero),
-    ).otherwise(e_raw)
-    return per.select("v", est.alias("est"))
+        (F.col("__eraw__") <= F.lit(LC_THRESHOLD)) & (F.col("occ") < F.lit(M_REGS)),
+        F.lit(float(M_REGS)) * F.col("__ln__"),
+    ).otherwise(F.col("__eraw__"))
+    return lns.select("v", est.alias("est"))
 
 
 def hyperball(links: DataFrame, rounds: int = 4) -> DataFrame:

@@ -62,14 +62,21 @@ def hll_distinct(df: DataFrame, value_col: str) -> DataFrame:
         F.aggregate(terms, F.lit(0.0), lambda a, b: a + b).alias("s_occ"),
     )
     n_exact = df.agg(F.countDistinct(value_col).alias("n_exact"))
+    # staged twin ln (sqlgen.append_ln — round-4 codegen-fallback fix: the
+    # one-expression ln tree under the CASE blew the 64 KB/method limit)
     s = (F.lit(M_REGS) - F.col("occ")).cast("double") + F.col("s_occ")
-    e_raw = F.lit(ALPHA_MM) / s
     v_zero = (F.lit(M_REGS) - F.col("occ")).cast("double")
+    staged = folded.select(
+        "occ",
+        (F.lit(ALPHA_MM) / s).alias("__eraw__"),
+        (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+    )
+    lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["occ", "__eraw__"])
     est = F.when(
-        (e_raw <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
-        F.lit(float(M_REGS)) * G.ln_col(F.lit(float(M_REGS)) / v_zero),
-    ).otherwise(e_raw)
-    return folded.crossJoin(n_exact).select(
+        (F.col("__eraw__") <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
+        F.lit(float(M_REGS)) * F.col("__ln__"),
+    ).otherwise(F.col("__eraw__"))
+    return lns.crossJoin(n_exact).select(
         est.alias("est_distinct"), F.col("occ").alias("occupied"), "n_exact"
     )
 
@@ -395,14 +402,21 @@ def cell_hll_pyramid(
             F.count("*").alias("occ"),
             F.aggregate(terms, F.lit(0.0), lambda a, b: a + b).alias("s_occ"),
         )
+        # staged twin ln (sqlgen.append_ln — round-4 codegen-fallback fix)
         s = (F.lit(M_REGS) - F.col("occ")).cast("double") + F.col("s_occ")
-        e_raw = F.lit(ALPHA_MM) / s
         v_zero = (F.lit(M_REGS) - F.col("occ")).cast("double")
+        staged = folded.select(
+            "cell_id",
+            "occ",
+            (F.lit(ALPHA_MM) / s).alias("__eraw__"),
+            (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+        )
+        lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["cell_id", "occ", "__eraw__"])
         est = F.when(
-            (e_raw <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
-            F.lit(float(M_REGS)) * G.ln_col(F.lit(float(M_REGS)) / v_zero),
-        ).otherwise(e_raw)
-        return folded.select(
+            (F.col("__eraw__") <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
+            F.lit(float(M_REGS)) * F.col("__ln__"),
+        ).otherwise(F.col("__eraw__"))
+        return lns.select(
             F.lit(level_res).cast("int").alias("level_res"),
             "cell_id",
             F.col("occ").cast("long").alias("occupied"),
@@ -607,15 +621,22 @@ def hll_overlap(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
             F.count("*").alias("occ"),
             F.aggregate(terms, F.lit(0.0), lambda x, y: x + y).alias("s_occ"),
         )
+        # staged twin ln (sqlgen.append_ln — round-4 codegen-fallback fix)
         s = (F.lit(M_REGS) - F.col("occ")).cast("double") + F.col("s_occ")
-        e_raw = F.lit(ALPHA_MM) / s
         v_zero = (F.lit(M_REGS) - F.col("occ")).cast("double")
-        return folded.select(
+        staged = folded.select(
+            "occ",
+            (F.lit(ALPHA_MM) / s).alias("__eraw__"),
+            (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+        )
+        lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["occ", "__eraw__"])
+        return lns.select(
             F.when(
-                (e_raw <= F.lit(2.5 * M_REGS)) & (F.col("occ") < F.lit(M_REGS)),
-                F.lit(float(M_REGS)) * G.ln_col(F.lit(float(M_REGS)) / v_zero),
+                (F.col("__eraw__") <= F.lit(2.5 * M_REGS))
+                & (F.col("occ") < F.lit(M_REGS)),
+                F.lit(float(M_REGS)) * F.col("__ln__"),
             )
-            .otherwise(e_raw)
+            .otherwise(F.col("__eraw__"))
             .alias("est")
         )
 
