@@ -177,7 +177,16 @@ def dwithin_join(points: DataFrame, d: float, id_col: str = "node_id") -> DataFr
     n = 1 << res
 
     home = G.cell_col(F.col("x"), F.col("y"), res)
-    pts = points.select(id_col, "x", "y").withColumn("home_cell", home)
+    # narrow barrier (round-4 codegen-fallback fix): callers often pass x/y
+    # as unmaterialized 64-term projection folds; fused into the 9-cell
+    # candidate explode each neighbor cell re-inlines the fold trees and the
+    # generated method exceeds the JVM's 64 KB bytecode limit. Materialized,
+    # every downstream reference is a leaf column read.
+    pts = (
+        points.select(id_col, "x", "y")
+        .withColumn("home_cell", home)
+        .localCheckpoint(eager=False)
+    )
     ix = F.shiftrightunsigned(F.col("home_cell"), COORD_BITS).bitwiseAND(F.lit(COORD_MASK))
     iy = F.col("home_cell").bitwiseAND(F.lit(COORD_MASK))
 

@@ -133,34 +133,57 @@ def srp_pairs(
     2^band_bits · bands distinct values per vector; oversize buckets
     (mass-duplicated embeddings) are dropped by ``max_bucket`` exactly like
     minhash_band_pairs — exact_dedup handles identical payloads cheaper.
-    The bit computation is 32 dot products in whole-stage codegen; at very
-    high dim split the projection into chunked columns.
+    The bit computation is ONE Arrow-batched vectorized kernel pass (see
+    below); at very high dim it stays one pass (numpy columns scale in dim).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
     w = _srp_weights(dim, bits)
-
-    # band keys as F.expr STRINGS, not nested Column objects: 32×64 terms
-    # built via py4j calls costs ~13 s of driver round trips; one SQL-string
-    # parse is milliseconds. CAST('…' AS DOUBLE) pins each weight literal to
-    # the same IEEE value the DuckDB twin parses.
-    def bit(j: int) -> str:
-        terms = " + ".join(
-            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * CAST('{float(w[j][i])!r}' AS DOUBLE)"
-            for i in range(dim)
-        )
-        return f"(CASE WHEN (0.0D + {terms}) > 0 THEN 1L ELSE 0L END)"
-
     n_bands = bits // band_bits
-    band_exprs = [
-        "("
-        + " + ".join(f"{bit(b * band_bits + r)} * {1 << r}L" for r in range(band_bits))
-        + f") AS band{b}"
-        for b in range(n_bands)
-    ]
-    # evaluate the giant projection ONCE and CUT THE LINEAGE — three
-    # consumers (bucket sizes, both join sides) would otherwise each carry
-    # the 2k-term tree through analysis/optimization/codegen, which costs
-    # far more than executing it
-    keyed = vecs.selectExpr(id_col, *band_exprs).localCheckpoint(eager=True)
+
+    # Band keys via a vectorized Arrow kernel, NOT generated expressions
+    # (round-4 codegen-fallback fix): 32 bits × 64 unrolled product terms is
+    # ~8,300 Catalyst nodes in ONE projection — whole-stage codegen cannot
+    # split a single operator's expressions across methods, so the generated
+    # method exceeded the JVM's 64 KB bytecode limit and the stage ran
+    # interpreted per term. The kernel computes every dot product as a
+    # STRICT LEFT-TO-RIGHT fold (acc = acc + E[:,i]·w[j,i] — the
+    # kernels/reduce.py:project_xy pattern), so each partial sum is the
+    # identical IEEE double add the DuckDB twin's left-fold SQL performs;
+    # bits and band keys hash-match exactly.
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf can't introspect — same convention as functions/udfs.py
+    def _band_keys(embs):
+        em = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in embs], dtype=np.float64
+        )
+        n = em.shape[0]
+        if n == 0:
+            return pd.Series([], dtype=object)
+        bmat = np.zeros((n, bits), dtype=np.int64)
+        for j in range(bits):
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # strict left-to-right fold, same as SQL a+b+c
+                acc = acc + em[:, i] * float(w[j][i])
+            bmat[:, j] = acc > 0
+        keys = np.zeros((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for r in range(band_bits):
+                keys[:, b] += bmat[:, b * band_bits + r] << r
+        return pd.Series(list(keys))
+
+    band_keys_udf = F.pandas_udf(_band_keys, ArrayType(LongType()))
+
+    # evaluate the projection ONCE and CUT THE LINEAGE — three
+    # consumers (bucket sizes, both join sides) would otherwise each
+    # re-run the kernel pass
+    keyed = vecs.select(
+        id_col, band_keys_udf(F.col("embedding")).alias("bks")
+    ).select(
+        id_col, *[F.element_at("bks", b + 1).alias(f"band{b}") for b in range(n_bands)]
+    ).localCheckpoint(eager=True)
     bands = keyed.select(
         id_col,
         F.explode(
@@ -183,15 +206,37 @@ def srp_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    ea = vecs.select(F.col(id_col).alias("a_id"), F.col("embedding").alias("ea"))
-    eb = vecs.select(F.col(id_col).alias("b_id"), F.col("embedding").alias("eb"))
-    sim = G.cosine_sim_cols(F.col("ea"), F.col("eb"), dim)
-    return (
+    # exact-cosine verify, staged (round-4 codegen-fallback fix): norms are
+    # computed ONCE PER VECTOR before the pair join (they were per-pair —
+    # redundant work AND, fused with the dot product and the >= filter's
+    # pushed-down copy, a >64 KB generated method). The per-pair projection
+    # is dot/(na*nb) over leaf norm columns; the narrow barrier keeps the
+    # filter from re-inlining the 64-term dot into its predicate.
+    ea = vecs.select(
+        F.col(id_col).alias("a_id"),
+        F.col("embedding").alias("ea"),
+        G.norm_cols(F.col("embedding"), dim).alias("__na__"),
+    )
+    eb = vecs.select(
+        F.col(id_col).alias("b_id"),
+        F.col("embedding").alias("eb"),
+        G.norm_cols(F.col("embedding"), dim).alias("__nb__"),
+    )
+    comps = (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
-        .withColumn("cos_sim", sim)
-        .where(F.col("cos_sim") >= F.lit(min_sim))
-        .select("a_id", "b_id", "cos_sim")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                G.dot_cols(F.col("ea"), F.col("eb"), dim)
+                / (F.col("__na__") * F.col("__nb__"))
+            ).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return comps.where(F.col("cos_sim") >= F.lit(min_sim)).select(
+        "a_id", "b_id", "cos_sim"
     )
 
 
