@@ -1189,8 +1189,14 @@ def gwr_local(
     x, y, v = F.col(x_col), F.col(y_col), F.col(v_col)
     ix0 = F.greatest(F.least(F.floor(x * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
     iy0 = F.greatest(F.least(F.floor(y * F.lit(float(n))).cast("long"), F.lit(n - 1)), F.lit(0))
+    # narrow barrier: callers pass x/y/v as unmaterialized fold/score trees;
+    # the stencil filter's pushed-down predicate re-inlines them per
+    # candidate row (> 64 KB/method). Materialized: 5 narrow columns/point.
+    home = pts.select(
+        x.alias("x"), y.alias("y"), v.alias("v"), ix0.alias("ix0"), iy0.alias("iy0")
+    ).localCheckpoint(eager=False)
     cand = (
-        pts.select(x.alias("x"), y.alias("y"), v.alias("v"), ix0.alias("ix0"), iy0.alias("iy0"))
+        home
         .select(
             "x", "y", "v", "iy0",
             F.explode(
@@ -1210,10 +1216,16 @@ def gwr_local(
     cy = (F.col("iy").cast("double") + F.lit(0.5)) * F.lit(s)
     dx = cx - F.col("x")
     dy = cy - F.col("y")
+    # narrow barrier (round-4 codegen-fallback fix): fused, the caller's
+    # xy-fold/quality trees + the stencil explodes + the twin-exp weight all
+    # inline into the hashAgg loop method, exceeding the JVM's 64 KB
+    # bytecode limit. The materialized frame is the bounded stencil fan-out
+    # (≤ (2R+1)² rows/point, 6 narrow columns).
     staged = (
         cand.withColumn("d2", dx * dx + dy * dy)
         .where(F.col("d2") <= F.lit(r2_cut))
         .withColumn("w", G.exp_col(-(F.col("d2") / F.lit(two_h2))))
+        .localCheckpoint(eager=False)
     )
 
     def S(expr, name):

@@ -492,11 +492,17 @@ def dd_sketch(
     import math
 
     inv_ln_gamma = 1.0 / math.log((1.0 + alpha) / (1.0 - alpha))
-    v = F.col(value_col).cast("double")
+    # staged twin ln (sqlgen.append_ln — round-4 codegen-fallback fix: the
+    # one-expression ln tree in the corpus-pass projection blew the 64 KB
+    # method limit). ln runs unconditionally (NaN for v <= 0, discarded by
+    # the CASE) — identical bucket values for the v > 0 rows that count.
+    vals = df.select(F.col(value_col).cast("double").alias("__v__"))
+    lns = G.append_ln(vals, "__v__", "__ln__", keep=["__v__"])
     bucket = F.when(
-        v > 0, F.ceil(G.ln_col(v) * F.lit(inv_ln_gamma)).cast("long")
+        F.col("__v__") > 0,
+        F.ceil(F.col("__ln__") * F.lit(inv_ln_gamma)).cast("long"),
     )
-    return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+    return lns.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
 

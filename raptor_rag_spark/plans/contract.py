@@ -5864,7 +5864,15 @@ def q_hex_viewport(spark, sf_dir):
 
     e = ld(spark, sf_dir, "embeddings")
     x, y = G.xy_cols(F.col("embedding"), DIM)
-    dens = hex_density(e.select(x.alias("x"), y.alias("y")), res=5)
+    # metadata barrier (round-4 codegen-fallback fix): without it Catalyst
+    # pushes the 4 viewport predicates through the aggregation by
+    # substituting the full center-over-hex-over-xy trees into per-POINT
+    # filters — 4 multi-thousand-node predicates inlined in the hashAgg loop
+    # (> 64 KB/method) AND the wrong plan (the contract is a filter over
+    # occupied-hex METADATA, not the point set)
+    dens = hex_density(e.select(x.alias("x"), y.alias("y")), res=5).localCheckpoint(
+        eager=False
+    )
     cx, cy = hex_center_cols(F.col("hex_q"), F.col("hex_r"), 5)
     return (
         dens.withColumn("cx", cx)

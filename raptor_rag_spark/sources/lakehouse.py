@@ -46,9 +46,21 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this operation's base snapshot was
+    read (Iceberg's CommitFailedException role): the operation derived its
+    rows from a snapshot that is no longer current, so publishing it would
+    silently drop the concurrent writer's files. Recompute from the new
+    base and retry (``merge``/``compact`` do this automatically)."""
+
+
+_NO_PARENT_CHECK = object()
 
 
 def zranges_for_bbox(
@@ -227,8 +239,67 @@ class LakeTable:
             out.append({"path": r["file"], "rows": r["rows"], "stats": stats})
         return out
 
-    def _commit(self, operation: str, added: list[dict], extra: dict | None = None) -> int:
+    @contextmanager
+    def _commit_lock(self, timeout_s: float = 30.0, stale_s: float = 120.0):
+        """Table-level commit mutex (a lock FILE created O_EXCL — atomic on
+        every POSIX/object-store-fuse filesystem). Serializes the
+        read-current → write-snapshot → swap-pointer critical section so the
+        optimistic-concurrency check in _commit is race-free; locks older
+        than ``stale_s`` (a writer killed mid-commit) are broken. Mirrors
+        Iceberg's catalog-side atomic swap."""
+        lock = os.path.join(self.root, "_commit.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock {lock} held past {timeout_s}s")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def _commit(
+        self,
+        operation: str,
+        added: list[dict],
+        extra: dict | None = None,
+        expected_parent: object = _NO_PARENT_CHECK,
+    ) -> int:
+        with self._commit_lock():
+            return self._commit_locked(operation, added, extra, expected_parent)
+
+    def _commit_locked(
+        self, operation: str, added: list[dict], extra: dict | None, expected_parent: object
+    ) -> int:
         parent = self.current_snapshot_id()
+        # Optimistic concurrency (Iceberg's commit model): the caller passes
+        # the snapshot its data derives from; if another writer committed in
+        # between, an APPEND is rebased onto the new current (appends
+        # commute — the new manifest list is current's list + ours), while a
+        # DERIVED commit (merge/compact read the base table) must abort with
+        # CommitConflictError so the caller recomputes from the new base —
+        # silent last-write-wins would drop the other writer's files.
+        if expected_parent is not _NO_PARENT_CHECK and parent != expected_parent:
+            if operation != "append":
+                raise CommitConflictError(
+                    f"base snapshot {expected_parent} is no longer current "
+                    f"(now {parent}); recompute from the new base and retry"
+                )
         # ids are allocated past EVERY existing snapshot (not parent+1): after
         # a rollback the next commit forks a new branch and must not collide
         # with the orphaned one
@@ -315,9 +386,14 @@ class LakeTable:
             if done is not None:
                 return done
             extra = {**(extra or {}), "epoch_id": epoch_id}
+        base = self.current_snapshot_id()
         fileset = self._write_files(df, bucket_by, n_buckets)
         added = self._collect_file_stats(df.sparkSession, fileset)
-        return self._commit("append", added, extra)
+        # expected_parent engages the optimistic-concurrency path: if
+        # another writer committed while our files were writing, the append
+        # is rebased onto the new current inside the commit lock (appends
+        # commute; no data loss either way)
+        return self._commit("append", added, extra, expected_parent=base)
 
     def streaming_sink(self, bucket_by: str | None = None, n_buckets: int = 8):
         """``writeStream.foreachBatch(table.streaming_sink())`` — each
@@ -426,10 +502,13 @@ class LakeTable:
             F.least(F.floor(F.col(y_col) * F.lit(float(n))).cast("long"), F.lit(n - 1)),
             F.lit(0),
         )
+        base = self.current_snapshot_id()
         keyed = df.withColumn(self.ZKEY, zorder_key_col(ix, iy, res))
         fileset = self._write_files(keyed, None, n_files, range_by=self.ZKEY)
         added = self._collect_file_stats(df.sparkSession, fileset)
-        return self._commit("append", added, {**(extra or {}), "zorder_res": res})
+        return self._commit(
+            "append", added, {**(extra or {}), "zorder_res": res}, expected_parent=base
+        )
 
     def scan_bbox(
         self,
@@ -525,12 +604,25 @@ class LakeTable:
         column is dropped before the write."""
         from ..operators.merge import merge_upsert
 
-        base = self.read(updates.sparkSession)
-        merged = merge_upsert(base, updates, key_cols, value_cols).drop("action")
-        extra = {"operation_detail": "merge", "keys": list(key_cols)}
-        fileset = self._write_files(merged, bucket_by, n_buckets)
-        added = self._collect_file_stats(updates.sparkSession, fileset)
-        return self._commit("overwrite", added, extra)
+        # optimistic retry-with-rebase (Iceberg commit.retry semantics): the
+        # merged table derives from a read of `base_sid`; if a concurrent
+        # writer lands first, _commit raises CommitConflictError and the
+        # merge recomputes against the NEW current — never last-write-wins.
+        for attempt in range(3):
+            base_sid = self.current_snapshot_id()
+            base = self.read(updates.sparkSession, base_sid)
+            merged = merge_upsert(base, updates, key_cols, value_cols).drop("action")
+            extra = {"operation_detail": "merge", "keys": list(key_cols)}
+            fileset = self._write_files(merged, bucket_by, n_buckets)
+            added = self._collect_file_stats(updates.sparkSession, fileset)
+            try:
+                return self._commit(
+                    "overwrite", added, extra, expected_parent=base_sid
+                )
+            except CommitConflictError:
+                if attempt == 2:
+                    raise
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------ lifecycle
     def compact(self, spark: SparkSession, n_files: int = 8, sort_by: str | None = None) -> int:
@@ -541,13 +633,25 @@ class LakeTable:
         scale: every reader pays per-file open/footer cost, and manifest
         pruning degrades when stats ranges fragment. ``sort_by`` re-clusters
         while compacting (stats tighten back up)."""
-        df = self.read(spark)
-        if sort_by is not None:
-            fileset = self._write_files(df, None, n_files, range_by=sort_by)
-        else:
-            fileset = self._write_files(df.coalesce(n_files), None, n_files)
-        added = self._collect_file_stats(spark, fileset)
-        return self._commit("overwrite", added, {"operation_detail": "compact"})
+        # same optimistic retry as merge: a compaction computed from a stale
+        # snapshot must not clobber a concurrent writer's commit
+        for attempt in range(3):
+            base_sid = self.current_snapshot_id()
+            df = self.read(spark, base_sid)
+            if sort_by is not None:
+                fileset = self._write_files(df, None, n_files, range_by=sort_by)
+            else:
+                fileset = self._write_files(df.coalesce(n_files), None, n_files)
+            added = self._collect_file_stats(spark, fileset)
+            try:
+                return self._commit(
+                    "overwrite", added, {"operation_detail": "compact"},
+                    expected_parent=base_sid,
+                )
+            except CommitConflictError:
+                if attempt == 2:
+                    raise
+        raise AssertionError("unreachable")
 
     def vacuum_orphans(self) -> list[str]:
         """Delete data filesets referenced by NO snapshot manifest — the

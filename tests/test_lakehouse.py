@@ -433,3 +433,83 @@ def test_write_audit_publish_flow(spark, docs, tmp_path):
         t.publish("other")
     # tag still reads the audited snapshot
     assert t.read_ref(spark, "audited-v1").count() == 25
+
+
+def test_concurrent_append_rebases_no_data_loss(spark, docs, tmp_path):
+    """Round-4 verdict #6: two writers from the SAME parent snapshot. The
+    second append must REBASE onto the first one's commit (appends commute),
+    so both filesets stay visible — not silent last-write-wins."""
+    from raptor_rag_spark.sources.lakehouse import _NO_PARENT_CHECK
+
+    root = str(tmp_path / "t")
+    t1 = LakeTable(root, stats_cols=("doc_id",))
+    t2 = LakeTable(root, stats_cols=("doc_id",))
+    base = t1.append(docs.filter("doc_id < 10"))
+    a = docs.filter("doc_id >= 10 AND doc_id < 20")
+    b = docs.filter("doc_id >= 20 AND doc_id < 30")
+    # interleave: both writers derive from `base`; writer A commits first,
+    # writer B's append (expected_parent=base) must rebase onto A's commit
+    fs_a = t1._write_files(a, None, 2)
+    fs_b = t2._write_files(b, None, 2)
+    sid_a = t1._commit("append", t1._collect_file_stats(spark, fs_a), None,
+                       expected_parent=base)
+    sid_b = t2._commit("append", t2._collect_file_stats(spark, fs_b), None,
+                       expected_parent=base)
+    assert sid_b > sid_a
+    snap_b = t1.snapshot(sid_b)
+    assert snap_b["parent_id"] == sid_a  # rebased, not forked
+    got = sorted(r["doc_id"] for r in t1.read(spark).select("doc_id").collect())
+    assert got == sorted(
+        r["doc_id"] for r in docs.filter("doc_id < 30").select("doc_id").collect()
+    )
+
+
+def test_concurrent_derived_commit_aborts_then_retry_succeeds(spark, docs, tmp_path):
+    """A merge computed from a stale base must raise CommitConflictError
+    (no silent clobber of the concurrent append); the public merge() retries
+    against the new base automatically and lands both changes."""
+    from raptor_rag_spark.sources.lakehouse import CommitConflictError
+
+    root = str(tmp_path / "t")
+    t1 = LakeTable(root, stats_cols=("doc_id",))
+    t2 = LakeTable(root, stats_cols=("doc_id",))
+    base = t1.append(docs.filter("doc_id < 10"))
+
+    # writer B prepares an overwrite-class commit derived from `base`
+    derived = t2.read(spark, base).withColumn("lang", F.lit("xx"))
+    fs_b = t2._write_files(derived, None, 2)
+    added_b = t2._collect_file_stats(spark, fs_b)
+    # writer A lands an append in between
+    t1.append(docs.filter("doc_id >= 10 AND doc_id < 15"))
+    with pytest.raises(CommitConflictError):
+        t2._commit("overwrite", added_b, None, expected_parent=base)
+
+    # the PUBLIC merge() retries from the new current: the appended rows
+    # survive and the upsert applies
+    ups = docs.filter("doc_id < 5").withColumn("lang", F.lit("zz"))
+    t2.merge(ups, key_cols=["doc_id"], value_cols=["text", "lang"])
+    out = t1.read(spark)
+    assert out.count() == 15
+    assert out.filter("lang = 'zz'").count() == 5
+
+
+def test_commit_lock_breaks_stale_and_times_out(tmp_path):
+    """A lock left by a killed writer is broken after stale_s; a live lock
+    makes a second committer wait and then TimeoutError past timeout_s."""
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    t = LakeTable(root, stats_cols=())
+    lock = os.path.join(root, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("dead")
+    past = os.path.getmtime(lock) - 1000
+    os.utime(lock, (past, past))
+    with t._commit_lock(timeout_s=1.0, stale_s=120.0):
+        pass  # stale lock was broken
+    assert not os.path.exists(lock)
+    with open(lock, "w") as f:
+        f.write("live")
+    with pytest.raises(TimeoutError):
+        with t._commit_lock(timeout_s=0.3, stale_s=120.0):
+            pass
+    os.unlink(lock)
