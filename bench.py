@@ -1164,6 +1164,53 @@ def main() -> None:
                 "marginal_ratio": round((wm - w1) / ((mult - 1) * w1), 3) if w1 else None,
             }
 
+        # ---- 100x DENSITY variant for the pair-count statistic (r4 #7) ----
+        # knox pair counts grow with local density SQUARED (the statistic's
+        # definition); the max_cell hot-cell cap (geostats.knox_test) bounds
+        # the join at pathological density. Measure the CAPPED test at 1x and
+        # 100x density in the SAME spatial extent: per-event cost must stay
+        # ~flat (cap binds, join stays bounded by cap^2 per cell).
+        from raptor_rag_spark.operators.geostats import knox_test as _knox
+
+        dmult = 100
+        base_n = 2000
+        ev0 = events.limit(base_n)
+        jxd = ((F.col("event_id") % 199) - 99) / 1000.0
+        jyd = ((F.col("event_id") % 211) - 105) / 1000.0
+        exd, eyd = G.xy_cols(F.col("embedding"), DIM)
+        locs0 = F.broadcast(embs.select("vec_id", exd.alias("x0"), eyd.alias("y0")))
+
+        def _ev_at(ev_src):
+            return ev_src.join(
+                locs0, ev_src["user_id"] % 5000 == F.col("vec_id")
+            ).select(
+                "event_id", "ts",
+                F.greatest(F.least(F.col("x0") + jxd, F.lit(1.0)), F.lit(0.0)).alias("x"),
+                F.greatest(F.least(F.col("y0") + jyd, F.lit(1.0)), F.lit(0.0)).alias("y"),
+            ).localCheckpoint(eager=True)
+
+        repd = spark.range(dmult).select(F.col("id").alias("rep"))
+        evd = (
+            ev0.crossJoin(F.broadcast(repd))
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(base_n))
+            .drop("rep")
+            .repartition(cpus)
+        )
+        e_small, e_dense = _ev_at(ev0), _ev_at(evd)
+        spark.sparkContext.setJobGroup("marginal:knox_density", "marginal:knox_density")
+        t0 = time.time()
+        _knox(e_small, s_eps=0.02, t_eps=3600, res=5, max_cell=64).count()
+        wk1 = time.time() - t0
+        t0 = time.time()
+        _knox(e_dense, s_eps=0.02, t_eps=3600, res=5, max_cell=64).count()
+        wkd = time.time() - t0
+        marginal["legs"]["knox_density100_capped"] = {
+            "wall_small_s": round(wk1, 3),
+            "wall_big_s": round(wkd, 3),
+            "density_mult": dmult,
+            "per_doc_ratio": round((wkd / dmult) / wk1, 3) if wk1 else None,
+        }
+
     total = round(sum(timings.values()), 3)
     build_s = timings["tree_build"]
     print(

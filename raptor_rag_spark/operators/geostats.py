@@ -204,6 +204,7 @@ def knox_test(
     t_eps: int = 3600,
     res: int = 5,
     id_col: str = "event_id",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """events_xy: (id_col, x, y, ts). ONE row:
     (n, n_pairs, ns, nt, x_obs, x_exp, knox_ratio).
@@ -220,6 +221,16 @@ def knox_test(
     so every qualifying pair is counted exactly once. Hot cells/buckets
     bound the worst case by local density — the same contract as
     grid_dbscan and the LSH band joins.
+
+    ``max_cell`` is the 100-TB density guard (round-4 verdict #7, the
+    MAX_BAND_BUCKET pattern): pair counts grow with local density SQUARED,
+    which is the statistic's true definition, not a plan defect — but at
+    pathological density the neighborhood join goes quadratic. With the cap,
+    points whose home cell OR τ-bucket holds more than ``max_cell`` points
+    are excluded from the whole test (n, ns, nt, x_obs alike — the ratio
+    stays internally consistent over the surviving subset), and the DuckDB
+    twin applies the identical rule, so the capped statistic is still
+    hash-exact (`knox_capped` in the contract registry proves it).
     """
     assert 1.0 / (1 << res) >= s_eps, "cell width must cover s_eps"
     t = F.unix_timestamp("ts")
@@ -231,6 +242,24 @@ def knox_test(
         G.cell_col(F.col("x"), F.col("y"), res).alias("cell"),
         F.floor(t.cast("double") / F.lit(float(t_eps))).cast("long").alias("tb"),
     )
+    if max_cell is not None:
+        cell_ok = (
+            pts.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cc"))
+            .where(F.col("cc") <= max_cell)
+            .select("cell")
+        )
+        tb_ok = (
+            pts.groupBy("tb")
+            .agg(F.count(F.lit(1)).alias("bc"))
+            .where(F.col("bc") <= max_cell)
+            .select("tb")
+        )
+        pts = (
+            pts.join(F.broadcast(cell_ok), "cell")
+            .join(F.broadcast(tb_ok), "tb")
+            .localCheckpoint(eager=False)
+        )
     n_row = pts.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     probe_s = pts.select(
@@ -295,8 +324,11 @@ def knox_test_sql(
     t_eps: int = 3600,
     res: int = 5,
     id_col: str = "event_id",
+    max_cell: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`knox_test`."""
+    """DuckDB twin of :func:`knox_test` (incl. the ``max_cell`` density
+    cap, applied with the identical rule so the capped statistic is
+    hash-exact)."""
     n = 1 << res
     key = (
         f"(({res}::BIGINT << {RES_SHIFT}) | ((ix + dx)::BIGINT << {COORD_BITS})"
@@ -304,15 +336,26 @@ def knox_test_sql(
     )
     ok = f"(ix + dx >= 0 AND ix + dx < {n} AND iy + dy >= 0 AND iy + dy < {n})"
     offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFS9)
+    cap_ctes = ""
+    if max_cell is not None:
+        cap_ctes = f"""
+pts0 AS (
+  SELECT * FROM pts_raw
+  WHERE cell IN (SELECT cell FROM pts_raw GROUP BY cell
+                 HAVING count(*) <= {max_cell})
+    AND tb IN (SELECT tb FROM pts_raw GROUP BY tb
+               HAVING count(*) <= {max_cell})),"""
+    pts_src = "pts0" if max_cell is not None else "pts_raw"
     return f"""
 WITH ev AS ({events_xy_sql}),
-pts AS (
+pts_raw AS (
   SELECT {id_col} AS pid, x, y,
          CAST(floor(epoch(ts)) AS BIGINT) AS t,
          {G.cell_sql('x', 'y', res)} AS cell,
          CAST(floor(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
                     / {flit(float(t_eps))}) AS BIGINT) AS tb
-  FROM ev),
+  FROM ev),{cap_ctes}
+pts AS (SELECT * FROM {pts_src}),
 pc AS (
   SELECT pid, x, y, t, cell, tb,
          ((cell >> {COORD_BITS}) & {_MASK}) AS ix, (cell & {_MASK}) AS iy

@@ -6478,6 +6478,24 @@ def _sql_knox_test() -> str:
     return knox_test_sql(_ev_xy_sql(), s_eps=0.02, t_eps=3600, res=5)
 
 
+def q_knox_capped(spark, sf_dir):
+    """Knox test with the 100-TB hot-cell density cap (round-5,
+    operators/geostats.py knox_test(max_cell=8)): points in spatial cells or
+    τ-buckets holding more than 8 points are excluded from the whole test —
+    the MAX_BAND_BUCKET pattern that keeps neighborhood joins from going
+    quadratic at pathological density. The cap BINDS at sf0.01 and the
+    oracle applies the identical rule, proving the capped statistic exact."""
+    from ..operators.geostats import knox_test
+
+    return knox_test(_ev_xy(spark, sf_dir), s_eps=0.02, t_eps=3600, res=5, max_cell=8)
+
+
+def _sql_knox_capped() -> str:
+    from ..operators.geostats import knox_test_sql
+
+    return knox_test_sql(_ev_xy_sql(), s_eps=0.02, t_eps=3600, res=5, max_cell=8)
+
+
 def q_gravity_model(spark, sf_dir):
     """Gravity spatial-interaction fit over the OD flow matrix
     (operators/geostats.py: gravity_model): expected = K·m_o·m_d/d² with K
@@ -8315,6 +8333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sdm_rank": q_sdm_rank,
     "sd_ellipse": q_sd_ellipse,
     "knox_test": q_knox_test,
+    "knox_capped": q_knox_capped,
     "gravity_model": q_gravity_model,
     "radiation_model": q_radiation_model,
     "headtail_breaks": q_headtail_breaks,
@@ -8754,6 +8773,7 @@ ORACLES: dict[str, str] = {
     "sdm_rank": _sql_sdm_rank(),
     "sd_ellipse": _sql_sd_ellipse(),
     "knox_test": _sql_knox_test(),
+    "knox_capped": _sql_knox_capped(),
     "radiation_model": _sql_radiation_model(),
     "gravity_model": _sql_gravity_model(),
     "headtail_breaks": _sql_headtail_breaks(),
