@@ -79,7 +79,9 @@ def _estimate(state: DataFrame) -> DataFrame:
         "v",
         "occ",
         (F.lit(ALPHA_MM) / (v_zero + F.col("s_occ"))).alias("__eraw__"),
-        (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+        F.when(F.col("occ") < F.lit(M_REGS), F.lit(float(M_REGS)) / v_zero)
+        .otherwise(F.lit(1.0))
+        .alias("__lnarg__"),
     )
     lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["v", "occ", "__eraw__"])
     est = F.when(

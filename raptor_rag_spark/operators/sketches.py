@@ -69,7 +69,9 @@ def hll_distinct(df: DataFrame, value_col: str) -> DataFrame:
     staged = folded.select(
         "occ",
         (F.lit(ALPHA_MM) / s).alias("__eraw__"),
-        (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+        F.when(F.col("occ") < F.lit(M_REGS), F.lit(float(M_REGS)) / v_zero)
+        .otherwise(F.lit(1.0))
+        .alias("__lnarg__"),
     )
     lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["occ", "__eraw__"])
     est = F.when(
@@ -409,7 +411,9 @@ def cell_hll_pyramid(
             "cell_id",
             "occ",
             (F.lit(ALPHA_MM) / s).alias("__eraw__"),
-            (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+            F.when(F.col("occ") < F.lit(M_REGS), F.lit(float(M_REGS)) / v_zero)
+        .otherwise(F.lit(1.0))
+        .alias("__lnarg__"),
         )
         lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["cell_id", "occ", "__eraw__"])
         est = F.when(
@@ -633,7 +637,9 @@ def hll_overlap(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
         staged = folded.select(
             "occ",
             (F.lit(ALPHA_MM) / s).alias("__eraw__"),
-            (F.lit(float(M_REGS)) / v_zero).alias("__lnarg__"),
+            F.when(F.col("occ") < F.lit(M_REGS), F.lit(float(M_REGS)) / v_zero)
+        .otherwise(F.lit(1.0))
+        .alias("__lnarg__"),
         )
         lns = G.append_ln(staged, "__lnarg__", "__ln__", keep=["occ", "__eraw__"])
         return lns.select(

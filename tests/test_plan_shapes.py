@@ -402,8 +402,11 @@ def test_global_window_registry_every_site_bounded():
     found = {}
     for py in sorted(pkg.rglob("*.py")):
         rel = str(py.relative_to(pkg))
-        if rel == "plans/contract.py":
+        if rel in ("plans/contract.py", "plans/contract_spatial.py"):
             continue  # oracle twins mirror the operator plans audited above
+            # (contract_spatial is the round-5 pure move of contract.py's
+            # spatial block — same exclusion rationale, its 3 sites are the
+            # twin-side mirrors of operator sites already registered here)
         n = len(pat.findall(py.read_text()))
         if n:
             found[rel] = n
