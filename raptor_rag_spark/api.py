@@ -236,7 +236,23 @@ class RetrievalAugmentation:
         ctx = retrieval_context(results)
         if isinstance(question, list):
             return ctx
-        row = ctx.collect()[0]
+        # Interactive-latency scope (round-5 audit): a single-question
+        # retrieve shuffles at most top_k candidate rows after the scan, so
+        # 32 shuffle partitions + AQE's per-stage re-planning are pure
+        # driver/scheduler overhead (~0.4 s of the warm wall). Pin ONE
+        # post-shuffle partition and skip AQE for exactly this action, then
+        # restore — the scan stage's partitioning (the cached tree) is
+        # unaffected, and batch retrieval keeps the session settings.
+        conf = self.spark.conf
+        prev_sp = conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = conf.get("spark.sql.adaptive.enabled")
+        conf.set("spark.sql.shuffle.partitions", "1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            row = ctx.collect()[0]
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if return_layer_information:
             layer_info = [
                 {"node_index": r["node_id"], "layer_number": r["level"]}

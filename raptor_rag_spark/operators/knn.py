@@ -40,8 +40,11 @@ def _distance(dim: int, metric: str = "cosine", model: str | None = None) -> F.C
     ``model`` selects a named vector from the multi-model ``embeddings`` map
     (reference context_embedding_model routing,
     retrieval_augmentation.py:56-64); None uses the flat cluster embedding."""
-    emb = F.col("embeddings").getItem(model) if model else F.col("embedding")
-    return G.dist_cols(F.col("q_embedding"), emb, dim, metric)
+    # ONE SQL-string parse (sqlgen.dist_expr_cols), not per-element py4j
+    # Column calls — bit-identical tree, ~1.3 s → ms of driver time per
+    # retrieve (the dominant warm-latency cost, round-5 audit)
+    emb = f"embeddings['{model}']" if model else "embedding"
+    return G.dist_expr_cols("q_embedding", emb, dim, metric)
 
 
 def _rank_and_budget(scored: DataFrame, top_k: int | None, max_tokens: int | None) -> DataFrame:
