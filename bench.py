@@ -149,7 +149,15 @@ def main() -> None:
             "batch_per_q_s": round(batch_wall / 200, 4),
         }
 
-    timed("interactive_retrieve", _interactive)
+    # run ONCE outside timed() (the leg's own p50 is the metric — timing the
+    # whole 20-question loop twice would double-charge the suite total);
+    # report the p50 as the leg's number, detail in retrieve_latency
+    spark.sparkContext.setJobGroup("interactive_retrieve", "interactive_retrieve")
+    _interactive()
+    rl = state["retrieve_latency"]
+    timings["interactive_retrieve"] = rl["p50_s"]
+    cold["interactive_retrieve"] = rl["max_s"]
+    spark.sparkContext.setJobGroup("", "")
 
     # incremental maintenance: fold a 1% crawl delta into the built tree by
     # recomputing only the dirty-cell cone (plans/build_tree.py:update_tree)
