@@ -34,8 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_PAGES = int(os.environ.get("SCALING_PAGES", "250000"))
 N_SMALL = int(os.environ.get("SCALING_CORES", "2"))
-REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 N_BIG = 4 * N_SMALL
+# lake leg: points per page (explode fan-out) — at 1 point/page the z-order
+# write+scan is seconds and fixed-cost-dominated even at 1M pages, so the
+# marginal rate degenerates; 16 points/page makes the write the measured cost
+LAKE_PTS_PER_PAGE = int(os.environ.get("SCALING_LAKE_PTS", "16"))
 
 
 def input_path(n_pages: int) -> str:
@@ -98,9 +102,11 @@ def run_one(cores: int, n_lo: int, n_hi: int) -> None:
         # Points derive deterministically from the url hash (pure column
         # arithmetic — no embedding pass; this leg measures the LAKEHOUSE).
         t0 = time.time()
-        h = G.hash63_col(F.col("url"))
-        pts = pages.select(
-            F.col("url").alias("pid"),
+        k = F.explode(F.sequence(F.lit(0), F.lit(LAKE_PTS_PER_PAGE - 1))).alias("k")
+        fanned = pages.select("url", k)
+        h = G.hash63_col(F.concat_ws("|", F.col("url"), F.col("k")))
+        pts = fanned.select(
+            F.concat_ws("|", F.col("url"), F.col("k")).alias("pid"),
             ((h % 1000000).cast("double") / 1000000.0).alias("x"),
             (((h / 1000000).cast("long") % 1000000).cast("double") / 1000000.0).alias("y"),
         )
