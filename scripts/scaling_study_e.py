@@ -110,7 +110,14 @@ def run_one(cores: int, n_lo: int, n_hi: int) -> None:
             ((h % 1000000).cast("double") / 1000000.0).alias("x"),
             (((h / 1000000).cast("long") % 1000000).cast("double") / 1000000.0).alias("y"),
         )
-        lake_dir = tempfile.mkdtemp(prefix=f"scale_lake_{cores}_{n_pages}_")
+        # lake table on tmpfs (the executor-local-NVMe stand-in, same
+        # methodology as the shuffle dirs in session.get_spark): on /tmp's
+        # single virtio disk the z-order write is IO-bound and the leg
+        # measures the disk, not the engine's parallelism
+        lake_root = "/dev/shm/scale_lake" if os.path.isdir("/dev/shm") else None
+        if lake_root:
+            os.makedirs(lake_root, exist_ok=True)
+        lake_dir = tempfile.mkdtemp(prefix=f"scale_lake_{cores}_{n_pages}_", dir=lake_root)
         try:
             t = LakeTable(lake_dir, stats_cols=(LakeTable.ZKEY,))
             t.append_zordered(pts, res=8, n_files=64)
