@@ -178,8 +178,8 @@ def main() -> int:
             sessions[cores].append(r)
             print(json.dumps({"rep": rep, "cores": cores,
                               "pair_wall_s": r["pair_wall_s"],
-                              "marginal": r["marginal"]}))
-    best = {c: min(sessions[c], key=lambda r: r["pair_wall_s"]) for c in sessions}
+                              "marginal": r["marginal"],
+                              "runs": r["runs"]}))
     sig_ok = True
     for n in (n_lo, n_hi):
         for leg in ("search_sig", "lake_sig"):
@@ -191,24 +191,49 @@ def main() -> int:
             if len(vals) != 1:
                 sig_ok = False
 
+    # Noise-robust estimator (the repo's min-wall convention — host phases
+    # swing identical legs 30-50%, and noise only ever ADDS time): per
+    # (cores, size, leg) take the MIN wall across all sessions, then the
+    # marginal rate from the min walls. A per-session pairing would couple
+    # each efficiency estimate to two arbitrary host phases (measured range
+    # 0.23-1.02 across rep pairings on identical code).
+    minw = {
+        c: {
+            n: {
+                leg: min(r["runs"][str(n)][f"{leg}_wall_s"] for r in sessions[c])
+                for leg in ("search", "lake")
+            }
+            for n in (n_lo, n_hi)
+        }
+        for c in sessions
+    }
+    marg = {
+        c: {
+            leg: round(
+                (n_hi - n_lo)
+                / max(minw[c][n_hi][leg] - minw[c][n_lo][leg], 1e-9),
+                1,
+            )
+            for leg in ("search", "lake")
+        }
+        for c in minw
+    }
     eff = {
-        leg: round(
-            best[N_BIG]["marginal"][leg] / (4.0 * best[N_SMALL]["marginal"][leg]), 3
-        )
+        leg: round(marg[N_BIG][leg] / (4.0 * marg[N_SMALL][leg]), 3)
         for leg in ("search", "lake")
     }
     report = {
         "n_pages": [n_lo, n_hi],
-        "legs": {str(c): best[c]["runs"] for c in best},
-        "marginal": {str(c): best[c]["marginal"] for c in best},
+        "min_walls": {str(c): minw[c] for c in minw},
+        "marginal_min_wall": {str(c): marg[c] for c in marg},
         "scaling_efficiency_marginal": eff,
         "exact_output_match": sig_ok,
     }
     print(json.dumps(report))
 
     rows = "\n".join(
-        f"| local[{c}] | {n:,} | {best[c]['runs'][str(n)]['search_wall_s']} "
-        f"| {best[c]['runs'][str(n)]['lake_wall_s']} |"
+        f"| local[{c}] | {n:,} | {minw[c][n]['search']} "
+        f"| {minw[c][n]['lake']} |"
         for c in (N_SMALL, N_BIG)
         for n in (n_lo, n_hi)
     )
@@ -225,13 +250,13 @@ corpus; **lake leg** = z-ordered 64-file lakehouse write + bbox-pruned scan
 (points derived from url hashes by pure column arithmetic, so the leg
 measures the lakehouse, not an embedding pass).
 
-| parallelism | pages | search wall (s) | lake wall (s) |
+| parallelism | pages | min search wall (s) | min lake wall (s) |
 |---|---|---|---|
 {rows}
 
-- **Marginal throughput (docs/sec):** search local[{N_SMALL}] = {best[N_SMALL]["marginal"]["search"]:,.0f},
-  local[{N_BIG}] = {best[N_BIG]["marginal"]["search"]:,.0f}; lake local[{N_SMALL}] = {best[N_SMALL]["marginal"]["lake"]:,.0f},
-  local[{N_BIG}] = {best[N_BIG]["marginal"]["lake"]:,.0f}
+- **Marginal throughput (docs/sec, min-wall estimator over {REPEATS} sessions/leg):**
+  search local[{N_SMALL}] = {marg[N_SMALL]["search"]:,.0f}, local[{N_BIG}] = {marg[N_BIG]["search"]:,.0f};
+  lake local[{N_SMALL}] = {marg[N_SMALL]["lake"]:,.0f}, local[{N_BIG}] = {marg[N_BIG]["lake"]:,.0f}
 - **Scaling efficiency (marginal):** search = {eff["search"]:.3f}, lake = {eff["lake"]:.3f} (target ≥ 0.8)
 - **Exact output match:** {"YES" if sig_ok else "NO"} — fused top-k result
   signature and bbox-scan row signature identical across parallelism and
