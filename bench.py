@@ -280,6 +280,7 @@ def main() -> None:
     # (the persisted-index amortization every leg here exists to showcase)
     from raptor_rag_spark.operators.ranking import (
         bm25_index,
+        index_stats,
         ql_rank,
         rm3_rank,
         rrf_fuse,
@@ -290,8 +291,12 @@ def main() -> None:
     def _search_stack():
         d2 = docs.select("doc_id", "text")
         postings = bm25_index(d2).localCheckpoint(eager=True)
-        a = bm25_rank(None, bq, top_k=10, max_df_ratio=(9, 10), postings=postings)
-        b = ql_rank(None, bq, top_k=10, postings=postings)
+        # battery statistics once (round-5: unshared, each ranker re-derived
+        # dl/df/stats with full index passes)
+        st = index_stats(postings)
+        a = bm25_rank(None, bq, top_k=10, max_df_ratio=(9, 10), postings=postings,
+                      shared=st)
+        b = ql_rank(None, bq, top_k=10, postings=postings, shared=st)
         rrf_fuse(a, b, top_k=10).count()
         rm3_rank(d2, bq, top_k=10, max_df_ratio=(9, 10), postings=postings).count()
         cand = a.select("query_id", "doc_id", F.col("score").alias("rel"))

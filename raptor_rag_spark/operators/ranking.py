@@ -120,6 +120,42 @@ SELECT doc_id, term, tfidf, rank FROM (
 """
 
 
+def index_stats(postings: DataFrame) -> dict:
+    """Precompute the statistics EVERY ranker re-derives from the postings —
+    per-doc length, document frequency, corpus aggregates — each eagerly
+    narrow-checkpointed, so a ranker battery (BM25 + QL + fusion + …) runs
+    O(1) passes over the index instead of O(rankers × derivations).
+
+    Round-5 scaling finding: with a 1M-page index, the bm25+ql+rrf battery
+    executed 12-16 full passes over the 120M-row postings (each ranker
+    re-deriving dl/df/stats, and unshared dl consumed twice per ranker);
+    those fixed passes dominated the wall and capped N→4N scaling at ~0.55
+    for the ranker phase. dl is N-docs rows, dfreq is vocabulary rows,
+    stats/coll one row — all tiny beside the postings, exactly the rollups
+    a persisted 100-TB index ships with (sources/searchindex.py pattern).
+    Pass the dict to bm25_rank/ql_rank via ``shared=``."""
+    dl = (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl_l"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.count("*").alias("n_long"),
+        (
+            F.sum(F.col("dl_l").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+        F.sum(F.col("dl_l")).cast("double").alias("c_len"),
+    ).localCheckpoint(eager=True)
+    return {"dl": dl, "dfreq": dfreq, "stats": stats}
+
+
 def _bm25_matched(
     docs: DataFrame | None,
     queries: DataFrame,
@@ -128,12 +164,18 @@ def _bm25_matched(
     df_cap: int | None = None,
     max_df_ratio: tuple[int, int] | None = None,
     postings: DataFrame | None = None,
+    shared: dict | None = None,
 ) -> DataFrame:
     """Shared front half of BM25 scoring: (query_id, term, doc_id, contrib)
     for every query-term posting that survives the df guards. Both
     :func:`bm25_rank` (full scoring) and :func:`maxscore_rank` (pruned
     scoring) consume this — the pruned path must produce identical top-k."""
-    if postings is None:
+    if shared is not None:
+        # precomputed battery statistics (index_stats): zero index passes
+        dl = shared["dl"]
+        dfreq = shared["dfreq"]
+        stats = shared["stats"].drop("c_len")
+    elif postings is None:
         postings = bm25_index(docs)
         # doc length from the raw token arrays (scan + size(), no shuffle):
         # Catalyst doesn't reuse subplans, so deriving dl from `postings`
@@ -149,18 +191,18 @@ def _bm25_matched(
         # prebuilt (persisted) index: everything derives from it, the raw
         # corpus is never touched
         dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if shared is None:
+        dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+        stats = dl.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.count("*").alias("n_long"),
+            (
+                F.sum(F.col("dl_l").cast("decimal(28,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avgdl"),
+        )
     if df_cap is not None:
         dfreq = dfreq.where(F.col("df") <= df_cap)
-
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.count("*").alias("n_long"),
-        (
-            F.sum(F.col("dl_l").cast("decimal(28,6)")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("avgdl"),
-    )
     if max_df_ratio is not None:
         num, den = max_df_ratio
         dfreq = (
@@ -225,6 +267,7 @@ def bm25_rank(
     df_cap: int | None = None,
     max_df_ratio: tuple[int, int] | None = None,
     postings: DataFrame | None = None,
+    shared: dict | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): BM25 top-k docs per query.
 
@@ -233,8 +276,9 @@ def bm25_rank(
     drops terms with document frequency above an absolute cap;
     ``max_df_ratio=(num, den)`` is the corpus-relative form (keep terms with
     df·den ≤ N·num — pure-integer, engine-portable); e.g. (1, 2) drops terms
-    appearing in more than half the corpus."""
-    matched = _bm25_matched(docs, queries, k1, b, df_cap, max_df_ratio, postings)
+    appearing in more than half the corpus. ``shared`` takes the
+    precomputed battery statistics from :func:`index_stats`."""
+    matched = _bm25_matched(docs, queries, k1, b, df_cap, max_df_ratio, postings, shared)
     return _rank_scored(matched, top_k)
 
 
@@ -455,6 +499,7 @@ def ql_rank(
     top_k: int = 10,
     mu: float = MU,
     postings: DataFrame | None = None,
+    shared: dict | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): Dirichlet-smoothed query-likelihood
     retrieval — the second classic lexical model beside BM25 (Zhai & Lafferty
@@ -474,7 +519,13 @@ def ql_rank(
     collection frequency aggregated ONLY for the broadcast query-term set,
     per-(query, doc) contributions summed exactly in DECIMAL(28,15), twin ln
     throughout — the DuckDB oracle hash-matches bit-for-bit."""
-    if postings is None:
+    if shared is not None:
+        # precomputed battery statistics (index_stats): zero index passes
+        # for dl/coll, and dl arrives checkpointed so its two consumers
+        # (collection length + the per-doc background term) share one copy
+        dl = shared["dl"]
+        coll = shared["stats"].select("c_len")
+    elif postings is None:
         postings = bm25_index(docs)
         # dl from the raw token arrays, not the postings DAG — same
         # value-identical shortcut (and reason) as bm25_rank
@@ -483,9 +534,10 @@ def ql_rank(
             words.select("doc_id", F.size("ws").cast("long").alias("dl_l"))
             .where(F.col("dl_l") > 0)
         )
+        coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
     else:
         dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
-    coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
+        coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
     qtf = (
         queries.select("query_id", F.explode(G.words_col(F.col("qtext"))).alias("term"))
         .groupBy("query_id", "term")

@@ -64,7 +64,13 @@ def run_one(cores: int, n_lo: int, n_hi: int) -> None:
     from pyspark.sql import functions as F
 
     from raptor_rag_spark.functions import sqlgen as G
-    from raptor_rag_spark.operators.ranking import bm25_index, bm25_rank, ql_rank, rrf_fuse
+    from raptor_rag_spark.operators.ranking import (
+        bm25_index,
+        bm25_rank,
+        index_stats,
+        ql_rank,
+        rrf_fuse,
+    )
     from raptor_rag_spark.plans.contract import QUERY_TEXTS
     from raptor_rag_spark.session import get_spark, warm_python_workers
     from raptor_rag_spark.sources.lakehouse import LakeTable
@@ -84,8 +90,13 @@ def run_one(cores: int, n_lo: int, n_hi: int) -> None:
         # --- search leg: postings build + 3 rankers + fusion, one signature
         t0 = time.time()
         postings = bm25_index(docs).localCheckpoint(eager=True)
-        a = bm25_rank(None, bq, top_k=10, max_df_ratio=(9, 10), postings=postings)
-        b = ql_rank(None, bq, top_k=10, postings=postings)
+        # battery statistics computed ONCE (index_stats) — the round-5
+        # scaling fix: without sharing, each ranker re-derived dl/df/stats
+        # with full index passes and the fixed passes capped N→4N at ~0.55
+        stats = index_stats(postings)
+        a = bm25_rank(None, bq, top_k=10, max_df_ratio=(9, 10), postings=postings,
+                      shared=stats)
+        b = ql_rank(None, bq, top_k=10, postings=postings, shared=stats)
         fused = rrf_fuse(a, b, top_k=10)
         sig_col = G.hash63_col(
             F.concat_ws(
