@@ -298,7 +298,8 @@ def main() -> None:
                       shared=st)
         b = ql_rank(None, bq, top_k=10, postings=postings, shared=st)
         rrf_fuse(a, b, top_k=10).count()
-        rm3_rank(d2, bq, top_k=10, max_df_ratio=(9, 10), postings=postings).count()
+        rm3_rank(d2, bq, top_k=10, max_df_ratio=(9, 10), postings=postings,
+                 shared=st).count()
         cand = a.select("query_id", "doc_id", F.col("score").alias("rel"))
         mmr_select(cand, d2, k=5, lam=0.7).count()
         snippet_extract(d2, bq, window=20, cand=a).count()

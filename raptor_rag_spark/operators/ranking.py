@@ -706,6 +706,7 @@ def rm3_rank(
     mu: float = MU,
     max_df_ratio: tuple[int, int] | None = None,
     postings: DataFrame | None = None,
+    shared: dict | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): RM3 pseudo-relevance-feedback
     retrieval (Lavrenko & Croft relevance models; Abdul-Jaleel et al. 2004)
@@ -729,11 +730,18 @@ def rm3_rank(
     twin ln throughout — the DuckDB oracle hash-matches exactly."""
     if postings is None:
         postings = bm25_index(docs).localCheckpoint(eager=True)  # shared by both passes
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
-    coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
+    if shared is not None:
+        # precomputed battery statistics (index_stats): dl arrives
+        # checkpointed, so the feedback join + second pass share one copy
+        dl = shared["dl"]
+        coll = shared["stats"].select("c_len")
+    else:
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl_l"))
+        coll = dl.agg(F.sum("dl_l").cast("double").alias("c_len"))
 
     fb = bm25_rank(
-        None, queries, top_k=fb_docs, max_df_ratio=max_df_ratio, postings=postings
+        None, queries, top_k=fb_docs, max_df_ratio=max_df_ratio, postings=postings,
+        shared=shared,
     ).select("query_id", "doc_id")
     nf = fb.groupBy("query_id").agg(F.count("*").alias("nf"))
     # P(t|R): every (feedback doc, term) posting contributes tf/dl
