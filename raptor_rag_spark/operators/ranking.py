@@ -53,6 +53,7 @@ def doc_top_terms(
     docs: DataFrame | None,
     top_k: int = 5,
     postings: DataFrame | None = None,
+    shared: dict | None = None,
 ) -> DataFrame:
     """(doc_id, term, tfidf, rank): top-k characteristic terms per document
     by tf·idf with idf = ln(N/df) — distributed keyword extraction, the
@@ -60,7 +61,11 @@ def doc_top_terms(
     Reuses the bm25_index postings; idf's ln is the sqlgen twin, so the
     oracle is hash-exact. Terms present in every document get idf = ln(1)
     = 0 exactly and rank last."""
-    if postings is None:
+    if shared is not None:
+        # precomputed battery statistics (index_stats): zero index passes
+        n_docs = shared["stats"].select(F.col("n_docs"))
+        dfreq = shared["dfreq"]
+    elif postings is None:
         postings = bm25_index(docs)
         # count docs with >=1 token from the cheap words scan (no shuffle
         # recompute of the postings DAG; identical value — see bm25_rank)
@@ -69,13 +74,14 @@ def doc_top_terms(
             .where(F.col("n") > 0)
             .agg(F.count("*").cast("double").alias("n_docs"))
         )
+        dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     else:
         n_docs = (
             postings.select("doc_id")
             .distinct()
             .agg(F.count("*").cast("double").alias("n_docs"))
         )
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+        dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     idf_arg = F.col("n_docs") / F.col("df").cast("double")
     # no broadcast hint on dfreq: it is vocabulary-sized and needed for every
     # posting, so let AQE pick (auto-broadcast when small, shuffle join when
@@ -291,6 +297,7 @@ def maxscore_rank(
     df_cap: int | None = None,
     max_df_ratio: tuple[int, int] | None = None,
     postings: DataFrame | None = None,
+    shared: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k via MaxScore upper-bound pruning (Turtle & Flood 1995) —
     EXACT: returns bit-identical (query_id, doc_id, score, rank) to
@@ -321,7 +328,7 @@ def maxscore_rank(
     lists a document-at-a-time WAND would skip. Everything is declarative:
     two windows over per-query term metadata, no driver loop, no collect.
     """
-    matched = _bm25_matched(docs, queries, k1, b, df_cap, max_df_ratio, postings)
+    matched = _bm25_matched(docs, queries, k1, b, df_cap, max_df_ratio, postings, shared)
     mc = matched.localCheckpoint(eager=True)
     candidates = _maxscore_candidates(mc, top_k)
     pruned = mc.join(candidates, ["query_id", "doc_id"], "left_semi")
